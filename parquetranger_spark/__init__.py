@@ -1,0 +1,24 @@
+"""parquetranger_spark — a PySpark-native partitioned-parquet analytics engine.
+
+Capability-parity rebuild of ``endremborza/parquetranger`` (storage layer:
+partitioned append / keyed upsert / partition overwrite / pruned read /
+schema evolution / per-partition map) plus the large-scale data-pipeline
+operators (dedup, similarity search, text analysis, multimodal columns,
+event analytics) expressed Spark-first: DataFrame/SQL plans optimized by
+Catalyst, Pandas UDFs only where built-ins can't express the semantics.
+"""
+
+from .functions.hashing import HashPartitioner, md5_bucket, md5_mod
+from .session import get_spark
+from .sources.table_repo import TableRepo
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TableRepo",
+    "HashPartitioner",
+    "md5_bucket",
+    "md5_mod",
+    "get_spark",
+    "__version__",
+]

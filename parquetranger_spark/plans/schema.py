@@ -1,0 +1,118 @@
+"""Canonical-schema sidecar + write-side alignment.
+
+Reference semantics (parquetranger, /root/reference/parquetranger/core.py):
+the first write freezes a canonical schema in a sidecar ``empty.meta``
+parquet file (core.py:443-447, created at core.py:397-401); every later
+write is cast to it (``_resolve_metadata`` core.py:374-382, ``_cast_table``
+core.py:547-558 — un-castable/missing columns become typed nulls, new
+columns are dropped unless ``allow_metadata_extension`` widens the schema
+and rewrites existing files, core.py:405-421).
+
+Spark-first re-expression: the sidecar is a JSON file ``_pqr_meta.json`` at
+the table root (never pickle — the reference pickles user metadata into the
+parquet footer, core.py:535-536, which is unsafe and Spark cannot write
+custom footer KV anyway). Alignment is a plain ``select`` of casts /
+typed-null literals, so it stays entirely inside Catalyst: no-op casts are
+removed by the optimizer and column pruning still reaches the parquet scan.
+Widening is an explicit O(table) maintenance rewrite, never implicit inside
+an append (SURVEY §7.3.7).
+
+The sidecar lives under the table root but Spark's parquet reader ignores
+non-``*.parquet`` files, so reads stay untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_FILE_NAME = "_pqr_meta.json"
+
+
+@dataclass
+class TableMeta:
+    """Everything the reference kept in parquet footers + empty.meta."""
+
+    schema: T.StructType | None = None
+    group_cols: list[str] = field(default_factory=list)
+    index_cols: list[str] = field(default_factory=list)
+    extra_metadata: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "schema": self.schema.jsonValue() if self.schema else None,
+                "group_cols": self.group_cols,
+                "index_cols": self.index_cols,
+                "extra_metadata": self.extra_metadata,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, raw: str) -> "TableMeta":
+        d = json.loads(raw)
+        schema = T.StructType.fromJson(d["schema"]) if d.get("schema") else None
+        return cls(
+            schema=schema,
+            group_cols=list(d.get("group_cols") or []),
+            index_cols=list(d.get("index_cols") or []),
+            extra_metadata=dict(d.get("extra_metadata") or {}),
+        )
+
+
+def meta_path(root: str) -> str:
+    return os.path.join(root, META_FILE_NAME)
+
+
+def load_meta(root: str) -> TableMeta | None:
+    p = meta_path(root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return TableMeta.from_json(fh.read())
+
+
+def save_meta(root: str, meta: TableMeta) -> None:
+    os.makedirs(root, exist_ok=True)
+    tmp = meta_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(meta.to_json())
+    os.replace(tmp, meta_path(root))
+
+
+def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
+    """Project/cast ``df`` onto the canonical schema.
+
+    Per canonical field: present → cast to the canonical type; missing →
+    typed null (reference ``_cast_table``, core.py:547-558). Columns not in
+    the canonical schema are dropped (reference default, core.py:410).
+    Pure column expressions — Catalyst folds no-op casts away, so an
+    already-aligned frame compiles to the identity projection.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in canonical.fields:
+        if f.name in have:
+            src = F.col(f.name)
+            cols.append(src if have[f.name].dataType == f.dataType else src.cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def widen_schema(canonical: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:
+    """Append fields of ``incoming`` unknown to ``canonical`` (reference
+    ``allow_metadata_extension``, core.py:405-421). Returns (schema, grew)."""
+    known = {f.name for f in canonical.fields}
+    new_fields = [f for f in incoming.fields if f.name not in known]
+    if not new_fields:
+        return canonical, False
+    return T.StructType(list(canonical.fields) + [T.StructField(f.name, f.dataType, True) for f in new_fields]), True

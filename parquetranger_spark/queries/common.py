@@ -1,0 +1,53 @@
+"""Shared helpers for declared queries and their DuckDB oracles."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,6)"
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact (decimal-routed) sum of a double column, surfaced as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) AS {alias}"
+
+
+def dmean(col: str | Column, alias: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def dmean_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS {alias}"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as epoch-nanos long (exact) and derive instants on use
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def scratch_dir(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"pqrs_{name}_")
+
+
+def md5_mod_sql(expr: str, num_groups: int) -> str:
+    """DuckDB expression for int(md5(x),16) % n via the same base-2^32
+    chunk fold the engine uses (functions/hashing.py)."""
+    acc = "CAST(0 AS BIGINT)"
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    for i in range(4):
+        chunk = f"CAST(concat('0x', substr({h}, {1 + 8 * i}, 8)) AS BIGINT)"
+        acc = f"(({acc}) * 4294967296 + {chunk}) % {num_groups}"
+    return f"({acc})"

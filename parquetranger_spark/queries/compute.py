@@ -1,0 +1,176 @@
+"""Declared queries for the dataflow compute operators (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.table_repo import TableRepo
+from . import query
+from .common import dmean_sql, dsum, dsum_sql, load, scratch_dir
+
+
+@query(
+    "groupby_mean",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) / count(*) AS mean_qty,
+       {dmean_sql('l_extendedprice', 'mean_price')}
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def groupby_mean(spark, sf_dir):
+    """C2: the reference's canonical map_partitions payload —
+    groupby(...).mean() (tests/test_parallel.py:97-98) — as a native hash
+    aggregate (partial + final, whole-stage codegen)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("mean_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_price"
+        ),
+    )
+
+
+@query(
+    "groupby_count",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def groupby_count(spark, sf_dir):
+    """C2: group sizes (reference tests/test_parallel.py:74-76)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "map_partitions_agg",
+    oracle="""
+SELECT l_returnflag, SUM(l_quantity) / count(*) AS mean_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def map_partitions_agg(spark, sf_dir):
+    """C1: per-partition pandas apply (reference map_partitions,
+    core.py:138-151) — groupBy(partition col).applyInPandas. The pandas
+    body is the reference's own test payload (mean + size)."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    t = TableRepo(scratch_dir("mpart") + "/li", group_cols="l_returnflag", spark=spark)
+    t.extend(li)
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "mean_qty": [pdf["l_quantity"].sum() / len(pdf)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return t.map_partitions(per_group, "l_returnflag string, mean_qty double, n long")
+
+
+@query(
+    "dedup_keep_first",
+    oracle=f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+             l_extendedprice, l_returnflag, l_linestatus
+  ) AS rn FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n, {dsum_sql('l_extendedprice', 'sum_price')}
+FROM ranked WHERE rn = 1 GROUP BY l_returnflag
+""",
+)
+def dedup_keep_first(spark, sf_dir):
+    """C4: keyed dedup keeping the *first* row per key under an explicit
+    order (reference keeps first in frame order, core.py:119; Spark has no
+    row order so the order is declared — SURVEY §7.3.2)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+    )
+    first = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return first.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+@query(
+    "filter_semi_join",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+GROUP BY l_returnflag
+""",
+)
+def filter_semi_join(spark, sf_dir):
+    """C5: key-set membership as a (broadcast) left-semi join (reference
+    index-intersection row selection, core.py:124-128)."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(keys), "l_orderkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "sort_by_keys",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sort_by_keys(spark, sf_dir):
+    """C8: global ordering (reference sorts paths/frames for determinism,
+    core.py:149,310) — range-partitioned sort + limit; ties broken by the
+    unique key so the limit is deterministic."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "events_hourly_agg",
+    oracle=f"""
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+""",
+)
+def events_hourly_agg(spark, sf_dir):
+    """X6: tumbling-window event aggregation (epoch-hour buckets — exact
+    integer division on epoch nanos, TZ independent). The streaming flavor
+    (watermark + window) lives in streaming/; this is the identical batch
+    plan."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr("ts div 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

@@ -1,0 +1,342 @@
+"""Declared queries for the storage operators (SURVEY.md §2.1/2.3).
+
+Each query builds a scratch TableRepo from the driver tables, exercises the
+storage operator, reads back, and returns a small aggregate the DuckDB
+oracle reproduces directly from the source parquet.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import HashPartitioner
+from ..sources.table_repo import TableRepo
+from . import query
+from .common import dsum, dsum_sql, load, md5_mod_sql, scratch_dir
+
+_LINEITEM_AGG_SQL = f"""
+SELECT l_returnflag, count(*) AS n,
+       SUM(l_quantity) AS sum_qty,
+       {dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _lineitem_agg(df):
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+@query("extend_roundtrip", oracle=_LINEITEM_AGG_SQL)
+def extend_roundtrip(spark, sf_dir):
+    """S1: partitioned append ×2 then full read (reference extend,
+    core.py:91-112)."""
+    li = load(spark, sf_dir, "lineitem")
+    t = TableRepo(scratch_dir("extend") + "/lineitem", group_cols="l_returnflag", spark=spark)
+    t.extend(li.where(F.col("l_linenumber") % 2 == 0))
+    t.extend(li.where(F.col("l_linenumber") % 2 == 1))
+    return _lineitem_agg(t.get_full_df())
+
+
+@query(
+    "replace_all_roundtrip",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+""",
+)
+def replace_all_roundtrip(spark, sf_dir):
+    """S4: truncate+load (reference replace_all, core.py:157-160)."""
+    o = load(spark, sf_dir, "orders")
+    t = TableRepo(scratch_dir("rall") + "/orders", group_cols="o_orderstatus", spark=spark)
+    t.extend(o)
+    t.replace_all(o.where(F.col("o_orderstatus") == "O"))
+    return t.get_full_df().groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "partition_overwrite",
+    oracle=f"""
+WITH merged AS (
+  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice / 2 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+)
+SELECT o_orderstatus, count(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def partition_overwrite(spark, sf_dir):
+    """S3: overwrite only the partitions present in the incoming frame
+    (reference replace_groups, core.py:153-155 → dynamic partition
+    overwrite)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = TableRepo(scratch_dir("rgrp") + "/orders", group_cols="o_orderstatus", spark=spark)
+    t.extend(o)
+    repl = (
+        o.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") / 2)
+    )
+    t.replace_groups(repl)
+    return (
+        t.get_full_df()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "partition_pruned_read",
+    oracle=f"""
+SELECT l_returnflag, count(*) AS n, SUM(l_quantity) AS sum_qty,
+       {dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+""",
+)
+def partition_pruned_read(spark, sf_dir):
+    """S8: read one partition value; Catalyst prunes the scan to the
+    matching directory (reference get_partition_df, core.py:177-194)."""
+    li = load(spark, sf_dir, "lineitem")
+    t = TableRepo(scratch_dir("prune") + "/lineitem", group_cols="l_returnflag", spark=spark)
+    t.extend(li)
+    return _lineitem_agg(t.get_partition_df("R"))
+
+
+@query(
+    "upsert_by_key",
+    oracle=f"""
+WITH incoming AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice + 100000 AS o_totalprice
+  FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice / 2
+  FROM orders WHERE o_orderstatus = 'F'
+),
+merged AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM incoming)
+  UNION ALL SELECT * FROM incoming
+)
+SELECT o_orderpriority, count(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM merged GROUP BY o_orderpriority
+""",
+)
+def upsert_by_key(spark, sf_dir):
+    """S2: keyed upsert — matched keys replaced, unmatched appended
+    (reference replace_records, core.py:114-133)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+    t = TableRepo(scratch_dir("upsert") + "/orders", index_cols="o_orderkey", spark=spark)
+    t.extend(o.drop("o_orderstatus"))
+    upd = o.where(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000
+    )
+    new = o.where(F.col("o_orderstatus") == "F").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_orderpriority",
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+    )
+    t.replace_records(upd.drop("o_orderstatus").unionByName(new))
+    return (
+        t.get_full_df()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "upsert_by_key_grouped",
+    oracle=f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'O'
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 100000 FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, 'O' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 0
+)
+SELECT o_orderstatus, count(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def upsert_by_key_grouped(spark, sf_dir):
+    """S2 by_groups=True: key matching scoped within each partition group,
+    so the same key may coexist in different groups (reference
+    core.py:114-117)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = TableRepo(
+        scratch_dir("upsertg") + "/orders",
+        group_cols="o_orderstatus",
+        index_cols="o_orderkey",
+        spark=spark,
+    )
+    t.extend(o)
+    upd = o.where(F.col("o_orderstatus") == "O").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000
+    )
+    moved = o.where((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0)).withColumn(
+        "o_orderstatus", F.lit("O")
+    )
+    t.replace_records(upd.unionByName(moved), by_groups=True)
+    return (
+        t.get_full_df()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "schema_align_cast",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       count(CASE WHEN FALSE THEN 1 END) AS n_extra
+FROM lineitem
+""",
+)
+def schema_align_cast(spark, sf_dir):
+    """C6: write-side canonical-schema alignment — cast to first-seen type,
+    missing columns become typed nulls (reference _cast_table,
+    core.py:547-558)."""
+    li = load(spark, sf_dir, "lineitem")
+    canonical = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    t = TableRepo(scratch_dir("align") + "/li", fixed_schema=canonical, spark=spark)
+    # incoming frame: long quantity (cast back to canonical double), no
+    # `extra` column (null-filled), plus a column to drop
+    t.extend(
+        li.select(
+            "l_orderkey",
+            F.col("l_quantity").cast("long").alias("l_quantity"),
+            F.col("l_returnflag").alias("dropped_col"),
+        )
+    )
+    back = t.get_full_df()
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+        F.count("extra").alias("n_extra"),
+    )
+
+
+@query(
+    "null_group_keys_dropped",
+    oracle="""
+SELECT l_returnflag AS grp, count(*) AS n
+FROM lineitem WHERE l_returnflag <> 'N' GROUP BY 1
+""",
+)
+def null_group_keys_dropped(spark, sf_dir):
+    """C3: null partition keys are dropped on write, matching pandas
+    groupby(dropna=True) (reference core.py:350, SURVEY §7.3.3)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "grp", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    t = TableRepo(scratch_dir("nullg") + "/li", group_cols="grp", spark=spark)
+    t.extend(li.select("l_orderkey", "grp"))
+    return t.get_full_df().groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "hash_partition_counts",
+    oracle=f"""
+SELECT {md5_mod_sql('c_custkey', 16)} AS bucket, count(*) AS n
+FROM customer GROUP BY 1
+""",
+)
+def hash_partition_counts(spark, sf_dir):
+    """H1: md5-mod-n hash partitioning, value-exact vs the reference
+    HashPartitioner (core.py:25-44; buckets pinned by
+    tests/test_core.py:270-280)."""
+    c = load(spark, sf_dir, "customer")
+    t = TableRepo(
+        scratch_dir("hash") + "/customer",
+        group_cols=HashPartitioner("c_custkey", 16),
+        index_cols="c_custkey",
+        spark=spark,
+    )
+    t.extend(c)
+    bc = t.group_cols[0]
+    return (
+        t.get_full_df()
+        .groupBy(F.col(bc).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "count_rows",
+    oracle="SELECT count(*) AS n FROM lineitem",
+)
+def count_rows(spark, sf_dir):
+    """C11: metadata-backed row count (reference core.py:543-544 reads only
+    parquet footers; Spark's count over parquet is likewise footer-driven)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_ingest_dicts",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY event_type
+""",
+)
+def stream_ingest_dicts(spark, sf_dir):
+    """S11: buffered record-writer ingestion (reference RecordWriter,
+    core.py:458-505) — dict records flushed every `record_limit` rows."""
+    from ..sources.writers import RecordWriter
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(scratch_dir("wdict") + "/events", index_cols="event_id", spark=spark)
+    with RecordWriter(t, record_limit=4096) as w:
+        for row in ev.toLocalIterator():
+            w.add_record(row.asDict())
+    return (
+        t.get_full_df()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@query(
+    "stream_ingest_fixed",
+    oracle="""
+SELECT count(*) AS n, count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
+FROM events
+""",
+)
+def stream_ingest_fixed(spark, sf_dir):
+    """S11: fixed-column record writer — records projected to a fixed
+    column set, missing keys → null (reference FixedRecordWriter,
+    core.py:508-513)."""
+    from ..sources.writers import FixedRecordWriter
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(scratch_dir("wfix") + "/events", index_cols="event_id", spark=spark)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    with FixedRecordWriter(t, schema=schema, record_limit=4096) as w:
+        for row in ev.toLocalIterator():
+            d = row.asDict()
+            if d["value"] is None:
+                d.pop("value")
+            w.add_record(d)
+    return t.get_full_df().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )

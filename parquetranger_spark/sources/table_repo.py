@@ -1,0 +1,384 @@
+"""TableRepo — Spark-native partitioned-parquet table management.
+
+Re-expresses the reference's storage surface
+(/root/reference/parquetranger/core.py:47-89, class ``TableRepo``) on top of
+Spark's own partitioned-parquet machinery. The mapping (SURVEY.md §2.1):
+
+- ``extend``            → ``write.mode("append").partitionBy(G)`` with
+                          ``maxRecordsPerFile`` (reference core.py:91-112)
+- ``replace_records``   → anti-join upsert + dynamic partition overwrite of
+                          only the touched partitions (core.py:114-133)
+- ``replace_groups``    → dynamic partition overwrite (core.py:153-155)
+- ``replace_all``       → static overwrite (core.py:157-160)
+- ``purge``             → recursive delete (core.py:162-167)
+- ``get_full_df``       → ``spark.read.parquet(root)`` (core.py:169-175)
+- ``get_partition_df``  → partition-pruned read (core.py:177-194)
+- ``map_partitions``    → ``groupBy(...).applyInPandas`` (core.py:138-151)
+- env switching         → parameterized root parents (core.py:196-201,245-250)
+- hash partitioning     → computed md5-mod-n partition column (core.py:25-44)
+
+Deliberate divergences from the reference, all value-preserving:
+
+- Directory layout is hive-style ``col=value`` (Spark native) instead of
+  bare-value dirs; partition columns are never duplicated inside data files
+  (the reference's ``drop_group_cols=True`` behavior is the only one Spark
+  supports natively — read-back output is identical either way).
+- No per-path locks or last-file top-up (core.py:307-321): Spark files are
+  immutable and the output-commit protocol replaces locking. File *counts*
+  may differ from the reference; row sets never do.
+- User metadata goes to a JSON sidecar, not pickled parquet footers
+  (core.py:535-536) — safe and engine-portable.
+- Row identity is explicit ``index_cols`` (the pandas index reified as
+  columns, SURVEY §7.3.1); "first" in keep-first dedup is defined by the
+  incoming frame's (partition, row) order via a monotonic sequence column.
+
+Scale notes (the 100 TB story):
+
+- Appends and overwrites are single distributed write jobs; the only
+  shuffle a write performs is the hash repartition by partition keys that
+  ``partitionBy`` implies, and small-file pressure is controlled by
+  ``maxRecordsPerFile`` + AQE coalescing.
+- Upserts never rewrite the table: touched partitions are located with a
+  broadcast semi-join on the (low-cardinality) partition keys, read back
+  partition-pruned, patched, and rewritten under
+  ``partitionOverwriteMode=dynamic``. Cost is O(touched partitions), not
+  O(table).
+- Reads are plain ``spark.read.parquet`` → vectorized scan, predicate
+  pushdown, partition pruning, column pruning all apply untouched.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from contextlib import contextmanager
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import HashPartitioner
+from ..plans.schema import (
+    TableMeta,
+    align_to_schema,
+    load_meta,
+    save_meta,
+    widen_schema,
+)
+from ..session import active_spark
+
+_SEQ_COL = "__pqr_seq"
+
+
+class TableRepo:
+    """A logical table = one root directory of partitioned parquet.
+
+    Parameters mirror the reference constructor (core.py:47-89):
+
+    - ``root_path``: table root; its basename is the table name.
+    - ``group_cols``: partition columns (str or list), or a
+      :class:`HashPartitioner` for md5-bucket partitioning.
+    - ``max_records``: max rows per data file (0 = unbounded) — the
+      reference's chunking knob, mapped to ``maxRecordsPerFile``.
+    - ``index_cols``: explicit key columns standing in for the pandas
+      index; required for ``replace_records``.
+    - ``env_parents``: name → parent dir; ``set_env`` relocates the table
+      root among them (reference core.py:196-201).
+    - ``fixed_schema``: pin the canonical schema up front (reference
+      ``fixed_metadata``, core.py:67).
+    - ``allow_schema_extension``: widen the canonical schema on new
+      columns and rewrite old files (reference
+      ``allow_metadata_extension``, core.py:405-421).
+    """
+
+    def __init__(
+        self,
+        root_path: str,
+        group_cols: str | list[str] | HashPartitioner | None = None,
+        max_records: int = 0,
+        index_cols: str | list[str] | None = None,
+        env_parents: dict[str, str] | None = None,
+        mkdirs: bool = True,
+        extra_metadata: dict[str, Any] | None = None,
+        fixed_schema: T.StructType | None = None,
+        allow_schema_extension: bool = False,
+        spark: SparkSession | None = None,
+    ):
+        root_path = str(root_path)
+        self.name = os.path.basename(root_path.rstrip("/"))
+        self.env_parents = {k: str(v) for k, v in (env_parents or {}).items()}
+        self._default_parent = os.path.dirname(root_path.rstrip("/")) or "."
+        self._current_parent = self._default_parent
+
+        self.partitioner: HashPartitioner | None = None
+        if isinstance(group_cols, HashPartitioner):
+            self.partitioner = group_cols
+            self.group_cols = [group_cols.bucket_col]
+        elif isinstance(group_cols, str):
+            self.group_cols = [group_cols]
+        else:
+            self.group_cols = list(group_cols or [])
+
+        self.index_cols = [index_cols] if isinstance(index_cols, str) else list(index_cols or [])
+        self.max_records = int(max_records)
+        self.extra_metadata = dict(extra_metadata or {})
+        self.fixed_schema = fixed_schema
+        self.allow_schema_extension = allow_schema_extension
+        self._spark = spark
+        if mkdirs:
+            self.mkdirs()
+
+    # ------------------------------------------------------------------ paths
+
+    @property
+    def main_path(self) -> str:
+        return os.path.join(self._current_parent, self.name)
+
+    @property
+    def paths(self) -> list[str]:
+        """All data files, sorted (reference ``paths``, core.py:261-265)."""
+        return sorted(glob.glob(os.path.join(self.main_path, "**", "*.parquet"), recursive=True))
+
+    @property
+    def n_files(self) -> int:
+        return len(self.paths)
+
+    @property
+    def full_metadata(self) -> dict[str, Any]:
+        meta = load_meta(self.main_path)
+        return dict(meta.extra_metadata) if meta else dict(self.extra_metadata)
+
+    def mkdirs(self, force: bool = True) -> None:
+        os.makedirs(self.main_path, exist_ok=True)
+
+    # ------------------------------------------------------------------- envs
+
+    def set_env(self, name: str) -> None:
+        self._current_parent = self.env_parents[name]
+
+    def set_env_to_default(self) -> None:
+        self._current_parent = self._default_parent
+
+    @contextmanager
+    def env_ctx(self, name: str):
+        prev = self._current_parent
+        try:
+            self.set_env(name)
+            yield self
+        finally:
+            self._current_parent = prev
+
+    # ------------------------------------------------------------ write paths
+
+    def extend(self, df: DataFrame) -> None:
+        """Append (reference ``extend``, core.py:91-112)."""
+        self._write(self._prepare(df), mode="append")
+
+    def batch_extend(self, dfs: Iterable[DataFrame]) -> None:
+        """Reference ``batch_extend`` (core.py:135-136) fans ``extend`` over
+        worker threads guarded by path locks; Spark writes are already
+        task-parallel, so the idiomatic shape is one union → one job."""
+        dfs = list(dfs)
+        if not dfs:
+            return
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        self.extend(out)
+
+    def replace_all(self, df: DataFrame) -> None:
+        """Truncate + load (reference core.py:157-160)."""
+        self._write(self._prepare(df), mode="overwrite", dynamic=False)
+
+    def replace_groups(self, df: DataFrame) -> None:
+        """Overwrite exactly the partitions present in ``df``, keep the rest
+        (reference core.py:153-155) — dynamic partition overwrite."""
+        if not self.group_cols:
+            raise TypeError("not a grouped table")  # reference core.py:337-338
+        self._write(self._prepare(df), mode="overwrite", dynamic=True)
+
+    def replace_records(self, df: DataFrame, by_groups: bool = False) -> None:
+        """Keyed upsert (reference core.py:114-133).
+
+        Incoming duplicate keys keep *first* (core.py:119) — first in the
+        incoming frame's (partition, row) order. ``by_groups=True`` scopes
+        key matching within each partition group, so the same key may live
+        in different groups (core.py:114-117). Unmatched keys are appended.
+
+        Scale shape: only partitions containing a matched or incoming key
+        are read back and rewritten (dynamic partition overwrite); the rest
+        of the table is untouched.
+        """
+        if not self.index_cols:
+            raise TypeError("replace_records needs index_cols (the reified pandas index)")
+        if by_groups and not self.group_cols:
+            raise TypeError("not a grouped table")
+        new = self._dedup_keep_first(self._prepare(df))
+        old = self.get_full_df()
+        if old.isEmpty():
+            self._write(new, mode="append")
+            return
+        join_keys = self.index_cols + (self.group_cols if by_groups else [])
+        if self.group_cols:
+            touched = (
+                old.join(F.broadcast(new.select(*join_keys).distinct()), join_keys, "left_semi")
+                .select(*self.group_cols)
+                .unionByName(new.select(*self.group_cols))
+                .distinct()
+            )
+            old_touched = old.join(F.broadcast(touched), self.group_cols, "left_semi")
+            out = old_touched.join(new, join_keys, "left_anti").unionByName(new)
+            # break lineage: the write target is also the read source
+            out = out.localCheckpoint(eager=True)
+            # a key whose group value changed can leave its old partition
+            # empty; dynamic overwrite can't express "now empty" — clear those
+            # partition dirs explicitly (partition counts are low-cardinality
+            # by design, so the collect is tiny even at scale)
+            touched_vals = {tuple(r) for r in touched.collect()}
+            kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
+            self._write(out, mode="overwrite", dynamic=True)
+            for gv in touched_vals - kept_vals:
+                self._delete_partition_dir(gv)
+        else:
+            out = old.join(new, join_keys, "left_anti").unionByName(new)
+            out = out.localCheckpoint(eager=True)
+            self._write(out, mode="overwrite", dynamic=False)
+
+    def purge(self) -> None:
+        """Drop the table (reference core.py:162-167)."""
+        shutil.rmtree(self.main_path, ignore_errors=True)
+
+    # ------------------------------------------------------------- read paths
+
+    def get_full_df(self) -> DataFrame:
+        """Full scan (reference ``get_full_df``, core.py:169-175); empty
+        canonical-schema frame when no files exist (core.py:175)."""
+        spark = self._session()
+        meta = load_meta(self.main_path)
+        if not self.paths:
+            schema = meta.schema if meta and meta.schema else T.StructType([])
+            return spark.createDataFrame([], schema)
+        # partition dir values come back as strings and are cast to the
+        # canonical type by the align step below, so disable lossy inference
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        df = spark.read.option("mergeSchema", "true").parquet(self.main_path)
+        if meta and meta.schema:
+            df = align_to_schema(df, meta.schema)
+        return df
+
+    def get_partition_df(self, value: Any, partition_col: str | None = None) -> DataFrame:
+        """Partition-pruned read (reference core.py:177-194): Catalyst prunes
+        the scan to the matching directories — no data outside the partition
+        is touched, same as the reference's path-component filtering."""
+        pc = partition_col or (self.group_cols[0] if self.group_cols else None)
+        if pc is None:
+            raise TypeError("not a grouped table")
+        return self.get_full_df().where(F.col(pc) == value)
+
+    def partition_values(self, partition_col: str | None = None) -> list[Any]:
+        pc = partition_col or self.group_cols[0]
+        return [r[0] for r in self.get_full_df().select(pc).distinct().collect()]
+
+    # ---------------------------------------------------------------- compute
+
+    def map_partitions(
+        self,
+        fun: Callable,
+        schema: T.StructType | str,
+        level: str | None = None,
+    ) -> DataFrame:
+        """Per-partition pandas apply (reference core.py:138-151).
+
+        The reference groups *file paths* by directory level and fans a
+        pandas function over them with a worker pool; the Spark shape is
+        ``groupBy(partition cols).applyInPandas`` — same grouping, but the
+        shuffle/execution is handled by the engine and scales past one node.
+        ``level=g`` narrows the grouping to one partition column
+        (core.py:146-147).
+        """
+        if not self.group_cols:
+            raise TypeError("not a grouped table")  # core.py:337-338
+        cols = [level] if level else list(self.group_cols)
+        return self.get_full_df().groupBy(*cols).applyInPandas(fun, schema)
+
+    # ---------------------------------------------------------------- private
+
+    def _session(self) -> SparkSession:
+        return self._spark or active_spark()
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Bucket-assign, null-group-filter, schema-align (write-side)."""
+        if self.partitioner is not None and self.partitioner.bucket_col not in df.columns:
+            df = self.partitioner.assign(df, index_cols=self.index_cols)
+        for gc in self.group_cols:
+            # pandas groupby drops null group keys silently (reference
+            # core.py:350, SURVEY §7.3.3) — match it, instead of Spark's
+            # __HIVE_DEFAULT_PARTITION__ dirs
+            df = df.where(F.col(gc).isNotNull())
+        return self._align(df)
+
+    def _align(self, df: DataFrame) -> DataFrame:
+        meta = load_meta(self.main_path)
+        if meta is None or meta.schema is None:
+            schema = self.fixed_schema or df.schema
+            meta = TableMeta(
+                schema=schema,
+                group_cols=self.group_cols,
+                index_cols=self.index_cols,
+                extra_metadata=self.extra_metadata,
+            )
+            save_meta(self.main_path, meta)
+            return align_to_schema(df, schema)
+        if self.allow_schema_extension:
+            widened, grew = widen_schema(meta.schema, df.schema)
+            if grew:
+                self._rewrite_to_schema(meta, widened)
+                meta = load_meta(self.main_path)
+        return align_to_schema(df, meta.schema)
+
+    def _rewrite_to_schema(self, meta: TableMeta, widened: T.StructType) -> None:
+        """Widening maintenance rewrite (reference core.py:411-421) — an
+        explicit O(table) job, never implicit in an append (SURVEY §7.3.7)."""
+        if self.paths:
+            old = align_to_schema(self.get_full_df(), widened)
+            old = old.localCheckpoint(eager=True)
+            meta.schema = widened
+            save_meta(self.main_path, meta)
+            self._write(old, mode="overwrite", dynamic=False)
+        else:
+            meta.schema = widened
+            save_meta(self.main_path, meta)
+
+    def _dedup_keep_first(self, df: DataFrame) -> DataFrame:
+        """Keep the first row per key in incoming order (reference
+        core.py:119): row_number over a monotonic ingest sequence."""
+        from pyspark.sql import Window
+
+        keys = self.index_cols
+        w = Window.partitionBy(*keys).orderBy(F.col(_SEQ_COL))
+        return (
+            df.withColumn(_SEQ_COL, F.monotonically_increasing_id())
+            .withColumn("__pqr_rn", F.row_number().over(w))
+            .where(F.col("__pqr_rn") == 1)
+            .drop(_SEQ_COL, "__pqr_rn")
+        )
+
+    def _delete_partition_dir(self, group_values: tuple) -> None:
+        parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
+        shutil.rmtree(os.path.join(self.main_path, *parts), ignore_errors=True)
+
+    def _write(self, df: DataFrame, mode: str, dynamic: bool = True) -> None:
+        meta = load_meta(self.main_path)
+        w = df.write.mode(mode)
+        if self.group_cols:
+            w = w.partitionBy(*self.group_cols)
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", self.max_records)
+        if mode == "overwrite":
+            w = w.option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        w.parquet(self.main_path)
+        # a static overwrite wipes the table root, sidecar included — restore
+        if meta is not None and load_meta(self.main_path) is None:
+            save_meta(self.main_path, meta)

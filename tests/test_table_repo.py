@@ -1,0 +1,243 @@
+"""Round-trip / layout / upsert tests mirroring the reference suite
+(/root/reference/parquetranger/tests/test_core.py — fixtures F1/F2 in
+/root/repo/FIXTURES.md). Oracle is pandas on the same rows."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquetranger_spark import HashPartitioner, TableRepo
+
+# F1 `base4` — reference tests/test_core.py:11-48
+DF1 = pd.DataFrame(
+    {
+        "__index": ["a1", "a2", "a3"],
+        "A": [1, 2, 3],
+        "B": ["x", "y", "z"],
+        "C": [1, 2, 1],
+        "C2": ["a", "b", "a"],
+    }
+)
+DF2 = pd.DataFrame(
+    {
+        "__index": ["b1", "b2", "b3"],
+        "A": [4, 5, 6],
+        "B": ["xx", "yy", "zz"],
+        "C": [2, 3, 3],
+        "C2": ["b", "ba", "a"],
+    }
+)
+DF4 = pd.DataFrame(
+    {
+        "__index": ["b4", "b2", "b3"],
+        "A": [7, 8, 9],
+        "B": ["p", "q", "r"],
+        "C": [1, 1, 2],
+        "C2": ["a", "a", "b"],
+    }
+)
+
+
+def sorted_pdf(df):
+    pdf = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    return pdf.sort_values("__index").reset_index(drop=True)[sorted(pdf.columns)]
+
+
+def assert_same(spark_df, pdf):
+    got, want = sorted_pdf(spark_df), sorted_pdf(pdf)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("group_cols", [None, "C", ["C", "C2"], ["C2", "C"], "C2"])
+@pytest.mark.parametrize("max_records", [0, 2])
+def test_extend_roundtrip(spark, tmp_root, group_cols, max_records):
+    trepo = TableRepo(
+        f"{tmp_root}/t1",
+        group_cols=group_cols,
+        max_records=max_records,
+        index_cols="__index",
+    )
+    trepo.extend(spark.createDataFrame(DF1))
+    trepo.extend(spark.createDataFrame(DF2))
+    assert_same(trepo.get_full_df(), pd.concat([DF1, DF2]))
+
+
+def test_partition_layout(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1))
+    # hive-style per-value dirs (reference asserts bare-value dirs,
+    # tests/test_core.py:70 — layout differs, value sets must not)
+    assert {"C=1", "C=2"} <= set(os.listdir(trepo.main_path))
+    assert_same(trepo.get_partition_df(1), DF1[DF1.C == 1])
+    assert_same(trepo.get_partition_df(2, partition_col="C"), DF1[DF1.C == 2])
+
+
+def test_max_records_chunking(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", max_records=1, index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1).coalesce(1))
+    assert trepo.n_files >= 3  # one row per file
+    assert_same(trepo.get_full_df(), DF1)
+
+
+def test_replace_all(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1))
+    trepo.replace_all(spark.createDataFrame(DF2))
+    assert_same(trepo.get_full_df(), DF2)
+
+
+def test_replace_groups(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1))  # C ∈ {1, 2}
+    repl = pd.DataFrame(
+        {"__index": ["n1"], "A": [99], "B": ["n"], "C": [1], "C2": ["a"]}
+    )
+    trepo.replace_groups(spark.createDataFrame(repl))
+    want = pd.concat([DF1[DF1.C != 1], repl])
+    assert_same(trepo.get_full_df(), want)
+
+
+def test_replace_records_ungrouped(spark, tmp_root):
+    # reference tests/test_core.py:127-146: update by key, dup incoming
+    # keys keep first, unmatched keys appended
+    trepo = TableRepo(f"{tmp_root}/t", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF2))
+    trepo.replace_records(spark.createDataFrame(DF4))
+    want = pd.concat([DF2[~DF2.__index.isin(DF4.__index)], DF4])
+    assert_same(trepo.get_full_df(), want)
+
+
+def test_replace_records_keeps_first_dup(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1))
+    dup = pd.DataFrame(
+        {
+            "__index": ["a1", "a1"],
+            "A": [100, 200],
+            "B": ["first", "second"],
+            "C": [1, 1],
+            "C2": ["a", "a"],
+        }
+    )
+    trepo.replace_records(spark.createDataFrame(dup).coalesce(1))
+    got = trepo.get_full_df().where(F.col("__index") == "a1").toPandas()
+    assert got.B.tolist() == ["first"] and got.A.tolist() == [100]
+
+
+def test_replace_records_grouped(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF2))
+    trepo.replace_records(spark.createDataFrame(DF4))
+    want = pd.concat([DF2[~DF2.__index.isin(DF4.__index)], DF4])
+    assert_same(trepo.get_full_df(), want)
+
+
+def test_replace_records_by_groups(spark, tmp_root):
+    # reference tests/test_core.py:149-179 / F2: same key may live in
+    # different groups when matching is group-scoped
+    base = pd.DataFrame(
+        {"__index": ["x1", "x2"], "A": [1, 2], "B": ["g1", "g1"]}
+    )
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="B", index_cols="__index")
+    trepo.extend(spark.createDataFrame(base))
+    upd = pd.DataFrame({"__index": ["x1", "y2"], "A": [10, 20], "B": ["g2", "g1"]})
+    trepo.replace_records(spark.createDataFrame(upd), by_groups=True)
+    got = sorted_pdf(trepo.get_full_df())
+    # x1@g1 untouched (different group), x1@g2 + y2@g1 added
+    assert len(got) == 4
+    assert set(map(tuple, got[["__index", "B"]].values)) == {
+        ("x1", "g1"),
+        ("x2", "g1"),
+        ("x1", "g2"),
+        ("y2", "g1"),
+    }
+
+
+def test_purge_and_empty_read(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(DF1))
+    trepo.purge()
+    assert trepo.n_files == 0
+    assert trepo.get_full_df().count() == 0
+
+
+def test_batch_extend(spark, tmp_root):
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.batch_extend([spark.createDataFrame(DF1), spark.createDataFrame(DF2)])
+    assert_same(trepo.get_full_df(), pd.concat([DF1, DF2]))
+
+
+def test_env_switching(spark, tmp_root):
+    # reference tests/test_envs.py:6-47
+    os.makedirs(f"{tmp_root}/prod"), os.makedirs(f"{tmp_root}/dev")
+    trepo = TableRepo(
+        f"{tmp_root}/prod/t",
+        index_cols="__index",
+        env_parents={"prod": f"{tmp_root}/prod", "dev": f"{tmp_root}/dev"},
+    )
+    trepo.extend(spark.createDataFrame(DF1))
+    with trepo.env_ctx("dev"):
+        trepo.extend(spark.createDataFrame(DF2))
+        assert_same(trepo.get_full_df(), DF2)
+    assert_same(trepo.get_full_df(), DF1)
+    trepo.set_env("dev")
+    assert_same(trepo.get_full_df(), DF2)
+    trepo.set_env_to_default()
+    assert_same(trepo.get_full_df(), DF1)
+
+
+def test_null_group_keys_dropped(spark, tmp_root):
+    # pandas groupby drops null keys (reference core.py:350, F5)
+    pdf = pd.DataFrame(
+        {
+            "__index": ["a", "b", "c"],
+            "A": [1.0, 2.0, 3.0],
+            "C": ["g1", None, "g2"],
+        }
+    )
+    trepo = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    trepo.extend(spark.createDataFrame(pdf))
+    got = sorted_pdf(trepo.get_full_df())
+    assert got.__index.tolist() == ["a", "c"]
+
+
+def test_metadata_roundtrip(tmp_root, spark):
+    # reference tests/test_metadata.py:6-20 — sidecar JSON, not footer pickle
+    trepo = TableRepo(
+        f"{tmp_root}/t", index_cols="__index", extra_metadata={"source": "unit", "v": 2}
+    )
+    trepo.extend(spark.createDataFrame(DF1))
+    again = TableRepo(f"{tmp_root}/t", index_cols="__index")
+    assert again.full_metadata == {"source": "unit", "v": 2}
+
+
+def test_hash_partitioning_buckets(spark, tmp_root):
+    # F6 / reference tests/test_core.py:270-280: md5-mod-n, value-exact
+    pdf = pd.DataFrame(
+        {"__index": [str(i) for i in range(9)], "C": list("efg") * 3, "A": range(9)}
+    )
+    trepo = TableRepo(
+        f"{tmp_root}/t",
+        group_cols=HashPartitioner("C", 3),
+        index_cols="__index",
+    )
+    trepo.extend(spark.createDataFrame(pdf))
+    import hashlib
+
+    def pybucket(v, n):
+        return int(hashlib.md5(str(v).encode()).hexdigest(), 16) % n
+
+    buckets = {v: pybucket(v, 3) for v in "efg"}
+    bc = trepo.group_cols[0]
+    got = {
+        r["C"]: int(r[bc])
+        for r in trepo.get_full_df().select("C", bc).distinct().collect()
+    }
+    assert got == buckets
+    # the reference pins: 6 rows in bucket "2" of 3 (tests/test_core.py:274)
+    n2 = trepo.get_full_df().where(F.col(bc) == "2").count()
+    assert n2 == sum(6 for v in ["e"] if buckets[v] == 2) + sum(
+        3 for v in "fg" if buckets[v] == 2
+    )
