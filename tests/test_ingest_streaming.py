@@ -1,0 +1,162 @@
+"""Writers, ObjIngestor, distributed shredder, streaming sink — reference
+tests/test_writer.py + tests/test_ingestors.py analogues (F9/F11)."""
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquetranger_spark import TableRepo
+from parquetranger_spark.sources.ingestor import ObjIngestor, shred_json_df
+from parquetranger_spark.sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
+
+
+def test_record_writer_flush(spark, tmp_root):
+    # F9: dict records, flush every 7 (reference tests/test_writer.py:8-23)
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    with RecordWriter(t, record_limit=7) as w:
+        for i in range(30):
+            w.add_record({"i": i, "thing": i * 2})
+    got = t.get_full_df().toPandas().sort_values("i")
+    assert got.i.tolist() == list(range(30))
+    assert got.thing.tolist() == [i * 2 for i in range(30)]
+
+
+def test_replacing_record_writer(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    with RecordWriter(t, record_limit=100) as w:
+        for i in range(10):
+            w.add_record({"i": i, "thing": i})
+    with RecordWriter(t, record_limit=100, replace=True) as w:
+        w.add_record({"i": 5, "thing": 999})
+    got = t.get_full_df().toPandas().sort_values("i")
+    assert got[got.i == 5].thing.tolist() == [999]
+    assert len(got) == 10
+
+
+def test_fixed_record_writer_missing_keys(spark, tmp_root):
+    # F9: random subsets of columns projected to fixed [a, b]
+    t = TableRepo(f"{tmp_root}/t")
+    schema = T.StructType(
+        [T.StructField("a", T.DoubleType()), T.StructField("b", T.DoubleType())]
+    )
+    with FixedRecordWriter(t, schema=schema, record_limit=3) as w:
+        w.add_record({"a": 1.0, "b": 2.0})
+        w.add_record({"a": 3.0, "c": 9.0})  # c dropped, b null
+        w.add_record({"b": 4.0})  # a null
+    got = t.get_full_df().toPandas()
+    assert sorted(got.columns) == ["a", "b"]
+    assert got.a.isna().sum() == 1 and got.b.isna().sum() == 1
+
+
+def test_df_batch_writer(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    with DfBatchWriter(t, record_limit=70) as w:
+        for b in range(5):
+            w.add_df(
+                spark.createDataFrame(
+                    pd.DataFrame({"i": range(b * 30, b * 30 + 30), "v": [b] * 30})
+                )
+            )
+    assert t.get_full_df().count() == 150
+
+
+def test_obj_ingestor_nested(spark, tmp_root):
+    # F11-shaped: atoms + nested dict + nested list, parent linkage
+    root = f"{tmp_root}/forest"
+    with ObjIngestor(root, root_id_key="id_", spark=spark) as ing:
+        for i in range(20):
+            ing.ingest(
+                {
+                    "id_": f"r{i}",
+                    "x": i,
+                    "child": {"y": i * 10},
+                    "items": [{"z": j} for j in range(i % 3)],
+                }
+            )
+        ing.ingest({})  # no-op (reference ingest, ingestor.py:56-57)
+    # key map written with original key names
+    km = json.load(open(os.path.join(root, "key-map.json")))
+    assert set(km.values()) == {"child", "items"}
+    # three tables: root, child, list items
+    tbl_dirs = sorted(
+        os.path.relpath(d, root)
+        for d, _, fs in os.walk(root)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    assert len(tbl_dirs) == 3
+    root_tbl = [d for d in tbl_dirs if "/" not in d][0]
+    got = spark.read.parquet(os.path.join(root, root_tbl)).toPandas()
+    assert len(got) == 20 and set(got.columns) == {"id_", "x"}
+    child_tbl = [d for d in tbl_dirs if "key-" in d and "list" not in d][0]
+    child = spark.read.parquet(os.path.join(root, child_tbl)).toPandas()
+    assert len(child) == 20 and set(child.__parent_id) == {f"r{i}" for i in range(20)}
+    items_tbl = [d for d in tbl_dirs if "list" in d][0]
+    items = spark.read.parquet(os.path.join(root, items_tbl)).toPandas()
+    assert len(items) == sum(i % 3 for i in range(20))
+
+
+def test_distributed_shredder_matches_driver_side(spark, tmp_root):
+    objs = [
+        {"id_": i, "a": f"v{i}", "nest": {"b": i * 2}, "lst": [{"c": j} for j in range(i % 2)]}
+        for i in range(50)
+    ]
+    df = spark.createDataFrame([(json.dumps(o),) for o in objs], "obj string")
+    counts = shred_json_df(df, "obj", f"{tmp_root}/dist", root_id_key="id_")
+    # same forest via the driver-side ingestor
+    with ObjIngestor(f"{tmp_root}/drv", root_id_key="id_", spark=spark) as ing:
+        for o in objs:
+            ing.ingest(o)
+    drv_counts = {
+        "/".join(k): spark.read.parquet(os.path.join(f"{tmp_root}/drv", *k)).count()
+        for k in ing.writers
+    }
+    assert counts == drv_counts
+
+
+def test_streaming_sink_into_repo(spark, tmp_root):
+    from parquetranger_spark.streaming.ingest import stream_into_repo
+
+    src_dir = f"{tmp_root}/src"
+    os.makedirs(src_dir)
+    pdf = pd.DataFrame({"k": range(100), "grp": ["a", "b"] * 50, "v": [1.5] * 100})
+    spark.createDataFrame(pdf).write.parquet(src_dir, mode="overwrite")
+    t = TableRepo(f"{tmp_root}/sink", group_cols="grp", index_cols="k")
+    stream = spark.readStream.schema("k long, grp string, v double").parquet(src_dir)
+    q = stream_into_repo(stream, t, checkpoint=f"{tmp_root}/ckpt")
+    q.awaitTermination(120)
+    got = t.get_full_df()
+    assert got.count() == 100
+    assert got.where(F.col("grp") == "a").count() == 50
+
+
+def test_streaming_windowed_counts(spark, tmp_root):
+    from parquetranger_spark.streaming.ingest import windowed_event_counts
+
+    src_dir = f"{tmp_root}/ev"
+    os.makedirs(src_dir)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=120, freq="1min"),
+            "event_type": ["click", "view"] * 60,
+            "value": [1.0] * 120,
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src_dir, mode="overwrite")
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        src_dir
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wincounts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM wincounts").toPandas()
+    # 2 hours × 2 event types
+    assert len(got) == 4 and got.n.sum() == 120
