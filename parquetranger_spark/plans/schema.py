@@ -88,6 +88,22 @@ def save_meta(root: str, meta: TableMeta) -> None:
     os.replace(tmp, meta_path(root))
 
 
+def as_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively mark every field/element nullable. Canonical schemas are
+    stored fully-nullable: parquet round-trips drop NOT NULL anyway, and
+    casts between structs differing only in nullability are rejected by
+    Spark."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, as_nullable(f.dataType), True, f.metadata) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(as_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(as_nullable(dt.keyType), as_nullable(dt.valueType), True)
+    return dt
+
+
 def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
     """Project/cast ``df`` onto the canonical schema.
 

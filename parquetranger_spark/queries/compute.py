@@ -174,3 +174,8 @@ def events_hourly_agg(spark, sf_dir):
         .groupBy("hour_bucket", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+from ..serde import pickle_module_by_value as _pmv  # noqa: E402
+
+_pmv(__name__)

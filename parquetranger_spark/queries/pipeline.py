@@ -1,0 +1,403 @@
+"""Declared queries for the LLM-data-pipeline tier (SURVEY §2.4 X1–X6).
+
+The DuckDB oracle formulations are generated from the same constants
+(stopword lists, moduli, thresholds) as the Spark expressions, and use the
+same sequential-fold arithmetic shapes, so double results are bit-identical
+(see queries/__init__ docstring for the exactness rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import FINGERPRINT_MOD, STOPWORDS, lang_id, quality_score, doc_fingerprint
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    near_dedup_embedding,
+    near_dedup_minhash,
+    near_dedup_simhash,
+)
+from ..operators.multimodal import extract_features, pack_binary
+from ..operators.events import session_stats
+from ..operators.similarity import topk_cosine_bruteforce, topk_cosine_lsh
+from ..sources.table_repo import TableRepo
+from . import query
+from .common import load, scratch_dir
+
+# ---------------------------------------------------------------- SQL helpers
+
+
+def _sw_hits_sql(lang: str, text: str = "text") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split({text}, ' '), t -> list_contains([{words}], t)))"
+
+
+def _fingerprint_sql(text: str = "text") -> str:
+    return (
+        f"CASE WHEN length({text}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({text})), "
+        f"i -> CAST(ascii(substring({text}, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}) END"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _shingle_set_sql(text: str = "text") -> str:
+    return (
+        f"list_distinct(CASE WHEN len(string_split({text}, ' ')) < 3 "
+        f"THEN [{text}] ELSE "
+        f"list_transform(generate_series(1, len(string_split({text}, ' ')) - 2), "
+        f"i -> concat(string_split({text}, ' ')[i], ' ', string_split({text}, ' ')[i+1], "
+        f"' ', string_split({text}, ' ')[i+2])) END)"
+    )
+
+
+def _lang_pred_sql(text: str = "text") -> str:
+    scores = {lang: _sw_hits_sql(lang, text) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    chain = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    base = f"CASE WHEN {best} = 0 THEN 'und' {chain} ELSE 'und' END"
+    cjk = f"len(regexp_extract_all({text}, '[一-鿿]'))"
+    return f"CASE WHEN {cjk} * 3 > length({text}) THEN 'zh' ELSE {base} END"
+
+
+_QUALITY_SQL = (
+    "0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) + "
+    f"0.3 * (CAST({_sw_hits_sql('en')} AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + "
+    "0.3 * (1.0 - least(abs(CAST(length(text) AS DOUBLE) / "
+    "CAST(len(string_split(text, ' ')) AS DOUBLE) - 5.0) / 10.0, 1.0))"
+)
+
+# ------------------------------------------------------------- text analysis
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+SELECT lang,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+)
+def text_token_stats(spark, sf_dir):
+    """X4: token counting over documents — all JVM-side array expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.groupBy("lang").agg(
+        F.sum(F.size(toks)).alias("total_tokens"),
+        F.sum(F.size(F.array_distinct(toks))).alias("distinct_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+SELECT {_lang_pred_sql()} AS lang_pred, lang, count(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """X4: stopword-score language ID (argmax over per-language hit
+    counts, deterministic tie-break) — confusion counts vs the labeled
+    lang column."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(lang_id("text").alias("lang_pred"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "quality_score_hist",
+    oracle=f"""
+SELECT CAST(floor(({_QUALITY_SQL}) * 10) AS BIGINT) AS bucket, count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def quality_score_hist(spark, sf_dir):
+    """X4: deterministic quality score (length/stopword/token-shape
+    heuristic), bucketed histogram."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.floor(quality_score("text") * 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+SELECT lang, count(DISTINCT {_fingerprint_sql()}) AS n_fp,
+       min({_fingerprint_sql()}) AS min_fp, max({_fingerprint_sql()}) AS max_fp
+FROM documents GROUP BY lang
+""",
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """X4: rolling-hash content fingerprints (order-sensitive, exact
+    integer math)."""
+    d = load(spark, sf_dir, "documents")
+    fp = doc_fingerprint("text")
+    return d.groupBy("lang").agg(
+        F.countDistinct(fp).alias("n_fp"),
+        F.min(fp).alias("min_fp"),
+        F.max(fp).alias("max_fp"),
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def _injected_docs(spark, sf_dir):
+    """documents ∪ near-duplicate copies (id+100000, two extra tokens) of
+    every 11th doc — the deterministic dup-injection corpus."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra xtra")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(dups)
+
+
+_INJECTED_SQL = """
+SELECT doc_id, text, lang FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' xtra xtra' AS text, lang
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+),
+kept AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM corpus GROUP BY md5(text)
+)
+SELECT count(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+FROM kept
+""",
+)
+def dedup_exact_text(spark, sf_dir):
+    """X1: exact dedup (hash-groupBy, keep min id) over a corpus with
+    injected exact duplicates."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    kept = exact_dedup(corpus)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH corpus AS ({_INJECTED_SQL}),
+sets AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
+""",
+)
+def dedup_near_minhash(spark, sf_dir):
+    """X2: MinHash banding LSH candidates → exact shingle-Jaccard verify.
+    The oracle is the brute-force pair scan; banding (8 bands × 4 rows)
+    has ~1-1e-7 recall at the injected similarity, so the verified pair
+    sets coincide."""
+    return near_dedup_minhash(_injected_docs(spark, sf_dir), threshold=0.6)
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    """X2 (SimHash): 64-bit simhash, pigeonhole chunk candidates, hamming
+    verify. Not SQL-expressible (md5-derived bit arithmetic) → rows-only;
+    recall/precision asserted in tests/test_pipeline_ops.py."""
+    return near_dedup_simhash(_injected_docs(spark, sf_dir), max_hamming=6)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE lang = 'de' AND doc_id % 2 = 0),
+sets AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM sub),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard > 0
+""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """X2: exact n-gram (3-token shingle) Jaccard similarity — all pairs
+    of a blocked subset with any overlap."""
+    d = load(spark, sf_dir, "documents").where(
+        (F.col("lang") == "de") & (F.col("doc_id") % 2 == 0)
+    )
+    ids = d.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return jaccard_pairs(d, pairs).where(F.col("jaccard") > 0)
+
+
+# --------------------------------------------------------------- similarity
+
+
+@query(
+    "topk_cosine_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+""",
+)
+def topk_cosine_bruteforce_q(spark, sf_dir):
+    """X3 baseline: exact top-5 cosine neighbors for 50 query vectors —
+    broadcast queries × one corpus scan, per-query window rank."""
+    e = load(spark, sf_dir, "embeddings")
+    out = topk_cosine_bruteforce(e.where(F.col("vec_id") < 50), e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("topk_cosine_ann")
+def topk_cosine_ann(spark, sf_dir):
+    """X3 scale path: multi-table random-hyperplane LSH top-k. Approximate
+    (recall asserted ≥0.8 vs brute force in tests) → rows-only."""
+    e = load(spark, sf_dir, "embeddings")
+    out = topk_cosine_lsh(e.where(F.col("vec_id") < 50), e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+WITH sub AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS v
+             FROM embeddings WHERE vec_id % 17 = 0),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+  UNION ALL SELECT vec_id + 100000, v FROM sub
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.v', 'b.v')} AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM pairs WHERE cos >= 0.99
+""",
+)
+def dedup_embedding_pairs(spark, sf_dir):
+    """X2 (embedding): near-dup vector pairs (cosine ≥ 0.99) via
+    hyperplane-bucket candidates + exact verify, on a corpus with injected
+    scaled copies. Oracle brute-forces the same (blocked) universe."""
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 17 == 0)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    orig = e.select("vec_id", as_double.alias("embedding"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = orig.unionByName(pert)
+    return near_dedup_embedding(corpus, threshold=0.99).select("id_a", "id_b")
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@query(
+    "binary_passthrough",
+    oracle="""
+SELECT 'fake-md5' AS decoder, count(*) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct
+FROM documents
+""",
+)
+def binary_passthrough(spark, sf_dir):
+    """X5: opaque binary payloads + metadata structs round-tripped through
+    a TableRepo, then feature-extracted via Arrow-batched mapInPandas
+    (decode layer stubbed — deterministic md5 fake)."""
+    d = load(spark, sf_dir, "documents")
+    packed = pack_binary(d, "text", "doc_id")
+    t = TableRepo(scratch_dir("mm") + "/bin", index_cols="item_id", spark=spark)
+    t.extend(packed)
+    feats = extract_features(t.get_full_df())
+    return feats.groupBy("decoder").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.countDistinct("content_md5").alias("n_distinct"),
+    )
+
+
+# ------------------------------------------------------------------ events
+
+
+@query(
+    "sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag_ts IS NULL OR ts_ns - lag_ts > 1800000000000 THEN 1 ELSE 0 END AS new_s
+  FROM (
+    SELECT user_id, epoch_ns(ts) AS ts_ns,
+           lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS lag_ts
+    FROM events
+  )
+),
+per_user AS (
+  SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+  FROM flagged GROUP BY user_id
+)
+SELECT n_sessions, count(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_user GROUP BY n_sessions
+""",
+)
+def sessionization(spark, sf_dir):
+    """X6: gap-based sessionization (lag + cumulative new-session flags,
+    30-min gap) — distribution of sessions per user."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    stats = session_stats(ev, ts_ns_col="ts", gap_seconds=1800)
+    return stats.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )

@@ -320,9 +320,11 @@ class TableRepo:
         return self._align(df)
 
     def _align(self, df: DataFrame) -> DataFrame:
+        from ..plans.schema import as_nullable
+
         meta = load_meta(self.main_path)
         if meta is None or meta.schema is None:
-            schema = self.fixed_schema or df.schema
+            schema = as_nullable(self.fixed_schema or df.schema)
             meta = TableMeta(
                 schema=schema,
                 group_cols=self.group_cols,

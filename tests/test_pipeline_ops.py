@@ -1,0 +1,125 @@
+"""LLM-pipeline operator tests (SURVEY §2.4): dedup recall/precision,
+ANN behavior on near-identical vectors, text functions, multimodal
+plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquetranger_spark.functions.text import lang_id, quality_score, doc_fingerprint
+from parquetranger_spark.operators.dedup import (
+    exact_dedup,
+    near_dedup_embedding,
+    near_dedup_minhash,
+    near_dedup_simhash,
+)
+from parquetranger_spark.operators.multimodal import extract_features, frame_sample, pack_binary
+from parquetranger_spark.operators.similarity import topk_cosine_bruteforce, topk_cosine_lsh
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_near_dups(docs, every=10):
+    d = docs.select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail token")).alias("text"),
+    )
+    return d.unionByName(dups), dups.count()
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    d = docs.select("doc_id", "text")
+    corpus = d.unionByName(d.select((F.col("doc_id") + 999999).alias("doc_id"), "text"))
+    kept = exact_dedup(corpus)
+    n_docs = d.count()
+    assert kept.count() == n_docs  # every text has exactly one survivor
+    assert kept.agg(F.max("doc_id")).first()[0] < 999999  # min ids kept
+    assert kept.agg(F.sum("n_copies")).first()[0] == 2 * n_docs
+
+
+def test_minhash_finds_injected_near_dups(spark, docs):
+    corpus, n_dups = _with_near_dups(docs)
+    base_ids = [r[0] for r in docs.where(F.col("doc_id") % 10 == 0).select("doc_id").collect()]
+    pairs = near_dedup_minhash(corpus, threshold=0.6).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    # every injected near-dup pair recovered (LSH recall), jaccard filter holds
+    assert {(i, i + 1_000_000) for i in base_ids} <= found
+    assert len(base_ids) == n_dups
+    assert (pairs.jaccard >= 0.6).all()
+
+
+def test_simhash_finds_injected_near_dups(spark, docs):
+    corpus, n_dups = _with_near_dups(docs)
+    pairs = near_dedup_simhash(corpus, max_hamming=6).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    hits = sum(1 for (a, b) in found if b == a + 1_000_000)
+    assert hits >= int(0.9 * n_dups)  # simhash: high recall on near-identical
+
+
+def test_embedding_dedup_finds_scaled_copies(spark, vecs):
+    base = vecs.where(F.col("vec_id") < 100).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+    )
+    pairs = near_dedup_embedding(base.unionByName(pert), threshold=0.999).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert {(i, i + 1_000_000) for i in range(100)} <= found
+
+
+def test_ann_recovers_identical_neighbors(spark, vecs):
+    # scale-path honesty check: for queries that *have* a near-identical
+    # neighbor, LSH must put it at rank 1 (same buckets ⇒ always candidate)
+    base = vecs.where(F.col("vec_id") < 50)
+    probes = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias("embedding"),
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(probes)
+    got = topk_cosine_lsh(probes, corpus, k=1).toPandas()
+    assert len(got) == 50
+    assert (got.neighbor_id == got.query_id - 1_000_000).all()
+
+
+def test_bruteforce_topk_is_exact_and_ranked(spark, vecs):
+    got = topk_cosine_bruteforce(vecs.where(F.col("vec_id") < 5), vecs, k=3).toPandas()
+    assert len(got) == 15
+    for qid, grp in got.groupby("query_id"):
+        sims = grp.sort_values("rank").cos.tolist()
+        assert sims == sorted(sims, reverse=True)
+        assert qid not in set(grp.neighbor_id)  # self excluded
+
+
+def test_text_functions_shapes(spark, docs):
+    out = docs.select(
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    ).toPandas()
+    assert out.lang_pred.isin(["de", "en", "es", "fr", "zh", "und"]).all()
+    assert ((out.q >= 0) & (out.q <= 1)).all()
+    assert (out.fp >= 0).all() and out.fp.nunique() > len(out) * 0.9
+
+
+def test_multimodal_plumbing(spark, docs):
+    packed = pack_binary(docs.limit(100), "text", "doc_id")
+    assert dict(packed.dtypes)["payload"] == "binary"
+    feats = extract_features(packed).toPandas()
+    assert len(feats) == 100
+    assert (feats.decoder == "fake-md5").all()  # codec libs absent here
+    assert (feats.byte_len > 0).all()
+    assert feats.content_md5.str.len().eq(32).all()
+    assert ((feats.width >= 16) & (feats.width < 256)).all()
+    sampled = frame_sample(packed, every_n=5)
+    assert 0 < sampled.count() < 100
