@@ -1,0 +1,93 @@
+"""Benchmark harness: run the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is fully executed via the ``noop`` sink (no driver collect, no
+result materialization skew); timings are end-to-end per query including
+plan build. ``--all`` benches every registered query instead of the
+headline set; ``--repeat N`` takes the best of N runs per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquetranger_spark.queries import QUERIES, load_all  # noqa: E402
+from parquetranger_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# One representative per tier (SURVEY.md §2): storage write/read, keyed
+# upsert, pruning, hash bucketing, relational compute, applyInPandas,
+# dedup (exact + MinHash-LSH), similarity top-k, text analysis, events.
+HEADLINE = [
+    "extend_roundtrip",
+    "upsert_by_key",
+    "partition_pruned_read",
+    "hash_partition_counts",
+    "groupby_mean",
+    "map_partitions_agg",
+    "json_shred_counts",
+    "dedup_exact_text",
+    "dedup_near_minhash",
+    "topk_cosine_bruteforce",
+    "text_token_stats",
+    "events_hourly_agg",
+    "sessionization",
+]
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def run_one(spark, name: str) -> float:
+    t0 = time.monotonic()
+    df = QUERIES[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    load_all()
+    names = list(QUERIES) if "--all" in sys.argv else [n for n in HEADLINE if n in QUERIES]
+    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 1
+    spark = get_spark("bench")
+    # warm the JVM/codegen path once so q1 doesn't pay session startup
+    spark.sql("select count(*) c from range(100000)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(repeat):
+            t = run_one(spark, name)
+            best = t if best is None else min(best, t)
+        timings[name] = best
+        print(f"# {name}: {best}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
