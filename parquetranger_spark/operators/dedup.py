@@ -47,15 +47,24 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: shingle → xxhash64(shingle, seed_i)
-    → min per seed. All built-in expressions; one projection, no shuffle."""
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    → min per seed.
+
+    Shape: explode to (id, shingle) rows, hash each shingle ``num_hashes``
+    ways, then ``groupBy(id).agg(min...)``. Shingling runs ONCE per
+    document (inlining the shingle expression per seed would re-tokenize
+    the text ``num_hashes`` times — Catalyst does not CSE across separate
+    projection expressions with lambda functions), and the min aggregate
+    combines map-side, so the shuffle carries one row per (doc,
+    input-partition) — not one per shingle."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("__sh"),
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("signature"))
 
 
 def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:

@@ -232,11 +232,27 @@ def shred_json_df(
             r["key_code"]: r["key_name"]
             for r in shredded.where("key_code <> ''").select("key_code", "key_name").distinct().collect()
         }
-        tables = [r[0] for r in shredded.where("tbl <> ''").select("tbl").distinct().collect()]
+        from pyspark.sql import functions as F
+
+        # one sample row per table is enough to derive its schema: rows of a
+        # table share a single type-map by construction (the schema hash IS
+        # the table address), so from_json stays JVM-side — no RDD
+        # round-trip, no per-table inference scan
+        samples = {
+            r["tbl"]: r["s"]
+            for r in shredded.where("tbl <> ''")
+            .groupBy("tbl")
+            .agg(F.first("atoms_json").alias("s"))
+            .collect()
+        }
         counts: dict[str, int] = {}
-        for tbl in sorted(tables):
-            rows = shredded.where(shredded.tbl == tbl).select("atoms_json")
-            mat = spark.read.json(rows.rdd.map(lambda r: r[0]))
+        for tbl in sorted(samples):
+            ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
+            mat = (
+                shredded.where(shredded.tbl == tbl)
+                .select(F.from_json("atoms_json", ddl).alias("r"))
+                .select("r.*")
+            )
             trepo = TableRepo(os.path.join(root, tbl), spark=spark)
             trepo.extend(mat)
             counts[tbl] = trepo.get_full_df().count()
