@@ -372,9 +372,7 @@ def binary_passthrough(spark, sf_dir):
 # ------------------------------------------------------------------ events
 
 
-@query(
-    "sessionization",
-    oracle="""
+_SESS_ORACLE = """
 WITH flagged AS (
   SELECT user_id,
          CASE WHEN lag_ts IS NULL OR ts_ns - lag_ts > 1800000000000 THEN 1 ELSE 0 END AS new_s
@@ -390,14 +388,52 @@ per_user AS (
 )
 SELECT n_sessions, count(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS total_events
 FROM per_user GROUP BY n_sessions
-""",
-)
+"""
+
+
+@query("sessionization", oracle=_SESS_ORACLE)
 def sessionization(spark, sf_dir):
     """X6: gap-based sessionization (lag + cumulative new-session flags,
     30-min gap) — distribution of sessions per user."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     stats = session_stats(ev, ts_ns_col="ts", gap_seconds=1800)
     return stats.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+@query("stream_sessionization", oracle=_SESS_ORACLE)
+def stream_sessionization(spark, sf_dir):
+    """X6 streaming twin: the same sessionization computed by the custom
+    stateful operator (applyInPandasWithState, streaming/sessions.py) over
+    a file stream of the events table — final state must reproduce the
+    batch result, so it shares the batch oracle."""
+    import uuid
+
+    from ..streaming.sessions import streaming_session_stats
+
+    root = scratch_dir("ssess")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    ev.write.mode("overwrite").parquet(f"{root}/src")
+    stream = spark.readStream.schema("user_id long, ts long").parquet(f"{root}/src")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    per_user = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events"))
+    )
+    return per_user.groupBy("n_sessions").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").alias("total_events"),
     )

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY §2.4 X6 — the streaming twin of
+operators/events.py::session_stats).
+
+The reference has no streaming surface at all (SURVEY §2.4: "no streaming
+watermarks/windows" — verified absence in /root/reference/parquetranger/);
+this is part of the driver-mandated extension tier. Spark's built-in
+``session_window`` covers windowed aggregates, but per-user *running*
+session counts need custom state: one state row per user holding
+``(last_ts, n_sessions, n_events)``, updated per micro-batch.
+
+Scale shape: state is hash-partitioned by the grouping key across
+executors (RocksDB/HDFS-backed state store on a real cluster); each
+micro-batch shuffles only that batch's rows, and the per-group pandas
+update is O(batch rows log batch rows) for the sort. No driver-side state,
+no full-history reprocessing.
+
+Caveat (documented, same as any gap sessionizer without reorder buffering):
+events arriving in a later micro-batch with timestamps older than the
+user's ``last_ts`` are counted into the running totals but cannot re-split
+earlier sessions. Feed batches in event-time order (or pre-sort with a
+watermark) for exact parity with the batch operator.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.events import NS_PER_SEC
+
+
+def streaming_session_stats(
+    stream_df: DataFrame,
+    ts_ns_col: str = "ts",
+    user_col: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-user running (n_sessions, n_events) over an event stream.
+
+    Emits one updated row per user per micro-batch (update output mode);
+    counts are monotone, so the latest row per user is the current truth.
+    With all data in (event-time-ordered) batches the final rows equal the
+    batch ``session_stats`` exactly.
+    """
+    gap_ns = gap_seconds * NS_PER_SEC
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_chunks = [pdf[ts_ns_col] for pdf in pdfs]
+        ts = pd.concat(ts_chunks).sort_values() if ts_chunks else pd.Series([], dtype="int64")
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for t in ts:
+            t = int(t)
+            if last_ts is None or t - last_ts > gap_ns:
+                n_sessions += 1
+            n_events += 1
+            last_ts = t
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {user_col: [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{user_col} long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

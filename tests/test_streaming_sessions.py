@@ -1,0 +1,68 @@
+"""Stateful streaming sessionization (applyInPandasWithState) — state must
+carry across micro-batches and the final per-user counts must equal the
+batch operator's."""
+
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from parquetranger_spark.operators.events import NS_PER_SEC, session_stats
+from parquetranger_spark.streaming.sessions import streaming_session_stats
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_streaming_sessions_match_batch(spark, tmp_root):
+    src = f"{tmp_root}/src"
+    gap = 1800 * NS_PER_SEC
+    # two files => two micro-batches (maxFilesPerTrigger=1); user 1 continues
+    # a session across the batch boundary, user 2 opens a new one
+    b1 = [(1, 10 * gap), (1, 10 * gap + 5), (2, 10 * gap)]
+    b2 = [(1, 10 * gap + 10), (2, 13 * gap), (3, 20 * gap)]
+    _write_batch(spark, f"{src}/f1", b1)
+    time.sleep(1.1)  # FileStreamSource orders batches by modification time
+    _write_batch(spark, f"{src}/f2", b2)
+    now = time.time()
+    for sub, t in [("f1", now - 60), ("f2", now)]:
+        for root, _, files in os.walk(f"{src}/{sub}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_session_stats(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.table("sess_out").toPandas()
+    # counts are monotone: latest == max per user
+    final = out.groupby("user_id").agg({"n_sessions": "max", "n_events": "max"})
+
+    batch_df = spark.createDataFrame(b1 + b2, "user_id long, ts long")
+    expected = (
+        session_stats(batch_df).toPandas().set_index("user_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(
+        final.sort_index(), expected[["n_sessions", "n_events"]], check_dtype=False
+    )
+    # state really carried over: user 1's cross-batch events stayed 1 session
+    assert final.loc[1, "n_sessions"] == 1 and final.loc[1, "n_events"] == 3
+    assert final.loc[2, "n_sessions"] == 2
+    # and two distinct micro-batches actually ran (user 1 emitted twice)
+    assert len(out[out.user_id == 1]) == 2
