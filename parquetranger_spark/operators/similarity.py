@@ -100,3 +100,59 @@ def topk_cosine_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def topk_cosine_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Approximate top-k, IVF flavor: a k-means coarse quantizer splits the
+    corpus into ``n_lists`` inverted lists; each query probes only its
+    ``n_probe`` nearest lists.
+
+    Scale shape: the quantizer trains on the corpus (pyspark.ml KMeans —
+    itself distributed; at 100 TB train on a sample). Centroids are tiny
+    (n_lists × dim) and broadcast; list assignment is one model.transform
+    pass; the search joins queries to corpus rows on ``list_id`` — a
+    shuffle-bounded equi-join touching |corpus| · n_probe / n_lists rows
+    per query on average, never a full cross join. Exact cosine + window
+    rank within the probed candidates.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cv = c.withColumn("__v", array_to_vector(F.transform(F.col("cv"), lambda x: x.cast("double"))))
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="list_id"
+    ).fit(cv)
+    inv = model.transform(cv).select("neighbor_id", "cv", "list_id")
+
+    cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cents_df = spark.createDataFrame(cents, "list_id int, centroid array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents_df))
+        .select("query_id", "qv", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("c_cos"))
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(inv, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

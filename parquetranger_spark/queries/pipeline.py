@@ -437,3 +437,15 @@ def stream_sessionization(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@query("topk_cosine_ivf")
+def topk_cosine_ivf_q(spark, sf_dir):
+    """X3 scale path, IVF flavor: k-means coarse quantizer (pyspark.ml,
+    seeded) → inverted-list probe join → exact-cosine rank. Approximate
+    (recall vs brute force asserted in tests) → rows-only."""
+    from ..operators.similarity import topk_cosine_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    out = topk_cosine_ivf(e.where(F.col("vec_id") < 50), e, k=5, n_lists=16, n_probe=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))

@@ -123,3 +123,31 @@ def test_multimodal_plumbing(spark, docs):
     assert ((feats.width >= 16) & (feats.width < 256)).all()
     sampled = frame_sample(packed, every_n=5)
     assert 0 < sampled.count() < 100
+
+def test_ivf_topk_recall_vs_bruteforce(spark, vecs):
+    from parquetranger_spark.operators.similarity import topk_cosine_ivf
+
+    probes = vecs.where(F.col("vec_id") < 30)
+    exact = topk_cosine_bruteforce(probes, vecs, k=5).toPandas()
+    approx = topk_cosine_ivf(probes, vecs, k=5, n_lists=16, n_probe=8).toPandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(ap & ex) / len(ex) >= 0.7  # half the lists probed: most top-5 found
+    # within probed candidates ranking is exact cosine, descending
+    for _, grp in approx.groupby("query_id"):
+        sims = grp.sort_values("rank").cos.tolist()
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recovers_identical_neighbors(spark, vecs):
+    from parquetranger_spark.operators.similarity import topk_cosine_ivf
+
+    base = vecs.where(F.col("vec_id") < 50)
+    probes = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias("embedding"),
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(probes)
+    got = topk_cosine_ivf(probes, corpus, k=1, n_lists=8, n_probe=2).toPandas()
+    # a near-identical copy quantizes to the same list ⇒ always a candidate
+    assert (got.neighbor_id == got.query_id - 1_000_000).mean() >= 0.95
