@@ -1,0 +1,100 @@
+"""Physical-plan quality gates (the 100 TB story, SURVEY §4).
+
+Correctness tests prove the operators compute the right rows; these prove
+they compute them the way a 1000-executor cluster needs: partition-pruned
+scans, pushed-down predicates, pruned read schemas, broadcast joins for
+small sides, map-side partial aggregation, and no accidental cartesian
+products in the LSH candidate joins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquetranger_spark import TableRepo
+from parquetranger_spark.operators.dedup import candidate_pairs_minhash
+from parquetranger_spark.queries.common import load
+
+
+def plan(df, mode: str = "formatted") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+@pytest.fixture(scope="module")
+def repo(spark, tmp_path_factory, sf_dir):
+    t = TableRepo(
+        str(tmp_path_factory.mktemp("plans")) + "/li",
+        group_cols="l_returnflag",
+        spark=spark,
+    )
+    t.extend(load(spark, sf_dir, "lineitem"))
+    return t
+
+
+def test_partition_pruned_scan(spark, repo):
+    p = plan(repo.get_partition_df("A"))
+    # Catalyst prunes to the one matching directory — the partition filter
+    # must live in PartitionFilters, not in a post-scan Filter
+    assert "PartitionFilters" in p
+    assert "l_returnflag" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_predicate_pushdown_to_parquet(spark, repo):
+    df = repo.get_full_df().where(F.col("l_quantity") > 30).select("l_quantity")
+    p = plan(df)
+    pushed = p.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed and "GreaterThan" in pushed
+
+
+def test_column_pruned_read_schema(spark, repo):
+    df = repo.get_full_df().groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = plan(df)
+    schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    # a 2-column aggregate must not scan the other 14 lineitem columns
+    assert "l_quantity" in schema and "l_extendedprice" not in schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    nat = load(spark, sf_dir, "supplier").join(
+        F.broadcast(load(spark, sf_dir, "nation")), on=F.expr("s_nationkey = n_nationkey")
+    )
+    df = li.join(F.broadcast(nat), on=F.expr("l_suppkey = s_suppkey"))
+    assert "BroadcastHashJoin" in plan(df)
+    assert "SortMergeJoin" not in plan(df)
+
+
+def test_groupby_has_partial_aggregation(spark, repo):
+    df = repo.get_full_df().groupBy("l_returnflag").agg(F.avg("l_quantity").alias("a"))
+    p = plan(df, "simple")
+    # map-side combine: a partial HashAggregate below the exchange
+    assert "partial_avg" in p
+    assert "WholeStageCodegen" in plan(df, "codegen") or "HashAggregate" in p
+
+
+def test_minhash_candidates_no_cartesian(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    p = plan(candidate_pairs_minhash(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_upsert_no_full_table_child_rewrite(spark, repo, sf_dir, tmp_path):
+    # replace_records on a grouped repo must read back only touched
+    # partitions: the scan filter is a partition-key semi-join, visible as
+    # a broadcast join over the partition column — never a full-table scan
+    # feeding the rewrite for a single-partition update.
+    t = TableRepo(
+        str(tmp_path) + "/li",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        spark=spark,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    t.extend(li)
+    upd = li.where("l_returnflag = 'A'").limit(10).withColumn("l_quantity", F.lit(99.0))
+    before = {p for p in t.paths if "l_returnflag=N" in p}
+    t.replace_records(upd)
+    after = {p for p in t.paths if "l_returnflag=N" in p}
+    assert before == after  # untouched partition's files not rewritten
+    got = t.get_full_df().where("l_quantity = 99.0").count()
+    assert got == 10
