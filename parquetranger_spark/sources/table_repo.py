@@ -146,6 +146,26 @@ class TableRepo:
         return len(self.paths)
 
     @property
+    def dfs(self):
+        """Per-data-file DataFrames (reference ``dfs``, core.py:271-273).
+        Partition-column values are restored from the directory names via
+        ``basePath``, matching the reference's ``__gb_dict`` footer
+        rematerialization (core.py:216-223)."""
+        spark = self._session()
+        for p in self.paths:
+            yield spark.read.option("basePath", self.main_path).parquet(p)
+
+    def get_partition_paths(self, value: Any, partition_col: str | None = None) -> list[str]:
+        """Data files under one partition value (reference
+        ``get_partition_paths``, core.py:177-183) — path-component match on
+        the hive-style ``col=value`` directory."""
+        pc = partition_col or (self.group_cols[0] if self.group_cols else None)
+        if pc is None:
+            raise TypeError("not a grouped table")
+        needle = f"{pc}={value}"
+        return [p for p in self.paths if needle in p.split(os.sep)]
+
+    @property
     def full_metadata(self) -> dict[str, Any]:
         meta = load_meta(self.main_path)
         return dict(meta.extra_metadata) if meta else dict(self.extra_metadata)

@@ -241,3 +241,22 @@ def test_hash_partitioning_buckets(spark, tmp_root):
     assert n2 == sum(6 for v in ["e"] if buckets[v] == 2) + sum(
         3 for v in "fg" if buckets[v] == 2
     )
+
+
+def test_dfs_and_partition_paths(spark, tmp_root):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "c": ["x", "x", "y", "y"], "v": [1.0, 2.0, 3.0, 4.0]})
+    )
+    t = TableRepo(f"{tmp_root}/t", group_cols="c")
+    t.extend(df)
+    pp = t.get_partition_paths("x")
+    assert pp and all("c=x" in p for p in pp)
+    assert set(pp) < set(t.paths)
+    # per-file frames carry the partition column back (reference core.py:216-223)
+    total = 0
+    for fdf in t.dfs:
+        assert "c" in fdf.columns
+        total += fdf.count()
+    assert total == 4
