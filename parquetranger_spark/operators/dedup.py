@@ -98,6 +98,13 @@ def candidate_pairs_minhash(
     (band, bucket) — shuffle-partitioned by bucket, never O(n²)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # the banded self-join reads the signatures twice and Catalyst plans no
+    # ReusedExchange across the differently-aliased sides — persist so the
+    # tokenize→shingle→hash pipeline runs once (signatures are tiny:
+    # num_hashes longs per doc, MEMORY_AND_DISK spills safely at scale)
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bb = _band_buckets(sig, id_col, bands, rows_per_band)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -118,9 +125,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Shingle sets are
     attached via two hash joins on the id; the set math is JVM array ops."""
+    from pyspark import StorageLevel
+
     sets = df.select(
         F.col(id_col), F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # read twice (both join sides)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
