@@ -449,3 +449,30 @@ def topk_cosine_ivf_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     out = topk_cosine_ivf(e.where(F.col("vec_id") < 50), e, k=5, n_lists=16, n_probe=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@query(
+    "bpe_token_stats",
+    oracle=f"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_bpe,
+       CAST(SUM(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))) AS BIGINT) AS distinct_bpe,
+       CAST(MAX(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS max_bpe
+FROM documents GROUP BY lang
+""",
+)
+def bpe_token_stats(spark, sf_dir):
+    """X4: BPE-ish pre-tokenizer counts (letter runs / digit runs / single
+    symbols) — the token-budget estimator for training-data curation."""
+    from ..functions.text import regex_tokens
+
+    d = load(spark, sf_dir, "documents")
+    bt = regex_tokens(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(F.size(bt)).alias("total_bpe"),
+        F.sum(F.size(F.array_distinct(bt))).alias("distinct_bpe"),
+        F.max(F.size(bt)).alias("max_bpe"),
+    )
