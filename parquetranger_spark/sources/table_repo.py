@@ -301,6 +301,42 @@ class TableRepo:
         pc = partition_col or self.group_cols[0]
         return [r[0] for r in self.get_full_df().select(pc).distinct().collect()]
 
+    def read_df_from_path(self, path: str) -> DataFrame:
+        """Single-file read with partition columns restored from the
+        directory names (reference ``read_df_from_path``, core.py:225-228;
+        group-col rematerialization core.py:216-223)."""
+        return self._session().read.option("basePath", self.main_path).parquet(path)
+
+    # ------------------------------------------------- batch writer factories
+    # (reference core.py:230-243 — buffered appenders/upserters)
+
+    def get_extending_dict_batch_writer(self, max_records: int = 1_000_000):
+        from .writers import RecordWriter
+
+        return RecordWriter(self, record_limit=max_records)
+
+    def get_extending_fixed_dict_batch_writer(
+        self, schema: T.StructType, max_records: int = 1_000_000
+    ):
+        from .writers import FixedRecordWriter
+
+        return FixedRecordWriter(self, schema=schema, record_limit=max_records)
+
+    def get_extending_df_batch_writer(self, max_records: int = 1_000_000):
+        from .writers import DfBatchWriter
+
+        return DfBatchWriter(self, record_limit=max_records)
+
+    def get_replacing_dict_batch_writer(self, max_records: int = 1_000_000):
+        from .writers import RecordWriter
+
+        return RecordWriter(self, record_limit=max_records, replace=True)
+
+    def get_replacing_df_batch_writer(self, max_records: int = 1_000_000):
+        from .writers import DfBatchWriter
+
+        return DfBatchWriter(self, record_limit=max_records, replace=True)
+
     # ---------------------------------------------------------------- compute
 
     def map_partitions(

@@ -160,3 +160,22 @@ def test_streaming_windowed_counts(spark, tmp_root):
     got = spark.sql("SELECT * FROM wincounts").toPandas()
     # 2 hours × 2 event types
     assert len(got) == 4 and got.n.sum() == 120
+
+
+def test_writer_factories(spark, tmp_root):
+    # reference core.py:230-243 factory surface
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    with t.get_extending_dict_batch_writer(5) as w:
+        for i in range(12):
+            w.add_record({"i": i, "v": float(i)})
+    assert t.get_full_df().count() == 12
+    with t.get_replacing_dict_batch_writer(5) as w:
+        w.add_record({"i": 3, "v": 99.0})
+    got = t.get_full_df().where("i = 3").collect()
+    assert [r.v for r in got] == [99.0]
+    df = spark.createDataFrame([(100, 1.0)], "i long, v double")
+    with t.get_extending_df_batch_writer(1) as w:
+        w.add_df(df)
+    assert t.get_full_df().count() == 13
+    # single-file read restores rows
+    assert sum(t.read_df_from_path(p).count() for p in t.paths) == 13
