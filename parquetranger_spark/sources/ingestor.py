@@ -245,8 +245,7 @@ def shred_json_df(
             .agg(F.first("atoms_json").alias("s"))
             .collect()
         }
-        counts: dict[str, int] = {}
-        for tbl in sorted(samples):
+        def materialize(tbl: str) -> tuple[str, int]:
             ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
             mat = (
                 shredded.where(shredded.tbl == tbl)
@@ -255,7 +254,15 @@ def shred_json_df(
             )
             trepo = TableRepo(os.path.join(root, tbl), spark=spark)
             trepo.extend(mat)
-            counts[tbl] = trepo.get_full_df().count()
+            return tbl, trepo.get_full_df().count()
+
+        # distinct table roots → independent write jobs; submit them
+        # concurrently so the Spark scheduler overlaps their stages (the
+        # driver loop is over tables — bounded and small — never rows)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(samples)) or 1) as ex:
+            counts = dict(ex.map(materialize, sorted(samples)))
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, "key-map.json"), "w") as fh:
             json.dump(keydic, fh)
