@@ -1,0 +1,77 @@
+"""Skew-resistant aggregation: explicit two-stage salted group-by.
+
+AQE's skew handling splits oversized *join* partitions, but a groupBy on a
+heavily skewed key still funnels every row of a hot key through one
+reducer. Salting splits each group into ``n_salts`` subgroups (random-ish
+but deterministic salt from a row hash), partially aggregates per
+(key, salt), then merges the partials — the hot key's work spreads over
+``n_salts`` reducers and the second stage touches only ``groups × salts``
+rows.
+
+Only algebraic aggregates decompose this way; the supported set is
+``sum``/``count``/``min``/``max``/``avg`` (avg via sum+count re-division).
+Results are bit-identical to the unsalted groupBy for exact types; double
+sums may differ in rounding order (same caveat as any parallel sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__pqr_salt"
+
+_MERGE = {
+    "sum": F.sum,
+    "count": lambda c: F.sum(c),  # partial counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """``df.groupBy(keys).agg(...)`` with a salt-split first stage.
+
+    ``aggs`` maps output alias → (function, column) with function in
+    {sum, count, min, max, avg}, e.g. ``{"n": ("count", "*"),
+    "total": ("sum", "v"), "m": ("avg", "v")}``.
+    """
+    bad = {f for f, _ in aggs.values()} - {"sum", "count", "min", "max", "avg"}
+    if bad:
+        raise ValueError(f"non-decomposable aggregate(s): {sorted(bad)}")
+
+    # deterministic salt: hash of the whole row partition-spreads hot keys
+    # without RNG (retry-stable, no shuffle-order dependence)
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+    partial_exprs: list[Column] = []
+    needed: dict[str, tuple[str, str]] = {}
+    for alias, (fn, col) in aggs.items():
+        if fn == "avg":
+            needed[f"{alias}!s"] = ("sum", col)
+            needed[f"{alias}!c"] = ("count", col)
+        else:
+            needed[alias] = (fn, col)
+    for alias, (fn, col) in needed.items():
+        c = F.lit(1) if col == "*" else F.col(col)
+        partial_exprs.append((F.count(c) if fn == "count" else getattr(F, fn)(c)).alias(alias))
+
+    partials = salted.groupBy(*keys, _SALT).agg(*partial_exprs)
+
+    merge_exprs = [_MERGE[fn](alias).alias(alias) for alias, (fn, _) in needed.items()]
+    merged = partials.groupBy(*keys).agg(*merge_exprs)
+
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    for alias, (fn, _) in aggs.items():
+        if fn == "avg":
+            out_cols.append((F.col(f"{alias}!s") / F.col(f"{alias}!c")).alias(alias))
+        else:
+            out_cols.append(F.col(alias))
+    return merged.select(*out_cols)

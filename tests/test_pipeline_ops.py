@@ -151,3 +151,41 @@ def test_ivf_recovers_identical_neighbors(spark, vecs):
     got = topk_cosine_ivf(probes, corpus, k=1, n_lists=8, n_probe=2).toPandas()
     # a near-identical copy quantizes to the same list ⇒ always a candidate
     assert (got.neighbor_id == got.query_id - 1_000_000).mean() >= 0.95
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from parquetranger_spark.functions.skew import salted_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = (
+        salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", "*"), "qty": ("sum", "l_quantity"), "mx": ("max", "l_discount"),
+             "avg_q": ("avg", "l_quantity")},
+            n_salts=8,
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    exp = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_discount").alias("mx"),
+            F.avg("l_quantity").alias("avg_q"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the salt stage really fans out: partial agg groups by (key, salt)
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"bad": ("median", "l_quantity")})
