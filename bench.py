@@ -40,9 +40,12 @@ HEADLINE = [
     "dedup_exact_text",
     "dedup_near_minhash",
     "topk_cosine_bruteforce",
+    "topk_cosine_ivf",
     "text_token_stats",
+    "bpe_token_stats",
     "events_hourly_agg",
     "sessionization",
+    "stream_sessionization",
 ]
 
 

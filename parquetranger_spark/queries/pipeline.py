@@ -349,7 +349,9 @@ def dedup_embedding_pairs(spark, sf_dir):
     oracle="""
 SELECT 'fake-md5' AS decoder, count(*) AS n,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       count(DISTINCT md5(text)) AS n_distinct
+       count(DISTINCT md5(text)) AS n_distinct,
+       CAST(SUM(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) % 240) AS BIGINT) AS sum_w,
+       CAST(SUM(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS BIGINT) % 240) AS BIGINT) AS sum_h
 FROM documents
 """,
 )
@@ -366,6 +368,8 @@ def binary_passthrough(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("byte_len").alias("total_bytes"),
         F.countDistinct("content_md5").alias("n_distinct"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
     )
 
 
