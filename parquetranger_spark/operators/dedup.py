@@ -125,11 +125,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs. Shingle sets are
     attached via two hash joins on the id; the set math is JVM array ops."""
-    from pyspark import StorageLevel
-
+    # NOT persisted: shingle sets are corpus-sized (orders of magnitude
+    # bigger than the signatures) — caching them trades a cheap recompute
+    # (one tokenize pass per side) for heap pressure that GC-thrashes at
+    # scale. The joins stream them instead.
     sets = df.select(
         F.col(id_col), F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # read twice (both join sides)
+    )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
