@@ -10,13 +10,21 @@ Catalyst, Pandas UDFs only where built-ins can't express the semantics.
 
 from .functions.hashing import HashPartitioner, md5_bucket, md5_mod
 from .session import get_spark
+from .sources.ingestor import ObjIngestor
 from .sources.table_repo import TableRepo
+from .sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
 
 __version__ = "0.1.0"
 
+# the reference exports TableRepo, HashPartitioner, RecordWriter,
+# DfBatchWriter, ObjIngestor (/root/reference/parquetranger/__init__.py:3-4)
 __all__ = [
     "TableRepo",
     "HashPartitioner",
+    "RecordWriter",
+    "FixedRecordWriter",
+    "DfBatchWriter",
+    "ObjIngestor",
     "md5_bucket",
     "md5_mod",
     "get_spark",

@@ -156,6 +156,9 @@ class ObjIngestor:
             self.writers[key] = w
         return w
 
+    def dump_largest(self) -> None:
+        """No-op, as in the reference (ingestor.py:84-85 is ``pass``)."""
+
     def dump_all(self) -> None:
         for w in self.writers.values():
             w.flush()

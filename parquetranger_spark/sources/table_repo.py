@@ -142,6 +142,12 @@ class TableRepo:
         return sorted(glob.glob(os.path.join(self.main_path, "**", "*.parquet"), recursive=True))
 
     @property
+    def vc_path(self) -> str:
+        """Version-controllable path (reference ``vc_path``, core.py:253-255);
+        always the table root here — there is no single-file special case."""
+        return self.main_path
+
+    @property
     def n_files(self) -> int:
         return len(self.paths)
 
@@ -306,6 +312,27 @@ class TableRepo:
         directory names (reference ``read_df_from_path``, core.py:225-228;
         group-col rematerialization core.py:216-223)."""
         return self._session().read.option("basePath", self.main_path).parquet(path)
+
+    # Arrow-table variants (reference returns pyarrow.Table from
+    # ``get_full_table`` core.py:172-175, ``get_partition_table``
+    # core.py:185-189, ``read_table_from_path`` core.py:203-214, ``tables``
+    # core.py:275-277). These collect to the driver by definition — same as
+    # the reference, which is single-process; scale reads stay on
+    # ``get_full_df``.
+
+    def get_full_table(self):
+        return self.get_full_df().toArrow()
+
+    def get_partition_table(self, value: Any, partition_col: str | None = None):
+        return self.get_partition_df(value, partition_col).toArrow()
+
+    def read_table_from_path(self, path: str):
+        return self.read_df_from_path(path).toArrow()
+
+    @property
+    def tables(self):
+        """Per-data-file Arrow tables (reference ``tables``, core.py:275-277)."""
+        return (df.toArrow() for df in self.dfs)
 
     # ------------------------------------------------- batch writer factories
     # (reference core.py:230-243 — buffered appenders/upserters)

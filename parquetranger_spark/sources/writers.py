@@ -45,6 +45,14 @@ class RecordWriter:
         for r in recs:
             self.add_record(r)
 
+    # reference method names (core.py:478-489)
+    def add_to_batch(self, element) -> None:
+        self.add_record(element)
+
+    def close(self) -> None:
+        self.flush()
+        self.record_count = 0
+
     def _to_df(self) -> DataFrame:
         pdf = pd.DataFrame(self._buf)
         return self.trepo._session().createDataFrame(pdf)
@@ -92,6 +100,7 @@ class DfBatchWriter:
         self.replace = replace
         self._bufs: list[DataFrame] = []
         self._buf_rows = 0
+        self.written_count = 0
 
     def add_df(self, df: DataFrame) -> None:
         self._bufs.append(df)
@@ -109,7 +118,15 @@ class DfBatchWriter:
             self.trepo.replace_records(out)
         else:
             self.trepo.extend(out)
+        self.written_count += self._buf_rows
         self._bufs, self._buf_rows = [], 0
+
+    # reference method names (core.py:478-489); the element is a DataFrame
+    def add_to_batch(self, element: DataFrame) -> None:
+        self.add_df(element)
+
+    def close(self) -> None:
+        self.flush()
 
     def __enter__(self):
         return self

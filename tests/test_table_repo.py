@@ -260,3 +260,34 @@ def test_dfs_and_partition_paths(spark, tmp_root):
         assert "c" in fdf.columns
         total += fdf.count()
     assert total == 4
+
+
+def test_arrow_table_variants(spark, tmp_root):
+    """Arrow-returning readers mirror the reference's pyarrow surface
+    (reference core.py:172-175,185-189,203-214,275-277)."""
+    trepo = TableRepo(f"{tmp_root}/arrow", group_cols="C2", index_cols="__index", spark=spark)
+    trepo.extend(spark.createDataFrame(DF1))
+    full = trepo.get_full_table()
+    assert full.num_rows == 3 and set(full.column_names) == set(DF1.columns)
+    part = trepo.get_partition_table("a")
+    assert part.num_rows == 2
+    per_file = list(trepo.tables)
+    assert sum(t.num_rows for t in per_file) == 3
+    one = trepo.read_table_from_path(trepo.paths[0])
+    assert "C2" in one.column_names  # partition col restored from dir name
+    assert trepo.vc_path == trepo.main_path
+
+
+def test_writer_reference_aliases(spark, tmp_root):
+    """add_to_batch/close and the count attributes (reference core.py:458-523)."""
+    trepo = TableRepo(f"{tmp_root}/walias", index_cols="__index", spark=spark)
+    w = trepo.get_extending_dict_batch_writer(max_records=2)
+    for rec in DF1.to_dict("records"):
+        w.add_to_batch(rec)
+    w.close()
+    assert w.written_count == 3 and w.record_count == 0
+    dw = trepo.get_extending_df_batch_writer()
+    dw.add_to_batch(spark.createDataFrame(DF2))
+    dw.close()
+    assert dw.written_count == 3
+    assert trepo.get_full_df().count() == 6
