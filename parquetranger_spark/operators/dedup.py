@@ -154,8 +154,25 @@ def near_dedup_minhash(
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → exact Jaccard verify → pairs ≥
     threshold. Returns (id_a, id_b, jaccard)."""
+    from pyspark import StorageLevel
+
     cands = candidate_pairs_minhash(df, text_col, id_col, num_hashes, bands, shingle_n)
-    return jaccard_pairs(df, cands, text_col, id_col, shingle_n).where(
+    # verify-stage shingle sets are only needed for docs that survived
+    # candidate generation — a small fraction of the corpus. Semi-join the
+    # corpus down before re-tokenizing, so exact-Jaccard cost scales with
+    # the candidate set, not the table. cands is read three times (two id
+    # projections + the verify join) and is tiny — persist it.
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # no broadcast hint: candidate-id cardinality is corpus-dependent (a
+    # dirty corpus can have many near-dup pairs) — AQE picks broadcast at
+    # runtime when the side is actually small
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    return jaccard_pairs(cand_docs, cands, text_col, id_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
 

@@ -240,24 +240,26 @@ def shred_json_df(
         # one sample row per table is enough to derive its schema: rows of a
         # table share a single type-map by construction (the schema hash IS
         # the table address), so from_json stays JVM-side — no RDD
-        # round-trip, no per-table inference scan
-        samples = {
-            r["tbl"]: r["s"]
-            for r in shredded.where("tbl <> ''")
+        # round-trip, no per-table inference scan. Row counts ride the same
+        # aggregation, so no per-table read-back scan is needed either.
+        samples, counts = {}, {}
+        for r in (
+            shredded.where("tbl <> ''")
             .groupBy("tbl")
-            .agg(F.first("atoms_json").alias("s"))
+            .agg(F.first("atoms_json").alias("s"), F.count("*").alias("n"))
             .collect()
-        }
-        def materialize(tbl: str) -> tuple[str, int]:
+        ):
+            samples[r["tbl"]] = r["s"]
+            counts[r["tbl"]] = r["n"]
+
+        def materialize(tbl: str) -> None:
             ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
             mat = (
                 shredded.where(shredded.tbl == tbl)
                 .select(F.from_json("atoms_json", ddl).alias("r"))
                 .select("r.*")
             )
-            trepo = TableRepo(os.path.join(root, tbl), spark=spark)
-            trepo.extend(mat)
-            return tbl, trepo.get_full_df().count()
+            TableRepo(os.path.join(root, tbl), spark=spark).extend(mat)
 
         # distinct table roots → independent write jobs; submit them
         # concurrently so the Spark scheduler overlaps their stages (the
@@ -265,7 +267,7 @@ def shred_json_df(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(samples)) or 1) as ex:
-            counts = dict(ex.map(materialize, sorted(samples)))
+            list(ex.map(materialize, sorted(samples)))
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, "key-map.json"), "w") as fh:
             json.dump(keydic, fh)
