@@ -112,6 +112,7 @@ def topk_cosine_ivf(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
+    train_limit: int | None = 8192,
 ) -> DataFrame:
     """Approximate top-k, IVF flavor: a k-means coarse quantizer splits the
     corpus into ``n_lists`` inverted lists; each query probes only its
@@ -131,9 +132,20 @@ def topk_cosine_ivf(
     spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     cv = c.withColumn("__v", array_to_vector(F.transform(F.col("cv"), lambda x: x.cast("double"))))
+    # the coarse quantizer only needs to carve space into n_lists regions —
+    # train it on a bounded prefix instead of iterating k-means over the
+    # whole corpus (at 100 TB the full fit would dominate the query; the
+    # full corpus still gets exact list assignment below). limit() funnels
+    # rows into one partition, which would serialize the fit — spread the
+    # (tiny) training set back out before training.
+    if train_limit:
+        par = spark.sparkContext.defaultParallelism
+        train = cv.limit(train_limit).repartition(par)
+    else:
+        train = cv
     model = KMeans(
         k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="list_id"
-    ).fit(cv)
+    ).fit(train)
     inv = model.transform(cv).select("neighbor_id", "cv", "list_id")
 
     cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
