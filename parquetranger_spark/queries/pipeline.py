@@ -23,7 +23,7 @@ from ..operators.events import session_stats
 from ..operators.similarity import topk_cosine_bruteforce, topk_cosine_lsh
 from ..sources.table_repo import TableRepo
 from . import query
-from .common import load, scratch_dir
+from .common import dsum, dsum_sql, load, scratch_dir
 
 # ---------------------------------------------------------------- SQL helpers
 
@@ -440,6 +440,52 @@ def stream_sessionization(spark, sf_dir):
     return per_user.groupBy("n_sessions").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").alias("total_events"),
+    )
+
+
+@query(
+    "stream_events_hourly",
+    oracle=f"""
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_events_hourly(spark, sf_dir):
+    """X6 streaming: watermarked tumbling-window aggregation
+    (streaming/ingest.py::windowed_event_counts) over a file stream of the
+    events table; complete-mode memory sink, so the final table IS the
+    batch answer — shares the events_hourly_agg oracle."""
+    import uuid
+
+    from ..streaming.ingest import windowed_event_counts
+
+    root = scratch_dir("sevh")
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("ts long, event_type string, value double")
+        .parquet(f"{root}/src")
+        # epoch-nanos → timestamp (micros, exact for hour bucketing); UTC
+        # session TZ keeps window starts epoch-hour aligned
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_counts(stream, ts_col="ts_t", value_agg=dsum("value", "sum_value"))
+    name = f"evh_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        (F.unix_timestamp("window_start").cast("long") / 3600).cast("long").alias("hour_bucket"),
+        "event_type",
+        "n",
+        "sum_value",
     )
 
 

@@ -51,17 +51,16 @@ def windowed_event_counts(
     key_col: str = "event_type",
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    value_agg=None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over an event stream —
-    the streaming twin of queries/compute.py::events_hourly_agg."""
-    return (
+    the streaming twin of queries/compute.py::events_hourly_agg.
+    ``value_agg`` overrides the value aggregate (default plain sum)."""
+    value_agg = value_agg if value_agg is not None else F.sum("value").alias("sum_value")
+    agg = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            key_col,
-            "n",
-            "sum_value",
-        )
+        .agg(F.count(F.lit(1)).alias("n"), value_agg)
     )
+    rest = [c for c in agg.columns if c != "window"]
+    return agg.select(F.col("window.start").alias("window_start"), *rest)
