@@ -241,7 +241,11 @@ class TableRepo:
             raise TypeError("replace_records needs index_cols (the reified pandas index)")
         if by_groups and not self.group_cols:
             raise TypeError("not a grouped table")
-        new = self._dedup_keep_first(self._prepare(df))
+        # by_groups routes each group through its own child repo in the
+        # reference (core.py:116-117 → _gb_handle), so incoming dedup is
+        # per (group, key) there — match that scoping
+        dedup_keys = self.index_cols + (self.group_cols if by_groups else [])
+        new = self._dedup_keep_first(self._prepare(df), keys=dedup_keys)
         old = self.get_full_df()
         if old.isEmpty():
             self._write(new, mode="append")
@@ -436,12 +440,12 @@ class TableRepo:
             meta.schema = widened
             save_meta(self.main_path, meta)
 
-    def _dedup_keep_first(self, df: DataFrame) -> DataFrame:
+    def _dedup_keep_first(self, df: DataFrame, keys: list[str] | None = None) -> DataFrame:
         """Keep the first row per key in incoming order (reference
         core.py:119): row_number over a monotonic ingest sequence."""
         from pyspark.sql import Window
 
-        keys = self.index_cols
+        keys = keys or self.index_cols
         w = Window.partitionBy(*keys).orderBy(F.col(_SEQ_COL))
         return (
             df.withColumn(_SEQ_COL, F.monotonically_increasing_id())

@@ -1,0 +1,96 @@
+"""Property-based round-trip tests (hypothesis) — the randomized-data leg
+of the reference's test strategy (SURVEY §5: seeded random frames,
+tests/test_core.py:283-297, tests/test_parallel.py:19-29). The oracle is
+pandas executing the reference semantics on the same frames:
+
+- extend* then full read == concat of inputs (row-set equality);
+- replace_records == keep-first-dedup incoming, patch matching keys,
+  append the rest (reference core.py:114-133).
+"""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquetranger_spark import TableRepo
+
+KEYS = st.integers(min_value=0, max_value=9)
+GROUPS = st.sampled_from(["g1", "g2", "g3"])
+VALS = st.one_of(
+    st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)
+)
+
+
+@st.composite
+def frames(draw, min_rows=1, max_rows=8):
+    n = draw(st.integers(min_rows, max_rows))
+    return pd.DataFrame(
+        {
+            "k": [draw(KEYS) for _ in range(n)],
+            "g": [draw(GROUPS) for _ in range(n)],
+            "v": pd.array([draw(VALS) for _ in range(n)], dtype="float64"),
+        }
+    )
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf[["k", "g", "v"]]
+        .astype({"k": "int64", "g": "string", "v": "float64"})
+        .sort_values(["k", "g", "v"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+def pandas_upsert(old: pd.DataFrame, new: pd.DataFrame, by_groups: bool) -> pd.DataFrame:
+    """Reference replace_records semantics in pandas (core.py:114-133)."""
+    keys = ["k", "g"] if by_groups else ["k"]
+    new = new.loc[~new.duplicated(subset=keys, keep="first")]
+    kept = old.merge(new[keys].drop_duplicates(), on=keys, how="left", indicator=True)
+    kept = kept[kept["_merge"] == "left_only"].drop(columns="_merge")
+    return pd.concat([kept, new], ignore_index=True)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(dfs=st.lists(frames(), min_size=1, max_size=3), grouped=st.booleans())
+def test_extend_roundtrip_random(spark, tmp_path_factory, dfs, grouped):
+    root = str(tmp_path_factory.mktemp("prop")) + "/t"
+    t = TableRepo(root, group_cols="g" if grouped else None, index_cols="k", spark=spark)
+    for pdf in dfs:
+        t.extend(spark.createDataFrame(pdf))
+    got = canon(t.get_full_df().toPandas())
+    want = canon(pd.concat(dfs, ignore_index=True))
+    pd.testing.assert_frame_equal(got, want)
+    t.purge()
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(base=frames(min_rows=2), incoming=frames(), by_groups=st.booleans())
+def test_replace_records_random(spark, tmp_path_factory, base, incoming, by_groups):
+    root = str(tmp_path_factory.mktemp("prop")) + "/t"
+    t = TableRepo(root, group_cols="g", index_cols="k", spark=spark)
+    t.extend(spark.createDataFrame(base))
+    t.replace_records(spark.createDataFrame(incoming), by_groups=by_groups)
+    got = canon(t.get_full_df().toPandas())
+    want = canon(pandas_upsert(base, incoming, by_groups))
+    pd.testing.assert_frame_equal(got, want)
+    t.purge()
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
