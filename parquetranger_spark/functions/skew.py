@@ -75,3 +75,31 @@ def salted_agg(
         else:
             out_cols.append(F.col(alias))
     return merged.select(*out_cols)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (skewed) left side, replicate the
+    right side ``n_salts``× so every (key, salt) pair finds its match.
+
+    Use when the hot key's partition would not fit one reducer and the
+    right side is too big to broadcast but small enough to replicate
+    ``n_salts`` times. With AQE on, prefer letting the runtime split skewed
+    partitions (spark.sql.adaptive.skewJoin.enabled); this helper is the
+    explicit fallback for engines/paths AQE doesn't cover (e.g. streaming
+    joins, or deliberate pre-partitioning).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"unsupported join type for salting: {how}")
+    lsalt = left.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rsalt = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return lsalt.join(rsalt, on + [_SALT], how).drop(_SALT)

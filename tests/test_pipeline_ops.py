@@ -189,3 +189,37 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], {"bad": ("median", "l_quantity")})
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from parquetranger_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")], "l_returnflag string, label string"
+    )
+    got = (
+        salted_join(li, dim, ["l_returnflag"], n_salts=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    exp = (
+        li.join(dim, "l_returnflag")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(li, dim, ["l_returnflag"], how="full")
