@@ -291,3 +291,60 @@ def test_writer_reference_aliases(spark, tmp_root):
     dw.close()
     assert dw.written_count == 3
     assert trepo.get_full_df().count() == 6
+
+
+def test_typed_roundtrip_datetime_bytes_nulls(spark, tmp_root):
+    """Type edges the reference exercises: datetime64 columns
+    (tests/test_core.py:254-259, test_metadata.py:8), 20-byte blobs
+    (tests/test_core.py:289-293), missing values (tests/test_core.py:261-267)."""
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "__index": ["r1", "r2", "r3", "r4"],
+            "ts": pd.date_range("2021-01-01", periods=4, freq="1h"),
+            "blob": [os.urandom(20) for _ in range(4)],
+            "x": pd.array([1.5, None, 3.0, None], dtype="float64"),
+            "n": pd.array([1, 2, None, 4], dtype="Int64"),
+        }
+    )
+    trepo = TableRepo(f"{tmp_root}/typed", index_cols="__index", spark=spark)
+    trepo.extend(spark.createDataFrame(pdf))
+    back = trepo.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+    assert back["ts"].tolist() == pdf["ts"].tolist()
+    assert [bytes(b) for b in back["blob"]] == pdf["blob"].tolist()
+    assert back["x"].isna().tolist() == [False, True, False, True]
+    assert back["n"].isna().tolist() == [False, False, True, False]
+    # upsert through the same typed schema
+    upd = pdf.iloc[[0]].assign(x=9.25)
+    trepo.replace_records(spark.createDataFrame(upd))
+    got = trepo.get_full_df().where(F.col("__index") == "r1").toPandas()
+    assert got["x"].iloc[0] == 9.25 and got["ts"].iloc[0] == pdf["ts"].iloc[0]
+
+
+def test_append_smoke_many_batches(spark, tmp_root):
+    """Scaled-down twin of the reference's 400k-row append smoke
+    (tests/test_core.py:283-300): repeated appends of (float, int, bytes)
+    batches, then full-scan equality on count and sums."""
+    import random
+
+    rng = random.Random(7)
+    trepo = TableRepo(f"{tmp_root}/smoke", index_cols="i", spark=spark)
+    total, s = 0, 0.0
+    for b in range(8):
+        n = 500
+        pdf = pd.DataFrame(
+            {
+                "i": range(total, total + n),
+                "f": [rng.random() for _ in range(n)],
+                "z": [rng.randbytes(20) for _ in range(n)],
+            }
+        )
+        trepo.extend(spark.createDataFrame(pdf))
+        total += n
+        s += pdf["f"].sum()
+    agg = trepo.get_full_df().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("f").alias("s")
+    ).collect()[0]
+    assert agg["n"] == total
+    assert abs(agg["s"] - s) < 1e-6
