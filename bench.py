@@ -39,6 +39,7 @@ HEADLINE = [
     "json_shred_counts",
     "dedup_exact_text",
     "dedup_near_minhash",
+    "dedup_simhash_pairs",
     "topk_cosine_bruteforce",
     "topk_cosine_ivf",
     "text_token_stats",

@@ -40,11 +40,23 @@ def cosine(a: Column, b: Column) -> Column:
 def hyperplane_bits(arr: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane (sign) sketch: bit j = [dot(v, r_j) >= 0].
     Packed into a long — the LSH bucket key for approximate cosine search.
-    ``planes`` are deterministic (seeded) driver-side literals."""
+    ``planes`` are deterministic (seeded) driver-side literals.
+
+    The plane matrix is bound as ONE all-literal ``array<array<double>>``
+    expression — constant-folded by Catalyst into a single Literal — and
+    the per-plane dot products are a single ``transform`` + ``aggregate``
+    fold. Unrolling a separate dot-product subtree per plane (the naive
+    shape) generates ``n_planes × dim`` expression nodes, which at real
+    embedding dims (768–3072) × 16 planes blows past whole-stage-codegen
+    limits; this shape stays O(1) in the optimized plan regardless of
+    dim."""
     ad = to_double(arr)
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        bit = (dot(ad, p) >= 0).cast("long")
-        bucket = bucket + bit * F.lit(1 << j).cast("long")
-    return bucket
+    planes_lit = F.array(*[F.array(*[F.lit(float(v)) for v in p]) for p in planes])
+    bits = F.transform(planes_lit, lambda p: (dot(ad, p) >= 0).cast("long"))
+    # Horner fold over reversed bits ⇒ Σ bit_j · 2^j, same packing as the
+    # per-plane shift-add (bit 0 = first plane)
+    return F.aggregate(
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * F.lit(2).cast("long") + b,
+    )

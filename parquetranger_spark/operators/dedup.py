@@ -14,13 +14,10 @@ shape:
 
 from __future__ import annotations
 
-import hashlib
-import struct
+from functools import reduce
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.text import shingles, tokens
 from ..functions.vectors import cosine, hyperplane_bits
@@ -43,25 +40,34 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: shingle → xxhash64(shingle, seed_i)
-    → min per seed.
+    """MinHash signature per document: shingle → base=xxhash64(shingle) →
+    xxhash64(base, seed_i) → min per seed.
 
-    Shape: explode to (id, shingle) rows, hash each shingle ``num_hashes``
-    ways, then ``groupBy(id).agg(min...)``. Shingling runs ONCE per
+    Shape: explode to (id, shingle) rows, hash the shingle STRING exactly
+    once into a 64-bit base, then derive the ``num_hashes`` family members
+    by hashing that long with the seed — hashing a fixed-width long is far
+    cheaper than re-hashing a multi-word string per seed, and the
+    composition is still a uniform hash family. Shingling runs ONCE per
     document (inlining the shingle expression per seed would re-tokenize
     the text ``num_hashes`` times — Catalyst does not CSE across separate
     projection expressions with lambda functions), and the min aggregate
     combines map-side, so the shuffle carries one row per (doc,
-    input-partition) — not one per shingle."""
+    input-partition) — not one per shingle.
+
+    Note: documents with an empty shingle set (null/empty text) have no
+    rows after the explode and thus no signature row at all — they can
+    never be near-duplicates of anything, so end-to-end dedup results are
+    unaffected; left-join back to the corpus ids if one-row-per-doc
+    matters to a direct caller."""
     exploded = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("__sh"),
-    )
+    ).select(F.col(id_col), F.xxhash64(F.col("__sh")).alias("__base"))
     mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
     )
     sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
     return mins.select(F.col(id_col), sig.alias("signature"))
@@ -89,22 +95,29 @@ def candidate_pairs_minhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    _handles: list | None = None,
 ) -> DataFrame:
     """X2 candidate generation: banded MinHash LSH. Docs sharing any band
     bucket become a candidate pair. The join is an equi-join on
-    (band, bucket) — shuffle-partitioned by bucket, never O(n²)."""
+    (band, bucket) — shuffle-partitioned by bucket, never O(n²).
+
+    Caching contract: the signature DataFrame is persisted (the banded
+    self-join reads it twice and Catalyst plans no ReusedExchange across
+    the differently-aliased sides; signatures are tiny — ``num_hashes``
+    longs per doc — and MEMORY_AND_DISK spills safely at scale). Callers
+    that pass ``_handles`` receive the persisted frames and own the
+    unpersist; otherwise unpersist via ``spark.catalog.clearCache()`` or
+    let :func:`near_dedup_minhash` manage the lifecycle."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    # the banded self-join reads the signatures twice and Catalyst plans no
-    # ReusedExchange across the differently-aliased sides — persist so the
-    # tokenize→shingle→hash pipeline runs once (signatures are tiny:
-    # num_hashes longs per doc, MEMORY_AND_DISK spills safely at scale)
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if _handles is not None:
+        _handles.append(sig)
     bb = _band_buckets(sig, id_col, bands, rows_per_band)
     a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -148,21 +161,32 @@ def near_dedup_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → exact Jaccard verify → pairs ≥
-    threshold. Returns (id_a, id_b, jaccard)."""
+    threshold. Returns (id_a, id_b, jaccard).
+
+    ``eager=True`` (default) materializes the (small) verified pair set via
+    ``localCheckpoint`` and unpersists the intermediate caches before
+    returning — no executor-storage leak in long-lived sessions. Pass
+    ``eager=False`` to keep the plan fully lazy (intermediates then stay
+    cached until ``clearCache``)."""
     from pyspark import StorageLevel
 
-    cands = candidate_pairs_minhash(df, text_col, id_col, num_hashes, bands, shingle_n)
+    handles: list[DataFrame] = []
+    cands = candidate_pairs_minhash(
+        df, text_col, id_col, num_hashes, bands, shingle_n, _handles=handles
+    )
     # verify-stage shingle sets are only needed for docs that survived
     # candidate generation — a small fraction of the corpus. Semi-join the
     # corpus down before re-tokenizing, so exact-Jaccard cost scales with
     # the candidate set, not the table. cands is read three times (two id
     # projections + the verify join) and is tiny — persist it.
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    handles.append(cands)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
@@ -172,31 +196,47 @@ def near_dedup_minhash(
     # dirty corpus can have many near-dup pairs) — AQE picks broadcast at
     # runtime when the side is actually small
     cand_docs = df.join(cand_ids, id_col, "left_semi")
-    return jaccard_pairs(cand_docs, cands, text_col, id_col, shingle_n).where(
+    out = jaccard_pairs(cand_docs, cands, text_col, id_col, shingle_n).where(
         F.col("jaccard") >= threshold
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
+    return out
 
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes —
-    stable across processes, unlike Python's randomized ``hash``).
-    Vectorized Arrow batches; numpy bit-count accumulation per doc."""
-    import numpy as np
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, entirely JVM-side: explode whitespace
+    tokens → ``xxhash64(token)`` → 64 sign-sum aggregates
+    ``sum(2*((h>>j)&1)-1)`` → pack the sign bits into one long.
 
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").split(" "):
-            h = struct.unpack("<q", hashlib.md5(tok.encode()).digest()[:8])[0]
-            bits = (h >> np.arange(64)) & 1
-            acc += 2 * bits - 1
-        sig = np.uint64(0)
-        for j in range(64):
-            if acc[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+    Scale shape: the only shuffle is the per-doc groupBy, and the 64 sums
+    combine map-side, so the exchange carries one 64-long row per (doc,
+    input-partition) — no Python workers, no per-token driver/executor
+    loops, whole-stage codegen throughout. Token multiplicity counts, as
+    in the classic Charikar construction. Returns (id, sig)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("__tok"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_sums)
+    packed = reduce(
+        lambda acc, j: acc.bitwiseOR(
+            F.when(F.col(f"__b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(1, 64),
+        F.when(F.col("__b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return per_doc.select(F.col(id_col), packed.alias("sig"))
 
 
 def near_dedup_simhash(
@@ -211,7 +251,7 @@ def near_dedup_simhash(
     exact chunk, so candidate generation is 4 equi-joins on a 16-bit key
     (for larger k the verify still filters correctly; recall degrades
     gracefully). Verification is ``bit_count(a XOR b)``."""
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         id_col,
         "sig",

@@ -153,6 +153,44 @@ def test_ivf_recovers_identical_neighbors(spark, vecs):
     assert (got.neighbor_id == got.query_id - 1_000_000).mean() >= 0.95
 
 
+def test_hyperplane_bits_compiles_at_real_dims(spark):
+    # scale-risk gate: at realistic embedding dims (768) × 16 planes the
+    # sketch must stay one constant-folded plane literal + one fold — the
+    # unrolled per-plane shape blows past codegen limits here
+    import time
+
+    from parquetranger_spark.functions.vectors import hyperplane_bits
+    from parquetranger_spark.operators.similarity import default_planes
+
+    dim = 768
+    planes = default_planes(dim, n_planes=16)
+    df = spark.range(200).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (i.cast("double") * 0.37 + F.col("id").cast("double")) % 7.0 - 3.0,
+        ).alias("v"),
+    )
+    t0 = time.monotonic()
+    out = df.select("id", hyperplane_bits(F.col("v"), planes).alias("b")).toPandas()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 200 and out.b.notna().all()
+    assert out.b.nunique() > 1  # the sketch actually discriminates
+    assert elapsed < 60, f"hyperplane_bits at dim {dim} took {elapsed:.1f}s"
+
+
+def test_simhash_signature_is_jvm_side(spark, docs):
+    # the signature plan must contain no Python workers (no pandas UDF /
+    # ArrowEvalPython / BatchEvalPython nodes) — SimHash is the hot path of
+    # near_dedup_simhash at 100 TB
+    from parquetranger_spark.operators.dedup import simhash_signatures
+
+    plan = simhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    sigs = simhash_signatures(docs.limit(50)).toPandas()
+    assert len(sigs) == 50 and sigs.sig.nunique() > 40
+
+
 def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     from parquetranger_spark.functions.skew import salted_agg
 
