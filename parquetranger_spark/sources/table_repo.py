@@ -252,21 +252,35 @@ class TableRepo:
             return
         join_keys = self.index_cols + (self.group_cols if by_groups else [])
         if self.group_cols:
-            touched = (
-                old.join(F.broadcast(new.select(*join_keys).distinct()), join_keys, "left_semi")
-                .select(*self.group_cols)
-                .unionByName(new.select(*self.group_cols))
-                .distinct()
-            )
-            old_touched = old.join(F.broadcast(touched), self.group_cols, "left_semi")
+            if by_groups:
+                # key matching is scoped within each group, so the touched
+                # groups are exactly the incoming frame's group values — no
+                # full-table scan needed to find them
+                touched_vals = {tuple(r) for r in new.select(*self.group_cols).distinct().collect()}
+            else:
+                # a key may live in any partition: one full semi-join scan
+                # locates the groups holding matched keys (inherent cost;
+                # the read-back below is still pruned to those groups)
+                touched = (
+                    old.join(
+                        F.broadcast(new.select(*join_keys).distinct()), join_keys, "left_semi"
+                    )
+                    .select(*self.group_cols)
+                    .unionByName(new.select(*self.group_cols))
+                    .distinct()
+                )
+                touched_vals = {tuple(r) for r in touched.collect()}
+            # literal partition-key predicates → the read-back scan carries
+            # PartitionFilters and touches only the affected directories
+            # (partition counts are low-cardinality by design, so the
+            # collected value set is tiny even at scale)
+            old_touched = old.where(self._group_filter(touched_vals))
             out = old_touched.join(new, join_keys, "left_anti").unionByName(new)
             # break lineage: the write target is also the read source
             out = out.localCheckpoint(eager=True)
             # a key whose group value changed can leave its old partition
             # empty; dynamic overwrite can't express "now empty" — clear those
-            # partition dirs explicitly (partition counts are low-cardinality
-            # by design, so the collect is tiny even at scale)
-            touched_vals = {tuple(r) for r in touched.collect()}
+            # partition dirs explicitly
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
             self._write(out, mode="overwrite", dynamic=True)
             for gv in touched_vals - kept_vals:
@@ -453,6 +467,21 @@ class TableRepo:
             .where(F.col("__pqr_rn") == 1)
             .drop(_SEQ_COL, "__pqr_rn")
         )
+
+    def _group_filter(self, group_value_tuples: set[tuple]):
+        """OR-of-ANDs literal predicate over the partition columns — the
+        shape Catalyst turns into scan PartitionFilters."""
+        if not group_value_tuples:
+            return F.lit(False)
+        if len(self.group_cols) == 1:
+            return F.col(self.group_cols[0]).isin([gv[0] for gv in group_value_tuples])
+        from functools import reduce
+
+        conds = [
+            reduce(lambda a, b: a & b, [F.col(c) == v for c, v in zip(self.group_cols, gv)])
+            for gv in group_value_tuples
+        ]
+        return reduce(lambda a, b: a | b, conds)
 
     def _delete_partition_dir(self, group_values: tuple) -> None:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]

@@ -78,6 +78,37 @@ def test_minhash_candidates_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_upsert_by_groups_reads_partition_pruned(spark, sf_dir, tmp_path, monkeypatch):
+    # by_groups=True: touched groups = incoming group values, so the
+    # read-back scan must carry literal PartitionFilters (O(touched
+    # partitions) on read, not a full-table scan feeding the semi-join)
+    t = TableRepo(
+        str(tmp_path) + "/li",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        spark=spark,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    t.extend(li)
+
+    cls = type(li)  # the concrete (classic) DataFrame class in Spark 4
+    captured = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(plan(self))
+        return orig(self, eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    upd = li.where("l_returnflag = 'A'").limit(10).withColumn("l_quantity", F.lit(77.0))
+    before = {p for p in t.paths if "l_returnflag=N" in p}
+    t.replace_records(upd, by_groups=True)
+    assert {p for p in t.paths if "l_returnflag=N" in p} == before
+    assert captured, "upsert did not checkpoint its rewrite frame"
+    segs = [s.split("]", 1)[0] for s in captured[0].split("PartitionFilters")[1:]]
+    assert any("l_returnflag" in s and "A" in s for s in segs), segs
+
+
 def test_upsert_no_full_table_child_rewrite(spark, repo, sf_dir, tmp_path):
     # replace_records on a grouped repo must read back only touched
     # partitions: the scan filter is a partition-key semi-join, visible as
