@@ -309,6 +309,37 @@ def stream_ingest_dicts(spark, sf_dir):
 
 
 @query(
+    "stream_ingest_foreachbatch",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events GROUP BY event_type
+""",
+)
+def stream_ingest_foreachbatch(spark, sf_dir):
+    """S11 scale path: Structured Streaming → foreachBatch → TableRepo
+    (streaming/ingest.py::stream_into_repo). Each micro-batch is one
+    distributed append — the cluster-sized twin of the driver-side
+    RecordWriter queries (reference core.py:458-505), sharing their
+    oracle."""
+    from ..streaming.ingest import stream_into_repo
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = scratch_dir("sfeb")
+    ev.write.mode("overwrite").parquet(f"{root}/src")
+    t = TableRepo(f"{root}/events", index_cols="event_id", spark=spark)
+    stream = spark.readStream.schema("event_id long, event_type string, value double").parquet(
+        f"{root}/src"
+    )
+    q = stream_into_repo(stream, t, checkpoint=f"{root}/ckpt")
+    q.awaitTermination(600)
+    return (
+        t.get_full_df()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@query(
     "stream_ingest_fixed",
     oracle="""
 SELECT count(*) AS n, count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value

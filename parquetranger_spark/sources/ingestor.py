@@ -253,12 +253,28 @@ def shred_json_df(
             counts[r["tbl"]] = r["n"]
 
         def materialize(tbl: str) -> None:
+            rows = shredded.where(shredded.tbl == tbl).select("atoms_json")
             ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
-            mat = (
-                shredded.where(shredded.tbl == tbl)
-                .select(F.from_json("atoms_json", ddl).alias("r"))
-                .select("r.*")
-            )
+            # one sampled row fixes the field SET (rows of a table share a
+            # type map by construction — the schema hash IS the table
+            # address) but not value RANGES: e.g. an int above int64 in an
+            # 'int'-typed table would silently from_json to null. Probe via
+            # the corrupt-record channel; only when a row actually fails do
+            # we pay a full-scan inference (spark.read.json widens exactly)
+            probe_ddl = ddl[:-1] + ",__pqr_corrupt: STRING>"
+            bad = (
+                rows.select(
+                    F.from_json(
+                        "atoms_json", probe_ddl, {"columnNameOfCorruptRecord": "__pqr_corrupt"}
+                    ).alias("r")
+                )
+                .where("r.__pqr_corrupt is not null")
+                .isEmpty()
+            ) is False
+            if bad:
+                mat = spark.read.json(rows.rdd.map(lambda r: r[0]))
+            else:
+                mat = rows.select(F.from_json("atoms_json", ddl).alias("r")).select("r.*")
             TableRepo(os.path.join(root, tbl), spark=spark).extend(mat)
 
         # distinct table roots → independent write jobs; submit them

@@ -161,15 +161,40 @@ class TableRepo:
         for p in self.paths:
             yield spark.read.option("basePath", self.main_path).parquet(p)
 
-    def get_partition_paths(self, value: Any, partition_col: str | None = None) -> list[str]:
-        """Data files under one partition value (reference
-        ``get_partition_paths``, core.py:177-183) — path-component match on
-        the hive-style ``col=value`` directory."""
+    def get_partition_paths(self, partition_col: str) -> Iterable[tuple[str, list[str]]]:
+        """Group the data files by one partition column's value — yields
+        ``(value, paths)`` pairs for every value, matching the reference
+        signature and return shape (``get_partition_paths``,
+        core.py:177-183 returns an itertools.groupby over sorted paths).
+        Values come from the hive-style ``col=value`` path component."""
+        if partition_col not in self.group_cols:
+            raise TypeError(f"{partition_col!r} is not a partition column of {self.name}")
+        prefix = f"{partition_col}="
+
+        def val_of(p: str) -> str:
+            for part in p.split(os.sep):
+                if part.startswith(prefix):
+                    return part[len(prefix):]
+            return ""
+
+        from itertools import groupby
+
+        return (
+            (v, list(ps)) for v, ps in groupby(sorted(self.paths, key=val_of), key=val_of)
+        )
+
+    def paths_for_partition(self, value: Any, partition_col: str | None = None) -> list[str]:
+        """Data files under ONE partition value (the inverse lookup of
+        :meth:`get_partition_paths`). Raises if the column exists but the
+        value has no files — a silent ``[]`` hides typos."""
         pc = partition_col or (self.group_cols[0] if self.group_cols else None)
         if pc is None:
             raise TypeError("not a grouped table")
         needle = f"{pc}={value}"
-        return [p for p in self.paths if needle in p.split(os.sep)]
+        out = [p for p in self.paths if needle in p.split(os.sep)]
+        if not out and self.paths:
+            raise KeyError(f"no files for partition {needle}")
+        return out
 
     @property
     def full_metadata(self) -> dict[str, Any]:
@@ -361,11 +386,15 @@ class TableRepo:
         return RecordWriter(self, record_limit=max_records)
 
     def get_extending_fixed_dict_batch_writer(
-        self, schema: T.StructType, max_records: int = 1_000_000
+        self, schema: T.StructType | list[str], max_records: int = 1_000_000
     ):
+        """First argument is a Spark ``StructType`` or a reference-style
+        list of column names (reference passes ``cols``, core.py:233)."""
         from .writers import FixedRecordWriter
 
-        return FixedRecordWriter(self, schema=schema, record_limit=max_records)
+        if isinstance(schema, T.StructType):
+            return FixedRecordWriter(self, schema=schema, record_limit=max_records)
+        return FixedRecordWriter(self, cols=list(schema), record_limit=max_records)
 
     def get_extending_df_batch_writer(self, max_records: int = 1_000_000):
         from .writers import DfBatchWriter
@@ -387,9 +416,9 @@ class TableRepo:
     def map_partitions(
         self,
         fun: Callable,
-        schema: T.StructType | str,
+        schema: T.StructType | str | None = None,
         level: str | None = None,
-    ) -> DataFrame:
+    ) -> DataFrame | list:
         """Per-partition pandas apply (reference core.py:138-151).
 
         The reference groups *file paths* by directory level and fans a
@@ -398,11 +427,32 @@ class TableRepo:
         shuffle/execution is handled by the engine and scales past one node.
         ``level=g`` narrows the grouping to one partition column
         (core.py:146-147).
-        """
+
+        With a ``schema``, ``fun`` must return a pandas DataFrame and the
+        result is a distributed DataFrame. Without one, ``fun`` may return
+        ANY picklable value (the reference's list-returning mode — scalar
+        payloads like ``len`` at tests/test_parallel.py:74-83): each
+        group's result is computed on executors, pickled into a one-row
+        binary frame, and collected as a plain list. The collect is a list
+        of per-GROUP results (partition-count-sized, not data-sized), so it
+        stays driver-safe at scale as long as the per-group payloads are
+        small — same contract as the reference's worker-pool return."""
         if not self.group_cols:
             raise TypeError("not a grouped table")  # core.py:337-338
         cols = [level] if level else list(self.group_cols)
-        return self.get_full_df().groupBy(*cols).applyInPandas(fun, schema)
+        grouped = self.get_full_df().groupBy(*cols)
+        if schema is not None:
+            return grouped.applyInPandas(fun, schema)
+
+        import pickle
+
+        import pandas as pd
+
+        def _wrap(pdf):
+            return pd.DataFrame({"r": [pickle.dumps(fun(pdf))]})
+
+        rows = grouped.applyInPandas(_wrap, "r binary").collect()
+        return [pickle.loads(r["r"]) for r in rows]
 
     # ---------------------------------------------------------------- private
 

@@ -51,7 +51,6 @@ class RecordWriter:
 
     def close(self) -> None:
         self.flush()
-        self.record_count = 0
 
     def _to_df(self) -> DataFrame:
         pdf = pd.DataFrame(self._buf)
@@ -67,6 +66,9 @@ class RecordWriter:
             self.trepo.extend(df)
         self.written_count += len(self._buf)
         self._buf = []
+        # per-batch counter, reset on every flush (reference _write,
+        # core.py:497-505); written_count keeps the cumulative total
+        self.record_count = 0
 
     def __enter__(self):
         return self
@@ -77,49 +79,83 @@ class RecordWriter:
 
 
 class FixedRecordWriter(RecordWriter):
-    """Records projected to a fixed schema; missing keys → null
-    (reference core.py:508-513, test tests/test_writer.py:53-64)."""
+    """Records projected to a fixed column set; missing keys → null
+    (reference core.py:508-513, test tests/test_writer.py:53-64).
 
-    def __init__(self, trepo, schema: T.StructType, record_limit: int = 1_000_000, replace: bool = False):
+    Accepts either a Spark ``StructType`` (typed projection) or a
+    reference-style list of column names (core.py:233-234 passes ``cols``)
+    — with a name list the value types are inferred from the buffered
+    records, like the reference's pandas path."""
+
+    def __init__(
+        self,
+        trepo,
+        schema: T.StructType | None = None,
+        record_limit: int = 1_000_000,
+        replace: bool = False,
+        cols: list[str] | None = None,
+    ):
         super().__init__(trepo, record_limit, replace)
+        if schema is None and cols is None:
+            raise TypeError("FixedRecordWriter needs a schema or a cols list")
         self.schema = schema
-        self._names = [f.name for f in schema.fields]
+        self._names = list(cols) if cols is not None else [f.name for f in schema.fields]
 
     def _to_df(self) -> DataFrame:
-        rows = [tuple(r.get(c) for c in self._names) for r in self._buf]
-        return self.trepo._session().createDataFrame(rows, schema=self.schema)
+        if self.schema is not None:
+            rows = [tuple(r.get(c) for c in self._names) for r in self._buf]
+            return self.trepo._session().createDataFrame(rows, schema=self.schema)
+        pdf = pd.DataFrame(self._buf).reindex(columns=self._names)
+        return self.trepo._session().createDataFrame(pdf)
 
 
 class DfBatchWriter:
-    """Buffer DataFrames; flush when buffered rows reach ``record_limit``
-    (reference core.py:516-523)."""
+    """Buffer DataFrames; flush on close / context exit, or automatically
+    after ``max_buffered`` added frames (reference core.py:516-523).
 
-    def __init__(self, trepo, record_limit: int = 1_000_000, replace: bool = False):
+    The reference flushes on buffered *rows* ≥ record_limit, counting
+    pandas rows for free (core.py:504-505); a Spark row count is a full
+    job per added frame, so ``add_df`` stays job-free here and the
+    auto-flush guard is the buffered-frame count instead. Row counts are
+    captured during the flush write itself via ``observe`` — zero extra
+    jobs — and surface in ``written_count``."""
+
+    def __init__(
+        self,
+        trepo,
+        record_limit: int = 1_000_000,
+        replace: bool = False,
+        max_buffered: int = 32,
+    ):
         self.trepo = trepo
         self.record_limit = record_limit
         self.replace = replace
+        self.max_buffered = max_buffered
         self._bufs: list[DataFrame] = []
-        self._buf_rows = 0
         self.written_count = 0
 
     def add_df(self, df: DataFrame) -> None:
         self._bufs.append(df)
-        self._buf_rows += df.count()
-        if self._buf_rows >= self.record_limit:
+        if len(self._bufs) >= self.max_buffered:
             self.flush()
 
     def flush(self) -> None:
         if not self._bufs:
             return
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         out = self._bufs[0]
         for d in self._bufs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+        obs = Observation()
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.replace:
             self.trepo.replace_records(out)
         else:
             self.trepo.extend(out)
-        self.written_count += self._buf_rows
-        self._bufs, self._buf_rows = [], 0
+        self.written_count += int(obs.get["n"])
+        self._bufs = []
 
     # reference method names (core.py:478-489); the element is a DataFrame
     def add_to_batch(self, element: DataFrame) -> None:

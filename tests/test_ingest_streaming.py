@@ -63,6 +63,49 @@ def test_df_batch_writer(spark, tmp_root):
     assert t.get_full_df().count() == 150
 
 
+def test_df_batch_writer_add_is_job_free(spark, tmp_root):
+    # the reference counts pandas rows for free (core.py:504-505); the
+    # Spark analogue must not run one job per buffered frame — jobs are
+    # O(flushes), not O(add_df calls)
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    sc = spark.sparkContext
+    sc.setJobGroup("dfbw_adds", "buffering")
+    w = DfBatchWriter(t, record_limit=1_000_000)
+    for b in range(5):
+        w.add_df(
+            spark.createDataFrame(pd.DataFrame({"i": range(b * 10, b * 10 + 10), "v": [b] * 10}))
+        )
+    adds_jobs = sc.statusTracker().getJobIdsForGroup("dfbw_adds")
+    sc.setJobGroup("dfbw_flush", "flushing")
+    w.close()
+    assert list(adds_jobs) == []  # zero jobs while buffering
+    assert w.written_count == 50  # captured via observe during the flush
+    assert t.get_full_df().count() == 50
+
+
+def test_fixed_writer_cols_list(spark, tmp_root):
+    # reference core.py:233 passes a plain column-name list
+    t = TableRepo(f"{tmp_root}/t")
+    with t.get_extending_fixed_dict_batch_writer(["a", "b"], max_records=3) as w:
+        w.add_record({"a": 1.0, "b": 2.0})
+        w.add_record({"a": 3.0, "c": 9.0})  # c dropped, b null
+        w.add_record({"b": 4.0})  # a null
+    got = t.get_full_df().toPandas()
+    assert sorted(got.columns) == ["a", "b"]
+    assert got.a.isna().sum() == 1 and got.b.isna().sum() == 1
+
+
+def test_record_count_resets_per_flush(spark, tmp_root):
+    # reference _write resets record_count per batch (core.py:497-505)
+    t = TableRepo(f"{tmp_root}/t", index_cols="i")
+    w = RecordWriter(t, record_limit=3)
+    for i in range(7):
+        w.add_record({"i": i, "v": float(i)})
+    assert w.record_count == 1  # 2 auto-flushes at 3 and 6; one buffered
+    w.close()
+    assert w.record_count == 0 and w.written_count == 7
+
+
 def test_obj_ingestor_nested(spark, tmp_root):
     # F11-shaped: atoms + nested dict + nested list, parent linkage
     root = f"{tmp_root}/forest"
@@ -114,6 +157,24 @@ def test_distributed_shredder_matches_driver_side(spark, tmp_root):
         for k in ing.writers
     }
     assert counts == drv_counts
+
+
+def test_shredder_widens_past_sampled_row_range(spark, tmp_root):
+    # the schema hash keys on python type NAME, so an int above int64 lands
+    # in the same table as small ints; sample-row inference alone would
+    # from_json it to null — the shredder must widen (full-scan inference
+    # fallback), never silently lose the value
+    big = 2**75
+    objs = [{"id_": i, "n": big if i == 3 else i} for i in range(10)]
+    df = spark.createDataFrame([(json.dumps(o),) for o in objs], "obj string")
+    counts = shred_json_df(df, "obj", f"{tmp_root}/wide", root_id_key="id_")
+    assert sum(counts.values()) == 10
+    tbl_dir = next(
+        d for d, _, fs in os.walk(f"{tmp_root}/wide") if any(f.endswith(".parquet") for f in fs)
+    )
+    got = spark.read.parquet(tbl_dir).toPandas()
+    assert len(got) == 10 and got.n.notna().all()
+    assert float(got.n.max()) == float(big)
 
 
 def test_streaming_sink_into_repo(spark, tmp_root):

@@ -251,15 +251,49 @@ def test_dfs_and_partition_paths(spark, tmp_root):
     )
     t = TableRepo(f"{tmp_root}/t", group_cols="c")
     t.extend(df)
-    pp = t.get_partition_paths("x")
-    assert pp and all("c=x" in p for p in pp)
-    assert set(pp) < set(t.paths)
+    # reference-shaped: takes the partition COLUMN, yields (value, paths)
+    # groups for all values (reference core.py:177-183)
+    groups = dict(t.get_partition_paths("c"))
+    assert set(groups) == {"x", "y"}
+    assert all("c=x" in p for p in groups["x"])
+    assert set(groups["x"]) | set(groups["y"]) == set(t.paths)
+    import pytest
+
+    with pytest.raises(TypeError):
+        t.get_partition_paths("not_a_partition_col")
+    # single-value inverse lookup
+    pp = t.paths_for_partition("x")
+    assert pp == groups["x"]
+    with pytest.raises(KeyError):
+        t.paths_for_partition("zzz")
     # per-file frames carry the partition column back (reference core.py:216-223)
     total = 0
     for fdf in t.dfs:
         assert "c" in fdf.columns
         total += fdf.count()
     assert total == 4
+
+
+def test_map_partitions_list_results(spark, tmp_root):
+    # reference mode: fun returns an arbitrary (non-relational) value per
+    # partition group and map_partitions returns the list of results —
+    # scalar `len` payload mirrors reference tests/test_parallel.py:74-83
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"A": [1, 2, 1, 1], "B": ["x", "x", "y", "x"], "v": [1.0, 2.0, 3.0, 4.0]}
+        )
+    )
+    t = TableRepo(f"{tmp_root}/t", group_cols=["A", "B"])
+    t.extend(df)
+    assert sorted(t.map_partitions(len)) == [1, 1, 2]
+    for g, expected in (("A", [1, 3]), ("B", [1, 3])):
+        assert sorted(t.map_partitions(fun=len, level=g)) == expected
+    # arbitrary payloads survive the pickle round-trip
+    shapes = t.map_partitions(lambda pdf: {"rows": len(pdf), "cols": sorted(pdf.columns)})
+    assert sorted(s["rows"] for s in shapes) == [1, 1, 2]
+    assert all(s["cols"] == ["A", "B", "v"] for s in shapes)
 
 
 def test_arrow_table_variants(spark, tmp_root):
