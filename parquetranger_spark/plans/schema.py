@@ -24,7 +24,6 @@ non-``*.parquet`` files, so reads stay untouched.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -69,23 +68,30 @@ class TableMeta:
 
 
 def meta_path(root: str) -> str:
-    return os.path.join(root, META_FILE_NAME)
+    from ..sources.fs import join_path
+
+    return join_path(root, META_FILE_NAME)
 
 
-def load_meta(root: str) -> TableMeta | None:
+def load_meta(root: str, spark=None) -> TableMeta | None:
+    """Read the sidecar through the FS shim (sources/fs.py) — local paths
+    use plain ``open``; URI roots go through the Hadoop FileSystem client."""
+    from ..sources.fs import fs_for
+
+    fs = fs_for(root, spark=spark)
     p = meta_path(root)
-    if not os.path.exists(p):
+    if not fs.exists(p):
         return None
-    with open(p) as fh:
-        return TableMeta.from_json(fh.read())
+    return TableMeta.from_json(fs.read_text(p))
 
 
-def save_meta(root: str, meta: TableMeta) -> None:
-    os.makedirs(root, exist_ok=True)
-    tmp = meta_path(root) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(meta.to_json())
-    os.replace(tmp, meta_path(root))
+def save_meta(root: str, meta: TableMeta, spark=None) -> None:
+    """Atomic (write-temp-then-rename) sidecar write through the FS shim."""
+    from ..sources.fs import fs_for
+
+    fs = fs_for(root, spark=spark)
+    fs.mkdirs(root)
+    fs.write_text_atomic(meta_path(root), meta.to_json())
 
 
 def as_nullable(dt: T.DataType) -> T.DataType:

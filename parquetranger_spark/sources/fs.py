@@ -1,0 +1,165 @@
+"""Pluggable filesystem shim — local paths and Hadoop-FS URIs.
+
+The reference binds table management to the local filesystem (``pathlib`` /
+``os`` throughout /root/reference/parquetranger/core.py); a Spark engine
+must run the same code against S3/HDFS/ABFS. Every non-Spark path operation
+in :mod:`table_repo`, :mod:`ingestor` and :mod:`plans.schema` routes through
+this module:
+
+- bare paths (``/tmp/t``) → :class:`LocalFS` (os/glob/shutil — no JVM
+  round-trips on the common local case);
+- URI-schemed paths (``s3a://b/t``, ``hdfs://nn/t``, ``file:///tmp/t``) →
+  :class:`HadoopFS`, backed by ``org.apache.hadoop.fs.FileSystem`` obtained
+  through the live session's JVM gateway — the exact FS client Spark's own
+  reads/writes use, so credentials/conf are shared for free.
+
+``file://`` deliberately routes through HadoopFS: it exercises the remote
+code path against local disk, which is how the test suite proves the shim
+without an object store in the container.
+
+Atomicity note: ``write_text_atomic`` is write-temp-then-rename. On HDFS
+and local FS the rename is atomic; on S3 it is copy+delete (the usual
+Hadoop-on-S3 caveat) — last-writer-wins either way, and readers never see a
+torn file because the temp name never matches what readers look for.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Iterable
+
+
+def is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def join_path(base: str, *parts: str) -> str:
+    """URI-aware join: URIs always use ``/``; local paths use the OS rules."""
+    if is_uri(base):
+        out = base.rstrip("/")
+        for p in parts:
+            out += "/" + str(p).strip("/")
+        return out
+    return os.path.join(base, *parts)
+
+
+def path_parts(path: str) -> list[str]:
+    """Path components for needle matching (``col=value`` lookups) — handles
+    both URI and local separators."""
+    tail = path.split("://", 1)[1] if is_uri(path) else path
+    return [p for p in tail.replace(os.sep, "/").split("/") if p]
+
+
+def basename(path: str) -> str:
+    return path_parts(path)[-1] if path_parts(path) else ""
+
+
+def parent_dir(path: str) -> str:
+    if is_uri(path):
+        scheme, tail = path.split("://", 1)
+        head = "/".join(p for p in tail.rstrip("/").split("/")[:-1])
+        return f"{scheme}://{head}"
+    return os.path.dirname(path.rstrip("/")) or "."
+
+
+class LocalFS:
+    """os/glob/shutil implementation — the zero-overhead local case."""
+
+    def list_files(self, root: str, suffix: str = ".parquet") -> list[str]:
+        return sorted(glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True))
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.mkdirs(os.path.dirname(path))
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+
+
+class HadoopFS:
+    """``org.apache.hadoop.fs.FileSystem`` via the py4j gateway.
+
+    One instance per (scheme, authority); obtained from the live
+    SparkSession so it shares Spark's Hadoop configuration (S3 credentials,
+    endpoint overrides, HDFS nameservices) with the engine's own I/O.
+    """
+
+    def __init__(self, uri: str, spark=None):
+        if spark is None:
+            from ..session import active_spark
+
+            spark = active_spark()
+        self._jvm = spark._jvm
+        self._jPath = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(uri).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def list_files(self, root: str, suffix: str = ".parquet") -> list[str]:
+        p = self._jPath(root)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            fp = it.next().getPath().toString()
+            if fp.endswith(suffix):
+                out.append(fp)
+        return sorted(out)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jPath(path))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jPath(path), True)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jPath(path))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jPath(path))
+        try:
+            bos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
+            return bytes(bos.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        self.mkdirs(parent_dir(path))
+        tmp = self._jPath(path + ".tmp")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dest = self._jPath(path)
+        if self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        self._fs.rename(tmp, dest)
+
+
+_LOCAL = LocalFS()
+
+
+def fs_for(path: str, spark=None) -> LocalFS | HadoopFS:
+    """Resolve the filesystem for ``path``: URI scheme → HadoopFS, bare
+    path → LocalFS. The session is only required (and only touched) on the
+    Hadoop branch, so local TableRepos stay constructible before any
+    SparkSession exists."""
+    if is_uri(path):
+        return HadoopFS(path, spark=spark)
+    return _LOCAL

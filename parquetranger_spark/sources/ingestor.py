@@ -29,13 +29,13 @@ Two implementations:
 from __future__ import annotations
 
 import json
-import os
 from hashlib import md5
 from typing import Any
 from uuid import uuid4
 
 from pyspark.sql import DataFrame
 
+from .fs import fs_for, join_path
 from .table_repo import TableRepo
 from .writers import RecordWriter
 
@@ -148,7 +148,7 @@ class ObjIngestor:
         w = self.writers.get(key)
         if w is None:
             trepo = TableRepo(
-                os.path.join(self.root, *key),
+                join_path(self.root, *key),
                 max_records=self.size_limit // max(n_cols, 1),
                 spark=self._spark,
             )
@@ -165,13 +165,12 @@ class ObjIngestor:
         self._merge_key_map()
 
     def _merge_key_map(self) -> None:
-        p = os.path.join(self.root, "key-map.json")
-        if os.path.exists(p):
-            with open(p) as fh:
-                self.keydic.update(json.load(fh))
-        if os.path.isdir(self.root):
-            with open(p, "w") as fh:
-                json.dump(self.keydic, fh)
+        fs = fs_for(self.root, spark=self._spark)
+        p = join_path(self.root, "key-map.json")
+        if fs.exists(p):
+            self.keydic.update(json.loads(fs.read_text(p)))
+        if fs.exists(self.root):
+            fs.write_text_atomic(p, json.dumps(self.keydic))
 
     def __enter__(self):
         return self
@@ -275,7 +274,7 @@ def shred_json_df(
                 mat = spark.read.json(rows.rdd.map(lambda r: r[0]))
             else:
                 mat = rows.select(F.from_json("atoms_json", ddl).alias("r")).select("r.*")
-            TableRepo(os.path.join(root, tbl), spark=spark).extend(mat)
+            TableRepo(join_path(root, tbl), spark=spark).extend(mat)
 
         # distinct table roots → independent write jobs; submit them
         # concurrently so the Spark scheduler overlaps their stages (the
@@ -284,9 +283,9 @@ def shred_json_df(
 
         with ThreadPoolExecutor(max_workers=min(8, len(samples)) or 1) as ex:
             list(ex.map(materialize, sorted(samples)))
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "key-map.json"), "w") as fh:
-            json.dump(keydic, fh)
+        fs = fs_for(root, spark=spark)
+        fs.mkdirs(root)
+        fs.write_text_atomic(join_path(root, "key-map.json"), json.dumps(keydic))
         return counts
     finally:
         shredded.unpersist()

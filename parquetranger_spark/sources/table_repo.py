@@ -49,9 +49,6 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 from contextlib import contextmanager
 from typing import Any, Callable, Iterable
 
@@ -68,6 +65,8 @@ from ..plans.schema import (
     widen_schema,
 )
 from ..session import active_spark
+from . import fs as _fsmod
+from .fs import fs_for, join_path, path_parts
 
 _SEQ_COL = "__pqr_seq"
 
@@ -107,9 +106,9 @@ class TableRepo:
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
-        self.name = os.path.basename(root_path.rstrip("/"))
+        self.name = _fsmod.basename(root_path)
         self.env_parents = {k: str(v) for k, v in (env_parents or {}).items()}
-        self._default_parent = os.path.dirname(root_path.rstrip("/")) or "."
+        self._default_parent = _fsmod.parent_dir(root_path)
         self._current_parent = self._default_parent
 
         self.partitioner: HashPartitioner | None = None
@@ -134,12 +133,20 @@ class TableRepo:
 
     @property
     def main_path(self) -> str:
-        return os.path.join(self._current_parent, self.name)
+        return join_path(self._current_parent, self.name)
+
+    def _fs(self):
+        """Filesystem for the CURRENT root (env switching can relocate the
+        table between filesystems, so this resolves per call): bare paths →
+        local os/glob/shutil; URI roots (s3a://, hdfs://, file://) → the
+        Hadoop FileSystem client from the session's JVM, sharing Spark's own
+        Hadoop conf/credentials. See sources/fs.py."""
+        return fs_for(self.main_path, spark=self._spark)
 
     @property
     def paths(self) -> list[str]:
         """All data files, sorted (reference ``paths``, core.py:261-265)."""
-        return sorted(glob.glob(os.path.join(self.main_path, "**", "*.parquet"), recursive=True))
+        return self._fs().list_files(self.main_path, ".parquet")
 
     @property
     def vc_path(self) -> str:
@@ -172,7 +179,7 @@ class TableRepo:
         prefix = f"{partition_col}="
 
         def val_of(p: str) -> str:
-            for part in p.split(os.sep):
+            for part in path_parts(p):
                 if part.startswith(prefix):
                     return part[len(prefix):]
             return ""
@@ -191,18 +198,18 @@ class TableRepo:
         if pc is None:
             raise TypeError("not a grouped table")
         needle = f"{pc}={value}"
-        out = [p for p in self.paths if needle in p.split(os.sep)]
+        out = [p for p in self.paths if needle in path_parts(p)]
         if not out and self.paths:
             raise KeyError(f"no files for partition {needle}")
         return out
 
     @property
     def full_metadata(self) -> dict[str, Any]:
-        meta = load_meta(self.main_path)
+        meta = load_meta(self.main_path, spark=self._spark)
         return dict(meta.extra_metadata) if meta else dict(self.extra_metadata)
 
     def mkdirs(self, force: bool = True) -> None:
-        os.makedirs(self.main_path, exist_ok=True)
+        self._fs().mkdirs(self.main_path)
 
     # ------------------------------------------------------------------- envs
 
@@ -317,25 +324,30 @@ class TableRepo:
 
     def purge(self) -> None:
         """Drop the table (reference core.py:162-167)."""
-        shutil.rmtree(self.main_path, ignore_errors=True)
+        self._fs().delete(self.main_path)
 
     # ------------------------------------------------------------- read paths
 
     def get_full_df(self) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
-        canonical-schema frame when no files exist (core.py:175)."""
+        canonical-schema frame when no files exist (core.py:175).
+
+        With a canonical sidecar schema the scan is opened with that schema
+        explicitly: no footer-merging pass over every file (``mergeSchema``
+        reads ALL footers — an O(files) driver cost at 100 TB), no session
+        conf mutation for partition-type inference (the explicit schema
+        types the partition columns), and files predating a widening simply
+        surface typed nulls for the newer columns — the standard parquet
+        schema-evolution read path."""
         spark = self._session()
-        meta = load_meta(self.main_path)
+        meta = load_meta(self.main_path, spark=self._spark)
         if not self.paths:
             schema = meta.schema if meta and meta.schema else T.StructType([])
             return spark.createDataFrame([], schema)
-        # partition dir values come back as strings and are cast to the
-        # canonical type by the align step below, so disable lossy inference
-        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        df = spark.read.option("mergeSchema", "true").parquet(self.main_path)
         if meta and meta.schema:
-            df = align_to_schema(df, meta.schema)
-        return df
+            return spark.read.schema(meta.schema).parquet(self.main_path)
+        # no sidecar (externally-written table): fall back to footer merge
+        return spark.read.option("mergeSchema", "true").parquet(self.main_path)
 
     def get_partition_df(self, value: Any, partition_col: str | None = None) -> DataFrame:
         """Partition-pruned read (reference core.py:177-194): Catalyst prunes
@@ -473,7 +485,7 @@ class TableRepo:
     def _align(self, df: DataFrame) -> DataFrame:
         from ..plans.schema import as_nullable
 
-        meta = load_meta(self.main_path)
+        meta = load_meta(self.main_path, spark=self._spark)
         if meta is None or meta.schema is None:
             schema = as_nullable(self.fixed_schema or df.schema)
             meta = TableMeta(
@@ -482,27 +494,35 @@ class TableRepo:
                 index_cols=self.index_cols,
                 extra_metadata=self.extra_metadata,
             )
-            save_meta(self.main_path, meta)
+            save_meta(self.main_path, meta, spark=self._spark)
             return align_to_schema(df, schema)
         if self.allow_schema_extension:
             widened, grew = widen_schema(meta.schema, df.schema)
             if grew:
-                self._rewrite_to_schema(meta, widened)
-                meta = load_meta(self.main_path)
+                # sidecar-only widening: existing files are NOT rewritten
+                # (the reference rewrites every old file, core.py:411-421 —
+                # an O(table) job hidden inside an append; at 100 TB that is
+                # a non-starter). The explicit-schema read in get_full_df
+                # nulls the missing columns, so read-back output is
+                # identical; callers wanting the reference's physical layout
+                # run rewrite_to_canonical() as an explicit maintenance job.
+                from ..plans.schema import as_nullable
+
+                meta.schema = as_nullable(widened)
+                save_meta(self.main_path, meta, spark=self._spark)
         return align_to_schema(df, meta.schema)
 
-    def _rewrite_to_schema(self, meta: TableMeta, widened: T.StructType) -> None:
-        """Widening maintenance rewrite (reference core.py:411-421) — an
-        explicit O(table) job, never implicit in an append (SURVEY §7.3.7)."""
-        if self.paths:
-            old = align_to_schema(self.get_full_df(), widened)
-            old = old.localCheckpoint(eager=True)
-            meta.schema = widened
-            save_meta(self.main_path, meta)
-            self._write(old, mode="overwrite", dynamic=False)
-        else:
-            meta.schema = widened
-            save_meta(self.main_path, meta)
+    def rewrite_to_canonical(self) -> None:
+        """Explicit maintenance rewrite: materialize every file at the
+        current canonical schema (the reference's widening rewrite,
+        core.py:411-421, surfaced as an explicit O(table) job instead of an
+        implicit append side effect — SURVEY §7.3.7). Also serves as a
+        small-file compaction pass. Not safe to run concurrently with other
+        writers (it is a full static overwrite)."""
+        if not self.paths:
+            return
+        old = self.get_full_df().localCheckpoint(eager=True)
+        self._write(old, mode="overwrite", dynamic=False)
 
     def _dedup_keep_first(self, df: DataFrame, keys: list[str] | None = None) -> DataFrame:
         """Keep the first row per key in incoming order (reference
@@ -535,10 +555,10 @@ class TableRepo:
 
     def _delete_partition_dir(self, group_values: tuple) -> None:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
-        shutil.rmtree(os.path.join(self.main_path, *parts), ignore_errors=True)
+        self._fs().delete(join_path(self.main_path, *parts))
 
     def _write(self, df: DataFrame, mode: str, dynamic: bool = True) -> None:
-        meta = load_meta(self.main_path)
+        meta = load_meta(self.main_path, spark=self._spark)
         w = df.write.mode(mode)
         if self.group_cols:
             w = w.partitionBy(*self.group_cols)
@@ -548,5 +568,5 @@ class TableRepo:
             w = w.option("partitionOverwriteMode", "dynamic" if dynamic else "static")
         w.parquet(self.main_path)
         # a static overwrite wipes the table root, sidecar included — restore
-        if meta is not None and load_meta(self.main_path) is None:
-            save_meta(self.main_path, meta)
+        if meta is not None and load_meta(self.main_path, spark=self._spark) is None:
+            save_meta(self.main_path, meta, spark=self._spark)

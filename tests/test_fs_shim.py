@@ -1,0 +1,98 @@
+"""FS shim tests: the URI branch (HadoopFS via the JVM gateway) must carry
+the full TableRepo life cycle. ``file://`` URIs exercise the exact Hadoop
+FileSystem code path that s3a:// / hdfs:// would take, against local disk —
+the only remote-FS client available in this container.
+
+Reference binds everything to local pathlib (core.py throughout); the shim
+is what makes the same engine run against object stores.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from parquetranger_spark import TableRepo
+from parquetranger_spark.sources.fs import (
+    HadoopFS,
+    LocalFS,
+    basename,
+    fs_for,
+    join_path,
+    parent_dir,
+    path_parts,
+)
+
+DF1 = pd.DataFrame(
+    {"__index": ["a1", "a2", "a3"], "A": [1, 2, 3], "C2": ["a", "b", "a"]}
+)
+DF_UP = pd.DataFrame({"__index": ["a2", "a4"], "A": [20, 40], "C2": ["b", "a"]})
+
+
+def test_path_helpers_uri_and_local():
+    assert join_path("s3a://bucket/t", "g=1", "f.parquet") == "s3a://bucket/t/g=1/f.parquet"
+    assert join_path("/tmp/t", "g=1") == os.path.join("/tmp/t", "g=1")
+    assert path_parts("s3a://bucket/t/g=1/f.parquet") == ["bucket", "t", "g=1", "f.parquet"]
+    assert basename("hdfs://nn/warehouse/tbl/") == "tbl"
+    assert parent_dir("hdfs://nn/warehouse/tbl") == "hdfs://nn/warehouse"
+    assert parent_dir("/a/b/c") == "/a/b"
+
+
+def test_fs_for_dispatch(spark):
+    assert isinstance(fs_for("/tmp/x"), LocalFS)
+    assert isinstance(fs_for("file:///tmp/x", spark=spark), HadoopFS)
+
+
+def test_hadoop_fs_text_roundtrip(spark, tmp_root):
+    fs = fs_for(f"file://{tmp_root}", spark=spark)
+    p = f"file://{tmp_root}/sub/data.json"
+    fs.write_text_atomic(p, '{"k": 1}')
+    assert fs.exists(p)
+    assert fs.read_text(p) == '{"k": 1}'
+    # overwrite through the same atomic rename path
+    fs.write_text_atomic(p, '{"k": 2}')
+    assert fs.read_text(p) == '{"k": 2}'
+    fs.delete(f"file://{tmp_root}/sub")
+    assert not fs.exists(p)
+
+
+def test_table_repo_on_file_uri(spark, tmp_root):
+    """Full life cycle (append → grouped read → upsert → purge) with a
+    URI root: every path op goes through HadoopFS, every data op through
+    Spark's own reader/writer on the same URI."""
+    root = f"file://{tmp_root}/tab"
+    trepo = TableRepo(root, group_cols="C2", index_cols="__index", spark=spark)
+    assert isinstance(trepo._fs(), HadoopFS)
+
+    trepo.extend(spark.createDataFrame(DF1))
+    assert trepo.n_files > 0
+    assert all(p.startswith("file:") for p in trepo.paths)
+
+    got = trepo.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+    assert sorted(got["__index"]) == ["a1", "a2", "a3"]
+    assert sorted(v for v, _ in trepo.get_partition_paths("C2")) == ["a", "b"]
+
+    trepo.replace_records(spark.createDataFrame(DF_UP))
+    got = trepo.get_full_df().toPandas().set_index("__index")["A"].to_dict()
+    assert got == {"a1": 1, "a2": 20, "a3": 3, "a4": 40}
+
+    # metadata sidecar went through the shim too
+    assert trepo.full_metadata == {}
+    trepo.purge()
+    assert trepo.paths == []
+    assert trepo.get_full_df().count() == 0
+
+
+def test_file_uri_matches_local_result(spark, tmp_root):
+    """Same operations on a bare local path and a file:// URI must produce
+    identical row sets — the shim changes plumbing, never semantics."""
+    local = TableRepo(f"{tmp_root}/loc", group_cols="C2", index_cols="__index", spark=spark)
+    remote = TableRepo(
+        f"file://{tmp_root}/rem", group_cols="C2", index_cols="__index", spark=spark
+    )
+    for tr in (local, remote):
+        tr.extend(spark.createDataFrame(DF1))
+        tr.replace_records(spark.createDataFrame(DF_UP))
+    a = local.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+    b = remote.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
