@@ -1,0 +1,94 @@
+"""Corpus-curation operators for training-data pipelines.
+
+No reference counterpart (SURVEY §2.4 — the reference has no compute tier
+beyond map_partitions); these are the curation passes an LLM-scale corpus
+needs before training: repetition-based quality rules in the style of the
+Gopher paper's heuristics (Rae et al. 2021, "Scaling Language Models" §A1.1
+— duplicate-line / top-n-gram fractions), incremental dedup against a prior
+snapshot, and deterministic hash-based sampling.
+
+Scale notes: everything is either a pure Column expression or a
+(doc, word)-keyed aggregation with map-side combine; no Python in any hot
+path, no driver-side state, no all-pairs joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-repetition metrics (Gopher-style quality rules).
+
+    Emits ``n_words``, ``n_distinct``, ``dup_word_frac`` (1 − distinct/total
+    — the word-level analogue of Gopher's duplicate-line fraction) and
+    ``top_word_frac`` (most-frequent-word share — the 1-gram case of its
+    top-n-gram fraction).
+
+    Shape: n_words/n_distinct are array expressions (zero shuffle);
+    the top-word count is an explode → count by (doc, word) → max by doc —
+    two map-side-combined aggregations keyed by document, so it scales
+    linearly and skews only with pathological single-doc word counts.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    stats = base.select(
+        id_col,
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("n_distinct"),
+    )
+    top = (
+        base.select(id_col, F.explode("__w").alias("__word"))
+        .groupBy(id_col, "__word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("top_word_count"))
+    )
+    return (
+        stats.join(top, id_col)
+        .withColumn(
+            "dup_word_frac",
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words").cast("double"),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.col("top_word_count").cast("double") / F.col("n_words").cast("double"),
+        )
+    )
+
+
+def dedup_against_snapshot(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: drop documents whose content hash appears
+    in a previously-processed snapshot — the shape every recurring corpus
+    refresh needs (dedup new crawl N against crawls 1..N−1 without
+    re-deduping the old data).
+
+    One anti-join on a 128-bit content hash: the snapshot side is only
+    hashes (16 bytes/doc, not text), so at 100 TB the join key set stays
+    small enough to shuffle cheaply — and Spark broadcasts it when it fits.
+    """
+    seen_hashes = seen.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .join(seen_hashes, "__h", "left_anti")
+        .drop("__h")
+    )
+
+
+def stable_sample_pred(expr: Column, hex_prefix_max: str = "32") -> Column:
+    """Deterministic hash-sampling predicate: keep rows whose
+    ``md5(expr)`` hex prefix sorts ≤ ``hex_prefix_max`` (two hex chars →
+    granularity 1/256; '32' ≈ 19.9%). Unlike ``df.sample``, the selection
+    is a pure function of the row key — stable across runs, engines,
+    partitionings and cluster sizes, which is what reproducible corpus
+    subsampling requires. Pure Column expression evaluated inside
+    whole-stage codegen right above the scan — no shuffle, no Python."""
+    return F.md5(expr.cast("string")).substr(1, 2) <= F.lit(hex_prefix_max)

@@ -48,3 +48,7 @@ def load_all() -> None:
         from . import ingestion  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import curation  # noqa: F401
+    except ImportError:
+        pass
