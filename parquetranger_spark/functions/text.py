@@ -104,7 +104,13 @@ def doc_fingerprint(col: str | Column) -> Column:
 def shingles(col_tokens: Column, n: int = 3) -> Column:
     """n-token shingles (space-joined) — the near-dup similarity unit.
     Token *sets* over a small vocabulary collide constantly; shingle sets
-    don't. Documents shorter than ``n`` tokens collapse to one shingle."""
+    don't. Documents shorter than ``n`` tokens collapse to one shingle.
+
+    Pass a MATERIALIZED array column (project ``tokens(text)`` into its
+    own select first), not the raw ``split`` expression: ``element_at``
+    over a non-materialized ``split`` re-evaluates the split per element
+    (no CSE inside lambda bodies) and turns the shingle pass quadratic in
+    document length."""
     t = col_tokens
     make = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)])  # noqa: E731
     return F.when(F.size(t) < n, F.array(F.concat_ws(" ", t))).otherwise(

@@ -46,26 +46,42 @@ def minhash_signatures(
     """MinHash signature per document: shingle → base=xxhash64(shingle) →
     xxhash64(base, seed_i) → min per seed.
 
-    Shape: explode to (id, shingle) rows, hash the shingle STRING exactly
-    once into a 64-bit base, then derive the ``num_hashes`` family members
-    by hashing that long with the seed — hashing a fixed-width long is far
-    cheaper than re-hashing a multi-word string per seed, and the
-    composition is still a uniform hash family. Shingling runs ONCE per
-    document (inlining the shingle expression per seed would re-tokenize
-    the text ``num_hashes`` times — Catalyst does not CSE across separate
-    projection expressions with lambda functions), and the min aggregate
-    combines map-side, so the shuffle carries one row per (doc,
-    input-partition) — not one per shingle.
+    Shape: tokens are hashed to longs ONCE in a materialized projection,
+    each shingle base is ``xxhash64`` of ``shingle_n`` consecutive token
+    hashes (never a concatenated string), and the ``num_hashes`` family
+    members derive from the base long + seed — still a uniform hash
+    family, with no string re-materialization per shingle. The
+    materialization step matters: ``element_at(split(text), i)``-style
+    expressions re-evaluate the ``split`` on every access (Catalyst does
+    not CSE inside lambda bodies), turning shingling O(doc_len²) — hashing
+    a pre-projected array column is O(doc_len). The min aggregate combines
+    map-side, so the shuffle carries one row per (doc, input-partition) —
+    not one per shingle.
 
     Note: documents with an empty shingle set (null/empty text) have no
     rows after the explode and thus no signature row at all — they can
     never be near-duplicates of anything, so end-to-end dedup results are
     unaffected; left-join back to the corpus ids if one-row-per-doc
     matters to a direct caller."""
-    exploded = df.select(
+    hashed = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("__sh"),
-    ).select(F.col(id_col), F.xxhash64(F.col("__sh")).alias("__base"))
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    n = F.size(F.col("__th"))
+    bases = F.when(
+        n < shingle_n, F.array(F.xxhash64(F.array_join(F.col("__tk"), " ")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (shingle_n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__th"), i + j) for j in range(shingle_n)]
+            ),
+        )
+    )
+    exploded = hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(bases)).alias("__base")
+    )
     mins = exploded.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
     )
@@ -141,9 +157,12 @@ def jaccard_pairs(
     # NOT persisted: shingle sets are corpus-sized (orders of magnitude
     # bigger than the signatures) — caching them trades a cheap recompute
     # (one tokenize pass per side) for heap pressure that GC-thrashes at
-    # scale. The joins stream them instead.
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("sh")
+    # scale. The joins stream them instead. Tokens are materialized in
+    # their own projection first so the shingle window reads an array
+    # column instead of re-evaluating split() per element (see
+    # minhash_signatures).
+    sets = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")).select(
+        F.col(id_col), F.array_distinct(shingles(F.col("__tk"), shingle_n)).alias("sh")
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
