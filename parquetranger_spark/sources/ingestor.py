@@ -185,6 +185,7 @@ def shred_json_df(
     json_col: str,
     root: str,
     root_id_key: str | None = None,
+    fanout: int | None = None,
 ) -> dict[str, int]:
     """Distributed JSON shredding — the 100 TB path.
 
@@ -225,7 +226,16 @@ def shred_json_df(
                 }
             )
 
-    shredded = df.select(json_col).mapInPandas(
+    payload = df.select(json_col)
+    # the shred is Python work (Arrow-batched, but CPU-bound per row): its
+    # parallelism is the INPUT partition count, and a small source (one
+    # parquet split — the common local case) would pin the whole pass to
+    # one core. Fan out to the cluster's parallelism first; at scale the
+    # source already has >= that many splits and no shuffle is added.
+    target = fanout if fanout is not None else spark.sparkContext.defaultParallelism
+    if target and payload.rdd.getNumPartitions() < target:
+        payload = payload.repartition(target)
+    shredded = payload.mapInPandas(
         shred_batches, "tbl string, atoms_json string, key_code string, key_name string"
     )
     shredded = shredded.cache()
