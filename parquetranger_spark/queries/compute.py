@@ -179,3 +179,38 @@ def events_hourly_agg(spark, sf_dir):
 from ..serde import pickle_module_by_value as _pmv  # noqa: E402
 
 _pmv(__name__)
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, rk
+FROM (
+  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_returnflag, l_linestatus
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rk
+  FROM lineitem
+)
+WHERE rk <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Per-group top-k (top-3 lineitems by price per (returnflag,
+    linestatus)): rank window with a unique-key tie-break. Spark 3.5+
+    plans this as WindowGroupLimit — the per-partition top-k is pushed
+    below the shuffle, so the exchange carries ≤ k rows per group per map
+    partition instead of the whole table; the scale-correct shape for
+    "top n per key" at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

@@ -171,3 +171,103 @@ def funnel_stages_q(spark, sf_dir):
     exchange per the collapsed-Window plan (operators/temporal.py)."""
     ev = load(spark, sf_dir, "events")
     return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN concat(text, ' contact: user', CAST(doc_id AS VARCHAR), '@example.com')
+              ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, text, regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS clean
+  FROM injected
+)
+SELECT count(*) AS n_docs,
+       CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+       CAST(SUM(len(clean) - len(replace(clean, '<EMAIL>', ''))) AS BIGINT) AS redacted_chars,
+       CAST(SUM(CASE WHEN contains(clean, '@') THEN 1 ELSE 0 END) AS BIGINT) AS n_residual_at
+FROM scrubbed
+""",
+)
+def pii_scrub(spark, sf_dir):
+    """X7: PII scrubbing — regexp-redact email addresses (injected into a
+    quarter of the corpus), report scrub coverage and residual '@'. Pure
+    JVM regexp_replace in whole-stage codegen; the same RE2-safe pattern
+    runs in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" contact: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    scrubbed = injected.select("doc_id", "text", clean.alias("clean"))
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("clean") != F.col("text")).cast("long")).alias("n_scrubbed"),
+        F.sum(
+            F.length("clean") - F.length(F.replace(F.col("clean"), F.lit("<EMAIL>"), F.lit("")))
+        ).alias("redacted_chars"),
+        F.sum(F.col("clean").contains("@").cast("long")).alias("n_residual_at"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, count(*) AS tf FROM words GROUP BY lang, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT lang, term, tf, df, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """X7: per-language top TF-IDF terms (rational idf ``N/df`` — a single
+    double division, bit-identical across engines, instead of a
+    libm-dependent log). Shapes: one explode feeding two
+    map-side-combined aggregations ((lang,term) tf and per-term df), a
+    broadcast-friendly join on term, and a WindowGroupLimit top-3 per
+    language."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(dfreq, "term").select(
+        "lang",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * (F.lit(float(n)) / F.col("df").cast("double"))).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
+    return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)

@@ -127,3 +127,18 @@ def test_funnel_stage_ordering(spark):
     }
     # u2 reaches stage 1 only (its click precedes its first view)
     assert out == {3: 1, 1: 2, 0: 1}
+
+
+def test_topk_per_group_pushes_group_limit(spark, sf_dir):
+    """topk_per_group must plan as Partial+Final WindowGroupLimit: the
+    per-group top-k is applied map-side BEFORE the shuffle, so the
+    exchange carries <= k rows per group per map partition."""
+    import __spark_entry__ as m
+
+    plan = (
+        m.queries()["topk_per_group"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
