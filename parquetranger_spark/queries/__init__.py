@@ -52,3 +52,7 @@ def load_all() -> None:
         from . import curation  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import sketches  # noqa: F401
+    except ImportError:
+        pass

@@ -1,0 +1,109 @@
+"""Declared queries for the sketch tier (SURVEY §2.4 X9) + the streaming
+exact-dedup twin.
+
+Sketch outputs are approximate by nature (HLL++ registers / KLL quantile
+sketches are engine-specific), so these queries are declared rows-only;
+their accuracy contracts are pytest-asserted against exact answers in
+tests/test_sketches.py — the same split the ANN queries use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from .common import load
+
+
+@query("events_approx_distinct")
+def events_approx_distinct(spark, sf_dir):
+    """X9: approximate distinct users per event type (HLL++,
+    ``approx_count_distinct`` rsd=2%). The sketch aggregates map-side and
+    merges registers in the reduce — constant memory per group at any
+    scale, where exact countDistinct shuffles every (type, user) pair.
+    Rows-only (register layouts are engine-specific); accuracy vs exact is
+    pytest-asserted ≤ 5% relative error."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query("token_quantiles_approx")
+def token_quantiles_approx(spark, sf_dir):
+    """X9: approximate token-count quantiles per language
+    (``percentile_approx``, accuracy 10000). Single-pass mergeable
+    sketch — the scale path for corpus length profiling; exact
+    percentiles would sort per group. Rows-only; pytest asserts the
+    approximate median lands within the exact p40–p60 band."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.percentile_approx("n_tokens", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "lang",
+            F.col("quartiles")[0].alias("p25"),
+            F.col("quartiles")[1].alias("p50"),
+            F.col("quartiles")[2].alias("p75"),
+            "n_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs FROM corpus
+""",
+)
+def stream_dedup_exact(spark, sf_dir):
+    """X9/X6: streaming exact dedup — ``dropDuplicates`` on the content
+    hash over a file stream of the injected-duplicate corpus (state-store
+    backed, hash-partitioned by the dedup key; the streaming twin of
+    dedup_exact_text). The kept representative per duplicate group is
+    arrival-order dependent, so the oracle checks the deterministic
+    surface: unique-hash count and total input count."""
+    import uuid
+
+    from .common import scratch_dir
+
+    root = scratch_dir("sdedup")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    corpus.write.mode("overwrite").parquet(f"{root}/src")
+    n_docs = corpus.count()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(f"{root}/src")
+        .withColumn("__h", F.md5(F.col("text")))
+        .dropDuplicates(["__h"])
+    )
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_unique"), F.lit(n_docs).cast("long").alias("n_docs")
+    )

@@ -1,0 +1,56 @@
+"""Accuracy contracts for the sketch tier (X9): the declared queries are
+rows-only (sketch internals are engine-specific), so correctness is
+asserted here against exact answers — the same split the ANN queries use.
+"""
+
+import __spark_entry__ as m
+from pyspark.sql import functions as F
+
+from parquetranger_spark.queries.common import load
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in m.queries()["events_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(1, 0.05 * n), (et, got[et], n)
+
+
+def test_token_quantiles_bracket_exact_median(spark, sf_dir):
+    got = {
+        r["lang"]: r for r in m.queries()["token_quantiles_approx"](spark, sf_dir).collect()
+    }
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n")
+    )
+    for lang, row in got.items():
+        assert row["p25"] <= row["p50"] <= row["p75"]
+        band = (
+            toks.where(F.col("lang") == lang)
+            .agg(F.expr("percentile(n, array(0.4, 0.6))").alias("b"))
+            .first()["b"]
+        )
+        assert band[0] <= row["p50"] <= band[1] or abs(row["p50"] - band[0]) <= 2
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    row = m.queries()["stream_dedup_exact"](spark, sf_dir).first()
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 7 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    exact = corpus.agg(
+        F.countDistinct(F.md5("text")).alias("u"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert row["n_unique"] == exact["u"]
+    assert row["n_docs"] == exact["n"]
