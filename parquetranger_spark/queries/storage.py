@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import HashPartitioner
+from ..sources.bucketed import BucketedRepo
 from ..sources.table_repo import TableRepo
 from . import query
 from .common import dsum, dsum_sql, load, md5_mod_sql, scratch_dir
@@ -370,4 +371,33 @@ def stream_ingest_fixed(spark, sf_dir):
     return t.get_full_df().agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )
+
+
+@query(
+    "bucketed_join_agg",
+    oracle=f"""
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       {dsum_sql('o.o_totalprice', 'revenue')}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def bucketed_join_agg(spark, sf_dir):
+    """Bucketed co-located join (sources/bucketed.py::BucketedRepo):
+    customer and orders are written ``bucketBy(8, custkey)`` + sorted,
+    then joined WITHOUT a shuffle on either side — the bucketed scans
+    feed the SortMergeJoin directly (plan-gated in tests/test_bucketed.py).
+    The write-once-join-many trade every recurring big-big join wants at
+    100 TB."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    root = scratch_dir("bktj")
+    b_c = BucketedRepo(f"{root}/c", "c_custkey", 8, spark=spark)
+    b_o = BucketedRepo(f"{root}/o", "c_custkey", 8, spark=spark)
+    b_c.replace_all(cust)
+    b_o.replace_all(orders.withColumnRenamed("o_custkey", "c_custkey"))
+    joined = b_o.get_full_df().join(b_c.get_full_df(), "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
     )

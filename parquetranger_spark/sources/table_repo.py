@@ -512,6 +512,34 @@ class TableRepo:
                 save_meta(self.main_path, meta, spark=self._spark)
         return align_to_schema(df, meta.schema)
 
+    def compact(self, partition_values: list | None = None, partition_col: str | None = None) -> None:
+        """Small-file compaction — the maintenance job a 100 TB table under
+        streaming/batch append pressure needs (every micro-batch append can
+        leave one file per shuffle partition; readers then pay per-file
+        open/footer costs). Rewrites the selected partitions (default: all)
+        with rows re-clustered so each partition group lands in one task —
+        one output file per group, split only by ``max_records``.
+
+        Only the selected partitions are replaced (dynamic partition
+        overwrite); other partitions' files are untouched. Like
+        :meth:`rewrite_to_canonical`, must not run concurrently with
+        writers to the same partitions."""
+        if not self.paths:
+            return
+        if partition_values is not None:
+            pc = partition_col or (self.group_cols[0] if self.group_cols else None)
+            if pc is None:
+                raise TypeError("not a grouped table")
+            df = self.get_full_df().where(F.col(pc).isin(list(partition_values)))
+        else:
+            df = self.get_full_df()
+        if self.group_cols:
+            df = df.repartition(*[F.col(c) for c in self.group_cols])
+        else:
+            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+        df = df.localCheckpoint(eager=True)
+        self._write(df, mode="overwrite", dynamic=bool(self.group_cols))
+
     def rewrite_to_canonical(self) -> None:
         """Explicit maintenance rewrite: materialize every file at the
         current canonical schema (the reference's widening rewrite,

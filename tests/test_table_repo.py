@@ -382,3 +382,39 @@ def test_append_smoke_many_batches(spark, tmp_root):
     ).collect()[0]
     assert agg["n"] == total
     assert abs(agg["s"] - s) < 1e-6
+
+
+def test_compact_coalesces_partition_files(spark, tmp_root):
+    """compact() must shrink a fragmented partition to ~one file, leave
+    unselected partitions byte-untouched, and preserve the row set."""
+    t = TableRepo(f"{tmp_root}/t", group_cols="C2", index_cols="__index")
+    # fragment: many small appends -> many files per partition
+    for k in range(6):
+        pdf = DF1.copy()
+        pdf["__index"] = [f"{i}_{k}" for i in pdf["__index"]]
+        t.extend(spark.createDataFrame(pdf))
+    frag_a = [p for p in t.paths if "C2=a" in p]
+    frag_b = set(p for p in t.paths if "C2=b" in p)
+    assert len(frag_a) >= 6
+    before = t.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+
+    t.compact(partition_values=["a"])
+
+    after_a = [p for p in t.paths if "C2=a" in p]
+    assert len(after_a) < len(frag_a)
+    assert set(p for p in t.paths if "C2=b" in p) == frag_b  # untouched
+    after = t.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_compact_whole_table(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/t", group_cols="C2", index_cols="__index")
+    for k in range(4):
+        pdf = DF2.copy()
+        pdf["__index"] = [f"{i}_{k}" for i in pdf["__index"]]
+        t.extend(spark.createDataFrame(pdf))
+    n_before = t.n_files
+    rows_before = t.get_full_df().count()
+    t.compact()
+    assert t.n_files < n_before
+    assert t.get_full_df().count() == rows_before
