@@ -214,3 +214,69 @@ def topk_per_group(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "events_rollup",
+    oracle=f"""
+SELECT event_type,
+       CASE WHEN GROUPING(hour_bucket) = 1 THEN -1 ELSE hour_bucket END AS hour_bucket,
+       count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_bucket, value
+  FROM events
+)
+GROUP BY ROLLUP (event_type, hour_bucket)
+HAVING GROUPING(event_type) = 0
+""",
+)
+def events_rollup(spark, sf_dir):
+    """Hierarchical rollup (event_type → hour): one pass produces the
+    leaf cells and the per-type subtotals (Spark expands the grouping
+    sets before a single map-side-combined aggregation — no second scan).
+    Null grouping levels surface as -1 so the oracle comparison is
+    null-safe."""
+    ev = load(spark, sf_dir, "events")
+    hb = F.expr("ts div 3600000000000").alias("hour_bucket")
+    return (
+        ev.select("event_type", hb, "value")
+        .rollup("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .where(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.coalesce(F.col("hour_bucket"), F.lit(-1)).alias("hour_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_moving_avg",
+    oracle=f"""
+SELECT user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) /
+       count(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_moving_avg(spark, sf_dir):
+    """Per-user 5-event moving average of `value`: one shuffle by user,
+    one sort, one frame — the canonical time-series smoothing shape. The
+    sum routes through DECIMAL so the sliding aggregate is bit-identical
+    to the oracle (see queries/__init__ exactness rules)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
