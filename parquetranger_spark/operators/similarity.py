@@ -143,8 +143,18 @@ def topk_cosine_ivf(
         train = cv.limit(train_limit).repartition(par)
     else:
         train = cv
+    # random init instead of the default k-means||: the parallel init alone
+    # costs ~2·initSteps distributed passes, and a coarse quantizer only
+    # needs regions, not optimal centroids — Lloyd iterations from a seeded
+    # random start converge plenty for list carving (recall contract is
+    # pytest-asserted either way)
     model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol="list_id"
+        k=n_lists,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        featuresCol="__v",
+        predictionCol="list_id",
     ).fit(train)
     inv = model.transform(cv).select("neighbor_id", "cv", "list_id")
 
