@@ -107,3 +107,65 @@ def stream_dedup_exact(spark, sf_dir):
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_unique"), F.lit(n_docs).cast("long").alias("n_docs")
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id, count(*) AS n_pairs,
+       CAST(SUM(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_delay_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+GROUP BY v.user_id
+""",
+)
+def stream_stream_join(spark, sf_dir):
+    """X6: watermarked stream-stream interval join — every view paired
+    with the same user's purchases within the next hour
+    (streaming/ingest.py::stream_stream_interval_join). Both sides are
+    file streams; with availableNow the joined output equals the batch
+    interval join, so a plain SQL oracle applies. The watermark +
+    time-bound keep join state O(users × window) on a real unbounded
+    stream."""
+    import uuid
+
+    from .common import scratch_dir
+
+    root = scratch_dir("ssj")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("timestamp_micros(ts div 1000)").alias("ts")
+    )
+    ev.where(F.col("event_type") == "view").write.mode("overwrite").parquet(f"{root}/v")
+    ev.where(F.col("event_type") == "purchase").write.mode("overwrite").parquet(f"{root}/p")
+    schema = "user_id long, event_type string, ts timestamp"
+    vs = spark.readStream.schema(schema).parquet(f"{root}/v").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    ps = spark.readStream.schema(schema).parquet(f"{root}/p").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    from ..streaming.ingest import stream_stream_interval_join
+
+    joined = stream_stream_interval_join(vs, ps, "user_id", "v_ts", "p_ts", 3600)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select(
+            F.col("l.user_id").alias("user_id"),
+            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias("delay_us"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("delay_us").alias("sum_delay_us"))
+    )

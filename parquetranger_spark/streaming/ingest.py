@@ -64,3 +64,37 @@ def windowed_event_counts(
     )
     rest = [c for c in agg.columns if c != "window"]
     return agg.select(F.col("window.start").alias("window_start"), *rest)
+
+
+def stream_stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    the same key's right rows whose event time falls in
+    ``[left_ts, left_ts + max_delay_seconds]``.
+
+    This is Spark's canonical unbounded-join shape: both sides carry a
+    watermark, the time-range predicate bounds how long either side's
+    rows stay in the join state, so state size is O(key cardinality ×
+    window), not O(stream length) — the property that makes a days-long
+    attribution join (view → purchase within an hour) runnable forever.
+    Timestamp columns must be TimestampType (cast epoch-nanos longs via
+    ``timestamp_micros(ts div 1000)``).
+    """
+    l = left_stream.withWatermark(left_ts, watermark).alias("l")
+    r = right_stream.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner")
