@@ -422,15 +422,21 @@ def stream_sessionization(spark, sf_dir):
     ev.write.mode("overwrite").parquet(f"{root}/src")
     stream = spark.readStream.schema("user_id long, ts long").parquet(f"{root}/src")
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_session_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ..streaming.ingest import state_partitions
+
+    # per-stream state sizing: ~hundreds of users at this SF — 8 state
+    # stores beat 32 on fixed costs; a real deployment sizes this to key
+    # cardinality / executor count (see state_partitions docstring)
+    with state_partitions(spark, 8):
+        q = (
+            streaming_session_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(600)
     per_user = (
         spark.table(name)

@@ -95,14 +95,17 @@ def stream_dedup_exact(spark, sf_dir):
         .dropDuplicates(["__h"])
     )
     name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from ..streaming.ingest import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(600)
     return spark.table(name).agg(
         F.count(F.lit(1)).alias("n_unique"), F.lit(n_docs).cast("long").alias("n_docs")
@@ -151,18 +154,21 @@ def stream_stream_join(spark, sf_dir):
 
     joined = stream_stream_interval_join(vs, ps, "user_id", "v_ts", "p_ts", 3600)
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.select(
-            F.col("l.user_id").alias("user_id"),
-            (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias("delay_us"),
+    from ..streaming.ingest import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            joined.select(
+                F.col("l.user_id").alias("user_id"),
+                (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias("delay_us"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{root}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
     q.awaitTermination(600)
     return (
         spark.table(name)

@@ -98,3 +98,23 @@ def stream_stream_interval_join(
         )
     )
     return l.join(r, cond, "inner")
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def state_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming query
+    START: Structured Streaming pins the stateful-operator partition count
+    from this conf at first checkpoint, so it must be set before
+    ``.start()`` — this is the per-stream state-sizing knob (state store
+    instances = this number). The conf is restored immediately after, so
+    nothing leaks into the caller's session (batch plans meanwhile keep
+    AQE-coalesced parallelism regardless)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
