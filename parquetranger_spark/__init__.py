@@ -10,21 +10,25 @@ Catalyst, Pandas UDFs only where built-ins can't express the semantics.
 
 from .functions.hashing import HashPartitioner, md5_bucket, md5_mod
 from .session import get_spark
-from .sources.ingestor import ObjIngestor
+from .sources.bucketed import BucketedRepo
+from .sources.ingestor import ObjIngestor, shred_json_df
 from .sources.table_repo import TableRepo
 from .sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # the reference exports TableRepo, HashPartitioner, RecordWriter,
-# DfBatchWriter, ObjIngestor (/root/reference/parquetranger/__init__.py:3-4)
+# DfBatchWriter, ObjIngestor (/root/reference/parquetranger/__init__.py:3-4);
+# BucketedRepo / shred_json_df are engine extensions (SURVEY §2.4)
 __all__ = [
     "TableRepo",
+    "BucketedRepo",
     "HashPartitioner",
     "RecordWriter",
     "FixedRecordWriter",
     "DfBatchWriter",
     "ObjIngestor",
+    "shred_json_df",
     "md5_bucket",
     "md5_mod",
     "get_spark",

@@ -103,6 +103,7 @@ class TableRepo:
         extra_metadata: dict[str, Any] | None = None,
         fixed_schema: T.StructType | None = None,
         allow_schema_extension: bool = False,
+        cluster_by: str | list[str] | None = None,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -121,6 +122,7 @@ class TableRepo:
             self.group_cols = list(group_cols or [])
 
         self.index_cols = [index_cols] if isinstance(index_cols, str) else list(index_cols or [])
+        self.cluster_by = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by or [])
         self.max_records = int(max_records)
         self.extra_metadata = dict(extra_metadata or {})
         self.fixed_schema = fixed_schema
@@ -587,6 +589,13 @@ class TableRepo:
 
     def _write(self, df: DataFrame, mode: str, dynamic: bool = True) -> None:
         meta = load_meta(self.main_path, spark=self._spark)
+        if self.cluster_by:
+            # data clustering for scan skipping: each write task's rows
+            # arrive sorted on the cluster keys, so parquet row-group (and
+            # file) min/max stats are tight and a filtered read skips
+            # whole row groups — the poor-man's z-order, free at write
+            # time beyond the sort. No shuffle: the sort is per-partition.
+            df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
         w = df.write.mode(mode)
         if self.group_cols:
             w = w.partitionBy(*self.group_cols)

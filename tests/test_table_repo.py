@@ -418,3 +418,30 @@ def test_compact_whole_table(spark, tmp_root):
     t.compact()
     assert t.n_files < n_before
     assert t.get_full_df().count() == rows_before
+
+
+def test_cluster_by_tightens_rowgroup_stats(spark, tmp_root, sf_dir):
+    """cluster_by sorts each write task's rows on the cluster keys, so
+    parquet row-group min/max spans shrink — the stats a filtered scan
+    uses to skip row groups entirely."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    def span_sum(t):
+        total = 0
+        for p in t.paths:
+            f = pq.ParquetFile(p)
+            for rg in range(f.metadata.num_row_groups):
+                col = f.metadata.row_group(rg).column(0)  # l_orderkey
+                st = col.statistics
+                total += st.max - st.min
+        return total
+
+    plain = TableRepo(f"{tmp_root}/plain", max_records=300)
+    plain.extend(li.select("l_orderkey", "l_quantity").repartition(4))
+    clustered = TableRepo(f"{tmp_root}/clu", max_records=300, cluster_by="l_orderkey")
+    clustered.extend(li.select("l_orderkey", "l_quantity").repartition(4))
+
+    assert span_sum(clustered) < span_sum(plain) / 2
+    assert clustered.get_full_df().count() == plain.get_full_df().count()
