@@ -401,3 +401,43 @@ def bucketed_join_agg(spark, sf_dir):
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue")
     )
+
+
+_EVENTS_FMT_ORACLE = f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')},
+       CAST(SUM(epoch_ns(ts) // 1000000000) AS BIGINT) AS sum_ts_s
+FROM events GROUP BY event_type
+"""
+
+
+def _format_roundtrip(spark, sf_dir, fmt: str):
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    root = scratch_dir(f"{fmt}src")
+    ev.write.mode("overwrite").format(fmt).option("header", "true").save(f"{root}/ev")
+    back = (
+        spark.read.format(fmt)
+        .option("header", "true")
+        .schema("event_id long, ts long, event_type string, value double")
+        .load(f"{root}/ev")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.sum(F.expr("ts div 1000000000")).alias("sum_ts_s"),
+    )
+
+
+@query("csv_source_agg", oracle=_EVENTS_FMT_ORACLE)
+def csv_source_agg(spark, sf_dir):
+    """Source-format breadth: events round-tripped through the CSV
+    adapter (explicit schema — no inference scan) then aggregated; the
+    oracle runs on the original parquet, so the hash-match proves the
+    text round trip is value-exact (Java shortest-repr doubles reparse
+    bit-identically; timestamps travel as epoch-nanos longs)."""
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@query("json_source_agg", oracle=_EVENTS_FMT_ORACLE)
+def json_source_agg(spark, sf_dir):
+    """Source-format breadth: same round trip through JSON-lines."""
+    return _format_roundtrip(spark, sf_dir, "json")
