@@ -58,12 +58,16 @@ def minhash_signatures(
     map-side, so the shuffle carries one row per (doc, input-partition) —
     not one per shingle.
 
-    Note: documents with an empty shingle set (null/empty text) have no
-    rows after the explode and thus no signature row at all — they can
-    never be near-duplicates of anything, so end-to-end dedup results are
-    unaffected; left-join back to the corpus ids if one-row-per-doc
+    Note: documents with null / empty / whitespace-only text are filtered
+    out up front and get no signature row. Without the filter every empty
+    doc would carry the SAME degenerate signature (tokens [''] → one
+    identical base hash) and a corpus with k empty docs — common in real
+    crawls — would band-match into a k²/2 candidate clique, all
+    "verifying" at jaccard 1.0. Empty docs belong to exact dedup, not
+    near-dedup; left-join back to the corpus ids if one-row-per-doc
     matters to a direct caller."""
-    hashed = df.select(
+    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    hashed = nonempty.select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
         tokens(F.col(text_col)).alias("__tk"),

@@ -80,7 +80,10 @@ def range_join_count(
     self-match is subtracted instead of anti-filtered so anchors with no
     neighbors still surface (count 0) without an extra outer join.
     """
-    b = (F.col(ts_col) / F.lit(window_ns)).cast("long")
+    # integer division: double division loses int64 precision at
+    # epoch-nanos magnitudes (ulp 256 ns at 1.7e18), which would misplace
+    # boundary events into the wrong bucket and silently drop pairs
+    b = F.expr(f"{ts_col} div {window_ns}")
     ev = events.select(F.col(ts_col).alias("__e_ts"), b.alias("__e_b"))
     probe = anchors.select(
         F.col(anchor_id), F.col(ts_col).alias("__a_ts"), b.alias("__a_b")

@@ -241,11 +241,21 @@ def events_rollup(spark, sf_dir):
     return (
         ev.select("event_type", hb, "value")
         .rollup("event_type", "hour_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
-        .where(F.col("event_type").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            # GROUPING() distinguishes the grand-total row from a genuine
+            # NULL event_type group — filtering on isNotNull would silently
+            # delete real NULL-key cells along with the total
+            F.grouping("event_type").alias("__g_et"),
+            F.grouping("hour_bucket").alias("__g_hb"),
+        )
+        .where(F.col("__g_et") == 0)
         .select(
             "event_type",
-            F.coalesce(F.col("hour_bucket"), F.lit(-1)).alias("hour_bucket"),
+            F.when(F.col("__g_hb") == 1, F.lit(-1))
+            .otherwise(F.col("hour_bucket"))
+            .alias("hour_bucket"),
             "n",
             "sum_value",
         )
@@ -255,11 +265,11 @@ def events_rollup(spark, sf_dir):
 @query(
     "events_moving_avg",
     oracle=f"""
-SELECT user_id, epoch_us(ts) AS ts_us,
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) /
        count(*) OVER w AS moving_avg
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
 )
@@ -267,14 +277,20 @@ def events_moving_avg(spark, sf_dir):
     """Per-user 5-event moving average of `value`: one shuffle by user,
     one sort, one frame — the canonical time-series smoothing shape. The
     sum routes through DECIMAL so the sliding aggregate is bit-identical
-    to the oracle (see queries/__init__ exactness rules)."""
+    to the oracle, and the frame order carries the unique event_id
+    tie-break — the engine sees nanosecond timestamps where the oracle
+    sees microseconds, so ordering by timestamp alone would leave
+    same-microsecond rows in engine-vs-oracle-divergent frames (see
+    queries/__init__ exactness rules)."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, 0)
+    us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id")).rowsBetween(-4, 0)
     return ev.select(
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        us.alias("ts_us"),
         (
             F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)

@@ -25,7 +25,13 @@ from .fs import fs_for
 
 
 def _table_name(root: str) -> str:
-    return "pqrs_b_" + re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")[-80:]
+    # sanitization is lossy ('/data/t-1' and '/data/t_1' collapse) and the
+    # tail truncates, so a content hash of the FULL root disambiguates —
+    # distinct roots can never share a catalog entry
+    from hashlib import md5
+
+    tail = re.sub(r"[^a-z0-9]+", "_", root.lower()).strip("_")[-60:]
+    return f"pqrs_b_{md5(root.encode()).hexdigest()[:10]}_{tail}"
 
 
 class BucketedRepo:

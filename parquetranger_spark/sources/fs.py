@@ -105,6 +105,7 @@ class HadoopFS:
 
             spark = active_spark()
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._jPath = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jPath(uri).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -147,9 +148,26 @@ class HadoopFS:
         finally:
             out.close()
         dest = self._jPath(path)
-        if self._fs.exists(dest):
-            self._fs.delete(dest, False)
-        self._fs.rename(tmp, dest)
+        # FileContext.rename(..., OVERWRITE) replaces the destination in
+        # one atomic step on HDFS/local — no delete-then-rename window in
+        # which a concurrent reader would see NO file at all (a reader in
+        # that window would conclude "no sidecar" and re-create a fresh
+        # canonical schema, silently dropping a concurrent widen)
+        try:
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dest.toUri(), self._fs.getConf()
+            )
+            arr = self._gateway.new_array(Rename, 1)
+            arr[0] = Rename.OVERWRITE
+            fc.rename(tmp, dest, arr)
+        except Exception:
+            # object stores without FileContext support: checked
+            # delete+rename fallback (non-atomic — the documented S3 caveat)
+            if self._fs.exists(dest):
+                self._fs.delete(dest, False)
+            if not self._fs.rename(tmp, dest):
+                raise IOError(f"rename {tmp} -> {dest} failed")
 
 
 _LOCAL = LocalFS()

@@ -262,29 +262,42 @@ def shred_json_df(
             counts[r["tbl"]] = r["n"]
 
         def materialize(tbl: str) -> None:
+            import uuid
+
             rows = shredded.where(shredded.tbl == tbl).select("atoms_json")
             ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
             # one sampled row fixes the field SET (rows of a table share a
             # type map by construction — the schema hash IS the table
             # address) but not value RANGES: e.g. an int above int64 in an
-            # 'int'-typed table would silently from_json to null. Probe via
-            # the corrupt-record channel; only when a row actually fails do
-            # we pay a full-scan inference (spark.read.json widens exactly)
+            # 'int'-typed table would silently from_json to null. Parse
+            # ONCE with the corrupt-record channel attached and count
+            # failures via observe() inside the write job itself — the
+            # clean (overwhelmingly common) path pays a single parse pass.
+            # Only an actually-corrupt table re-parses: full-scan inference
+            # (spark.read.json widens exactly) + replace_all of the
+            # misparsed rows.
             probe_ddl = ddl[:-1] + ",__pqr_corrupt: STRING>"
-            bad = (
-                rows.select(
-                    F.from_json(
-                        "atoms_json", probe_ddl, {"columnNameOfCorruptRecord": "__pqr_corrupt"}
-                    ).alias("r")
-                )
-                .where("r.__pqr_corrupt is not null")
-                .isEmpty()
-            ) is False
-            if bad:
-                mat = spark.read.json(rows.rdd.map(lambda r: r[0]))
-            else:
-                mat = rows.select(F.from_json("atoms_json", ddl).alias("r")).select("r.*")
-            TableRepo(join_path(root, tbl), spark=spark).extend(mat)
+            parsed = rows.select(
+                F.from_json(
+                    "atoms_json", probe_ddl, {"columnNameOfCorruptRecord": "__pqr_corrupt"}
+                ).alias("r")
+            ).select("r.*")
+            obs_name = f"pqrs_shred_{uuid.uuid4().hex[:8]}"
+            from pyspark.sql import Observation
+
+            obs = Observation(obs_name)
+            mat = parsed.observe(
+                obs, F.count(F.when(F.col("__pqr_corrupt").isNotNull(), 1)).alias("bad")
+            ).drop("__pqr_corrupt")
+            trepo = TableRepo(join_path(root, tbl), spark=spark)
+            trepo.extend(mat)
+            if obs.get["bad"] > 0:
+                wide = spark.read.json(rows.rdd.map(lambda r: r[0]))
+                # purge, not replace_all: the first extend froze the narrow
+                # (misparsed) schema in the sidecar, and replace_all would
+                # align the widened frame back DOWN to it
+                trepo.purge()
+                trepo.extend(wide)
 
         # distinct table roots → independent write jobs; submit them
         # concurrently so the Spark scheduler overlaps their stages (the

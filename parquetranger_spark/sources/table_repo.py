@@ -348,8 +348,18 @@ class TableRepo:
             return spark.createDataFrame([], schema)
         if meta and meta.schema:
             return spark.read.schema(meta.schema).parquet(self.main_path)
-        # no sidecar (externally-written table): fall back to footer merge
-        return spark.read.option("mergeSchema", "true").parquet(self.main_path)
+        # no sidecar (externally-written table): fall back to footer merge.
+        # Partition-value type inference is lossy ('01' and '1' as ints
+        # collapse to the same value) — scope-disable it for this read
+        # (schema resolution happens eagerly inside .parquet(), so the
+        # restore below cannot race the plan)
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            return spark.read.option("mergeSchema", "true").parquet(self.main_path)
+        finally:
+            spark.conf.set(key, prev)
 
     def get_partition_df(self, value: Any, partition_col: str | None = None) -> DataFrame:
         """Partition-pruned read (reference core.py:177-194): Catalyst prunes

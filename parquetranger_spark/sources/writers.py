@@ -116,9 +116,13 @@ class DfBatchWriter:
     The reference flushes on buffered *rows* ≥ record_limit, counting
     pandas rows for free (core.py:504-505); a Spark row count is a full
     job per added frame, so ``add_df`` stays job-free here and the
-    auto-flush guard is the buffered-frame count instead. Row counts are
-    captured during the flush write itself via ``observe`` — zero extra
-    jobs — and surface in ``written_count``."""
+    auto-flush guard is an ADAPTIVE buffered-frame count: it starts at
+    ``max_buffered`` and, after each flush, recalibrates to
+    ``record_limit / observed-average-rows-per-frame`` — so steady-state
+    flush granularity honors ``record_limit`` without ever running a
+    count job per add. Row counts are captured during the flush write
+    itself via ``observe`` — zero extra jobs — and surface in
+    ``written_count``."""
 
     def __init__(
         self,
@@ -131,12 +135,13 @@ class DfBatchWriter:
         self.record_limit = record_limit
         self.replace = replace
         self.max_buffered = max_buffered
+        self._flush_after = max_buffered
         self._bufs: list[DataFrame] = []
         self.written_count = 0
 
     def add_df(self, df: DataFrame) -> None:
         self._bufs.append(df)
-        if len(self._bufs) >= self.max_buffered:
+        if len(self._bufs) >= self._flush_after:
             self.flush()
 
     def flush(self) -> None:
@@ -145,6 +150,7 @@ class DfBatchWriter:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        n_frames = len(self._bufs)
         out = self._bufs[0]
         for d in self._bufs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -154,8 +160,13 @@ class DfBatchWriter:
             self.trepo.replace_records(out)
         else:
             self.trepo.extend(out)
-        self.written_count += int(obs.get["n"])
+        n_rows = int(obs.get["n"])
+        self.written_count += n_rows
         self._bufs = []
+        # recalibrate the frame-count trigger from what a frame actually
+        # holds, so future auto-flushes approximate the row contract
+        avg = max(1, n_rows // max(1, n_frames))
+        self._flush_after = max(1, min(self.max_buffered, self.record_limit // avg))
 
     # reference method names (core.py:478-489); the element is a DataFrame
     def add_to_batch(self, element: DataFrame) -> None:

@@ -240,3 +240,22 @@ def test_writer_factories(spark, tmp_root):
     assert t.get_full_df().count() == 13
     # single-file read restores rows
     assert sum(t.read_df_from_path(p).count() for p in t.paths) == 13
+
+
+def test_df_batch_writer_honors_record_limit_adaptively(spark, tmp_root):
+    """After one calibrating flush, auto-flush granularity approximates
+    record_limit rows — without any count job on add_df."""
+    from parquetranger_spark import TableRepo
+
+    t = TableRepo(f"{tmp_root}/t", index_cols="k")
+    w = DfBatchWriter(t, record_limit=10)
+    frame = spark.range(8).withColumnRenamed("id", "k")
+    w.add_df(frame)
+    w.flush()  # calibrates: ~8 rows/frame -> flush_after = 10 // 8 = 1
+    assert w._flush_after == 1
+    before = w.written_count
+    w.add_df(spark.range(8, 16).withColumnRenamed("id", "k"))
+    # auto-flushed immediately under the recalibrated trigger
+    assert w.written_count == before + 8
+    w.close()
+    assert t.get_full_df().count() == 16
