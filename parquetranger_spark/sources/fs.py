@@ -31,8 +31,21 @@ import shutil
 from typing import Iterable
 
 
+import re as _re
+
+# matches both canonical "scheme://authority/…" and the single-slash form
+# "scheme:/…" that org.apache.hadoop.fs.Path.toString() emits for
+# authority-less URIs (file:///x round-trips through Hadoop as file:/x)
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
+
+
 def is_uri(path: str) -> bool:
-    return "://" in path
+    return bool(_SCHEME_RE.match(path))
+
+
+def _split_scheme(path: str) -> tuple[str, str]:
+    m = _SCHEME_RE.match(path)
+    return (path[: m.end()], path[m.end():]) if m else ("", path)
 
 
 def join_path(base: str, *parts: str) -> str:
@@ -47,8 +60,10 @@ def join_path(base: str, *parts: str) -> str:
 
 def path_parts(path: str) -> list[str]:
     """Path components for needle matching (``col=value`` lookups) — handles
-    both URI and local separators."""
-    tail = path.split("://", 1)[1] if is_uri(path) else path
+    URI (double- or single-slash scheme) and local separators. The scheme
+    prefix is dropped, so parts align between how a path was WRITTEN
+    (file:///x) and how Hadoop lists it back (file:/x)."""
+    _, tail = _split_scheme(path)
     return [p for p in tail.replace(os.sep, "/").split("/") if p]
 
 
@@ -58,9 +73,9 @@ def basename(path: str) -> str:
 
 def parent_dir(path: str) -> str:
     if is_uri(path):
-        scheme, tail = path.split("://", 1)
+        scheme, tail = _split_scheme(path)
         head = "/".join(p for p in tail.rstrip("/").split("/")[:-1])
-        return f"{scheme}://{head}"
+        return f"{scheme}{head}"
     return os.path.dirname(path.rstrip("/")) or "."
 
 
@@ -82,6 +97,11 @@ class LocalFS:
     def read_text(self, path: str) -> str:
         with open(path) as fh:
             return fh.read()
+
+    def rename(self, src: str, dest: str) -> None:
+        """Move one file; raises if the source vanished or dest's parent
+        is missing. Callers guarantee dest uniqueness (UUID file names)."""
+        os.rename(src, dest)
 
     def write_text_atomic(self, path: str, text: str) -> None:
         self.mkdirs(os.path.dirname(path))
@@ -113,11 +133,17 @@ class HadoopFS:
         p = self._jPath(root)
         if not self._fs.exists(p):
             return []
+        base = len(path_parts(root))
         out = []
         it = self._fs.listFiles(p, True)
         while it.hasNext():
             fp = it.next().getPath().toString()
-            if fp.endswith(suffix):
+            # skip hidden/staging components (dot/underscore prefixes) the
+            # same way Spark's file index and the local glob do — in-flight
+            # two-phase-append staging must never surface as table data
+            if fp.endswith(suffix) and not any(
+                part.startswith((".", "_")) for part in path_parts(fp)[base:]
+            ):
                 out.append(fp)
         return sorted(out)
 
@@ -129,6 +155,10 @@ class HadoopFS:
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._jPath(path))
+
+    def rename(self, src: str, dest: str) -> None:
+        if not self._fs.rename(self._jPath(src), self._jPath(dest)):
+            raise IOError(f"rename {src} -> {dest} failed")
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._jPath(path))

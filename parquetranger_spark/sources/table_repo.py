@@ -593,6 +593,31 @@ class TableRepo:
         ]
         return reduce(lambda a, b: a | b, conds)
 
+    def _two_phase_append(self, df: DataFrame) -> None:
+        """Commit an append via hidden staging + per-file rename (see
+        ``_write``). File names are globally unique (each carries the
+        write job's UUID), so renames from concurrent appends never
+        collide; renames are same-filesystem and atomic on local/HDFS."""
+        import uuid
+
+        staging = join_path(self.main_path, f".pqrs_staging_{uuid.uuid4().hex[:12]}")
+        w = df.write.mode("overwrite")
+        if self.group_cols:
+            w = w.partitionBy(*self.group_cols)
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", self.max_records)
+        w.parquet(staging)
+        fs = self._fs()
+        try:
+            base = len(path_parts(staging))
+            for p in fs.list_files(staging, ".parquet"):
+                rel = path_parts(p)[base:]
+                dest = join_path(self.main_path, *rel)
+                fs.mkdirs(_fsmod.parent_dir(dest))
+                fs.rename(p, dest)
+        finally:
+            fs.delete(staging)
+
     def _delete_partition_dir(self, group_values: tuple) -> None:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
@@ -606,6 +631,19 @@ class TableRepo:
             # whole row groups — the poor-man's z-order, free at write
             # time beyond the sort. No shuffle: the sort is per-partition.
             df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
+        if mode == "append":
+            # two-phase append: concurrent direct appends to one root are
+            # NOT safe — all jobs share the committer's _temporary/0
+            # staging dir and one job's commit cleanup deletes the other's
+            # in-flight attempts. Each append therefore commits into its
+            # own hidden staging dir under the root (invisible to readers:
+            # Spark ignores dot-prefixed paths) and then renames the
+            # finished files into place — same-filesystem renames of
+            # uniquely-named immutable files, so interleaved appends
+            # compose and a crashed append leaves only an ignorable
+            # staging dir, never partial visible data.
+            self._two_phase_append(df)
+            return
         w = df.write.mode(mode)
         if self.group_cols:
             w = w.partitionBy(*self.group_cols)

@@ -96,3 +96,19 @@ def test_file_uri_matches_local_result(spark, tmp_root):
     a = local.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
     b = remote.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_single_slash_scheme_paths_align():
+    """org.apache.hadoop.fs.Path.toString() emits authority-less URIs as
+    'file:/x' (single slash); parts must align with the 'file:///x' form
+    the path was written under — a mismatch here once made the two-phase
+    append list zero staged files and delete the staging dir (data loss).
+    """
+    assert path_parts("file:/tmp/t/g=1/f.parquet") == path_parts("file:///tmp/t/g=1/f.parquet")
+    assert basename("file:/tmp/t") == "t"
+    assert parent_dir("file:/tmp/t/x") == "file:/tmp/t"
+    # relative alignment between a written root and a Hadoop-listed child
+    root_written = "file:///tmp/t/.staging_ab"
+    listed_child = "file:/tmp/t/.staging_ab/g=1/part-0.parquet"
+    rel = path_parts(listed_child)[len(path_parts(root_written)):]
+    assert rel == ["g=1", "part-0.parquet"]
