@@ -66,7 +66,9 @@ def minhash_signatures(
     "verifying" at jaccard 1.0. Empty docs belong to exact dedup, not
     near-dedup; left-join back to the corpus ids if one-row-per-doc
     matters to a direct caller."""
-    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    # regexp, not trim(): trim strips only ASCII spaces, and a corpus of
+    # tab/newline-only docs would still share one degenerate signature
+    nonempty = df.where(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
     hashed = nonempty.select(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),

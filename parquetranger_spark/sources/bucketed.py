@@ -50,7 +50,8 @@ class BucketedRepo:
         n_buckets: int,
         spark: SparkSession | None = None,
     ):
-        self.main_path = str(root_path)
+        # normalize so '/data/t' and '/data/t/' name the same catalog table
+        self.main_path = str(root_path).rstrip("/")
         self.bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
         self.n_buckets = int(n_buckets)
         self._spark = spark

@@ -35,8 +35,9 @@ import re as _re
 
 # matches both canonical "scheme://authority/…" and the single-slash form
 # "scheme:/…" that org.apache.hadoop.fs.Path.toString() emits for
-# authority-less URIs (file:///x round-trips through Hadoop as file:/x)
-_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/+")
+# authority-less URIs (file:///x round-trips through Hadoop as file:/x).
+# Schemes must be ≥2 chars so Windows drive paths ("C:/data") stay local.
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:/+")
 
 
 def is_uri(path: str) -> bool:
@@ -83,13 +84,31 @@ class LocalFS:
     """os/glob/shutil implementation — the zero-overhead local case."""
 
     def list_files(self, root: str, suffix: str = ".parquet") -> list[str]:
-        return sorted(glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True))
+        base = len(path_parts(root))
+        return sorted(
+            p
+            for p in glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True)
+            # glob already skips dot-prefixed names; ALSO skip _-prefixed
+            # components (committer _temporary trees) so a concurrent
+            # overwrite's uncommitted attempts never surface as table data.
+            # Exception, same as Spark's file index: names containing '='
+            # are partition dirs (a bucket column may be named __pqr_…)
+            if not any(
+                part.startswith("_") and "=" not in part
+                for part in path_parts(p)[base:-1]
+            )
+        )
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
     def delete(self, path: str) -> None:
-        shutil.rmtree(path, ignore_errors=True)
+        """Recursive for dirs, plain unlink for files (rmtree silently
+        no-ops on a file path), absent targets tolerated."""
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -139,10 +158,12 @@ class HadoopFS:
         while it.hasNext():
             fp = it.next().getPath().toString()
             # skip hidden/staging components (dot/underscore prefixes) the
-            # same way Spark's file index and the local glob do — in-flight
-            # two-phase-append staging must never surface as table data
+            # same way Spark's file index does — in-flight two-phase-append
+            # staging must never surface as table data. Names containing
+            # '=' are partition dirs and stay visible (Spark's exception)
             if fp.endswith(suffix) and not any(
-                part.startswith((".", "_")) for part in path_parts(fp)[base:]
+                part.startswith((".", "_")) and "=" not in part
+                for part in path_parts(fp)[base:]
             ):
                 out.append(fp)
         return sorted(out)

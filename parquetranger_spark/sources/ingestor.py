@@ -35,6 +35,7 @@ from uuid import uuid4
 
 from pyspark.sql import DataFrame
 
+from ..plans.schema import meta_path
 from .fs import fs_for, join_path
 from .table_repo import TableRepo
 from .writers import RecordWriter
@@ -290,13 +291,20 @@ def shred_json_df(
                 obs, F.count(F.when(F.col("__pqr_corrupt").isNotNull(), 1)).alias("bad")
             ).drop("__pqr_corrupt")
             trepo = TableRepo(join_path(root, tbl), spark=spark)
+            before = set(trepo.paths)
             trepo.extend(mat)
             if obs.get["bad"] > 0:
+                # misparse detected: roll back exactly the files THIS call
+                # appended (immutable unique file names make the diff
+                # exact — pre-existing data from earlier ingests is never
+                # touched), drop the narrow sidecar schema if we created
+                # it, and rewrite this batch under full-scan inference
                 wide = spark.read.json(rows.rdd.map(lambda r: r[0]))
-                # purge, not replace_all: the first extend froze the narrow
-                # (misparsed) schema in the sidecar, and replace_all would
-                # align the widened frame back DOWN to it
-                trepo.purge()
+                fs = fs_for(trepo.main_path, spark=spark)
+                for p in set(trepo.paths) - before:
+                    fs.delete(p)
+                if not before:
+                    fs.delete(meta_path(trepo.main_path))
                 trepo.extend(wide)
 
         # distinct table roots → independent write jobs; submit them

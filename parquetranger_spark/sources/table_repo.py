@@ -348,18 +348,23 @@ class TableRepo:
             return spark.createDataFrame([], schema)
         if meta and meta.schema:
             return spark.read.schema(meta.schema).parquet(self.main_path)
-        # no sidecar (externally-written table): fall back to footer merge.
-        # Partition-value type inference is lossy ('01' and '1' as ints
-        # collapse to the same value) — scope-disable it for this read
-        # (schema resolution happens eagerly inside .parquet(), so the
-        # restore below cannot race the plan)
-        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev = spark.conf.get(key)
-        spark.conf.set(key, "false")
-        try:
-            return spark.read.option("mergeSchema", "true").parquet(self.main_path)
-        finally:
-            spark.conf.set(key, prev)
+        # no sidecar (externally-written table): build the schema without
+        # touching session conf (a set/restore would race concurrent
+        # threads on the shared session) and without lossy partition-value
+        # inference ('01' and '1' collapse as ints). Listing the leaf
+        # FILES disables partition discovery, so the footer merge yields
+        # the pure data schema; partition columns come from the directory
+        # names, typed string.
+        files = self.paths
+        merged = spark.read.option("mergeSchema", "true").parquet(*files).schema
+        known = set(merged.fieldNames())
+        part_fields = [
+            T.StructField(part.split("=", 1)[0], T.StringType())
+            for part in path_parts(files[0])[len(path_parts(self.main_path)):-1]
+            if "=" in part and part.split("=", 1)[0] not in known
+        ]
+        schema = T.StructType(list(merged.fields) + part_fields)
+        return spark.read.schema(schema).parquet(self.main_path)
 
     def get_partition_df(self, value: Any, partition_col: str | None = None) -> DataFrame:
         """Partition-pruned read (reference core.py:177-194): Catalyst prunes
@@ -608,15 +613,31 @@ class TableRepo:
             w = w.option("maxRecordsPerFile", self.max_records)
         w.parquet(staging)
         fs = self._fs()
-        try:
-            base = len(path_parts(staging))
-            for p in fs.list_files(staging, ".parquet"):
-                rel = path_parts(p)[base:]
-                dest = join_path(self.main_path, *rel)
-                fs.mkdirs(_fsmod.parent_dir(dest))
-                fs.rename(p, dest)
-        finally:
-            fs.delete(staging)
+        marker = _fsmod.basename(staging)
+        staged = fs.list_files(staging, ".parquet")
+        # rel is anchored on the unique staging component of the LISTED
+        # path, not on the written root string: Hadoop normalizes URIs
+        # (file:///x → file:/x, authority stripped for local FS), so
+        # counting components of the written form can misalign and drop
+        # the partition dirs from the destination
+        moves = []
+        for p in staged:
+            parts = path_parts(p)
+            rel = parts[parts.index(marker) + 1:]
+            moves.append((p, join_path(self.main_path, *rel)))
+        # one mkdirs per distinct partition dir, renames fanned out over
+        # driver threads — 2×N sequential FS round-trips would dominate
+        # commit latency for many-file appends
+        for d in sorted({_fsmod.parent_dir(dest) for _, dest in moves}):
+            fs.mkdirs(d)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(moves)) or 1) as ex:
+            list(ex.map(lambda m: fs.rename(m[0], m[1]), moves))
+        # delete staging ONLY after every rename succeeded: on a partial
+        # failure the staging dir (with the unrenamed files) survives for
+        # recovery instead of being destroyed by an unconditional cleanup
+        fs.delete(staging)
 
     def _delete_partition_dir(self, group_values: tuple) -> None:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
