@@ -112,3 +112,20 @@ def test_single_slash_scheme_paths_align():
     listed_child = "file:/tmp/t/.staging_ab/g=1/part-0.parquet"
     rel = path_parts(listed_child)[len(path_parts(root_written)):]
     assert rel == ["g=1", "part-0.parquet"]
+
+
+def test_hash_bucket_partitions_visible_on_uri_root(spark, tmp_root):
+    """Bucket columns are underscore-prefixed (__pqr_…=N dirs); the
+    HadoopFS listing must apply Spark's '=' exception to its
+    hidden-component filter or every bucketed partition disappears."""
+    from parquetranger_spark import HashPartitioner
+
+    t = TableRepo(
+        f"file://{tmp_root}/hb",
+        group_cols=HashPartitioner(num_groups=3),
+        index_cols="__index",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame(DF1))
+    assert t.n_files > 0
+    assert t.get_full_df().count() == len(DF1)
