@@ -37,6 +37,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def cosine_prenormed(a_d: Column, b_d: Column, na: Column, nb: Column) -> Column:
+    """Cosine with the per-ROW work hoisted: callers project the double
+    cast and the norm once per input row BEFORE a join, so each candidate
+    pair pays one dot-product fold instead of two casts + two norm folds
+    (higher-order functions run interpreted — per-pair recomputation is
+    the hot cost in top-k scoring). ``dot/(na*nb)`` performs the same
+    double ops in the same order as :func:`cosine`, so results are
+    bit-identical."""
+    return dot(a_d, b_d) / (na * nb)
+
+
 def hyperplane_bits(arr: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane (sign) sketch: bit j = [dot(v, r_j) >= 0].
     Packed into a long — the LSH bucket key for approximate cosine search.

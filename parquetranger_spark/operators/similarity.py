@@ -35,14 +35,28 @@ def topk_cosine_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. The query side is
     broadcast (it is the small side by contract); ranking is a window per
-    query id with a deterministic (similarity desc, id) tie-break."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    query id with a deterministic (similarity desc, id) tie-break. The
+    double cast + norm are projected once per row before the join
+    (cosine_prenormed) — per pair only the dot fold runs."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -129,9 +143,13 @@ def topk_cosine_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
     spark = corpus.sparkSession
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    cv = c.withColumn("__v", array_to_vector(F.transform(F.col("cv"), lambda x: x.cast("double"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    cv = c.withColumn("__v", array_to_vector(F.col("cv")))
     # the coarse quantizer only needs to carve space into n_lists regions —
     # train it on a bounded prefix instead of iterating k-means over the
     # whole corpus (at 100 TB the full fit would dominate the query; the
@@ -156,24 +174,32 @@ def topk_cosine_ivf(
         featuresCol="__v",
         predictionCol="list_id",
     ).fit(train)
-    inv = model.transform(cv).select("neighbor_id", "cv", "list_id")
+    inv = model.transform(cv).select("neighbor_id", "cv", "cn", "list_id")
 
     cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
     cents_df = spark.createDataFrame(cents, "list_id int, centroid array<double>")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
     wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("list_id"))
     probes = (
         q.crossJoin(F.broadcast(cents_df))
-        .select("query_id", "qv", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("c_cos"))
+        .select(
+            "query_id", "qv", "qn", "list_id", cosine(F.col("qv"), F.col("centroid")).alias("c_cos")
+        )
         .withColumn("__pr", F.row_number().over(wq))
         .where(F.col("__pr") <= n_probe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", "qn", "list_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         probes.join(inv, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
