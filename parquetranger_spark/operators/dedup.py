@@ -316,22 +316,32 @@ def near_dedup_embedding(
     via random-hyperplane bucket equality (near-identical vectors land in
     the same bucket with overwhelming probability); verify with exact
     double cosine."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
     from .similarity import default_planes
 
     planes = planes or default_planes(dim=_vec_dim(df, vec_col), n_planes=16)
+    # double cast + norm hoisted to one projection per row (see
+    # cosine_prenormed) — the bucket join then verifies each candidate
+    # pair with a single dot fold, bit-identical scores
     with_b = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket")
-    )
+        F.col(id_col),
+        to_double(F.col(vec_col)).alias("__vd"),
+        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("__vn", norm(F.col("__vd")))
     a = with_b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+        F.col(id_col).alias("id_a"), F.col("__vd").alias("va"), F.col("__vn").alias("na"), "bucket"
     )
     b = with_b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+        F.col(id_col).alias("id_b"), F.col("__vd").alias("vb"), F.col("__vn").alias("nb"), "bucket"
     )
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
         .distinct()
