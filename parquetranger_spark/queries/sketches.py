@@ -175,3 +175,23 @@ def stream_stream_join(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("delay_us").alias("sum_delay_us"))
     )
+
+
+@query("events_hll_union")
+def events_hll_union(spark, sf_dir):
+    """X9: mergeable sketch OBJECTS — one HLL sketch per event type
+    (hll_sketch_agg), unioned into a global distinct-user estimate
+    (hll_union_agg). This is the incremental-pipeline pattern: per-batch /
+    per-partition sketches persist as binary columns and merge across any
+    grouping without re-reading raw data. Rows-only (register layout is
+    engine-specific); accuracy vs exact distinct is pytest-asserted."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total_users"),
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+    )

@@ -54,3 +54,12 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     ).first()
     assert row["n_unique"] == exact["u"]
     assert row["n_docs"] == exact["n"]
+
+
+def test_hll_union_estimate_within_5pct(spark, sf_dir):
+    row = m.queries()["events_hll_union"](spark, sf_dir).first()
+    exact = (
+        load(spark, sf_dir, "events").agg(F.countDistinct("user_id").alias("n")).first()["n"]
+    )
+    assert abs(row["approx_total_users"] - exact) <= max(1, 0.05 * exact)
+    assert row["n_types"] == 5
