@@ -296,3 +296,27 @@ def events_moving_avg(spark, sf_dir):
             / F.count(F.lit(1)).over(w)
         ).alias("moving_avg"),
     )
+
+
+_Q1_SQL_BODY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS sum_disc_price,
+       count(*) AS count_order
+FROM {src}
+WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_q1_pricing", oracle=_Q1_SQL_BODY.format(src="lineitem"))
+def sql_q1_pricing(spark, sf_dir):
+    """SQL surface: the TPC-H-Q1-shaped pricing summary executed as a raw
+    ``spark.sql`` string over a registered temp view — the same engine
+    path as the DataFrame API (identical Catalyst plan), proving the SQL
+    front door works end-to-end. The oracle runs the very same text on
+    DuckDB, so this also demonstrates dialect-portable SQL."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pqrs_lineitem_v")
+    return spark.sql(_Q1_SQL_BODY.format(src="pqrs_lineitem_v"))
