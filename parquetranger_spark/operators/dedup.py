@@ -242,10 +242,14 @@ def simhash_signatures(
     combine map-side, so the exchange carries one 64-long row per (doc,
     input-partition) — no Python workers, no per-token driver/executor
     loops, whole-stage codegen throughout. Token multiplicity counts, as
-    in the classic Charikar construction. Returns (id, sig)."""
-    toks = df.select(
+    in the classic Charikar construction. Returns (id, sig). Null / empty /
+    whitespace-only docs are dropped up front — they would all share one
+    degenerate signature and chunk-match into a k²/2 candidate clique
+    (same guard as minhash_signatures)."""
+    nonempty = df.where(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
+    toks = nonempty.select(
         F.col(id_col),
-        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("__tok"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
     ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
     bit_sums = [
         F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")

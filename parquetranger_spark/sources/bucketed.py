@@ -82,8 +82,28 @@ class BucketedRepo:
     def get_full_df(self) -> DataFrame:
         """Catalog-backed read — REQUIRED for the bucketed-scan property
         (a plain ``read.parquet`` of the same files is correct but loses
-        the bucket metadata and re-shuffles in joins)."""
+        the bucket metadata and re-shuffles in joins). If the catalog
+        entry is missing but the files exist (new session, fresh
+        in-memory catalog), the table is re-registered from the path —
+        the write-once-join-many story must survive session restarts."""
+        self._ensure_registered()
         return self._session().table(self.table_name)
+
+    def _ensure_registered(self) -> None:
+        spark = self._session()
+        if spark.catalog.tableExists(self.table_name):
+            return
+        fs = fs_for(self.main_path, spark=spark)
+        if not fs.list_files(self.main_path, ".parquet"):
+            return  # nothing on disk either — let spark.table raise
+        schema = spark.read.parquet(self.main_path).schema
+        cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        bcols = ", ".join(f"`{c}`" for c in self.bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {self.table_name} ({cols_ddl}) USING parquet "
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{self.main_path}'"
+        )
 
     def purge(self) -> None:
         spark = self._session()

@@ -29,6 +29,7 @@ import glob
 import os
 import shutil
 from typing import Iterable
+from uuid import uuid4
 
 
 import re as _re
@@ -99,6 +100,17 @@ class LocalFS:
             )
         )
 
+    def has_any_file(self, root: str, suffix: str = ".parquet") -> bool:
+        """Early-exit existence probe — O(1)-ish, never a full listing."""
+        base = len(path_parts(root))
+        for p in glob.iglob(os.path.join(root, "**", f"*{suffix}"), recursive=True):
+            if not any(
+                part.startswith("_") and "=" not in part
+                for part in path_parts(p)[base:-1]
+            ):
+                return True
+        return False
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -124,7 +136,10 @@ class LocalFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         self.mkdirs(os.path.dirname(path))
-        tmp = path + ".tmp"
+        # unique temp name: a SHARED temp path would let two concurrent
+        # writers interleave truncate/write and publish torn bytes — with
+        # per-writer temps the final rename is genuinely last-writer-wins
+        tmp = f"{path}.{uuid4().hex[:12]}.tmp"
         with open(tmp, "w") as fh:
             fh.write(text)
         os.replace(tmp, path)
@@ -168,6 +183,24 @@ class HadoopFS:
                 out.append(fp)
         return sorted(out)
 
+    def has_any_file(self, root: str, suffix: str = ".parquet") -> bool:
+        """Early-exit existence probe: stops at the first visible data
+        file instead of listing the entire tree (a full recursive listing
+        over a large table is minutes of driver RPC on an object store)."""
+        p = self._jPath(root)
+        if not self._fs.exists(p):
+            return False
+        base = len(path_parts(root))
+        it = self._fs.listFiles(p, True)
+        while it.hasNext():
+            fp = it.next().getPath().toString()
+            if fp.endswith(suffix) and not any(
+                part.startswith((".", "_")) and "=" not in part
+                for part in path_parts(fp)[base:]
+            ):
+                return True
+        return False
+
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._jPath(path))
 
@@ -192,7 +225,7 @@ class HadoopFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         self.mkdirs(parent_dir(path))
-        tmp = self._jPath(path + ".tmp")
+        tmp = self._jPath(f"{path}.{uuid4().hex[:12]}.tmp")
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))

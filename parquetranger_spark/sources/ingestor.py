@@ -297,14 +297,26 @@ def shred_json_df(
                 # misparse detected: roll back exactly the files THIS call
                 # appended (immutable unique file names make the diff
                 # exact — pre-existing data from earlier ingests is never
-                # touched), drop the narrow sidecar schema if we created
-                # it, and rewrite this batch under full-scan inference
-                wide = spark.read.json(rows.rdd.map(lambda r: r[0]))
+                # touched)
                 fs = fs_for(trepo.main_path, spark=spark)
                 for p in set(trepo.paths) - before:
                     fs.delete(p)
-                if not before:
-                    fs.delete(meta_path(trepo.main_path))
+                if before:
+                    # the table predates this call and its frozen sidecar
+                    # schema cannot hold this batch's value range —
+                    # re-extending would silently null the offending
+                    # values through align_to_schema. Fail loudly; the
+                    # caller owns the schema-migration decision.
+                    raise ValueError(
+                        f"shred_json_df: batch for table {tbl!r} contains values "
+                        "outside the existing table's frozen schema range; "
+                        "rolled back this batch — migrate the table schema "
+                        "(e.g. rewrite with a wider type) and re-ingest"
+                    )
+                # fresh table: drop the narrow sidecar we just created and
+                # rewrite this batch under full-scan inference
+                fs.delete(meta_path(trepo.main_path))
+                wide = spark.read.json(rows.rdd.map(lambda r: r[0]))
                 trepo.extend(wide)
 
         # distinct table roots → independent write jobs; submit them
@@ -316,7 +328,15 @@ def shred_json_df(
             list(ex.map(materialize, sorted(samples)))
         fs = fs_for(root, spark=spark)
         fs.mkdirs(root)
-        fs.write_text_atomic(join_path(root, "key-map.json"), json.dumps(keydic))
+        # merge with any existing map (same semantics as
+        # ObjIngestor._merge_key_map): successive shreds into one root must
+        # accumulate key codes, not clobber earlier batches' mappings
+        km = join_path(root, "key-map.json")
+        if fs.exists(km):
+            merged = json.loads(fs.read_text(km))
+            merged.update(keydic)
+            keydic = merged
+        fs.write_text_atomic(km, json.dumps(keydic))
         return counts
     finally:
         shredded.unpersist()

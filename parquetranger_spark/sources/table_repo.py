@@ -343,11 +343,15 @@ class TableRepo:
         schema-evolution read path."""
         spark = self._session()
         meta = load_meta(self.main_path, spark=self._spark)
-        if not self.paths:
-            schema = meta.schema if meta and meta.schema else T.StructType([])
-            return spark.createDataFrame([], schema)
         if meta and meta.schema:
+            # emptiness check via an early-exit probe, not a full listing:
+            # a recursive list of a large table is O(files) driver-side
+            # RPC on an object store, and this runs on EVERY read
+            if not self._fs().has_any_file(self.main_path, ".parquet"):
+                return spark.createDataFrame([], meta.schema)
             return spark.read.schema(meta.schema).parquet(self.main_path)
+        if not self.paths:
+            return spark.createDataFrame([], T.StructType([]))
         # no sidecar (externally-written table): build the schema without
         # touching session conf (a set/restore would race concurrent
         # threads on the shared session) and without lossy partition-value

@@ -77,3 +77,20 @@ def test_purge_drops_table_and_files(spark, tmp_root):
     import os
 
     assert not os.path.exists(f"{tmp_root}/l")
+
+
+def test_reregistration_after_catalog_loss(spark, tmp_root):
+    """A fresh session's empty catalog must not orphan on-disk bucketed
+    tables: get_full_df re-registers from the path (CREATE TABLE ...
+    CLUSTERED BY) and the no-shuffle join property survives."""
+    left, right = _repos(spark, tmp_root)
+    # simulate a new session: drop the catalog entries (external tables —
+    # files stay on disk)
+    spark.sql(f"DROP TABLE {left.table_name}")
+    spark.sql(f"DROP TABLE {right.table_name}")
+    with _no_broadcast(spark):
+        joined = left.get_full_df().join(right.get_full_df(), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 334
+    left.purge(), right.purge()
