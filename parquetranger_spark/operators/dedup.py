@@ -324,31 +324,36 @@ def near_dedup_embedding(
     from .similarity import default_planes
 
     planes = planes or default_planes(dim=_vec_dim(df, vec_col), n_planes=16)
-    # double cast + norm hoisted to one projection per row (see
-    # cosine_prenormed) — the bucket join then verifies each candidate
-    # pair with a single dot fold, bit-identical scores
+    # the bucket self-join and pair dedup carry ONLY ids (shuffling
+    # vectors through candidate generation multiplies exchange bytes by
+    # the embedding dim); vectors attach once per candidate pair via two
+    # hash joins on pre-normed projections — one dot fold per pair,
+    # bit-identical scores
     with_b = df.select(
-        F.col(id_col),
-        to_double(F.col(vec_col)).alias("__vd"),
-        hyperplane_bits(F.col(vec_col), planes).alias("bucket"),
-    ).withColumn("__vn", norm(F.col("__vd")))
-    a = with_b.select(
-        F.col(id_col).alias("id_a"), F.col("__vd").alias("va"), F.col("__vn").alias("na"), "bucket"
+        F.col(id_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket")
     )
-    b = with_b.select(
-        F.col(id_col).alias("id_b"), F.col("__vd").alias("vb"), F.col("__vn").alias("nb"), "bucket"
-    )
-    return (
+    a = with_b.select(F.col(id_col).alias("id_a"), "bucket")
+    b = with_b.select(F.col(id_col).alias("id_b"), "bucket")
+    pairs = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vec = df.select(
+        F.col(id_col), to_double(F.col(vec_col)).alias("__vd")
+    ).withColumn("__vn", norm(F.col("__vd")))
+    va = vec.select(F.col(id_col).alias("id_a"), F.col("__vd").alias("va"), F.col("__vn").alias("na"))
+    vb = vec.select(F.col(id_col).alias("id_b"), F.col("__vd").alias("vb"), F.col("__vn").alias("nb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
-        .distinct()
     )
 
 

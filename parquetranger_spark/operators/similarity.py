@@ -78,8 +78,13 @@ def topk_cosine_lsh(
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent random-hyperplane
     sketches; a corpus vector is a candidate when it shares any table's
-    bucket with the query. Join on (table, bucket) — shuffle-bounded, never
-    a cross join. Exact cosine + window rank within candidates."""
+    bucket with the query. The (table, bucket) self-join and the
+    candidate dedup carry ONLY ids — at real embedding dims, shuffling
+    the vectors through candidate generation multiplies exchange bytes by
+    ~dim×tables; vectors attach once per surviving pair via two hash
+    joins on pre-normed projections, and each pair pays one dot fold."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
     if dim is None:
         row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(row["d"])
@@ -88,28 +93,40 @@ def topk_cosine_lsh(
         planes = default_planes(dim, n_planes, seed=42 + t)
         buckets.append((t, planes))
 
-    def with_buckets(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
         entries = F.array(
             *[
                 F.struct(F.lit(t).alias("tbl"), hyperplane_bits(F.col(vec_col), planes).alias("bucket"))
                 for t, planes in buckets
             ]
         )
-        return df.select(
-            F.col(id_col).alias(idname), F.col(vec_col).alias(vecname), F.explode(entries).alias("tb")
-        ).select(idname, vecname, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        return df.select(F.col(id_col).alias(idname), F.explode(entries).alias("tb")).select(
+            idname, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
 
-    qb = with_buckets(queries, "query_id", "qv")
-    cb = with_buckets(corpus, "neighbor_id", "cv")
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cands.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        cands.join(qvec, "query_id")
+        .join(cvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("cos"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
