@@ -113,6 +113,39 @@ def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
     )
 
 
+def _salt_oversized(
+    bb: DataFrame, keys: list[str], id_col: str, cap: int | None
+) -> tuple[DataFrame, list[str]]:
+    """Split LSH buckets larger than ``cap`` rows into ~cap-sized salted
+    sub-buckets, so a viral duplicate cluster (billions of identical docs
+    landing in one (band, bucket)) self-joins in O(n·cap) pairs instead of
+    O(n²). Returns the salted frame and the widened join keys.
+
+    Shape: oversized buckets are found with a map-side-combined count
+    filtered to ``> cap`` — that set is tiny by definition (few viral
+    buckets), so the join-back broadcasts and the full bucket frame is
+    never re-shuffled for the cap itself. Salt = xxhash64(id) mod
+    ceil(n/cap): deterministic, and pairs within one salt group are still
+    emitted, so only cross-salt recall inside already-degenerate buckets
+    is lost — which the exact-verify stage bounds anyway. ``cap=None``
+    disables (bit-identical to the uncapped plan)."""
+    if cap is None:
+        return bb, keys
+    over = (
+        bb.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cap)
+    )
+    n_salts = F.ceil(F.col("__n") / F.lit(float(cap))).cast("int")
+    salted = bb.join(F.broadcast(over), keys, "left").withColumn(
+        "__salt",
+        F.when(F.col("__n").isNull(), F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col(id_col)), n_salts).cast("int")
+        ),
+    ).drop("__n")
+    return salted, keys + ["__salt"]
+
+
 def candidate_pairs_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -120,11 +153,15 @@ def candidate_pairs_minhash(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
     _handles: list | None = None,
 ) -> DataFrame:
     """X2 candidate generation: banded MinHash LSH. Docs sharing any band
     bucket become a candidate pair. The join is an equi-join on
     (band, bucket) — shuffle-partitioned by bucket, never O(n²).
+    ``bucket_cap`` salts buckets above that size (see
+    :func:`_salt_oversized`) so one pathological bucket can't go
+    quadratic.
 
     Caching contract: the signature DataFrame is persisted (the banded
     self-join reads it twice and Catalyst plans no ReusedExchange across
@@ -141,10 +178,11 @@ def candidate_pairs_minhash(
     if _handles is not None:
         _handles.append(sig)
     bb = _band_buckets(sig, id_col, bands, rows_per_band)
-    a = bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = bb.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    bb, keys = _salt_oversized(bb, ["band", "bucket"], id_col, bucket_cap)
+    a = bb.select(F.col(id_col).alias("id_a"), *keys)
+    b = bb.select(F.col(id_col).alias("id_b"), *keys)
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -189,6 +227,7 @@ def near_dedup_minhash(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
     eager: bool = True,
 ) -> DataFrame:
     """X2 end-to-end: LSH candidates → exact Jaccard verify → pairs ≥
@@ -203,7 +242,7 @@ def near_dedup_minhash(
 
     handles: list[DataFrame] = []
     cands = candidate_pairs_minhash(
-        df, text_col, id_col, num_hashes, bands, shingle_n, _handles=handles
+        df, text_col, id_col, num_hashes, bands, shingle_n, bucket_cap, _handles=handles
     )
     # verify-stage shingle sets are only needed for docs that survived
     # candidate generation — a small fraction of the corpus. Semi-join the
@@ -273,13 +312,17 @@ def near_dedup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """X2 (SimHash flavor): near-dups = hamming(sig_a, sig_b) ≤ k.
     Candidates via the pigeonhole band trick — split the 64-bit signature
     into 4×16-bit chunks; any pair within hamming ≤ 3 shares at least one
     exact chunk, so candidate generation is 4 equi-joins on a 16-bit key
     (for larger k the verify still filters correctly; recall degrades
-    gracefully). Verification is ``bit_count(a XOR b)``."""
+    gracefully). Verification is ``bit_count(a XOR b)``. ``bucket_cap``
+    salts (chunk, ckey) groups above that size so a viral cluster of
+    same-signature docs can't self-join quadratically (see
+    :func:`_salt_oversized`)."""
     sigs = simhash_signatures(df, text_col, id_col)
     chunks = sigs.select(
         id_col,
@@ -296,11 +339,12 @@ def near_dedup_simhash(
             )
         ).alias("cc"),
     ).select(id_col, "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "ckey")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "ckey")
+    chunks, keys = _salt_oversized(chunks, ["chunk", "ckey"], id_col, bucket_cap)
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), *keys)
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), *keys)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, ["chunk", "ckey"])
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
@@ -315,11 +359,13 @@ def near_dedup_embedding(
     id_col: str = "vec_id",
     threshold: float = 0.99,
     planes: list[list[float]] | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """X2 (embedding flavor): pairs with cosine ≥ threshold. Candidates
     via random-hyperplane bucket equality (near-identical vectors land in
     the same bucket with overwhelming probability); verify with exact
-    double cosine."""
+    double cosine. ``bucket_cap`` salts oversized hyperplane buckets (see
+    :func:`_salt_oversized`)."""
     from ..functions.vectors import cosine_prenormed, norm, to_double
     from .similarity import default_planes
 
@@ -332,10 +378,11 @@ def near_dedup_embedding(
     with_b = df.select(
         F.col(id_col), hyperplane_bits(F.col(vec_col), planes).alias("bucket")
     )
-    a = with_b.select(F.col(id_col).alias("id_a"), "bucket")
-    b = with_b.select(F.col(id_col).alias("id_b"), "bucket")
+    with_b, keys = _salt_oversized(with_b, ["bucket"], id_col, bucket_cap)
+    a = with_b.select(F.col(id_col).alias("id_a"), *keys)
+    b = with_b.select(F.col(id_col).alias("id_b"), *keys)
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -75,6 +75,7 @@ def topk_cosine_lsh(
     n_planes: int = 12,
     n_tables: int = 4,
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` independent random-hyperplane
     sketches; a corpus vector is a candidate when it shares any table's
@@ -82,7 +83,17 @@ def topk_cosine_lsh(
     candidate dedup carry ONLY ids — at real embedding dims, shuffling
     the vectors through candidate generation multiplies exchange bytes by
     ~dim×tables; vectors attach once per surviving pair via two hash
-    joins on pre-normed projections, and each pair pays one dot fold."""
+    joins on pre-normed projections, and each pair pays one dot fold.
+
+    ``bucket_cap`` bounds the corpus side of each (table, bucket): a
+    pathological bucket holding millions of near-identical vectors would
+    otherwise hand every query probing it a quadratic candidate list.
+    Oversized buckets (found via a tiny filtered count, broadcast back)
+    keep a deterministic hash-ordered prefix of ``bucket_cap`` entries;
+    per-query candidates are then ≤ n_tables × bucket_cap. Recall inside
+    a degenerate bucket is the only loss — its members are
+    near-interchangeable by construction. ``None`` disables (plan is
+    bit-identical to uncapped)."""
     from ..functions.vectors import cosine_prenormed, norm, to_double
 
     if dim is None:
@@ -106,6 +117,25 @@ def topk_cosine_lsh(
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
+    if bucket_cap is not None:
+        over = (
+            cb.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > bucket_cap)
+            .select("tbl", "bucket")
+        )
+        # the window (shuffle + sort) runs only on rows inside oversized
+        # buckets — a tiny, broadcast-semi-joined subset; everything else
+        # passes through untouched
+        in_over = cb.join(F.broadcast(over), ["tbl", "bucket"], "left_semi")
+        rest = cb.join(F.broadcast(over), ["tbl", "bucket"], "left_anti")
+        wcap = Window.partitionBy("tbl", "bucket").orderBy(F.xxhash64(F.col("neighbor_id")))
+        capped = (
+            in_over.withColumn("__rn", F.row_number().over(wcap))
+            .where(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
+        cb = rest.unionByName(capped)
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -233,7 +233,7 @@ def dedup_near_minhash(spark, sf_dir):
     The oracle is the brute-force pair scan; banding (8 bands × 4 rows)
     has ~1-1e-7 recall at the injected similarity, so the verified pair
     sets coincide."""
-    return near_dedup_minhash(_injected_docs(spark, sf_dir), threshold=0.6)
+    return near_dedup_minhash(_injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000)
 
 
 @query("dedup_simhash_pairs")
@@ -241,7 +241,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     """X2 (SimHash): 64-bit simhash, pigeonhole chunk candidates, hamming
     verify. Not SQL-expressible (md5-derived bit arithmetic) → rows-only;
     recall/precision asserted in tests/test_pipeline_ops.py."""
-    return near_dedup_simhash(_injected_docs(spark, sf_dir), max_hamming=6)
+    return near_dedup_simhash(_injected_docs(spark, sf_dir), max_hamming=6, bucket_cap=5000)
 
 
 @query(
@@ -305,7 +305,7 @@ def topk_cosine_ann(spark, sf_dir):
     """X3 scale path: multi-table random-hyperplane LSH top-k. Approximate
     (recall asserted ≥0.8 vs brute force in tests) → rows-only."""
     e = load(spark, sf_dir, "embeddings")
-    out = topk_cosine_lsh(e.where(F.col("vec_id") < 50), e, k=5)
+    out = topk_cosine_lsh(e.where(F.col("vec_id") < 50), e, k=5, bucket_cap=5000)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -338,7 +338,7 @@ def dedup_embedding_pairs(spark, sf_dir):
         F.transform(as_double, lambda x: x * 1.001).alias("embedding"),
     )
     corpus = orig.unionByName(pert)
-    return near_dedup_embedding(corpus, threshold=0.99).select("id_a", "id_b")
+    return near_dedup_embedding(corpus, threshold=0.99, bucket_cap=5000).select("id_a", "id_b")
 
 
 # -------------------------------------------------------------- multimodal
