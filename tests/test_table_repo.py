@@ -445,3 +445,34 @@ def test_cluster_by_tightens_rowgroup_stats(spark, tmp_root, sf_dir):
 
     assert span_sum(clustered) < span_sum(plain) / 2
     assert clustered.get_full_df().count() == plain.get_full_df().count()
+
+
+def test_categorical_group_key_roundtrip(spark, tmp_root):
+    """Reference parity (tests/test_core.py:206-210 + core.py:359-360):
+    pandas Categorical partition keys round-trip as strings, and empty
+    categories produce no partition directories. Spark has no categorical
+    dtype — the dictionary-encoded parquet column surfaces as StringType
+    (SURVEY §1.3), and partitionBy only materializes observed values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{tmp_root}/cat_src.parquet"
+    pdf = pd.DataFrame(
+        {
+            "C": pd.Categorical(["A", "B", "A"], categories=list("ABC")),
+            "v": [1, 2, 3],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src)
+
+    df = spark.read.parquet(src)
+    assert dict(df.dtypes)["C"] == "string"  # dictionary-encoded -> string
+
+    t = TableRepo(f"{tmp_root}/cat_tbl", group_cols="C")
+    t.extend(df)
+    dirs = {d for d in os.listdir(t.main_path) if "=" in d}
+    assert dirs == {"C=A", "C=B"}  # empty category "C" gets no dir
+    back = t.get_full_df().toPandas().sort_values("v").reset_index(drop=True)
+    assert list(back["C"]) == ["A", "B", "A"]
+    assert list(back["v"]) == [1, 2, 3]
