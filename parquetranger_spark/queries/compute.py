@@ -320,3 +320,48 @@ def sql_q1_pricing(spark, sf_dir):
     DuckDB, so this also demonstrates dialect-portable SQL."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("pqrs_lineitem_v")
     return spark.sql(_Q1_SQL_BODY.format(src="pqrs_lineitem_v"))
+
+
+@query(
+    "skewed_salted_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+       MIN(event_id) AS min_eid,
+       MAX(event_id) AS max_eid
+FROM events GROUP BY event_type
+""",
+)
+def skewed_salted_agg(spark, sf_dir):
+    """Skew-resistant aggregation surface (functions/skew.py): events'
+    event_type is a handful of hot keys over millions of rows — the shape
+    where a plain groupBy funnels each hot key through one reducer. The
+    salted two-stage plan spreads each key over 16 salt reducers, then
+    merges groups x salts partials. Values route through DECIMAL(28,6) so
+    the split-stage sum is exact and associative — hash-identical to the
+    oracle's single-stage sum regardless of salt layout."""
+    from ..functions.skew import salted_agg
+    from .common import DEC
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast(DEC).alias("__vdec")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total_value": ("sum", "__vdec"),
+            "min_eid": ("min", "event_id"),
+            "max_eid": ("max", "event_id"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_eid",
+        "max_eid",
+    )

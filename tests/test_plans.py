@@ -129,3 +129,19 @@ def test_upsert_no_full_table_child_rewrite(spark, repo, sf_dir, tmp_path):
     assert before == after  # untouched partition's files not rewritten
     got = t.get_full_df().where("l_quantity = 99.0").count()
     assert got == 10
+
+
+def test_salted_agg_two_stage_shape(spark, sf_dir):
+    """The salted plan must show THREE hash-aggregate levels — partial +
+    final over (key, salt), then partial + final over (key) — so a hot
+    key's rows fan over n_salts reducers instead of one."""
+    from parquetranger_spark.functions.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    out = salted_agg(ev, ["event_type"], {"n": ("count", "*")}, n_salts=16)
+    p = plan(out)
+    assert "__pqr_salt" in p  # salt key present in the first-stage agg
+    # two distinct grouping key sets: (event_type, salt) then (event_type)
+    assert p.count("HashAggregate") >= 4
+    # the merge stage groups on the bare key
+    assert "Keys [1]: [event_type" in p or "Keys: [event_type" in p
