@@ -36,9 +36,17 @@ def _lineitem_agg(df):
 @query("extend_roundtrip", oracle=_LINEITEM_AGG_SQL)
 def extend_roundtrip(spark, sf_dir):
     """S1: partitioned append ×2 then full read (reference extend,
-    core.py:91-112)."""
+    core.py:91-112). The scratch table has exactly one writer, so it
+    declares single_writer and appends through the plain committer — the
+    two-phase staging protocol is for roots with concurrent appenders
+    (tests/test_concurrent_writers.py exercises that path)."""
     li = load(spark, sf_dir, "lineitem")
-    t = TableRepo(scratch_dir("extend") + "/lineitem", group_cols="l_returnflag", spark=spark)
+    t = TableRepo(
+        scratch_dir("extend") + "/lineitem",
+        group_cols="l_returnflag",
+        single_writer=True,
+        spark=spark,
+    )
     t.extend(li.where(F.col("l_linenumber") % 2 == 0))
     t.extend(li.where(F.col("l_linenumber") % 2 == 1))
     return _lineitem_agg(t.get_full_df())

@@ -90,6 +90,10 @@ class TableRepo:
     - ``allow_schema_extension``: widen the canonical schema on new
       columns and rewrite old files (reference
       ``allow_metadata_extension``, core.py:405-421).
+    - ``single_writer``: declare that only one job ever appends to this
+      table at a time; appends then use Spark's plain committer directly
+      (one write job, no staging dir or rename fan-out). Leave False when
+      concurrent appends are possible — see ``_two_phase_append``.
     """
 
     def __init__(
@@ -104,6 +108,7 @@ class TableRepo:
         fixed_schema: T.StructType | None = None,
         allow_schema_extension: bool = False,
         cluster_by: str | list[str] | None = None,
+        single_writer: bool = False,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -127,6 +132,7 @@ class TableRepo:
         self.extra_metadata = dict(extra_metadata or {})
         self.fixed_schema = fixed_schema
         self.allow_schema_extension = allow_schema_extension
+        self.single_writer = bool(single_writer)
         self._spark = spark
         if mkdirs:
             self.mkdirs()
@@ -606,7 +612,15 @@ class TableRepo:
         """Commit an append via hidden staging + per-file rename (see
         ``_write``). File names are globally unique (each carries the
         write job's UUID), so renames from concurrent appends never
-        collide; renames are same-filesystem and atomic on local/HDFS."""
+        collide; renames are same-filesystem and atomic on local/HDFS.
+
+        Object-store caveat: on S3-class stores rename is copy+delete and
+        NOT atomic, so this protocol degrades there — a reader can observe
+        a half-copied file and the commit pays a full extra data copy. On
+        such stores either declare ``single_writer=True`` (plain committer,
+        no renames) or front the table with a manifest-committing layer;
+        the long-term answer for concurrent object-store appends is a
+        manifest commit (single CAS of a file list), not renames."""
         import uuid
 
         staging = join_path(self.main_path, f".pqrs_staging_{uuid.uuid4().hex[:12]}")
@@ -656,7 +670,7 @@ class TableRepo:
             # whole row groups — the poor-man's z-order, free at write
             # time beyond the sort. No shuffle: the sort is per-partition.
             df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
-        if mode == "append":
+        if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are
             # NOT safe — all jobs share the committer's _temporary/0
             # staging dir and one job's commit cleanup deletes the other's
@@ -666,7 +680,8 @@ class TableRepo:
             # finished files into place — same-filesystem renames of
             # uniquely-named immutable files, so interleaved appends
             # compose and a crashed append leaves only an ignorable
-            # staging dir, never partial visible data.
+            # staging dir, never partial visible data. A table declared
+            # single_writer skips all of this and pays one plain write job.
             self._two_phase_append(df)
             return
         w = df.write.mode(mode)

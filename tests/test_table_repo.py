@@ -476,3 +476,18 @@ def test_categorical_group_key_roundtrip(spark, tmp_root):
     back = t.get_full_df().toPandas().sort_values("v").reset_index(drop=True)
     assert list(back["C"]) == ["A", "B", "A"]
     assert list(back["v"]) == [1, 2, 3]
+
+
+def test_single_writer_append_roundtrip(spark, tmp_root):
+    """single_writer=True appends go through the plain committer (one write
+    job, no staging/rename commit) and compose across calls."""
+    t = TableRepo(f"{tmp_root}/sw", group_cols="c", single_writer=True)
+    df1 = spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)], "k int, c string, v double")
+    df2 = spark.createDataFrame([(3, "x", 3.0)], "k int, c string, v double")
+    t.extend(df1)
+    t.extend(df2)
+    assert {"c=x", "c=y"} <= set(os.listdir(t.main_path))
+    back = sorted(tuple(r) for r in t.get_full_df().select("k", "c", "v").collect())
+    assert back == [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)]
+    # no staging leftovers on the happy path
+    assert not [d for d in os.listdir(t.main_path) if d.startswith(".pqrs_staging")]
