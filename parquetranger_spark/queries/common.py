@@ -51,3 +51,22 @@ def md5_mod_sql(expr: str, num_groups: int) -> str:
         chunk = f"CAST(concat('0x', substr({h}, {1 + 8 * i}, 8)) AS BIGINT)"
         acc = f"(({acc}) * 4294967296 + {chunk}) % {num_groups}"
     return f"({acc})"
+
+
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim(sf_dir: str, table: str = "embeddings", col: str = "embedding") -> int:
+    """Embedding dimensionality for a local parquet table, read driver-side
+    from ONE one-row pyarrow batch — no Spark job (the ANN operators would
+    otherwise run a tiny ``select(size(col)).first()`` job per call just to
+    size their hyperplanes). Cached per path; local-path queries only (the
+    declared-query contract — operators still self-discover when callers
+    pass nothing)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if path not in _DIM_CACHE:
+        import pyarrow.parquet as pq
+
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
+        _DIM_CACHE[path] = len(batch.column(0)[0])
+    return _DIM_CACHE[path]

@@ -23,7 +23,7 @@ from ..operators.events import session_stats
 from ..operators.similarity import topk_cosine_bruteforce, topk_cosine_lsh
 from ..sources.table_repo import TableRepo
 from . import query
-from .common import dsum, dsum_sql, load, scratch_dir
+from .common import dsum, dsum_sql, embedding_dim, load, scratch_dir
 
 # ---------------------------------------------------------------- SQL helpers
 
@@ -305,7 +305,13 @@ def topk_cosine_ann(spark, sf_dir):
     """X3 scale path: multi-table random-hyperplane LSH top-k. Approximate
     (recall asserted ≥0.8 vs brute force in tests) → rows-only."""
     e = load(spark, sf_dir, "embeddings")
-    out = topk_cosine_lsh(e.where(F.col("vec_id") < 50), e, k=5, bucket_cap=5000)
+    out = topk_cosine_lsh(
+        e.where(F.col("vec_id") < 50),
+        e,
+        k=5,
+        bucket_cap=5000,
+        dim=embedding_dim(sf_dir),
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
