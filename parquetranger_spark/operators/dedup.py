@@ -360,6 +360,7 @@ def near_dedup_embedding(
     threshold: float = 0.99,
     planes: list[list[float]] | None = None,
     bucket_cap: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """X2 (embedding flavor): pairs with cosine ≥ threshold. Candidates
     via random-hyperplane bucket equality (near-identical vectors land in
@@ -369,7 +370,9 @@ def near_dedup_embedding(
     from ..functions.vectors import cosine_prenormed, norm, to_double
     from .similarity import default_planes
 
-    planes = planes or default_planes(dim=_vec_dim(df, vec_col), n_planes=16)
+    # dim= lets callers skip the tiny-but-real select(size).first() probe
+    # job; query layer reads it from the parquet footer driver-side
+    planes = planes or default_planes(dim=dim or _vec_dim(df, vec_col), n_planes=16)
     # the bucket self-join and pair dedup carry ONLY ids (shuffling
     # vectors through candidate generation multiplies exchange bytes by
     # the embedding dim); vectors attach once per candidate pair via two

@@ -32,10 +32,25 @@ def dmean_sql(expr: str, alias: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    # rejects; read as epoch-nanos long (exact) and derive instants on use
+    # events.parquet has stored TIMESTAMP(NANOS) in some testdata
+    # generations (which Spark's parquet reader rejects without this flag)
+    # and TIMESTAMP(MICROS) in others; read nanos as epoch-nanos long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events":
+        # engine-wide convention: events.ts is epoch-nanos long (exact
+        # integer arithmetic for bucketing/as-of/range logic; the DuckDB
+        # oracles use epoch_ns(ts), unit-independent). Normalize a
+        # micros-timestamp generation to the same convention: NTZ wall
+        # clock → UTC instant (session TZ is UTC) → nanos.
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(df.schema["ts"].dataType, (TimestampType, TimestampNTZType)):
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+            )
+    return df
 
 
 def scratch_dir(name: str) -> str:

@@ -344,7 +344,9 @@ def dedup_embedding_pairs(spark, sf_dir):
         F.transform(as_double, lambda x: x * 1.001).alias("embedding"),
     )
     corpus = orig.unionByName(pert)
-    return near_dedup_embedding(corpus, threshold=0.99, bucket_cap=5000).select("id_a", "id_b")
+    return near_dedup_embedding(
+        corpus, threshold=0.99, bucket_cap=5000, dim=embedding_dim(sf_dir)
+    ).select("id_a", "id_b")
 
 
 # -------------------------------------------------------------- multimodal
