@@ -92,3 +92,19 @@ def stable_sample_pred(expr: Column, hex_prefix_max: str = "32") -> Column:
     subsampling requires. Pure Column expression evaluated inside
     whole-stage codegen right above the scan — no shuffle, no Python."""
     return F.md5(expr.cast("string")).substr(1, 2) <= F.lit(hex_prefix_max)
+
+
+def stratified_sample_pred(
+    key: Column, stratum: Column, hex_max_by_stratum: dict[str, str], default_hex_max: str
+) -> Column:
+    """Per-stratum deterministic hash sampling: like
+    :func:`stable_sample_pred` but the keep-rate varies by stratum (e.g.
+    downsample an over-represented language harder). The rate lookup is a
+    CASE chain over the stratum column — still a pure Column expression
+    with no shuffle and no Python, and still a stable function of the row
+    key, so re-running the pipeline (or running it on a different cluster
+    layout) selects the identical subsample per stratum."""
+    rate = F.lit(default_hex_max)
+    for s, hx in sorted(hex_max_by_stratum.items()):
+        rate = F.when(stratum == s, F.lit(hx)).otherwise(rate)
+    return F.md5(key.cast("string")).substr(1, 2) <= rate

@@ -365,3 +365,167 @@ def skewed_salted_agg(spark, sf_dir):
         "min_eid",
         "max_eid",
     )
+
+
+@query(
+    "events_cube",
+    oracle=f"""
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<all>' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(day_bucket) = 1 THEN -1 ELSE day_bucket END AS day_bucket,
+       count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day_bucket, value
+  FROM events
+)
+GROUP BY CUBE (event_type, day_bucket)
+""",
+)
+def events_cube(spark, sf_dir):
+    """Full CUBE over (event_type, day): leaf cells, both one-dimension
+    margins, and the grand total from ONE aggregation pass — Spark expands
+    the four grouping sets before a single map-side-combined hash
+    aggregate, so the input is scanned once regardless of how many margins
+    the cube adds. GROUPING() markers distinguish the rolled-up levels
+    from genuine NULL keys; sentinel values keep the oracle comparison
+    null-safe."""
+    ev = load(spark, sf_dir, "events")
+    db = F.expr("ts div 86400000000000").alias("day_bucket")
+    return (
+        ev.select("event_type", db, "value")
+        .cube("event_type", "day_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            F.grouping("event_type").alias("__g_et"),
+            F.grouping("day_bucket").alias("__g_db"),
+        )
+        .select(
+            F.when(F.col("__g_et") == 1, F.lit("<all>"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("__g_db") == 1, F.lit(-1))
+            .otherwise(F.col("day_bucket"))
+            .alias("day_bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# pivot needs the value list up front: passing it skips the extra
+# distinct-scan job Spark otherwise runs to discover the columns — at
+# 100 TB that discovery pass costs a full shuffle of the pivot key
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_types",
+    oracle=f"""
+SELECT user_id,
+       {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_types(spark, sf_dir):
+    """Relational pivot: per-user event counts fanned into one column per
+    event type — a single hash aggregate on user_id (the pivot turns into
+    count(CASE...) expressions, no extra shuffle). Missing cells surface
+    as 0 to match the oracle's COUNT semantics."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""",
+)
+def pivot_unpivot_roundtrip(spark, sf_dir):
+    """Pivot → unpivot round trip: the per-user wide frame melts back to
+    (user_id, event_type, n) via ``unpivot`` (Spark's native melt) and
+    re-aggregates to the original per-type totals — pinning that the two
+    reshapes are exact inverses on the non-null surface."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    long = wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n_user")
+    return (
+        long.where(F.col("n_user").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("n_user").alias("n"))
+    )
+
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+GROUP BY l.l_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_q3_top_orders", oracle=_Q3_SQL)
+def sql_q3_top_orders(spark, sf_dir):
+    """TPC-H-Q3-shaped multi-join: filtered customer dim (≈1/5 of an
+    already-small table) broadcast into orders, the survivors shuffled
+    onto lineitem on the join key, one hash aggregate, global top-10 by
+    revenue (TakeOrderedAndProject — each partition contributes its local
+    top-10, never a full sort). The revenue tie-break is the unique order
+    key so the limit is deterministic."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = load(spark, sf_dir, "lineitem")
+    joined = (
+        F.broadcast(cust.select("c_custkey"))
+        .join(orders.select("o_custkey", "o_orderkey", "o_orderpriority"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@query(
+    "events_dim_join_agg",
+    oracle=f"""
+SELECT c.c_mktsegment, count(*) AS n, {dsum_sql('e.value', 'sum_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def events_dim_join_agg(spark, sf_dir):
+    """Fact-to-dimension enrichment: the big skewed fact stream joins a
+    small dim with an explicit broadcast — zero shuffle of the fact side;
+    the only exchange is the 5-row aggregate. The shape every event
+    pipeline runs constantly, and the one where forgetting the broadcast
+    costs a full fact shuffle at 100 TB."""
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

@@ -271,3 +271,95 @@ def tfidf_top_terms(spark, sf_dir):
     )
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "term")
     return scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT lang, count(*) AS n_kept FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+      CASE WHEN lang = 'en' THEN '19' ELSE '7f' END
+GROUP BY lang
+""",
+)
+def stratified_sample(spark, sf_dir):
+    """X7: stratified deterministic sampling — the over-represented
+    language ('en') keeps ~10% (hex prefix ≤ '19' = 26/256) while the
+    rest keep 50% ('7f' = 128/256), rebalancing the corpus in one
+    scan-level predicate (operators/curation.py::stratified_sample_pred).
+    Selection is a pure function of doc_id, so the subsample is identical
+    across engines, runs, and cluster layouts."""
+    from ..operators.curation import stratified_sample_pred
+
+    d = load(spark, sf_dir, "documents")
+    pred = stratified_sample_pred(
+        F.col("doc_id"), F.col("lang"), {"en": "19"}, default_hex_max="7f"
+    )
+    return d.where(pred).groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
+    "doc_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, u.s AS start_tok, toks, n
+  FROM s, UNNEST(generate_series(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))) AS u(s)
+)
+SELECT doc_id, start_tok // 24 AS chunk_idx,
+       LEAST(CAST(32 AS BIGINT), n - start_tok) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
+FROM c
+""",
+)
+def doc_chunks(spark, sf_dir):
+    """X7: fixed-size token chunking with overlap (32-token chunks every
+    24 tokens) — the pass that turns documents into embedding / training
+    context windows (operators/packing.py::chunk_documents). Whole plan is
+    split → sequence → posexplode → slice inside one codegen stage: zero
+    shuffle, zero Python. Chunk text surfaces as md5 so the value-exact
+    compare stays compact."""
+    from ..operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, stride=24)
+
+
+@query(
+    "docs_pack_bins",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split_regex(text, '\s+')) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+           AS cum_before
+  FROM d
+)
+SELECT shard, cum_before // 512 AS bin_id, count(*) AS n_docs, SUM(n_toks) AS total_tokens
+FROM c GROUP BY shard, bin_id
+""",
+)
+def docs_pack_bins(spark, sf_dir):
+    """X7: offset-based sequence packing — documents laid end-to-end per
+    shard in doc_id order, binned into 512-token context budgets
+    (operators/packing.py::pack_by_offset), summarized per (shard, bin).
+    One shard-local window pass; shards bound the sort so the pack
+    parallelizes at any corpus size instead of needing a global order."""
+    from ..operators.packing import pack_by_offset
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    packed = pack_by_offset(toks, capacity=512, n_shards=8)
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens")
+    )
