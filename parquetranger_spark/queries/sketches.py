@@ -87,7 +87,15 @@ def stream_dedup_exact(spark, sf_dir):
         )
     )
     corpus.write.mode("overwrite").parquet(f"{root}/src")
-    n_docs = corpus.count()
+    # input count from the just-written footers — a corpus.count() here
+    # would re-scan (and recompute) the frame it just materialized
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_docs = sum(
+        _pq.ParquetFile(p).metadata.num_rows for p in _glob.glob(f"{root}/src/*.parquet")
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .parquet(f"{root}/src")

@@ -563,7 +563,10 @@ class TableRepo:
         if self.group_cols:
             df = df.repartition(*[F.col(c) for c in self.group_cols])
         else:
-            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+            # 8:1 target from the file listing (already in hand) — touching
+            # df.rdd here would spin up RDD conversion machinery just to
+            # count scan splits
+            df = df.coalesce(max(1, self.n_files // 8))
         df = df.localCheckpoint(eager=True)
         self._write(df, mode="overwrite", dynamic=bool(self.group_cols))
 
