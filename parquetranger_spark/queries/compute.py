@@ -529,3 +529,33 @@ def events_dim_join_agg(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+@query(
+    "sql_q18_big_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(28,6))) > 150
+""",
+)
+def sql_q18_big_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume-order filter: join orders to
+    lineitem on the order key, aggregate quantities, keep orders above a
+    threshold. The HAVING comparison runs on the DECIMAL sum (exact, so
+    the engine and oracle keep identical rows at the boundary); the join
+    and the aggregation share the l_orderkey hash partitioning, so the
+    agg adds no second shuffle."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    agg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("__qty"))
+        .where(F.col("__qty") > 150)
+    )
+    return agg.select(
+        "o_orderkey", "o_totalprice", F.col("__qty").cast("double").alias("total_qty")
+    )

@@ -363,3 +363,82 @@ def docs_pack_bins(spark, sf_dir):
     return packed.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("total_tokens")
     )
+
+
+@query(
+    "top_bigrams",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+b AS (
+  SELECT array_to_string(list_slice(toks, u.g, u.g + 1), ' ') AS bigram
+  FROM s, UNNEST(generate_series(CAST(1 AS BIGINT), n - 1)) AS u(g)
+)
+SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+)
+def top_bigrams(spark, sf_dir):
+    """X4/X7: corpus-level top-20 bigrams — the n-gram statistic that
+    surfaces boilerplate and benchmark contamination. Bigrams are built
+    in-place from the token array (transform over an index sequence —
+    no self-join of exploded tokens, which would shuffle the corpus
+    against itself), then one map-side-combined count and a
+    TakeOrderedAndProject top-k (per-partition top-20, never a global
+    sort)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(toks.alias("__t"), F.size(toks).alias("__n")).where(F.col("__n") >= 2)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.concat_ws(" ", F.col("__t")[i - 1], F.col("__t")[i]),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "word_commonness_score",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+freq AS (SELECT word, count(*) AS c FROM w GROUP BY word)
+SELECT w.doc_id, count(*) AS n_words,
+       SUM(freq.c) AS sum_freq,
+       CAST(SUM(freq.c) AS DOUBLE) / count(*) AS commonness
+FROM w JOIN freq USING (word)
+GROUP BY w.doc_id
+""",
+)
+def word_commonness_score(spark, sf_dir):
+    """X7: unigram-LM-style quality signal — each document scored by the
+    average corpus frequency of its words (fluent text reuses the
+    corpus's common vocabulary; gibberish and boilerplate-with-rare-
+    tokens score low). Two-pass shape: one map-side-combined vocabulary
+    count, then token→frequency equi-join re-aggregated per document.
+    The score stays integer-exact until one final double division, so
+    it hash-matches across engines — the log-prob variant would differ
+    in the last ulp of libm."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        words.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c").alias("sum_freq"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("commonness"),
+        )
+    )
