@@ -145,3 +145,27 @@ def test_salted_agg_two_stage_shape(spark, sf_dir):
     assert p.count("HashAggregate") >= 4
     # the merge stage groups on the bare key
     assert "Keys [1]: [event_type" in p or "Keys: [event_type" in p
+
+
+def test_q18_agg_reuses_join_partitioning(spark, sf_dir):
+    """Grouping keys ⊇ join key: the aggregate must reuse the join's hash
+    partitioning — exactly one exchange per join side, none for the agg
+    (the property that matters when both sides are too big to broadcast)."""
+    from parquetranger_spark.queries.compute import sql_q18_big_orders
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(sql_q18_big_orders(spark, sf_dir), "simple")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert p.count("Exchange") == 2, p
+
+
+def test_q3_top_orders_broadcasts_dim_and_takes_ordered(spark, sf_dir):
+    from parquetranger_spark.queries.compute import sql_q3_top_orders
+
+    p = plan(sql_q3_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # per-partition top-10, no global sort
