@@ -203,3 +203,49 @@ def events_hll_union(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@query(
+    "stream_incremental_rollup",
+    oracle="""
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_incremental_rollup(spark, sf_dir):
+    """X9/X6: incrementally-maintained materialized rollup — the event
+    stream lands as per-batch partial aggregates merged additively into a
+    grouped TableRepo (streaming/ingest.py::incremental_rollup_into_repo),
+    3 micro-batches via maxFilesPerTrigger. Partial sums ride DECIMAL, so
+    the materialized table is bit-identical to the one-shot batch
+    aggregate the oracle runs — the incremental-pipeline shape where
+    history is never re-scanned."""
+    from ..sources.table_repo import TableRepo
+    from ..streaming.ingest import incremental_rollup_into_repo
+    from .common import DEC, scratch_dir
+
+    root = scratch_dir("incroll")
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("ts div 3600000000000").alias("hour_bucket"), "event_type", "value"
+    )
+    ev.repartition(6).write.mode("overwrite").parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("hour_bucket long, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{root}/src")
+        .withColumn("value_dec", F.col("value").cast(DEC))
+        .drop("value")
+    )
+    t = TableRepo(f"{root}/rollup", group_cols="event_type", spark=spark)
+    q = incremental_rollup_into_repo(
+        stream, t, ["event_type", "hour_bucket"], ["value_dec"], f"{root}/ckpt"
+    )
+    q.awaitTermination(600)
+    return t.get_full_df().select(
+        "hour_bucket",
+        "event_type",
+        "n",
+        F.col("value_dec").cast("double").alias("sum_value"),
+    )

@@ -118,3 +118,64 @@ def state_partitions(spark, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def incremental_rollup_into_repo(
+    stream_df: DataFrame,
+    trepo: TableRepo,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint: str,
+    count_col: str = "n",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Incrementally-maintained materialized aggregate: each micro-batch
+    is reduced to a partial aggregate (count + sums per key) and merged
+    ADDITIVELY into a TableRepo snapshot — the rollup table is always the
+    exact aggregate of everything ingested so far, without ever
+    re-scanning history.
+
+    Exactness: ``sum_cols`` must already be DECIMAL (decimal addition is
+    associative), so the final state is bit-identical to a one-shot batch
+    aggregate regardless of how the stream was micro-batched.
+
+    Scale shape: the per-batch merge touches only the partitions whose
+    group values appear in the batch (partition-pruned read +
+    ``replace_groups`` dynamic overwrite), so the cost per epoch is
+    O(batch + touched partitions) — not O(table). The repo must be
+    grouped by the first key. The driver-side collect is of distinct
+    partition values only (bounded by partition cardinality, never rows).
+    """
+    gc = trepo.group_cols[0]
+    assert gc == keys[0], "repo must be grouped by the first rollup key"
+
+    def aggs():
+        return [F.count(F.lit(1)).alias(count_col)] + [
+            F.sum(F.col(c)).alias(c) for c in sum_cols
+        ]
+
+    def merge_aggs():
+        return [F.sum(F.col(count_col)).alias(count_col)] + [
+            F.sum(F.col(c)).alias(c) for c in sum_cols
+        ]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = batch_df.groupBy(*keys).agg(*aggs())
+        touched = [r[0] for r in partial.select(gc).distinct().collect()]
+        if trepo.paths:
+            existing = trepo.get_full_df().where(F.col(gc).isin(touched))
+            merged = (
+                existing.unionByName(partial).groupBy(*keys).agg(*merge_aggs())
+            )
+        else:
+            merged = partial
+        trepo.replace_groups(merged.localCheckpoint(eager=True))
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -259,3 +259,44 @@ def test_df_batch_writer_honors_record_limit_adaptively(spark, tmp_root):
     assert w.written_count == before + 8
     w.close()
     assert t.get_full_df().count() == 16
+
+
+def test_incremental_rollup_multi_batch_exact(spark, tmp_path):
+    """The additively-merged rollup must equal the one-shot batch aggregate
+    bit-for-bit, and must actually have been built across multiple epochs
+    (maxFilesPerTrigger=1 over 4 source files)."""
+    import pyspark.sql.functions as F
+
+    from parquetranger_spark.sources.table_repo import TableRepo
+    from parquetranger_spark.streaming.ingest import incremental_rollup_into_repo
+
+    rows = [(i % 3, f"g{i % 2}", float(i) + 0.125) for i in range(400)]
+    src = spark.createDataFrame(rows, "bucket long, grp string, value double")
+    src.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "src"))
+    stream = (
+        spark.readStream.schema("bucket long, grp string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+        .withColumn("value_dec", F.col("value").cast("decimal(28,6)"))
+        .drop("value")
+    )
+    t = TableRepo(str(tmp_path / "rollup"), group_cols="grp", spark=spark)
+    q = incremental_rollup_into_repo(
+        stream, t, ["grp", "bucket"], ["value_dec"], str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 2, q.lastProgress
+    got = {
+        (r.grp, r.bucket): (r.n, r.value_dec)
+        for r in t.get_full_df().collect()
+    }
+    want = {
+        (r.grp, r.bucket): (r.n, r.value_dec)
+        for r in src.groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("value_dec"),
+        )
+        .collect()
+    }
+    assert got == want
