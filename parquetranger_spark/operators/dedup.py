@@ -407,6 +407,68 @@ def near_dedup_embedding(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise matches into dedup clusters (keep one
+    representative per component, drop the rest).
+
+    HashMin label propagation: every vertex starts labeled with its own
+    id; each round pushes labels across edges and keeps the minimum, so
+    labels converge to the component-minimum id in O(graph diameter)
+    rounds. Near-dup graphs are cliquish (diameter 2-3), so a handful of
+    rounds suffices; ``max_iter`` bounds pathological chains. For
+    planet-scale graphs the round-compressing large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") drops the round count to O(log n) — same per-round shape.
+
+    Per round: one equi-join (edges ⋈ labels, shuffled on vertex id) and
+    one min-aggregate; labels are eagerly localCheckpoint-ed so lineage
+    stays flat, and the (small) edge list is persisted across rounds.
+    The convergence probe is a count action per round — an aggregate,
+    never a data-sized collect. Returns (id, component) where component
+    is the minimum reachable vertex id; only vertices that appear in at
+    least one pair are returned (singletons need no dedup decision).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            msgs = edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "component")
+            new_labels = (
+                msgs.unionByName(labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels
+
+
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"]) if row else 0

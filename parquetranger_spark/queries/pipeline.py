@@ -540,3 +540,58 @@ def bpe_token_stats(spark, sf_dir):
         F.sum(F.size(F.array_distinct(bt))).alias("distinct_bpe"),
         F.max(F.size(bt)).alias("max_bpe"),
     )
+
+
+@query(
+    "dedup_cluster_reps",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
+sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+-- MATERIALIZED: the recursion references these CTEs repeatedly and the
+-- default inlining would re-run the brute-force pair scan per reference
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src, dst FROM reach
+  UNION SELECT DISTINCT src, src FROM edges
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM closure GROUP BY src)
+SELECT component, count(*) AS cluster_size, CAST(SUM(id) AS BIGINT) AS sum_ids
+FROM comp GROUP BY component
+""",
+)
+def dedup_cluster_reps(spark, sf_dir):
+    """X2 completion: near-dup pairs → connected components → one
+    representative (minimum id) per duplicate cluster
+    (operators/dedup.py::connected_components, HashMin label
+    propagation). The oracle computes the same components by recursive
+    transitive closure — tractable for DuckDB at oracle scale, which is
+    exactly why the engine side uses the O(diameter)-round propagation
+    instead. Only docs appearing in ≥1 pair are clustered (singletons
+    need no dedup decision)."""
+    from ..operators.dedup import connected_components, near_dedup_minhash
+
+    pairs = near_dedup_minhash(
+        _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
+    ).select("id_a", "id_b")
+    # materialize the pair list once: the propagation loop's per-round
+    # actions would otherwise re-derive the whole minhash pipeline
+    # through the un-materialized lineage
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
+    )

@@ -261,3 +261,17 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_join(li, dim, ["l_returnflag"], how="full")
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chains (worst diameter), cliques, and isolated pairs resolve to
+    min-id components within max_iter."""
+    from parquetranger_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair (20,21)
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
