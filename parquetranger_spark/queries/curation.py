@@ -442,3 +442,105 @@ def word_commonness_score(spark, sf_dir):
             (F.sum("c").cast("double") / F.count(F.lit(1))).alias("commonness"),
         )
     )
+
+
+def _ngram_md5s(n: int):
+    """Spark: md5 of each space-joined n-token window of column __t."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__t")) - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i, n))),
+    )
+
+
+@query(
+    "shared_ngram_spans",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+ngrams AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, u.g, u.g + 7), ' ')) AS h
+  FROM s, UNNEST(generate_series(CAST(1 AS BIGINT), n - 7)) AS u(g)
+),
+spans AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM ngrams GROUP BY h
+)
+SELECT count(*) AS n_shared_spans, CAST(SUM(n_docs) AS BIGINT) AS total_occurrences
+FROM spans WHERE n_docs > 1
+""",
+)
+def shared_ngram_spans(spark, sf_dir):
+    """X7: exact-substring overlap detection — 8-token spans appearing in
+    more than one document (the Lee-et-al.-style signal for verbatim
+    cross-document duplication that near-dup similarity misses). Spans are
+    built in place from the token array and md5-narrowed before the
+    count, so the shuffle carries 16-byte keys; one map-side-combined
+    distinct-count per span."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    base = corpus.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__t")
+    ).where(F.size("__t") >= 8)
+    ngrams = base.select("doc_id", F.explode(_ngram_md5s(8)).alias("h"))
+    spans = ngrams.groupBy("h").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return spans.where(F.col("n_docs") > 1).agg(
+        F.count(F.lit(1)).alias("n_shared_spans"),
+        F.sum("n_docs").alias("total_occurrences"),
+    )
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=r"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+ngrams AS (
+  SELECT doc_id, lang, md5(array_to_string(list_slice(toks, u.g, u.g + 7), ' ')) AS h
+  FROM s, UNNEST(generate_series(CAST(1 AS BIGINT), n - 7)) AS u(g)
+),
+bench AS (SELECT DISTINCT h FROM ngrams WHERE doc_id % 50 = 0),
+flagged AS (
+  SELECT DISTINCT c.doc_id FROM ngrams c JOIN bench USING (h)
+  WHERE c.doc_id % 50 <> 0
+)
+SELECT d.lang, count(*) AS n_docs,
+       COUNT(CASE WHEN f.doc_id IS NOT NULL THEN 1 END) AS n_flagged
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.lang
+""",
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """X7: benchmark decontamination — flag corpus documents sharing any
+    8-token span with a benchmark set (docs with doc_id % 50 == 0 stand
+    in for the eval suite). The benchmark n-gram set is small by nature,
+    so it broadcasts and the corpus side never shuffles — the plan that
+    lets a 100 TB pretraining corpus be decontaminated in one scan.
+    Flagged membership resolves via a distinct semi-join; per-language
+    flag counts are the audit surface."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = d.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("__t")
+    ).where(F.size("__t") >= 8)
+    ngrams = base.select("doc_id", F.explode(_ngram_md5s(8)).alias("h"))
+    bench = ngrams.where(F.col("doc_id") % 50 == 0).select("h").distinct()
+    flagged = (
+        ngrams.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") % 50 != 0).join(
+        flagged.withColumn("__f", F.lit(1)), "doc_id", "left"
+    )
+    return corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.count("__f").alias("n_flagged")
+    )
