@@ -132,3 +132,48 @@ def funnel_stages(
     )
     per_user = df.select(F.col(user_col), stage_expr.alias("stage")).distinct()
     return per_user.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    out_col: str = "asof_ts",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the smallest right ``ts_col`` ≥ the left
+    row's (same keys), optionally within ``tolerance`` time units — the
+    forward twin of :func:`asof_join_backward` (pandas
+    ``merge_asof(direction='forward')``).
+
+    Same one-shuffle shape: union tagged sides, one window ordered
+    DESCENDING carrying ``last(right_ts, ignorenulls)`` — right rows sort
+    before left rows at equal timestamps (so ≥ ties match), and the
+    running last over the descending order is exactly the forward
+    minimum. ``tolerance`` applies as a residual null-out, never a join
+    predicate. Left rows with no following right row (or none inside the
+    tolerance) get null.
+    """
+    l_cols = left.columns
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        *key_cols, F.col(ts_col), F.lit(0).alias("__side")
+    ).withColumn("__r_ts", F.col(ts_col))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn(out_col, F.last("__r_ts", ignorenulls=True).over(w)).where(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        out = out.withColumn(
+            out_col,
+            F.when(
+                F.col(out_col) <= F.col(ts_col) + F.lit(tolerance), F.col(out_col)
+            ),
+        )
+    return out.select(*l_cols, out_col)

@@ -544,3 +544,41 @@ def decontaminate_ngrams(spark, sf_dir):
     return corpus.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.count("__f").alias("n_flagged")
     )
+
+
+@query(
+    "events_asof_forward",
+    oracle="""
+SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+       (SELECT min(epoch_us(p.ts)) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+          AND epoch_us(p.ts) >= epoch_us(v.ts)
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + 600000000) AS next_purchase_us
+FROM events v WHERE v.event_type = 'view'
+""",
+)
+def events_asof_forward(spark, sf_dir):
+    """X8: forward as-of join with tolerance — each view gets the same
+    user's NEXT purchase timestamp within 10 minutes
+    (operators/temporal.py::asof_join_forward: union + one descending
+    window, tolerance as residual null-out — one shuffle, no inequality
+    join). The oracle's correlated min-subquery states the same
+    semantics declaratively."""
+    from ..operators.temporal import asof_join_forward
+
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("ts_us")
+    )
+    return asof_join_forward(
+        views,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        out_col="next_purchase_us",
+        tolerance=600_000_000,
+    )

@@ -142,3 +142,24 @@ def test_topk_per_group_pushes_group_limit(spark, sf_dir):
         .toString()
     )
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_asof_forward_ties_and_tolerance(spark):
+    """Forward as-of: equal timestamps match (>= semantics); the nearest
+    following right row wins; tolerance nulls out matches too far ahead."""
+    from parquetranger_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 250), (2, 100), (3, 500)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100), (1, 300), (2, 90), (2, 1000), (3, 400)], "k long, ts long"
+    )
+    out = asof_join_forward(left, right, ["k"], "ts", "nxt", tolerance=200)
+    got = {(r.k, r.ts): r.nxt for r in out.collect()}
+    assert got == {
+        (1, 100): 100,   # exact tie matches
+        (1, 250): 300,   # nearest following
+        (2, 100): None,  # 1000 is beyond tolerance 200
+        (3, 500): None,  # no following right row at all
+    }
