@@ -94,3 +94,63 @@ def test_dim_join_agg_broadcasts(spark, sf_dir):
 
     p = plan(events_dim_join_agg(spark, sf_dir))
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+DOC = st.lists(WORD, min_size=1, max_size=30).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(DOC, min_size=1, max_size=6), data=st.data())
+def test_chunk_documents_covers_every_token(spark, docs, data):
+    """Every token position is covered, chunk starts advance by exactly
+    stride, and per-chunk token counts match the python reference."""
+    chunk_size = data.draw(st.integers(2, 6))
+    stride = data.draw(st.integers(1, chunk_size))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.n_tokens
+    for i, doc in enumerate(docs):
+        n = len(doc.split(" "))
+        starts = list(range(0, n, stride))
+        want = {j: min(chunk_size, n - s) for j, s in enumerate(starts)}
+        assert by_doc[i] == want, (doc, chunk_size, stride)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(1, 300), min_size=1, max_size=20),
+    capacity=st.integers(50, 400),
+)
+def test_pack_by_offset_matches_python_reference(spark, counts, capacity):
+    """Bin assignment equals the python offset-packing reference: every
+    doc assigned exactly once, to floor(cum_before / capacity) of its
+    shard-ordered prefix sum."""
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_by_offset(df, capacity=capacity, n_shards=4)
+    got = {(r.shard, r.doc_id): r.bin_id for r in out.collect()}
+    want = {}
+    for shard in range(4):
+        cum = 0
+        for i, c in sorted(rows):
+            if i % 4 != shard:
+                continue
+            want[(shard, i)] = cum // capacity
+            cum += c
+    assert got == want
