@@ -136,8 +136,18 @@ def _salt_oversized(
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > cap)
     )
+    # materialize the oversized set to the driver ONCE: it is bounded by
+    # rows/cap and in practice a handful of viral buckets (the broadcast
+    # below already implies driver-size-bounded). Lazily embedding the
+    # aggregate in the join would re-run its shuffle inside each broadcast
+    # side — measured 2-3x on the minhash headline — and the common
+    # no-viral-bucket case can skip the salting joins entirely.
+    over_rows = over.collect()
+    if not over_rows:
+        return bb, keys
+    over_df = bb.sparkSession.createDataFrame(over_rows, schema=over.schema)
     n_salts = F.ceil(F.col("__n") / F.lit(float(cap))).cast("int")
-    salted = bb.join(F.broadcast(over), keys, "left").withColumn(
+    salted = bb.join(F.broadcast(over_df), keys, "left").withColumn(
         "__salt",
         F.when(F.col("__n").isNull(), F.lit(0)).otherwise(
             F.pmod(F.xxhash64(F.col(id_col)), n_salts).cast("int")

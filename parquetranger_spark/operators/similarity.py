@@ -124,18 +124,29 @@ def topk_cosine_lsh(
             .where(F.col("__n") > bucket_cap)
             .select("tbl", "bucket")
         )
-        # the window (shuffle + sort) runs only on rows inside oversized
-        # buckets — a tiny, broadcast-semi-joined subset; everything else
-        # passes through untouched
-        in_over = cb.join(F.broadcast(over), ["tbl", "bucket"], "left_semi")
-        rest = cb.join(F.broadcast(over), ["tbl", "bucket"], "left_anti")
-        wcap = Window.partitionBy("tbl", "bucket").orderBy(F.xxhash64(F.col("neighbor_id")))
-        capped = (
-            in_over.withColumn("__rn", F.row_number().over(wcap))
-            .where(F.col("__rn") <= bucket_cap)
-            .drop("__rn")
-        )
-        cb = rest.unionByName(capped)
+        # materialize the oversized set to the driver once (bounded by
+        # rows/cap; broadcast already implies driver-size-bounded) — the
+        # lazy aggregate would re-run inside each broadcast side, and the
+        # common no-viral-bucket case skips the capping joins entirely
+        over_rows = over.collect()
+        if over_rows:
+            over_df = F.broadcast(
+                corpus.sparkSession.createDataFrame(over_rows, schema=over.schema)
+            )
+            # the window (shuffle + sort) runs only on rows inside
+            # oversized buckets — a tiny, semi-joined subset; everything
+            # else passes through untouched
+            in_over = cb.join(over_df, ["tbl", "bucket"], "left_semi")
+            rest = cb.join(over_df, ["tbl", "bucket"], "left_anti")
+            wcap = Window.partitionBy("tbl", "bucket").orderBy(
+                F.xxhash64(F.col("neighbor_id"))
+            )
+            capped = (
+                in_over.withColumn("__rn", F.row_number().over(wcap))
+                .where(F.col("__rn") <= bucket_cap)
+                .drop("__rn")
+            )
+            cb = rest.unionByName(capped)
     cands = (
         qb.join(cb, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
