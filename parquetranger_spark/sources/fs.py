@@ -111,6 +111,18 @@ class LocalFS:
                 return True
         return False
 
+    def list_dirs(self, root: str, prefix: str = "") -> list[tuple[str, float]]:
+        """Immediate subdirectories matching ``prefix`` with their mtime
+        (epoch seconds) — the input to staging-dir vacuuming."""
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.startswith(prefix) and os.path.isdir(p):
+                out.append((p, os.path.getmtime(p)))
+        return sorted(out)
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -200,6 +212,17 @@ class HadoopFS:
             ):
                 return True
         return False
+
+    def list_dirs(self, root: str, prefix: str = "") -> list[tuple[str, float]]:
+        p = self._jPath(root)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out.append((st.getPath().toString(), st.getModificationTime() / 1000.0))
+        return sorted(out)
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._jPath(path))

@@ -660,6 +660,29 @@ class TableRepo:
         # recovery instead of being destroyed by an unconditional cleanup
         fs.delete(staging)
 
+    def vacuum(self, max_age_seconds: float = 24 * 3600) -> list[str]:
+        """Delete orphaned two-phase-append staging dirs older than
+        ``max_age_seconds`` — the maintenance sweep for writers that
+        crashed mid-append. Readers never see staging (dot-prefixed), so
+        orphans cost only storage; but on a table under constant streaming
+        append pressure they accumulate forever without this.
+
+        The age threshold is the safety contract: a LIVE append's staging
+        dir is younger than any sane threshold (an append's write job
+        would have to outlive it for vacuum to destroy in-flight data), so
+        default 24 h is conservatively safe to run alongside writers.
+        Returns the deleted paths."""
+        import time as _time
+
+        fs = self._fs()
+        cutoff = _time.time() - max_age_seconds
+        deleted = []
+        for path, mtime in fs.list_dirs(self.main_path, prefix=".pqrs_staging_"):
+            if mtime < cutoff:
+                fs.delete(path)
+                deleted.append(path)
+        return deleted
+
     def _delete_partition_dir(self, group_values: tuple) -> None:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))

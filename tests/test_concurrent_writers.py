@@ -113,3 +113,38 @@ def test_rewrite_to_canonical_materializes_widened_files(spark, tmp_root):
     assert all("B" in pq.read_schema(p).names for p in t.paths)
     after = t.get_full_df().toPandas().sort_values("__index").reset_index(drop=True)
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_vacuum_sweeps_only_stale_staging(spark, tmp_path):
+    """vacuum removes staging dirs older than the threshold, keeps fresh
+    ones (a live append), never touches data, and works through the
+    Hadoop FS shim (file:// root) too."""
+    import os
+    import time
+
+    from parquetranger_spark import TableRepo
+
+    t = TableRepo(str(tmp_path / "t"), group_cols="g", spark=spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    t.extend(df)
+    root = str(tmp_path / "t")
+    stale = os.path.join(root, ".pqrs_staging_deadbeef0001")
+    fresh = os.path.join(root, ".pqrs_staging_deadbeef0002")
+    os.makedirs(stale), os.makedirs(fresh)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    deleted = t.vacuum(max_age_seconds=3600)
+    assert deleted == [stale]
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    assert t.get_full_df().count() == 2
+
+    # same sweep through the Hadoop client path
+    t2 = TableRepo(f"file://{tmp_path}/t2", group_cols="g", spark=spark)
+    t2.extend(df)
+    local2 = str(tmp_path / "t2" / ".pqrs_staging_cafe00000001")
+    os.makedirs(local2)
+    os.utime(local2, (old, old))
+    deleted2 = t2.vacuum(max_age_seconds=3600)
+    assert len(deleted2) == 1 and deleted2[0].endswith(".pqrs_staging_cafe00000001")
+    assert not os.path.exists(local2)
+    assert t2.get_full_df().count() == 2

@@ -300,3 +300,53 @@ def test_incremental_rollup_multi_batch_exact(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_restart_exactly_once(spark, tmp_path):
+    """Restarting the stream with the same checkpoint after new files land
+    processes ONLY the new files: the merged rollup equals the full batch
+    aggregate — no double-counting of already-ingested batches."""
+    import pyspark.sql.functions as F
+
+    from parquetranger_spark.sources.table_repo import TableRepo
+    from parquetranger_spark.streaming.ingest import incremental_rollup_into_repo
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, f"g{i % 2}", float(i) + 0.25) for i in range(lo, hi)],
+            "bucket long, grp string, value double",
+        )
+
+    src = str(tmp_path / "src")
+    frame(0, 200).repartition(2).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("bucket long, grp string, value double")
+            .parquet(src)
+            .withColumn("value_dec", F.col("value").cast("decimal(28,6)"))
+            .drop("value")
+        )
+        t = TableRepo(str(tmp_path / "rollup"), group_cols="grp", spark=spark)
+        q = incremental_rollup_into_repo(
+            stream, t, ["grp", "bucket"], ["value_dec"], str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(300)
+        return t
+
+    run_once()
+    frame(200, 300).repartition(2).write.mode("append").parquet(src)
+    t = run_once()
+
+    got = {(r.grp, r.bucket): (r.n, r.value_dec) for r in t.get_full_df().collect()}
+    want = {
+        (r.grp, r.bucket): (r.n, r.value_dec)
+        for r in frame(0, 300)
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("value_dec"),
+        )
+        .collect()
+    }
+    assert got == want
