@@ -559,3 +559,43 @@ def sql_q18_big_orders(spark, sf_dir):
     return agg.select(
         "o_orderkey", "o_totalprice", F.col("__qty").cast("double").alias("total_qty")
     )
+
+
+@query(
+    "user_value_quartiles",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(28,6))) AS total_dec
+  FROM events GROUP BY user_id
+),
+tiled AS (
+  SELECT user_id, total_dec,
+         NTILE(4) OVER (ORDER BY total_dec DESC, user_id) AS tile
+  FROM per_user
+)
+SELECT tile, count(*) AS n_users,
+       CAST(SUM(total_dec) AS DOUBLE) AS tile_value
+FROM tiled GROUP BY tile
+""",
+)
+def user_value_quartiles(spark, sf_dir):
+    """Ranking-window coverage: users bucketed into spend quartiles via
+    NTILE over the aggregated per-user totals. The global order runs on
+    the POST-aggregation frame (one row per user) — never a global sort
+    of raw events; the DECIMAL total plus user_id tie-break keeps the
+    tile assignment engine-independent at exact-value boundaries."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("total_dec")
+    )
+    w = Window.orderBy(F.col("total_dec").desc(), "user_id")
+    return (
+        per_user.withColumn("tile", F.ntile(4).over(w).cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("total_dec").cast("double").alias("tile_value"),
+        )
+    )
