@@ -599,3 +599,55 @@ def user_value_quartiles(spark, sf_dir):
             F.sum("total_dec").cast("double").alias("tile_value"),
         )
     )
+
+
+@query(
+    "events_props_extract",
+    oracle=f"""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def events_props_extract(spark, sf_dir):
+    """Semi-structured column handling: the events table's ``props`` JSON
+    string parsed in place (``get_json_object`` — JVM-side JSON path, no
+    Python) and aggregated per type. The parse happens inside the scan
+    stage's codegen; at 100 TB the right evolution is shredding the hot
+    keys to columns at ingest (sources/ingestor.py), with this as the
+    long-tail access path."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "orders_monthly_revenue",
+    oracle="""
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def orders_monthly_revenue(spark, sf_dir):
+    """Calendar bucketing (vs raw epoch division): orders rolled up by
+    civil month via date_trunc — the grouping raw integer division can't
+    express (months are irregular). The NTZ order date is pinned to UTC
+    (session TZ) so both engines bucket identical instants; months
+    surface as epoch micros of the month start."""
+    o = load(spark, sf_dir, "orders")
+    month = F.unix_micros(
+        F.date_trunc("month", F.col("o_orderdate")).cast("timestamp")
+    ).alias("month_us")
+    return o.groupBy(month).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("revenue"),
+    )
