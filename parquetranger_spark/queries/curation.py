@@ -582,3 +582,90 @@ def events_asof_forward(spark, sf_dir):
         out_col="next_purchase_us",
         tolerance=600_000_000,
     )
+
+
+@query(
+    "source_quality_rollup",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(text) AS th FROM documents
+),
+hc AS (SELECT th, count(*) AS n_same FROM h GROUP BY th)
+SELECT h.source, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN hc.n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_text,
+       CAST(SUM(h.n_chars) AS BIGINT) AS total_chars
+FROM h JOIN hc USING (th)
+GROUP BY h.source
+""",
+)
+def source_quality_rollup(spark, sf_dir):
+    """X7: per-source (domain-level) corpus audit — doc counts, how many
+    docs share their exact text with another doc anywhere in the corpus,
+    and volume. Two-pass shape: one map-side-combined count per content
+    hash, joined back on the 16-byte hash, re-aggregated by source — the
+    crawl-health rollup that decides which sources to keep at 100 TB."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5(F.col("text")).alias("th")
+    )
+    hc = d.groupBy("th").agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        d.join(hc, "th")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_same") > 1).cast("long")).alias("n_dup_text"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "e2e_curation_pipeline",
+    oracle=r"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+docs AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN kept USING (doc_id)
+  WHERE len(string_split(d.text, ' ')) >= 30
+    AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <= '7f'
+),
+s AS (
+  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks,
+         len(string_split_regex(text, '\s+')) AS n
+  FROM docs
+),
+c AS (
+  SELECT doc_id, lang, LEAST(CAST(32 AS BIGINT), n - u.g) AS n_tokens
+  FROM s, UNNEST(generate_series(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))) AS u(g)
+)
+SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY lang
+""",
+)
+def e2e_curation_pipeline(spark, sf_dir):
+    """X7/X10 end-to-end composition: exact dedup (keep min id) →
+    length-based quality filter → deterministic 50% hash sample →
+    32/24-token chunking, rolled up per language. One declarative plan:
+    the dedup aggregate, the sample predicate, and the chunk fan-out all
+    fuse into a single job with two shuffles (dedup hash, final rollup) —
+    proving the curation operators compose without materialization
+    between stages."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    kept = exact_dedup(d).select("doc_id")
+    docs = (
+        d.join(kept, "doc_id")
+        .where(F.size(F.split(F.col("text"), " ")) >= 30)
+        .where(stable_sample_pred(F.col("doc_id"), "7f"))
+    )
+    chunks = chunk_documents(docs, chunk_size=32, stride=24)
+    with_lang = chunks.join(d.select("doc_id", "lang"), "doc_id")
+    return with_lang.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
