@@ -108,6 +108,7 @@ class TableRepo:
         fixed_schema: T.StructType | None = None,
         allow_schema_extension: bool = False,
         cluster_by: str | list[str] | None = None,
+        cluster_algo: str = "sort",
         single_writer: bool = False,
         spark: SparkSession | None = None,
     ):
@@ -128,6 +129,9 @@ class TableRepo:
 
         self.index_cols = [index_cols] if isinstance(index_cols, str) else list(index_cols or [])
         self.cluster_by = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by or [])
+        if cluster_algo not in ("sort", "zorder"):
+            raise ValueError("cluster_algo must be 'sort' or 'zorder'")
+        self.cluster_algo = cluster_algo
         self.max_records = int(max_records)
         self.extra_metadata = dict(extra_metadata or {})
         self.fixed_schema = fixed_schema
@@ -693,9 +697,34 @@ class TableRepo:
             # data clustering for scan skipping: each write task's rows
             # arrive sorted on the cluster keys, so parquet row-group (and
             # file) min/max stats are tight and a filtered read skips
-            # whole row groups — the poor-man's z-order, free at write
-            # time beyond the sort. No shuffle: the sort is per-partition.
-            df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
+            # whole row groups. 'sort' = lexicographic (tightens the FIRST
+            # key); 'zorder' = Morton-interleaved bits of ALL keys, so
+            # filters on any clustered dimension skip (functions/zorder.py).
+            # No shuffle either way: the sort is per-partition.
+            if self.cluster_algo == "zorder" and len(self.cluster_by) >= 2:
+                from ..functions.zorder import scale_to_bits, zorder_value
+
+                # one tiny min/max aggregate over the write batch supplies
+                # the scaling ranges (same pre-write pass Delta's OPTIMIZE
+                # ZORDER pays); 63 // n keys bounds the interleave width
+                aggs = []
+                for c in self.cluster_by:
+                    aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+                st = df.agg(*aggs).first()
+                bits = min(16, 63 // len(self.cluster_by))
+                scaled = [
+                    scale_to_bits(
+                        F.col(c), st[f"__mn_{c}"], st[f"__mx_{c}"], bits=bits
+                    )
+                    for c in self.cluster_by
+                ]
+                df = (
+                    df.withColumn("__pqr_z", zorder_value(scaled, bits=bits))
+                    .sortWithinPartitions(*(self.group_cols + ["__pqr_z"]))
+                    .drop("__pqr_z")
+                )
+            else:
+                df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
         if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are
             # NOT safe — all jobs share the committer's _temporary/0

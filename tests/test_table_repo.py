@@ -491,3 +491,45 @@ def test_single_writer_append_roundtrip(spark, tmp_root):
     assert back == [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)]
     # no staging leftovers on the happy path
     assert not [d for d in os.listdir(t.main_path) if d.startswith(".pqrs_staging")]
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_root):
+    """Z-order clustering on two independent keys: per-file spans shrink
+    on BOTH dimensions, where lexicographic clustering leaves the second
+    key's span at ~full range in every file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(16000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(10000)).alias("a"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10000)).alias("b"),
+        )
+        .repartition(2)
+    )
+
+    def spans(t, col_idx):
+        out = []
+        for p in t.paths:
+            f = pq.ParquetFile(p)
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(col_idx).statistics
+                out.append(st.max - st.min)
+        return out
+
+    lex = TableRepo(f"{tmp_root}/lex", max_records=250, cluster_by=["a", "b"])
+    lex.extend(df)
+    zed = TableRepo(
+        f"{tmp_root}/zed", max_records=250, cluster_by=["a", "b"], cluster_algo="zorder"
+    )
+    zed.extend(df)
+
+    # column order in written files: a at index 0, b at index 1
+    assert sum(spans(zed, 1)) < sum(spans(lex, 1)) / 2  # b: z-order wins big
+    assert sum(spans(zed, 0)) < 0.8 * 10000 * len(zed.paths)  # a keeps locality too
+    assert zed.get_full_df().count() == 16000
+    # same rows either way
+    assert sorted(map(tuple, zed.get_full_df().collect())) == sorted(
+        map(tuple, lex.get_full_df().collect())
+    )
