@@ -651,3 +651,30 @@ def orders_monthly_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "skewed_salted_join",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def skewed_salted_join(spark, sf_dir):
+    """Skew-resistant join surface (functions/skew.py::salted_join): the
+    fact stream joins its 5-hot-key dimension through an 8-way salt — the
+    fact side salts on a row hash, the dim side replicates per salt, so
+    each hot key's rows fan over 8 reducers instead of one. The explicit
+    fallback for paths AQE's runtime skew-split doesn't cover (streaming
+    joins, deliberate pre-partitioning); results are provably identical
+    to the unsalted plan, which is what the oracle states."""
+    from ..functions.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.select("event_type").distinct()
+    joined = salted_join(ev, dim, ["event_type"], n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
