@@ -27,8 +27,9 @@ def stream_into_repo(
     """Sink a streaming DataFrame into a TableRepo via foreachBatch.
 
     Each micro-batch is one distributed TableRepo write (append, or keyed
-    upsert when ``replace``), giving exactly-once table contents under
-    Spark's checkpointed epoch tracking.
+    upsert when ``replace``). Upserts are idempotent under batch replay
+    (exactly-once contents); plain appends are at-least-once — see the
+    delivery note on the sink below.
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -38,6 +39,13 @@ def stream_into_repo(
             trepo.replace_records(batch_df)
         else:
             trepo.extend(batch_df)
+
+    # Delivery contract under crash replay: foreachBatch re-runs a batch
+    # whose writes finished but whose checkpoint commit didn't. replace
+    # mode is idempotent (re-upserting the same keys is a no-op); extend
+    # mode is at-least-once — callers needing strict exactly-once appends
+    # should dedup on ingest keys downstream or use the keyed/replace
+    # path (incremental_rollup_into_repo shows the epoch-fenced pattern).
 
     writer = stream_df.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if trigger_available_now:
@@ -149,29 +157,9 @@ def incremental_rollup_into_repo(
     gc = trepo.group_cols[0]
     assert gc == keys[0], "repo must be grouped by the first rollup key"
 
-    def aggs():
-        return [F.count(F.lit(1)).alias(count_col)] + [
-            F.sum(F.col(c)).alias(c) for c in sum_cols
-        ]
-
-    def merge_aggs():
-        return [F.sum(F.col(count_col)).alias(count_col)] + [
-            F.sum(F.col(c)).alias(c) for c in sum_cols
-        ]
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        partial = batch_df.groupBy(*keys).agg(*aggs())
-        touched = [r[0] for r in partial.select(gc).distinct().collect()]
-        if trepo.paths:
-            existing = trepo.get_full_df().where(F.col(gc).isin(touched))
-            merged = (
-                existing.unionByName(partial).groupBy(*keys).agg(*merge_aggs())
-            )
-        else:
-            merged = partial
-        trepo.replace_groups(merged.localCheckpoint(eager=True))
+        if not batch_df.isEmpty():
+            merge_rollup_batch(trepo, batch_df, keys, sum_cols, epoch_id, count_col)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -179,3 +167,61 @@ def incremental_rollup_into_repo(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_EPOCH_COL = "__pqr_epoch"
+
+
+def merge_rollup_batch(
+    trepo: TableRepo,
+    batch_df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    epoch_id: int,
+    count_col: str = "n",
+) -> None:
+    """One epoch's additive merge, idempotent under foreachBatch replay.
+
+    Every rollup partition carries a high-water epoch column written in
+    the SAME dynamic-overwrite that writes the merged data — per
+    partition, data and fence commit together (a partition overwrite is
+    an atomic dir swap). On replay of epoch N, partitions whose stored
+    fence is already ≥ N merged this batch before the crash and are
+    skipped; partitions still below N (their overwrite never happened)
+    merge normally — so each batch lands exactly once per partition, the
+    unit at which the storage layer is atomic.
+    """
+    gc = trepo.group_cols[0]
+    partial = batch_df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+    )
+    touched = [r[0] for r in partial.select(gc).distinct().collect()]
+    if trepo.paths:
+        existing = trepo.get_full_df().where(F.col(gc).isin(touched))
+        done = {
+            r[0]
+            for r in existing.groupBy(gc)
+            .agg(F.max(_EPOCH_COL).alias("__e"))
+            .where(F.col("__e") >= epoch_id)
+            .select(gc)
+            .collect()
+        }
+        if done:
+            partial = partial.where(~F.col(gc).isin(list(done)))
+            existing = existing.where(~F.col(gc).isin(list(done)))
+            if len(done) == len(touched):
+                return
+        merged = (
+            existing.drop(_EPOCH_COL)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum(F.col(count_col)).alias(count_col),
+                *[F.sum(F.col(c)).alias(c) for c in sum_cols],
+            )
+        )
+    else:
+        merged = partial
+    merged = merged.withColumn(_EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+    trepo.replace_groups(merged.localCheckpoint(eager=True))

@@ -350,3 +350,29 @@ def test_incremental_rollup_restart_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_merge_replay_idempotent(spark, tmp_path):
+    """foreachBatch replays a batch whose writes finished but whose
+    checkpoint didn't: the epoch fence must make the re-merge a no-op, so
+    counts never double."""
+    import pyspark.sql.functions as F
+
+    from parquetranger_spark.sources.table_repo import TableRepo
+    from parquetranger_spark.streaming.ingest import merge_rollup_batch
+
+    t = TableRepo(str(tmp_path / "rollup"), group_cols="grp", spark=spark)
+    batch = spark.createDataFrame(
+        [(0, "g0", 1.5), (1, "g0", 2.5), (0, "g1", 3.5)],
+        "bucket long, grp string, value double",
+    ).withColumn("value_dec", F.col("value").cast("decimal(28,6)")).drop("value")
+
+    for _ in range(3):  # original + two replays of the SAME epoch
+        merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=0)
+    got = {(r.grp, r.bucket): (r.n, float(r.value_dec)) for r in t.get_full_df().collect()}
+    assert got == {("g0", 0): (1, 1.5), ("g0", 1): (1, 2.5), ("g1", 0): (1, 3.5)}
+
+    # a genuinely new epoch still merges
+    merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=1)
+    got = {(r.grp, r.bucket): r.n for r in t.get_full_df().collect()}
+    assert got == {("g0", 0): 2, ("g0", 1): 2, ("g1", 0): 2}
