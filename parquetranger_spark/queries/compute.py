@@ -678,3 +678,61 @@ def skewed_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "sql_q5_local_supplier",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def sql_q5_local_supplier(spark, sf_dir):
+    """TPC-H-Q5-shaped six-table join: local-supplier revenue per Asian
+    nation. The dims (region→nation→supplier, customer) broadcast down
+    the tree, so the only real shuffle is orders⋈lineitem on the order
+    key — the plan a 1000-executor cluster wants: one big-side exchange
+    no matter how many dimensions the query touches. Catalyst handles the
+    join ordering; the region filter prunes through two broadcast hops
+    before any fact data moves."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nations = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp_in = supp.join(
+        F.broadcast(nations), supp.s_nationkey == nations.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            F.broadcast(supp_in),
+            (li.l_suppkey == supp_in.s_suppkey)
+            & (F.col("c_nationkey") == supp_in.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

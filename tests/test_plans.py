@@ -169,3 +169,14 @@ def test_q3_top_orders_broadcasts_dim_and_takes_ordered(spark, sf_dir):
     p = plan(sql_q3_top_orders(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p  # per-partition top-10, no global sort
+
+
+def test_q5_single_fact_exchange(spark, sf_dir):
+    """Six-table Q5 plan: every dim side broadcasts — exactly one
+    shuffle-exchange pair (orders ⋈ lineitem), regardless of how many
+    dimensions hang off the tree."""
+    from parquetranger_spark.queries.compute import sql_q5_local_supplier
+
+    p = plan(sql_q5_local_supplier(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
