@@ -736,3 +736,33 @@ def sql_q5_local_supplier(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "sql_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+)
+def sql_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped scan-heavy filter aggregate: both range predicates
+    reach the parquet scan as PushedFilters and the read schema prunes to
+    three columns, so the job is one codegen stage over row-group-skipped
+    input — the query shape that measures pure scan efficiency."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
