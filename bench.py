@@ -47,6 +47,15 @@ HEADLINE = [
     "events_hourly_agg",
     "sessionization",
     "stream_sessionization",
+    # round-3 additions: grouping sets, six-table broadcast join, chunking,
+    # fused curation pipeline, decontamination, epoch-fenced incremental
+    # rollup — new to the headline set this round (no r1/r2 baseline)
+    "events_cube",
+    "sql_q5_local_supplier",
+    "doc_chunks",
+    "e2e_curation_pipeline",
+    "decontaminate_ngrams",
+    "stream_incremental_rollup",
 ]
 
 
