@@ -669,3 +669,50 @@ def e2e_curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "stream_doc_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, u.s AS start_tok, toks, n
+  FROM s, UNNEST(generate_series(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))) AS u(s)
+)
+SELECT doc_id, start_tok // 24 AS chunk_idx,
+       LEAST(CAST(32 AS BIGINT), n - start_tok) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
+FROM c
+""",
+)
+def stream_doc_chunks(spark, sf_dir):
+    """X10 streaming twin: chunk_documents applied UNCHANGED to a file
+    stream — the operator is a pure stateless projection, so the same
+    Column pipeline runs per micro-batch with no state store and no
+    watermark, and the appended output equals the batch answer (same
+    oracle as doc_chunks). This is the property that lets the curation
+    tier run on a live crawl feed."""
+    import uuid
+
+    from ..operators.packing import chunk_documents
+    from .common import scratch_dir
+
+    root = scratch_dir("schunk")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d.write.mode("overwrite").parquet(f"{root}/src")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(f"{root}/src")
+    chunks = chunk_documents(stream, chunk_size=32, stride=24)
+    name = f"schunk_{uuid.uuid4().hex[:8]}"
+    q = (
+        chunks.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
