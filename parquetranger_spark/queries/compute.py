@@ -766,3 +766,78 @@ def sql_q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+         CAST(SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS m2,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN abs((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       s.n
+FROM events e JOIN stats s USING (event_type)
+GROUP BY e.event_type, s.n
+""",
+)
+def events_zscore_outliers(spark, sf_dir):
+    """Statistical profiling: per-type 3-sigma outlier counts. The
+    moments route through DECIMAL sums (exact, associative) and collapse
+    to doubles in one division each; sqrt and the z division are IEEE
+    correctly-rounded, so the outlier set is bit-identical across
+    engines. Two passes — a tiny per-type stats aggregate broadcast back
+    onto the stream — because a single-pass exact variance would need
+    the same decimal sums anyway."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    dec = F.col("value").cast("decimal(28,6)")
+    stats = ev.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(dec * dec).cast("double") / F.count(F.lit(1))).alias("m2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.sqrt(F.col("m2") - F.col("mu") * F.col("mu")))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n")
+        .agg(F.sum((z > 3.0).cast("long")).alias("n_outliers"))
+        .select("event_type", "n_outliers", "n")
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+)
+SELECT CAST(LEAST(19, CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / 20.0)) AS BIGINT))
+            AS BIGINT) AS bin,
+       count(*) AS n
+FROM events e, b
+GROUP BY 1
+""",
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-bin histogram over the value column: global min/max from one
+    tiny aggregate (broadcast as a 1-row cross join — never a driver
+    collect in the plan), then a pure floor expression buckets every row
+    in the scan stage. Bin edges are the same double arithmetic in both
+    engines, so boundary rows bucket identically."""
+    ev = load(spark, sf_dir, "events").select("value")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(19),
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
