@@ -841,3 +841,37 @@ def value_histogram(spark, sf_dir):
         .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sql_q14_promo_share",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+def sql_q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14-shaped promo revenue share: lineitem joins the part dim
+    (broadcast — the dim is ~1/7 the fact row count and a fraction of
+    the bytes) and conditional DECIMAL sums split promo from total in
+    the same single aggregation pass. Covers the last otherwise-unused
+    base table (part)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
