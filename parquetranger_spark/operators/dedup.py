@@ -113,6 +113,28 @@ def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
     )
 
 
+def collect_oversized(bb: DataFrame, keys: list[str], cap: int) -> DataFrame | None:
+    """Bucket keys holding more than ``cap`` rows, materialized to the
+    driver ONCE and re-emitted as a local relation (with the ``__n``
+    count column) — or ``None`` when no bucket is oversized.
+
+    The set is bounded by rows/cap and in practice a handful of viral
+    buckets (broadcasting it already implies driver-size-bounded).
+    Lazily embedding the aggregate in a join would re-run its shuffle
+    inside each broadcast side — measured 2-3x on the minhash headline —
+    and the common no-viral-bucket case skips the capping joins entirely.
+    Shared by the salting (dedup) and truncation (similarity) remedies."""
+    over = (
+        bb.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cap)
+    )
+    over_rows = over.collect()
+    if not over_rows:
+        return None
+    return bb.sparkSession.createDataFrame(over_rows, schema=over.schema)
+
+
 def _salt_oversized(
     bb: DataFrame, keys: list[str], id_col: str, cap: int | None
 ) -> tuple[DataFrame, list[str]]:
@@ -131,21 +153,9 @@ def _salt_oversized(
     disables (bit-identical to the uncapped plan)."""
     if cap is None:
         return bb, keys
-    over = (
-        bb.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > cap)
-    )
-    # materialize the oversized set to the driver ONCE: it is bounded by
-    # rows/cap and in practice a handful of viral buckets (the broadcast
-    # below already implies driver-size-bounded). Lazily embedding the
-    # aggregate in the join would re-run its shuffle inside each broadcast
-    # side — measured 2-3x on the minhash headline — and the common
-    # no-viral-bucket case can skip the salting joins entirely.
-    over_rows = over.collect()
-    if not over_rows:
+    over_df = collect_oversized(bb, keys, cap)
+    if over_df is None:
         return bb, keys
-    over_df = bb.sparkSession.createDataFrame(over_rows, schema=over.schema)
     n_salts = F.ceil(F.col("__n") / F.lit(float(cap))).cast("int")
     salted = bb.join(F.broadcast(over_df), keys, "left").withColumn(
         "__salt",
@@ -454,6 +464,7 @@ def connected_components(
         "component", F.col("id")
     )
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     try:
         for _ in range(max_iter):
             msgs = edges.join(
@@ -473,9 +484,19 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         edges.unpersist()
+    if not converged:
+        # returning partially-propagated labels would silently split one
+        # true component into several "representatives" — fail loudly and
+        # let the caller raise max_iter (diameter > max_iter means the
+        # graph is chain-shaped, e.g. crawl mirror chains)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds it)"
+        )
     return labels
 
 

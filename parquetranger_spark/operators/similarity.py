@@ -118,21 +118,11 @@ def topk_cosine_lsh(
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
     if bucket_cap is not None:
-        over = (
-            cb.groupBy("tbl", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > bucket_cap)
-            .select("tbl", "bucket")
-        )
-        # materialize the oversized set to the driver once (bounded by
-        # rows/cap; broadcast already implies driver-size-bounded) — the
-        # lazy aggregate would re-run inside each broadcast side, and the
-        # common no-viral-bucket case skips the capping joins entirely
-        over_rows = over.collect()
-        if over_rows:
-            over_df = F.broadcast(
-                corpus.sparkSession.createDataFrame(over_rows, schema=over.schema)
-            )
+        from .dedup import collect_oversized
+
+        over = collect_oversized(cb, ["tbl", "bucket"], bucket_cap)
+        if over is not None:
+            over_df = F.broadcast(over.select("tbl", "bucket"))
             # the window (shuffle + sort) runs only on rows inside
             # oversized buckets — a tiny, semi-joined subset; everything
             # else passes through untouched

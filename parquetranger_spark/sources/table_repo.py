@@ -671,18 +671,22 @@ class TableRepo:
         orphans cost only storage; but on a table under constant streaming
         append pressure they accumulate forever without this.
 
-        The age threshold is the safety contract: a LIVE append's staging
-        dir is younger than any sane threshold (an append's write job
-        would have to outlive it for vacuum to destroy in-flight data), so
-        default 24 h is conservatively safe to run alongside writers.
-        Returns the deleted paths."""
+        The age threshold is the safety contract: set ``max_age_seconds``
+        longer than any append's write phase could run (the dir mtime is
+        set at staging creation, not refreshed while tasks write under
+        it), and run vacuum only where mtimes are trustworthy — S3-class
+        stores synthesize directories and may report epoch-0 mtimes, so
+        entries with non-positive mtime are SKIPPED rather than treated
+        as infinitely old (on such stores the two-phase append is already
+        documented as degraded; use single_writer there). Returns the
+        deleted paths."""
         import time as _time
 
         fs = self._fs()
         cutoff = _time.time() - max_age_seconds
         deleted = []
         for path, mtime in fs.list_dirs(self.main_path, prefix=".pqrs_staging_"):
-            if mtime < cutoff:
+            if 0 < mtime < cutoff:
                 fs.delete(path)
                 deleted.append(path)
         return deleted
@@ -704,6 +708,10 @@ class TableRepo:
             if self.cluster_algo == "zorder" and len(self.cluster_by) >= 2:
                 from ..functions.zorder import scale_to_bits, zorder_value
 
+                # the stats pass and the write both execute the incoming
+                # lineage — materialize once so an expensive upstream plan
+                # isn't computed twice per append
+                df = df.localCheckpoint(eager=True)
                 # one tiny min/max aggregate over the write batch supplies
                 # the scaling ranges (same pre-write pass Delta's OPTIMIZE
                 # ZORDER pays); 63 // n keys bounds the interleave width
@@ -712,17 +720,25 @@ class TableRepo:
                     aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
                 st = df.agg(*aggs).first()
                 bits = min(16, 63 // len(self.cluster_by))
-                scaled = [
-                    scale_to_bits(
-                        F.col(c), st[f"__mn_{c}"], st[f"__mx_{c}"], bits=bits
+                try:
+                    scaled = [
+                        scale_to_bits(
+                            F.col(c), st[f"__mn_{c}"], st[f"__mx_{c}"], bits=bits
+                        )
+                        for c in self.cluster_by
+                    ]
+                except (TypeError, ValueError):
+                    # empty batch (mins are None), an all-NULL key, or a
+                    # non-numeric key the 'sort' algo would accept: fall
+                    # back to lexicographic clustering instead of failing
+                    # the append
+                    df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
+                else:
+                    df = (
+                        df.withColumn("__pqr_z", zorder_value(scaled, bits=bits))
+                        .sortWithinPartitions(*(self.group_cols + ["__pqr_z"]))
+                        .drop("__pqr_z")
                     )
-                    for c in self.cluster_by
-                ]
-                df = (
-                    df.withColumn("__pqr_z", zorder_value(scaled, bits=bits))
-                    .sortWithinPartitions(*(self.group_cols + ["__pqr_z"]))
-                    .drop("__pqr_z")
-                )
             else:
                 df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
         if mode == "append" and not self.single_writer:

@@ -156,10 +156,20 @@ def incremental_rollup_into_repo(
     """
     gc = trepo.group_cols[0]
     assert gc == keys[0], "repo must be grouped by the first rollup key"
+    sid: dict[str, str | None] = {"v": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            merge_rollup_batch(trepo, batch_df, keys, sum_cols, epoch_id, count_col)
+        if batch_df.isEmpty():
+            return
+        if sid["v"] is None:
+            # the checkpoint's stable query id (written at start()) scopes
+            # the epoch fence: a FRESH checkpoint restarts epoch_id at 0,
+            # and fencing on the bare epoch would mark every existing
+            # partition "done" and silently drop all new data
+            sid["v"] = _stream_id(checkpoint) or "?"
+        merge_rollup_batch(
+            trepo, batch_df, keys, sum_cols, epoch_id, count_col, stream_id=sid["v"]
+        )
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint
@@ -170,6 +180,22 @@ def incremental_rollup_into_repo(
 
 
 _EPOCH_COL = "__pqr_epoch"
+_SID_COL = "__pqr_stream"
+
+
+def _stream_id(checkpoint: str) -> str | None:
+    """The StreamingQuery's stable id from ``<checkpoint>/metadata`` —
+    constant across restarts of the same checkpoint, different for a
+    fresh one."""
+    import json
+
+    from ..sources import fs as _fs
+
+    try:
+        fs = _fs.fs_for(checkpoint)
+        return json.loads(fs.read_text(_fs.join_path(checkpoint, "metadata")))["id"]
+    except Exception:
+        return None
 
 
 def merge_rollup_batch(
@@ -179,29 +205,39 @@ def merge_rollup_batch(
     sum_cols: list[str],
     epoch_id: int,
     count_col: str = "n",
+    stream_id: str = "?",
 ) -> None:
     """One epoch's additive merge, idempotent under foreachBatch replay.
 
-    Every rollup partition carries a high-water epoch column written in
-    the SAME dynamic-overwrite that writes the merged data — per
-    partition, data and fence commit together (a partition overwrite is
-    an atomic dir swap). On replay of epoch N, partitions whose stored
-    fence is already ≥ N merged this batch before the crash and are
-    skipped; partitions still below N (their overwrite never happened)
-    merge normally — so each batch lands exactly once per partition, the
-    unit at which the storage layer is atomic.
+    Every rollup partition carries a (stream id, high-water epoch) fence
+    written in the SAME dynamic-overwrite that writes the merged data —
+    per partition, data and fence commit together (a partition overwrite
+    is an atomic dir swap). On replay of epoch N, partitions whose stored
+    fence is already ≥ N for THIS stream incarnation merged the batch
+    before the crash and are skipped; partitions still below N merge
+    normally — each batch lands exactly once per partition, the unit at
+    which the storage layer is atomic. A different ``stream_id`` (fresh
+    checkpoint over an existing table) never fences: its epochs restart
+    at 0, and the handoff boundary is the usual at-least-once caveat of
+    replacing a checkpoint mid-flight.
     """
     gc = trepo.group_cols[0]
     partial = batch_df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(count_col),
         *[F.sum(F.col(c)).alias(c) for c in sum_cols],
     )
+    # materialize once: the partial backs the touched-value collect AND
+    # the merge union, and it is tiny (one row per touched key)
+    partial = partial.localCheckpoint(eager=True)
     touched = [r[0] for r in partial.select(gc).distinct().collect()]
     if trepo.paths:
         existing = trepo.get_full_df().where(F.col(gc).isin(touched))
+        # same double-use: fence probe + merge read the touched partitions
+        existing = existing.localCheckpoint(eager=True)
         done = {
             r[0]
-            for r in existing.groupBy(gc)
+            for r in existing.where(F.col(_SID_COL) == stream_id)
+            .groupBy(gc)
             .agg(F.max(_EPOCH_COL).alias("__e"))
             .where(F.col("__e") >= epoch_id)
             .select(gc)
@@ -213,7 +249,7 @@ def merge_rollup_batch(
             if len(done) == len(touched):
                 return
         merged = (
-            existing.drop(_EPOCH_COL)
+            existing.drop(_EPOCH_COL, _SID_COL)
             .unionByName(partial)
             .groupBy(*keys)
             .agg(
@@ -223,5 +259,7 @@ def merge_rollup_batch(
         )
     else:
         merged = partial
-    merged = merged.withColumn(_EPOCH_COL, F.lit(int(epoch_id)).cast("long"))
+    merged = merged.withColumn(_EPOCH_COL, F.lit(int(epoch_id)).cast("long")).withColumn(
+        _SID_COL, F.lit(stream_id)
+    )
     trepo.replace_groups(merged.localCheckpoint(eager=True))

@@ -376,3 +376,42 @@ def test_rollup_merge_replay_idempotent(spark, tmp_path):
     merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=1)
     got = {(r.grp, r.bucket): r.n for r in t.get_full_df().collect()}
     assert got == {("g0", 0): 2, ("g0", 1): 2, ("g1", 0): 2}
+
+
+def test_rollup_fresh_checkpoint_still_merges(spark, tmp_path):
+    """A FRESH checkpoint (epoch ids restart at 0) over an existing
+    rollup table must still merge new data — the epoch fence is scoped by
+    stream id, never by the bare epoch number."""
+    import pyspark.sql.functions as F
+
+    from parquetranger_spark.sources.table_repo import TableRepo
+    from parquetranger_spark.streaming.ingest import incremental_rollup_into_repo
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i % 3, f"g{i % 2}", 1.0) for i in range(lo, hi)],
+            "bucket long, grp string, value double",
+        )
+
+    t = TableRepo(str(tmp_path / "rollup"), group_cols="grp", spark=spark)
+
+    def run(src, ckpt):
+        stream = (
+            spark.readStream.schema("bucket long, grp string, value double")
+            .parquet(src)
+            .withColumn("value_dec", F.col("value").cast("decimal(28,6)"))
+            .drop("value")
+        )
+        q = incremental_rollup_into_repo(
+            stream, t, ["grp", "bucket"], ["value_dec"], ckpt
+        )
+        q.awaitTermination(300)
+
+    frame(0, 120).write.mode("overwrite").parquet(str(tmp_path / "src1"))
+    run(str(tmp_path / "src1"), str(tmp_path / "ckptA"))
+    # new feed, new checkpoint, same table — epochs restart at 0
+    frame(120, 180).write.mode("overwrite").parquet(str(tmp_path / "src2"))
+    run(str(tmp_path / "src2"), str(tmp_path / "ckptB"))
+
+    total = t.get_full_df().agg(F.sum("n")).collect()[0][0]
+    assert total == 180  # src2's rows merged, not silently dropped

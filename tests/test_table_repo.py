@@ -533,3 +533,19 @@ def test_zorder_tightens_both_dimensions(spark, tmp_root):
     assert sorted(map(tuple, zed.get_full_df().collect())) == sorted(
         map(tuple, lex.get_full_df().collect())
     )
+
+
+def test_zorder_degenerate_batches_fall_back(spark, tmp_root):
+    """Empty batches, all-NULL keys, and string keys must not crash a
+    zorder table's append — they fall back to lexicographic clustering."""
+    from pyspark.sql import functions as F
+
+    t = TableRepo(f"{tmp_root}/zdeg", cluster_by=["a", "b"], cluster_algo="zorder")
+    df = spark.createDataFrame([(1, 2.0), (3, None), (5, 6.0)], "a long, b double")
+    t.extend(df)                      # NULL value in a key column
+    t.extend(df.where(F.lit(False)))  # empty batch
+    t.extend(df.withColumn("b", F.lit(None).cast("double")))  # all-NULL key
+    assert t.get_full_df().count() == 6
+    ts = TableRepo(f"{tmp_root}/zstr", cluster_by=["c", "d"], cluster_algo="zorder")
+    ts.extend(spark.createDataFrame([("x", "y"), ("p", "q")], "c string, d string"))
+    assert ts.get_full_df().count() == 2
