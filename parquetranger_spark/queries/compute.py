@@ -619,10 +619,13 @@ def events_props_extract(spark, sf_dir):
     keys to columns at ingest (sources/ingestor.py), with this as the
     long-tail access path."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.max(k).alias("max_k"),
+    # one from_json parse per row, not one get_json_object per aggregate
+    parsed = ev.select(
+        "event_type", F.from_json(F.col("props"), "k bigint").getField("k").alias("__k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("__k").alias("sum_k"),
+        F.max("__k").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -874,4 +877,38 @@ def sql_q14_promo_share(spark, sf_dir):
             F.sum(rev).cast("double").alias("total_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH fu AS (
+  SELECT user_id, min(epoch_ns(ts) // 604800000000000) AS cohort_w
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS w FROM events
+)
+SELECT f.cohort_w, a.w - f.cohort_w AS week_offset, count(*) AS n_users
+FROM act a JOIN fu f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity week, distinct
+    active users counted per (cohort, week offset) — the canonical
+    product-analytics triangle. Two aggregations and one join, all keyed
+    on user_id, so the cohort assignment and the activity dedup reuse a
+    single hash partitioning; integer week buckets keep the surface
+    engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 604800000000000").alias("w")
+    )
+    fu = ev.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    act = ev.distinct()
+    return (
+        act.join(fu, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
