@@ -912,3 +912,41 @@ def events_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "shipping_lag_by_priority",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n,
+       CAST(SUM(CAST((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+                     AS BIGINT)) AS BIGINT) AS sum_lag_days,
+       CAST(MAX((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000)
+            AS BIGINT) AS max_lag_days
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def shipping_lag_by_priority(spark, sf_dir):
+    """Order-to-ship lag per priority: the order/lineitem timestamps
+    difference floored to whole days — integer arithmetic end to end, so
+    the lag distribution is engine-exact. Same single-exchange shape as
+    Q18 (grouping on the dim column after the orderkey join reuses no
+    partitioning, but the join output is small relative to the scan)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__o_us")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("__s_us")
+    )
+    lag = F.expr("(__s_us - __o_us) div 86400000000")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_orderpriority", lag.alias("__lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__lag").alias("sum_lag_days"),
+            F.max("__lag").alias("max_lag_days"),
+        )
+    )
