@@ -249,3 +249,32 @@ def stream_incremental_rollup(spark, sf_dir):
         "n",
         F.col("value_dec").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "token_quantiles_exact",
+    oracle="""
+SELECT lang,
+       quantile_cont(n_tokens, 0.25) AS p25,
+       quantile_cont(n_tokens, 0.5) AS p50,
+       quantile_cont(n_tokens, 0.75) AS p75,
+       count(*) AS n_docs
+FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+GROUP BY lang
+""",
+)
+def token_quantiles_exact(spark, sf_dir):
+    """X9's exact twin: per-language token-count quartiles via the exact
+    interpolated percentile (both engines define it as the same linear
+    interpolation over the sorted group, so the doubles are
+    bit-identical). The exact form buffers each group's values — the
+    right tool at dimension-table cardinalities, with
+    token_quantiles_approx as the constant-memory scale path."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+    return toks.groupBy("lang").agg(
+        F.percentile("n_tokens", 0.25).alias("p25"),
+        F.percentile("n_tokens", 0.5).alias("p50"),
+        F.percentile("n_tokens", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
