@@ -495,13 +495,7 @@ def sql_q3_top_orders(spark, sf_dir):
     )
     return (
         joined.groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
-            )
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderpriority")
@@ -652,7 +646,7 @@ def orders_monthly_revenue(spark, sf_dir):
     ).alias("month_us")
     return o.groupBy(month).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("revenue"),
+        dsum("o_totalprice", "revenue"),
     )
 
 
@@ -679,7 +673,7 @@ def skewed_salted_join(spark, sf_dir):
     joined = salted_join(ev, dim, ["event_type"], n_salts=8)
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
@@ -732,11 +726,7 @@ def sql_q5_local_supplier(spark, sf_dir):
         )
     )
     return joined.groupBy("n_name").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
-        )
-        .cast("double")
-        .alias("revenue"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -763,9 +753,7 @@ def sql_q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,6)"))
-            .cast("double")
-            .alias("revenue"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )

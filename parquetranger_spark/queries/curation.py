@@ -298,9 +298,9 @@ def stratified_sample(spark, sf_dir):
     return d.where(pred).groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@query(
-    "doc_chunks",
-    oracle=r"""
+# 32/24 chunk layout over documents — shared by the batch query and its
+# stateless streaming twin (identical output ⇒ identical oracle)
+_CHUNK_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
 ),
@@ -313,7 +313,12 @@ SELECT doc_id, start_tok // 24 AS chunk_idx,
        LEAST(CAST(32 AS BIGINT), n - start_tok) AS n_tokens,
        md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
 FROM c
-""",
+"""
+
+
+@query(
+    "doc_chunks",
+    oracle=_CHUNK_ORACLE,
 )
 def doc_chunks(spark, sf_dir):
     """X7: fixed-size token chunking with overlap (32-token chunks every
@@ -673,20 +678,7 @@ def e2e_curation_pipeline(spark, sf_dir):
 
 @query(
     "stream_doc_chunks",
-    oracle=r"""
-WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
-),
-s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
-c AS (
-  SELECT doc_id, u.s AS start_tok, toks, n
-  FROM s, UNNEST(generate_series(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))) AS u(s)
-)
-SELECT doc_id, start_tok // 24 AS chunk_idx,
-       LEAST(CAST(32 AS BIGINT), n - start_tok) AS n_tokens,
-       md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')) AS chunk_hash
-FROM c
-""",
+    oracle=_CHUNK_ORACLE,
 )
 def stream_doc_chunks(spark, sf_dir):
     """X10 streaming twin: chunk_documents applied UNCHANGED to a file

@@ -12,10 +12,7 @@ from parquetranger_spark.operators.curation import stratified_sample_pred
 from parquetranger_spark.operators.packing import chunk_documents, pack_by_offset
 
 
-def plan(df, mode: str = "formatted") -> str:
-    return df.sparkSession._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+from tests.test_plans import plan
 
 
 def toks(n: int) -> str:
