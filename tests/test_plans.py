@@ -180,3 +180,12 @@ def test_q5_single_fact_exchange(spark, sf_dir):
     p = plan(sql_q5_local_supplier(spark, sf_dir), "simple")
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
+    """rank-filter top-k must plan as WindowGroupLimit (map-side top-k
+    below the exchange) — the property that keeps per-group top-n from
+    shuffling whole groups at scale."""
+    from parquetranger_spark.queries.compute import topk_per_group
+
+    assert "WindowGroupLimit" in plan(topk_per_group(spark, sf_dir))
