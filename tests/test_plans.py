@@ -153,13 +153,18 @@ def test_q18_agg_reuses_join_partitioning(spark, sf_dir):
     (the property that matters when both sides are too big to broadcast)."""
     from parquetranger_spark.queries.compute import sql_q18_big_orders
 
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
     try:
         p = plan(sql_q18_big_orders(spark, sf_dir), "simple")
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # unset when it was unset — leaving -1 behind disables broadcasts
+        # for every later test in the session
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     assert p.count("Exchange") == 2, p
 
 
