@@ -85,3 +85,36 @@ def test_range_join_matches_bruteforce(spark, events, window):
             ((events["t"] <= a["t"]) & (events["t"] >= a["t"] - window)).sum()
         ) - 1  # minus the anchor's own row
         assert got[a["eid"]] == n, (a["eid"], got[a["eid"]], n)
+
+
+@given(left=event_sets(), right=event_sets(), tol=st.one_of(st.none(), st.integers(0, 30)))
+@_SETTINGS
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right, tol):
+    from parquetranger_spark.operators.temporal import asof_join_forward
+
+    left = left.assign(pid=range(len(left)))
+    got = {
+        r["pid"]: r["nxt"]
+        for r in asof_join_forward(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["k"],
+            "t",
+            out_col="nxt",
+            tolerance=tol,
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t").rename(columns={"t": "rt"}),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="forward",
+        tolerance=tol,
+    )
+    want = {
+        row.pid: (None if pd.isna(row.rt) else int(row.rt))
+        for row in want_df.itertuples()
+    }
+    assert got == want
