@@ -278,3 +278,53 @@ def token_quantiles_exact(spark, sf_dir):
         F.percentile("n_tokens", 0.75).alias("p75"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "stream_running_max",
+    oracle="""
+SELECT user_id, max(value) AS max_value, count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def stream_running_max(spark, sf_dir):
+    """X6: second custom stateful operator — per-user running (max, count)
+    via applyInPandasWithState (streaming/sessions.py::streaming_running_agg),
+    scalar state per key, multiple micro-batches (maxFilesPerTrigger).
+    Both running outputs are monotone, so the per-key max over every
+    emitted update equals the batch answer exactly — no approximation in
+    the check."""
+    import uuid
+
+    from ..streaming.ingest import state_partitions
+    from ..streaming.sessions import streaming_running_agg
+    from .common import scratch_dir
+
+    root = scratch_dir("srmax")
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{root}/src")
+    )
+    out = streaming_running_agg(stream)
+    name = f"srmax_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("running_max").alias("max_value"),
+            F.max("running_n").alias("n_events"),
+        )
+    )

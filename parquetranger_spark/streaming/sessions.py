@@ -77,3 +77,46 @@ def streaming_session_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_running_agg(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-key running (max, count) over an event stream — the minimal
+    custom stateful shape: one scalar state row per key, updated per
+    micro-batch, emitted in update mode. Both outputs are monotone, so
+    the per-key maximum over everything emitted equals the final truth —
+    which is what lets an exact SQL oracle check the streaming run.
+
+    Same scale posture as streaming_session_stats: state hash-partitioned
+    by key, each micro-batch shuffles only its own rows, O(1) state per
+    key."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_max, cur_n = state.get
+        else:
+            cur_max, cur_n = None, 0
+        for pdf in pdfs:
+            if len(pdf):
+                m = float(pdf[val_col].max())
+                cur_max = m if cur_max is None else max(cur_max, m)
+                cur_n += int(len(pdf))
+        state.update((cur_max, cur_n))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "running_max": [cur_max], "running_n": [cur_n]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, running_max double, running_n long",
+        stateStructType="cur_max double, cur_n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
