@@ -449,3 +449,12 @@ def csv_source_agg(spark, sf_dir):
 def json_source_agg(spark, sf_dir):
     """Source-format breadth: same round trip through JSON-lines."""
     return _format_roundtrip(spark, sf_dir, "json")
+
+
+@query("orc_source_agg", oracle=_EVENTS_FMT_ORACLE)
+def orc_source_agg(spark, sf_dir):
+    """Source-format breadth: same round trip through ORC — the columnar
+    alternative Spark supports natively (vectorized reader, predicate
+    pushdown); binary columnar storage makes the value round trip exact
+    by construction."""
+    return _format_roundtrip(spark, sf_dir, "orc")
