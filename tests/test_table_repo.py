@@ -549,3 +549,30 @@ def test_zorder_degenerate_batches_fall_back(spark, tmp_root):
     ts = TableRepo(f"{tmp_root}/zstr", cluster_by=["c", "d"], cluster_algo="zorder")
     ts.extend(spark.createDataFrame([("x", "y"), ("p", "q")], "c string, d string"))
     assert ts.get_full_df().count() == 2
+
+
+def test_load_normalizes_both_events_ts_generations(spark, tmp_path):
+    """The driver's testdata has shipped events.ts as TIMESTAMP(NANOS) in
+    some generations and TIMESTAMP(MICROS) in others; load() must present
+    epoch-nanos longs for BOTH (the round-3 drift broke 11 queries)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquetranger_spark.queries.common import load
+
+    base = 1_700_000_000_000_000_000  # epoch nanos
+    for unit, vals in [("ns", [base, base + 1000]), ("us", [base // 1000, base // 1000 + 1])]:
+        d = tmp_path / f"gen_{unit}"
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        out = load(spark, str(d), "events")
+        assert dict(out.dtypes)["ts"] == "bigint", (unit, out.dtypes)
+        got = sorted(r.ts for r in out.collect())
+        # ns gen: [base, base+1000ns]; us gen: [base, base+1us] → same nanos
+        assert got == [base, base + 1000], (unit, got)
