@@ -458,3 +458,28 @@ def orc_source_agg(spark, sf_dir):
     pushdown); binary columnar storage makes the value round trip exact
     by construction."""
     return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@query(
+    "bucketed_agg_noshuffle",
+    oracle=f"""
+SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+       {dsum_sql('o_totalprice', 'total_spend')}
+FROM orders GROUP BY o_custkey
+""",
+)
+def bucketed_agg_noshuffle(spark, sf_dir):
+    """S16's aggregation face: grouping a bucketed table on its bucket
+    key plans with NO exchange — the scan's bucketing already satisfies
+    the aggregate's distribution, so the per-customer rollup is map-only.
+    The recurring-dashboard shape where pre-bucketing pays for itself on
+    every run."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    root = scratch_dir("bkta")
+    b = BucketedRepo(f"{root}/o", "c_custkey", 8, spark=spark)
+    b.replace_all(orders)
+    return b.get_full_df().groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend")
+    )

@@ -94,3 +94,13 @@ def test_reregistration_after_catalog_loss(spark, tmp_root):
         assert "Exchange hashpartitioning" not in plan, plan
         assert joined.count() == 334
     left.purge(), right.purge()
+
+
+def test_bucketed_agg_plans_without_exchange(spark, sf_dir):
+    """Grouping a bucketed table on its bucket key must not shuffle —
+    the scan's bucketing satisfies the aggregate's distribution."""
+    from parquetranger_spark.queries.storage import bucketed_agg_noshuffle
+    from tests.test_plans import plan
+
+    p = plan(bucketed_agg_noshuffle(spark, sf_dir), "simple")
+    assert "Exchange" not in p, p
