@@ -194,3 +194,39 @@ def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
     from parquetranger_spark.queries.compute import topk_per_group
 
     assert "WindowGroupLimit" in plan(topk_per_group(spark, sf_dir))
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The hint-free complement to functions/skew.py: with AQE skew-join
+    enabled, a hot-key join partition is split at runtime — the final
+    adaptive plan carries the skew=true marker — without salting, hints,
+    or any query rewrite. (Thresholds are lowered so local-scale shuffle
+    sizes register as skewed.)"""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 7).otherwise(0).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(7).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000
+        p = plan(j, "simple")
+        assert "skew=true" in p and "isFinalPlan=true" in p, p
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
