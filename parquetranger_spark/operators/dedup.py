@@ -239,6 +239,34 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT of doc b in doc a —
+    |sh(b) ∩ sh(a)| / |sh(b)| — for candidate pairs. The asymmetric
+    companion to :func:`jaccard_pairs`: a short document quoted whole
+    inside a long one has containment ≈ 1 while its Jaccard is tiny, so
+    symmetric near-dedup never sees it. Same streaming two-join shape as
+    the Jaccard verify; at discovery scale pair candidates come from
+    prefix/sample fingerprints rather than plain MinHash (whose collision
+    rate tracks Jaccard, not containment)."""
+    sets = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")).select(
+        F.col(id_col), F.array_distinct(shingles(F.col("__tk"), shingle_n)).alias("sh")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / F.size("sh_b").cast("double")).alias("containment"))
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

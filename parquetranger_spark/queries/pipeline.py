@@ -595,3 +595,49 @@ def dedup_cluster_reps(spark, sf_dir):
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
     )
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 25
+),
+contained AS (
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS text,
+         doc_id AS src
+  FROM base
+),
+corpus AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM contained
+),
+sets AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus)
+SELECT c.src AS id_a, c.doc_id AS id_b,
+       CAST(len(list_intersect(b.sh, a.sh)) AS DOUBLE) / CAST(len(b.sh) AS DOUBLE)
+         AS containment
+FROM contained c
+JOIN sets a ON a.doc_id = c.src
+JOIN sets b ON b.doc_id = c.doc_id
+""",
+)
+def containment_pairs_q(spark, sf_dir):
+    """X2 (asymmetric): shingle containment of an embedded excerpt in its
+    source — 20-token prefixes injected as standalone docs score
+    containment ≈ 1 against their source while their Jaccard is tiny
+    (operators/dedup.py::containment_pairs). The quote/boilerplate-
+    inclusion signal symmetric near-dedup cannot express."""
+    from ..operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    base = d.where((F.col("doc_id") % 13 == 0) & (F.size(toks) >= 25))
+    contained = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 20), " ").alias("text"),
+        F.col("doc_id").alias("src"),
+    )
+    corpus = base.unionByName(contained.select("doc_id", "text"))
+    pairs = contained.select(F.col("src").alias("id_a"), F.col("doc_id").alias("id_b"))
+    return containment_pairs(corpus, pairs)
