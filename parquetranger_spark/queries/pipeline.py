@@ -641,3 +641,59 @@ def containment_pairs_q(spark, sf_dir):
     corpus = base.unionByName(contained.select("doc_id", "text"))
     pairs = contained.select(F.col("src").alias("id_a"), F.col("doc_id").alias("id_b"))
     return containment_pairs(corpus, pairs)
+
+
+@query(
+    "dedup_apply_clusters",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
+sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src, dst FROM reach
+  UNION SELECT DISTINCT src, src FROM edges
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM closure GROUP BY src),
+dropped AS (SELECT id FROM comp WHERE id <> component)
+SELECT c.lang, count(*) AS n_kept, CAST(SUM(CAST(c.doc_id AS BIGINT)) AS BIGINT) AS sum_ids
+FROM corpus c LEFT JOIN dropped d ON c.doc_id = d.id
+WHERE d.id IS NULL
+GROUP BY c.lang
+""",
+)
+def dedup_apply_clusters(spark, sf_dir):
+    """X2/X12 end-to-end APPLICATION: near-dup pairs → connected
+    components → keep only each cluster's min-id representative → the
+    deduplicated corpus, summarized per language. The anti-join on the
+    non-representative id set is the one extra step after cluster
+    resolution — the full near-dedup pipeline a corpus refresh actually
+    runs."""
+    from ..operators.dedup import connected_components, near_dedup_minhash
+
+    corpus = _injected_docs(spark, sf_dir)
+    pairs = near_dedup_minhash(corpus, threshold=0.6, bucket_cap=5000).select(
+        "id_a", "id_b"
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(pairs)
+    dropped = cc.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = corpus.join(dropped, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids")
+    )
