@@ -56,3 +56,7 @@ def load_all() -> None:
         from . import sketches  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import tpch  # noqa: F401
+    except ImportError:
+        pass

@@ -1,0 +1,293 @@
+"""Round-4 TPC-H-shaped relational tier: the query shapes the reference's
+users would run through pandas after ``get_full_df()`` (SURVEY §2.2 C2/C5)
+re-expressed as single declarative Spark plans — here focused on the forms
+Catalyst has to *decorrelate* or plan specially: EXISTS / NOT EXISTS
+semi- and anti-joins, left-outer count distributions, scalar subqueries,
+per-group scalar thresholds, and disjunctive pushdown.
+
+Every query is adapted to the driver testdata's columns (TESTDATA.md): the
+tables lack l_shipmode / partsupp / c_phone, so the *shape* of each TPC-H
+query is preserved (the join/subquery structure Catalyst must plan) while
+the predicates use columns that exist. All money sums route through
+DECIMAL(28,6) in both engines (see queries/__init__ exactness rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import query
+from .common import dsum, dsum_sql, load
+
+
+@query(
+    "sql_q4_priority_check",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate))
+GROUP BY o.o_orderpriority
+""",
+)
+def sql_q4_priority_check(spark, sf_dir):
+    """TPC-H-Q4-shaped EXISTS decorrelation: orders with at least one
+    late-shipping lineitem, counted per priority. The correlated EXISTS
+    becomes one LEFT SEMI hash join on the order key with the non-equi
+    ship-after-order predicate evaluated as the join's residual filter —
+    the semi join dedups order keys *inside* the join (no distinct pass),
+    and the probe side carries only (orderkey, two epoch-us longs). At
+    100 TB both sides hash-partition on the same key; nothing is
+    broadcast because both are fact-sized."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__o_us"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("__s_us")
+    )
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (F.col("__s_us") > F.col("__o_us")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "sql_q12_priority_by_flag",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity < 30
+GROUP BY l.l_returnflag
+""",
+)
+def sql_q12_priority_by_flag(spark, sf_dir):
+    """TPC-H-Q12-shaped conditional aggregation after a fact-fact join
+    (testdata has no l_shipmode; l_returnflag plays the mode). The two
+    CASE counts collapse into ONE aggregation pass — never two filtered
+    joins; the quantity filter is pushed to the lineitem scan so the join
+    probe side shrinks before the shuffle."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") < 30)
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "sql_q13_order_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS n_custs
+FROM per_cust GROUP BY c_count
+""",
+)
+def sql_q13_order_distribution(spark, sf_dir):
+    """TPC-H-Q13-shaped customer order-count distribution: LEFT OUTER
+    join so zero-order customers survive with count 0 (count(col) skips
+    the nulls the outer join manufactures — the semantic core of Q13),
+    then a second tiny aggregation over the counts. The orders side is
+    pre-filtered and pre-aggregated to (custkey, n) BEFORE the outer join
+    so the join carries one row per customer per side instead of one row
+    per order — at 100 TB that turns a fact-sized outer join into a
+    dim-sized one."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = cust.join(
+        per_cust_orders, cust.c_custkey == per_cust_orders.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+@query(
+    "sql_q16_supplier_parts",
+    oracle="""
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (1, 14, 23, 45, 49)
+  AND p.p_brand <> 'Brand#45'
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def sql_q16_supplier_parts(spark, sf_dir):
+    """TPC-H-Q16-shaped supplier diversity count (lineitem stands in for
+    partsupp; negative-balance suppliers play the complaints exclusion).
+    The NOT EXISTS is a LEFT ANTI join against the *filtered* supplier
+    dim — broadcast, since the exclusion list is tiny; the part dim
+    filters on size/brand before broadcasting. COUNT(DISTINCT suppkey)
+    is planned as a two-phase expand-aggregate (partial distinct below
+    the shuffle), not a global dedup."""
+    bad_supp = (
+        load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(1, 14, 23, 45, 49) & (F.col("p_brand") != "Brand#45"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = li.join(
+        F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti"
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    return kept.groupBy("p_brand", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "sql_q17_small_qty_revenue",
+    oracle="""
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.2 * a.avg_qty
+""",
+)
+def sql_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H-Q17-shaped correlated scalar subquery (revenue of lineitems
+    below 20% of their part's average quantity). The oracle decorrelates
+    to an agg+join; the engine goes one better — a single window AVG over
+    ``partition by l_partkey`` computes the threshold in the SAME hash
+    partitioning the filter then consumes: one shuffle total, no join.
+    The average is decimal-sum / count (identical bits both engines), so
+    the 0.2× threshold comparison keeps identical rows at the boundary."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    small = li.withColumn("__avg", avg_qty).where(F.col("l_quantity") < 0.2 * F.col("__avg"))
+    return small.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "sql_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       count(*) AS n
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def sql_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H-Q19-shaped disjunctive predicate join. Catalyst extracts the
+    common conjuncts of the OR branches to each side of the join — the
+    part side pre-filters to the union of the three brand/size envelopes
+    (so the broadcast build shrinks), the lineitem side to the quantity
+    envelope 1–30 (pushed to the scan) — and evaluates the full
+    disjunction as the join residual. One broadcast join, one agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "sql_q22_idle_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment, count(*) AS n_custs,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+""",
+)
+def sql_q22_idle_customers(spark, sf_dir):
+    """TPC-H-Q22-shaped: above-average-balance customers with no urgent
+    orders, per market segment (segment plays Q22's country code). Two
+    subquery forms in one plan: the scalar AVG becomes a 1-row broadcast
+    cross join (never a collect), and the NOT EXISTS becomes a LEFT ANTI
+    hash join against the filtered orders fact — at scale both sides
+    hash-partition on custkey; the anti join's build side is only the
+    urgent slice. Balance sums stay decimal-exact so the > threshold
+    keeps identical rows in both engines."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "ab"
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        dsum("c_acctbal", "total_bal"),
+    )

@@ -230,3 +230,54 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q4_exists_plans_left_semi(spark, sf_dir):
+    """The correlated EXISTS must plan as ONE left semi hash join with the
+    non-equi ship-after-order predicate as the join residual — no distinct
+    pass over lineitem, no inner-join-then-dedup."""
+    from parquetranger_spark.queries.tpch import sql_q4_priority_check
+
+    p = plan(sql_q4_priority_check(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "Distinct" not in p and "Dedup" not in p
+
+
+def test_q16_and_q22_not_exists_plan_anti_joins(spark, sf_dir):
+    """NOT EXISTS subqueries must decorrelate to LEFT ANTI hash joins; the
+    Q16 exclusion list (filtered supplier dim) must broadcast."""
+    from parquetranger_spark.queries.tpch import (
+        sql_q16_supplier_parts,
+        sql_q22_idle_customers,
+    )
+
+    p16 = plan(sql_q16_supplier_parts(spark, sf_dir))
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+    p22 = plan(sql_q22_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in p22
+
+
+def test_q17_threshold_is_one_shuffle_no_join(spark, sf_dir):
+    """The per-part average threshold runs as a window over the SAME hash
+    partitioning the filter consumes: exactly one exchange, zero joins —
+    the decorrelation Catalyst's agg+join rewrite would pay two shuffles
+    for."""
+    from parquetranger_spark.queries.tpch import sql_q17_small_qty_revenue
+
+    p = plan(sql_q17_small_qty_revenue(spark, sf_dir), "simple")
+    assert "Join" not in p
+    # one exchange for the window partitioning + the final single-row agg's
+    # SinglePartition exchange; nothing else
+    assert p.count("Exchange") <= 2, p
+
+
+def test_q19_disjunction_prunes_both_scan_sides(spark, sf_dir):
+    """Catalyst must extract the common envelopes of the OR branches to
+    both join inputs: the lineitem scan carries a pushed quantity filter
+    and the part side filters before the broadcast."""
+    from parquetranger_spark.queries.tpch import sql_q19_disjunctive_revenue
+
+    p = plan(sql_q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    pushed = p.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "l_quantity" in pushed
