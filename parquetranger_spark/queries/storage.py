@@ -483,3 +483,47 @@ def bucketed_agg_noshuffle(spark, sf_dir):
     return b.get_full_df().groupBy("c_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spend")
     )
+
+
+@query(
+    "manifest_time_travel",
+    oracle=f"""
+WITH v2 AS (SELECT * FROM lineitem),
+     v1 AS (SELECT * FROM lineitem WHERE l_linenumber % 2 = 0)
+SELECT l_returnflag,
+       (SELECT count(*) FROM v1 b WHERE b.l_returnflag = a.l_returnflag) AS n_v1,
+       count(*) AS n_v2,
+       {dsum_sql('l_extendedprice', 'sum_price_v2')}
+FROM v2 a GROUP BY l_returnflag
+""",
+)
+def manifest_time_travel(spark, sf_dir):
+    """S21 (round 4): manifest-committed table + snapshot time travel
+    (sources/manifest.py). Two appends publish manifest v1 and v2 with a
+    single create-if-absent CAS each — no renames, so the commit is
+    atomic on object stores too. The query reads BOTH snapshots: v1 (the
+    first batch only) and v2 (everything), joining the per-flag counts —
+    proving an old version stays exactly readable after later commits.
+    The v1 side is a one-row-per-flag aggregate, broadcast into the v2
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    t = TableRepo(
+        scratch_dir("manifest") + "/lineitem",
+        group_cols="l_returnflag",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(li.where(F.col("l_linenumber") % 2 == 0))
+    t.extend(li.where(F.col("l_linenumber") % 2 == 1))
+    v1 = (
+        t.get_full_df(version=1)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_v1"))
+    )
+    v2 = t.get_full_df().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_v2"),
+        dsum("l_extendedprice", "sum_price_v2"),
+    )
+    return v2.join(F.broadcast(v1), "l_returnflag").select(
+        "l_returnflag", "n_v1", "n_v2", "sum_price_v2"
+    )

@@ -156,6 +156,25 @@ class LocalFS:
             fh.write(text)
         os.replace(tmp, path)
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text`` IFF it does not exist —
+        the compare-and-swap primitive of the manifest commit protocol.
+        Returns False (no write) when another writer won the race. Torn
+        reads are impossible: the bytes are staged to a temp file and
+        hard-linked into place (link(2) is atomic create-if-absent), so the
+        destination either absent or complete."""
+        self.mkdirs(os.path.dirname(path))
+        tmp = f"{path}.{uuid4().hex[:12]}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
 
 class HadoopFS:
     """``org.apache.hadoop.fs.FileSystem`` via the py4j gateway.
@@ -275,6 +294,24 @@ class HadoopFS:
                 self._fs.delete(dest, False)
             if not self._fs.rename(tmp, dest):
                 raise IOError(f"rename {tmp} -> {dest} failed")
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent (manifest CAS). ``FileSystem.create(path,
+        overwrite=False)`` raises when the destination exists — atomic on
+        HDFS; on S3-class stores it is check-then-write (the conditional
+        PUT depends on the connector), which still shrinks the race to one
+        RPC and is the standard Hadoop-ecosystem fallback."""
+        p = self._jPath(path)
+        self.mkdirs(parent_dir(path))
+        try:
+            out = self._fs.create(p, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
 
 _LOCAL = LocalFS()

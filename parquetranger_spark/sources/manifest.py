@@ -1,0 +1,133 @@
+"""Manifest commit protocol — atomic, object-store-safe table commits.
+
+The default ``TableRepo`` commit (``commit_mode="files"``) makes data
+visible by *where it sits*: readers list the root, so an append must
+rename files into place (atomic on local/HDFS, copy+delete on S3 — the
+caveat documented on ``TableRepo._two_phase_append``). This module is the
+long-term answer recorded there: visibility by *manifest*. Data files are
+written once into a per-commit directory under ``_pqrs_data/`` and never
+moved; what readers see is decided by a versioned JSON manifest whose
+publication is a single create-if-absent of ``_pqrs_manifest/v<N>.json``
+(:meth:`fs.create_exclusive` — the CAS). This buys, on any store:
+
+- **atomic commits** — a reader sees manifest vN or vN+1, never a torn
+  file set; a crashed writer leaves only an unreferenced data dir;
+- **optimistic concurrency** — two writers racing to vN+1: one CAS wins,
+  the loser recomputes its file list against the winner's manifest and
+  retries at vN+2 (appends and disjoint partition overwrites compose);
+- **snapshot isolation** — a query plans against one manifest's frozen
+  file list; concurrent commits cannot change a running scan;
+- **time travel** — ``get_full_df(version=N)`` reads any retained
+  version; ``versions()`` lists them;
+- **O(1) read planning** — no recursive directory listing (the
+  O(files) driver RPC object stores punish); the manifest IS the file
+  index.
+
+This is the Iceberg/Delta commit shape reduced to its core: one manifest
+level (the table's live file list is rewritten per commit, fine for the
+file counts ``maxRecordsPerFile``/compaction keep; Iceberg's
+manifest-of-manifests tier is the known extension when a single list
+outgrows one JSON object). No counterpart exists in the reference — its
+per-path locks (core.py:97,111) solve single-machine concurrency; this
+solves the same contract on a shared object store.
+
+Manifest JSON::
+
+    {"version": 3,
+     "commits": [{"dir": "_pqrs_data/<uuid>",
+                  "files": ["l_returnflag=A/part-0.parquet", ...]}]}
+
+File paths stay relative (root-relocatable — env switching moves tables
+wholesale); each commit keeps its own ``dir`` so readers can anchor
+partition-column discovery per commit (``basePath``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .fs import join_path
+
+MANIFEST_DIR = "_pqrs_manifest"
+DATA_DIR = "_pqrs_data"
+
+
+def _mpath(root: str, version: int) -> str:
+    return join_path(root, MANIFEST_DIR, f"v{version:020d}.json")
+
+
+def list_versions(fs, root: str) -> list[int]:
+    out = []
+    for p in fs.list_files(join_path(root, MANIFEST_DIR), ".json"):
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] | None:
+    """The manifest at ``version`` (default: latest), or None if the table
+    has no committed version (or ``version`` was vacuumed/never existed)."""
+    if version is None:
+        vs = list_versions(fs, root)
+        if not vs:
+            return None
+        version = vs[-1]
+    path = _mpath(root, version)
+    if not fs.exists(path):
+        return None
+    return json.loads(fs.read_text(path))
+
+
+def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
+    """CAS-publish ``manifest`` at its own version. False = lost the race
+    (caller reloads the latest manifest, reapplies its delta, retries)."""
+    return fs.create_exclusive(
+        _mpath(root, int(manifest["version"])), json.dumps(manifest, indent=1)
+    )
+
+
+def live_files(manifest: dict[str, Any] | None, root: str) -> list[str]:
+    """Absolute paths of every live data file in manifest order."""
+    if not manifest:
+        return []
+    out = []
+    for c in manifest["commits"]:
+        for f in c["files"]:
+            out.append(join_path(root, c["dir"], f))
+    return sorted(out)
+
+
+def partition_values_of(rel_path: str, group_cols: list[str]) -> tuple[str, ...] | None:
+    """The hive ``col=value`` tuple encoded in a commit-relative file path,
+    or None when any group column is absent (ungrouped table)."""
+    found = {}
+    for part in rel_path.split("/")[:-1]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            found[k] = v
+    try:
+        return tuple(found[c] for c in group_cols)
+    except KeyError:
+        return None
+
+
+def prune_partitions(
+    commits: list[dict], group_cols: list[str], touched: set[tuple[str, ...]]
+) -> list[dict]:
+    """Dynamic-overwrite semantics on the manifest: drop every file whose
+    partition tuple is in ``touched``; commits left empty disappear."""
+    out = []
+    for c in commits:
+        kept = [
+            f
+            for f in c["files"]
+            if partition_values_of(f, group_cols) not in touched
+        ]
+        if kept:
+            out.append({"dir": c["dir"], "files": kept})
+    return out

@@ -94,6 +94,11 @@ class TableRepo:
       table at a time; appends then use Spark's plain committer directly
       (one write job, no staging dir or rename fan-out). Leave False when
       concurrent appends are possible — see ``_two_phase_append``.
+    - ``commit_mode``: ``"files"`` (default — visibility by directory
+      layout, renames on append) or ``"manifest"`` (visibility by
+      versioned manifest CAS: atomic commits on object stores, snapshot
+      isolation, ``get_full_df(version=)`` time travel, no renames ever
+      — see sources/manifest.py).
     """
 
     def __init__(
@@ -110,6 +115,7 @@ class TableRepo:
         cluster_by: str | list[str] | None = None,
         cluster_algo: str = "sort",
         single_writer: bool = False,
+        commit_mode: str = "files",
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -137,6 +143,9 @@ class TableRepo:
         self.fixed_schema = fixed_schema
         self.allow_schema_extension = allow_schema_extension
         self.single_writer = bool(single_writer)
+        if commit_mode not in ("files", "manifest"):
+            raise ValueError("commit_mode must be 'files' or 'manifest'")
+        self.commit_mode = commit_mode
         self._spark = spark
         if mkdirs:
             self.mkdirs()
@@ -157,7 +166,13 @@ class TableRepo:
 
     @property
     def paths(self) -> list[str]:
-        """All data files, sorted (reference ``paths``, core.py:261-265)."""
+        """All data files, sorted (reference ``paths``, core.py:261-265).
+        In manifest mode the manifest IS the file index — no directory
+        listing, and files awaiting vacuum never surface."""
+        if self.commit_mode == "manifest":
+            from .manifest import live_files, load_manifest
+
+            return live_files(load_manifest(self._fs(), self.main_path), self.main_path)
         return self._fs().list_files(self.main_path, ".parquet")
 
     @property
@@ -178,7 +193,20 @@ class TableRepo:
         rematerialization (core.py:216-223)."""
         spark = self._session()
         for p in self.paths:
-            yield spark.read.option("basePath", self.main_path).parquet(p)
+            yield spark.read.option("basePath", self._scan_base(p)).parquet(p)
+
+    def _scan_base(self, path: str) -> str:
+        """The basePath partition-column discovery anchors on: the table
+        root, except in manifest mode where hive dirs live under each
+        commit's own ``_pqrs_data/<uuid>`` directory."""
+        if self.commit_mode == "manifest":
+            from .manifest import DATA_DIR
+
+            parts = path_parts(path)
+            if DATA_DIR in parts:
+                i = parts.index(DATA_DIR)
+                return join_path(self.main_path, DATA_DIR, parts[i + 1])
+        return self.main_path
 
     def get_partition_paths(self, partition_col: str) -> Iterable[tuple[str, list[str]]]:
         """Group the data files by one partition column's value — yields
@@ -340,9 +368,54 @@ class TableRepo:
 
     # ------------------------------------------------------------- read paths
 
-    def get_full_df(self) -> DataFrame:
+    def versions(self) -> list[int]:
+        """Committed manifest versions available for time travel
+        (manifest mode only)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("versions() requires commit_mode='manifest'")
+        from .manifest import list_versions
+
+        return list_versions(self._fs(), self.main_path)
+
+    def _manifest_df(self, version: int | None) -> DataFrame:
+        """Manifest-mode scan: the file list comes from one manifest (the
+        snapshot), frozen at plan time — concurrent commits cannot change
+        a running query, and nothing ever lists directories. Each commit
+        dir anchors its own partition-column discovery (basePath), and the
+        per-commit scans union into one plan (commit count is bounded by
+        compaction, which collapses the table to a single commit)."""
+        from .manifest import load_manifest
+
+        spark = self._session()
+        meta = load_meta(self.main_path, spark=self._spark)
+        mf = load_manifest(self._fs(), self.main_path, version)
+        if version is not None and mf is None:
+            raise KeyError(f"no manifest version {version} for {self.name}")
+        schema = meta.schema if meta and meta.schema else None
+        commits = (mf or {}).get("commits", [])
+        scans = []
+        for c in commits:
+            if not c["files"]:
+                continue
+            cdir = join_path(self.main_path, c["dir"])
+            r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            scans.append(
+                r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in c["files"]])
+            )
+        if not scans:
+            return spark.createDataFrame([], schema or T.StructType([]))
+        out = scans[0]
+        for s in scans[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
+
+    def get_full_df(self, version: int | None = None) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
         canonical-schema frame when no files exist (core.py:175).
+        ``version`` (manifest mode only) time-travels to an earlier
+        committed snapshot.
 
         With a canonical sidecar schema the scan is opened with that schema
         explicitly: no footer-merging pass over every file (``mergeSchema``
@@ -351,6 +424,10 @@ class TableRepo:
         types the partition columns), and files predating a widening simply
         surface typed nulls for the newer columns — the standard parquet
         schema-evolution read path."""
+        if self.commit_mode == "manifest":
+            return self._manifest_df(version)
+        if version is not None:
+            raise TypeError("time travel requires commit_mode='manifest'")
         spark = self._session()
         meta = load_meta(self.main_path, spark=self._spark)
         if meta and meta.schema:
@@ -397,7 +474,7 @@ class TableRepo:
         """Single-file read with partition columns restored from the
         directory names (reference ``read_df_from_path``, core.py:225-228;
         group-col rematerialization core.py:216-223)."""
-        return self._session().read.option("basePath", self.main_path).parquet(path)
+        return self._session().read.option("basePath", self._scan_base(path)).parquet(path)
 
     # Arrow-table variants (reference returns pyarrow.Table from
     # ``get_full_table`` core.py:172-175, ``get_partition_table``
@@ -664,6 +741,76 @@ class TableRepo:
         # recovery instead of being destroyed by an unconditional cleanup
         fs.delete(staging)
 
+    def _write_manifest(self, df: DataFrame, mode: str, dynamic: bool) -> None:
+        """Manifest-mode commit (sources/manifest.py): write the batch ONCE
+        into a fresh ``_pqrs_data/<uuid>`` dir (hive-partitioned inside, so
+        partition pruning still works), then CAS-publish the next manifest
+        version. No renames ever — the write is final where it lands, and
+        visibility is the manifest flip. Losing the CAS costs re-reading
+        one small JSON and re-deriving the file list, never re-writing
+        data; concurrent appends and disjoint partition overwrites
+        therefore compose, and a conflicting SAME-partition overwrite is
+        last-committer-wins (same as dynamic overwrite on files)."""
+        import uuid
+
+        from .manifest import (
+            DATA_DIR,
+            load_manifest,
+            partition_values_of,
+            prune_partitions,
+            try_commit,
+        )
+
+        fs = self._fs()
+        rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
+        cdir = join_path(self.main_path, rel_dir)
+        w = df.write.mode("overwrite")
+        if self.group_cols:
+            w = w.partitionBy(*self.group_cols)
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", self.max_records)
+        w.parquet(cdir)
+        base = len(path_parts(cdir))
+        files = ["/".join(path_parts(p)[base:]) for p in fs.list_files(cdir, ".parquet")]
+        entry = {"dir": rel_dir, "files": files}
+        touched = (
+            {partition_values_of(f, self.group_cols) for f in files}
+            if (dynamic and self.group_cols)
+            else set()
+        )
+        while True:
+            cur = load_manifest(fs, self.main_path)
+            commits = list(cur["commits"]) if cur else []
+            if mode == "append":
+                commits = commits + ([entry] if files else [])
+            elif dynamic and self.group_cols:
+                commits = prune_partitions(commits, self.group_cols, touched) + (
+                    [entry] if files else []
+                )
+            else:  # static truncate-and-load
+                commits = [entry] if files else []
+            nxt = {"version": (cur["version"] if cur else 0) + 1, "commits": commits}
+            if try_commit(fs, self.main_path, nxt):
+                return
+
+    def _drop_partitions_from_manifest(self, group_value_tuples: set[tuple]) -> None:
+        """Manifest-mode partition delete: publish a version whose file
+        list excludes the partitions — data files stay until vacuum."""
+        from .manifest import load_manifest, prune_partitions, try_commit
+
+        fs = self._fs()
+        touched = {tuple(str(v) for v in gv) for gv in group_value_tuples}
+        while True:
+            cur = load_manifest(fs, self.main_path)
+            if cur is None:
+                return
+            nxt = {
+                "version": cur["version"] + 1,
+                "commits": prune_partitions(cur["commits"], self.group_cols, touched),
+            }
+            if try_commit(fs, self.main_path, nxt):
+                return
+
     def vacuum(self, max_age_seconds: float = 24 * 3600) -> list[str]:
         """Delete orphaned two-phase-append staging dirs older than
         ``max_age_seconds`` — the maintenance sweep for writers that
@@ -689,9 +836,41 @@ class TableRepo:
             if 0 < mtime < cutoff:
                 fs.delete(path)
                 deleted.append(path)
+        if self.commit_mode == "manifest":
+            deleted += self._vacuum_manifest(cutoff)
+        return deleted
+
+    def _vacuum_manifest(self, cutoff: float) -> list[str]:
+        """Manifest-mode sweep: (a) commit dirs referenced by NO retained
+        manifest and older than the cutoff — superseded by later
+        overwrites/compactions, or stranded by a writer that crashed
+        between data write and CAS; (b) all manifest versions below the
+        latest, so time travel's retention window IS the vacuum cadence.
+        The age threshold protects in-flight commits exactly as it does
+        staging dirs: a live writer's data dir is younger than any sane
+        cutoff."""
+        from .fs import basename as _bn
+        from .manifest import DATA_DIR, MANIFEST_DIR, list_versions, load_manifest
+
+        fs = self._fs()
+        latest = load_manifest(fs, self.main_path)
+        live_dirs = {c["dir"].split("/")[-1] for c in (latest or {}).get("commits", [])}
+        deleted = []
+        for path, mtime in fs.list_dirs(join_path(self.main_path, DATA_DIR)):
+            if _bn(path) not in live_dirs and 0 < mtime < cutoff:
+                fs.delete(path)
+                deleted.append(path)
+        versions = list_versions(fs, self.main_path)
+        for v in versions[:-1]:
+            p = join_path(self.main_path, MANIFEST_DIR, f"v{v:020d}.json")
+            fs.delete(p)
+            deleted.append(p)
         return deleted
 
     def _delete_partition_dir(self, group_values: tuple) -> None:
+        if self.commit_mode == "manifest":
+            self._drop_partitions_from_manifest({tuple(group_values)})
+            return
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
 
@@ -741,6 +920,9 @@ class TableRepo:
                     )
             else:
                 df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
+        if self.commit_mode == "manifest":
+            self._write_manifest(df, mode=mode, dynamic=dynamic)
+            return
         if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are
             # NOT safe — all jobs share the committer's _temporary/0

@@ -1,0 +1,170 @@
+"""Manifest commit protocol (sources/manifest.py, TableRepo
+commit_mode='manifest'): atomic CAS-published versions, snapshot
+time travel, dynamic partition overwrite on the manifest, concurrent
+append composition, and vacuum of superseded data dirs."""
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+import pytest
+
+from parquetranger_spark import TableRepo
+from parquetranger_spark.sources.manifest import MANIFEST_DIR, load_manifest
+
+
+def _frame(lo: int, n: int = 6):
+    return pd.DataFrame(
+        {
+            "k": [f"k{i}" for i in range(lo, lo + n)],
+            "A": list(range(lo, lo + n)),
+            "C": [str((lo + i) % 3) for i in range(n)],
+        }
+    )
+
+
+def _repo(spark, root, **kw):
+    return TableRepo(
+        root, group_cols="C", index_cols="k", commit_mode="manifest", spark=spark, **kw
+    )
+
+
+def rows(df):
+    return sorted((r["k"], r["A"], r["C"]) for r in df.collect())
+
+
+def test_append_roundtrip_and_versions(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+    assert t.versions() == [1, 2]
+    # time travel: version 1 is exactly the first batch
+    assert rows(t.get_full_df(version=1)) == rows(spark.createDataFrame(_frame(0)))
+    with pytest.raises(KeyError):
+        t.get_full_df(version=99)
+
+
+def test_no_directory_visibility_and_no_renames(spark, tmp_root):
+    """Visibility is manifest-only: a naive reader listing the root sees
+    nothing (data lives under underscore-hidden _pqrs_data), and the
+    manifest references every written file in its ORIGINAL location —
+    proving no rename happened."""
+    root = f"{tmp_root}/t"
+    t = _repo(spark, root)
+    t.extend(spark.createDataFrame(_frame(0)))
+    mf = load_manifest(t._fs(), t.main_path)
+    assert mf["version"] == 1
+    for c in mf["commits"]:
+        assert c["dir"].startswith("_pqrs_data/")
+        for f in c["files"]:
+            assert os.path.exists(os.path.join(root, c["dir"], f))
+    # the fs shim (like Spark's file index) hides underscore dirs
+    assert t._fs().list_files(root, ".parquet") == []
+
+
+def test_partition_pruned_read_and_partition_df(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0, 9)))
+    got = t.get_partition_df("1")
+    assert set(r["C"] for r in got.collect()) == {"1"}
+    assert got.count() == 3
+
+
+def test_dynamic_partition_overwrite_on_manifest(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0, 9)))  # C in {0,1,2}, 3 rows each
+    new = pd.DataFrame({"k": ["x1", "x2"], "A": [100, 101], "C": ["1", "1"]})
+    t.replace_groups(spark.createDataFrame(new))
+    got = t.get_full_df()
+    assert got.where("C = '1'").count() == 2
+    assert got.where("C != '1'").count() == 6
+    # old files still on disk (await vacuum), but not visible
+    assert t.get_full_df(version=1).where("C = '1'").count() == 3
+
+
+def test_replace_all_and_upsert(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.replace_all(spark.createDataFrame(_frame(20, 3)))
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(20, 3)))
+    upd = pd.DataFrame({"k": ["k20", "zz"], "A": [999, 5], "C": ["9", "0"]})
+    t.replace_records(spark.createDataFrame(upd))
+    got = dict((r["k"], (r["A"], r["C"])) for r in t.get_full_df().collect())
+    assert got["k20"] == (999, "9") and got["zz"] == (5, "0") and len(got) == 4
+    # k20 moved from C=2 to C=9; its old partition must not resurrect it
+    assert t.get_full_df().where("C = '2' and k = 'k20'").count() == 0
+
+
+def test_concurrent_appends_compose_via_cas_retry(spark, tmp_root):
+    root = f"{tmp_root}/t"
+    seed = _repo(spark, root)
+    seed.extend(spark.createDataFrame(_frame(0, 1)))
+
+    def worker(i):
+        r = _repo(spark, root)
+        r.extend(spark.createDataFrame(_frame(10 * (i + 1), 5)))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+    t = _repo(spark, root)
+    assert t.get_full_df().count() == 1 + 4 * 5
+    # every commit won a distinct version: 1 seed + 4 appends
+    assert t.versions()[-1] == 5
+
+
+def test_vacuum_sweeps_superseded_commits_and_manifests(spark, tmp_root):
+    root = f"{tmp_root}/t"
+    t = _repo(spark, root)
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.replace_all(spark.createDataFrame(_frame(20, 3)))  # strands commit 1
+    data_root = os.path.join(root, "_pqrs_data")
+    assert len(os.listdir(data_root)) == 2
+    # age the dirs past the cutoff
+    for name in os.listdir(data_root):
+        p = os.path.join(data_root, name)
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    deleted = t.vacuum(max_age_seconds=3600)
+    assert len(os.listdir(data_root)) == 1  # only the live commit survives
+    # old manifest versions swept too; latest still readable
+    assert t.versions() == [2]
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(20, 3)))
+    assert any("_pqrs_data" in d for d in deleted)
+
+
+def test_crashed_commit_leaves_no_visible_data(spark, tmp_root):
+    """Simulate a writer dying between data write and CAS: inject a data
+    dir with no manifest entry — readers never see it, vacuum sweeps it."""
+    root = f"{tmp_root}/t"
+    t = _repo(spark, root)
+    t.extend(spark.createDataFrame(_frame(0, 3)))
+    orphan = os.path.join(root, "_pqrs_data", "deadbeefdeadbeef", "C=0")
+    os.makedirs(orphan)
+    spark.createDataFrame(_frame(50, 2)).drop("C").write.mode("overwrite").parquet(orphan)
+    assert t.get_full_df().count() == 3
+    past = time.time() - 7200
+    os.utime(os.path.dirname(orphan), (past, past))
+    t.vacuum(max_age_seconds=3600)
+    assert not os.path.exists(os.path.dirname(orphan))
+
+
+def test_cas_loser_retries_without_data_rewrite(spark, tmp_root):
+    """Force a CAS loss: pre-create the version file the next commit will
+    try, and check the commit lands at the version after it with the same
+    single data dir (no second write of the batch)."""
+    root = f"{tmp_root}/t"
+    t = _repo(spark, root)
+    t.extend(spark.createDataFrame(_frame(0, 2)))
+    fs = t._fs()
+    # squat on v2 with a copy of v1's manifest (a concurrent no-op commit)
+    v1 = load_manifest(fs, t.main_path, 1)
+    fs.create_exclusive(
+        os.path.join(root, MANIFEST_DIR, f"v{2:020d}.json"),
+        json.dumps({"version": 2, "commits": v1["commits"]}),
+    )
+    t.extend(spark.createDataFrame(_frame(10, 2)))
+    assert t.versions() == [1, 2, 3]
+    assert t.get_full_df().count() == 4
+    assert len(os.listdir(os.path.join(root, "_pqrs_data"))) == 2
