@@ -697,3 +697,16 @@ def dedup_apply_clusters(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids")
     )
+
+
+@query("topk_cosine_pq")
+def topk_cosine_pq_q(spark, sf_dir):
+    """X3 compression path (round 4): product-quantized ADC scan + exact
+    re-rank (operators/similarity.py::topk_cosine_pq). Approximate
+    (recall asserted vs brute force in tests/test_pipeline_ops.py) →
+    rows-only."""
+    from ..operators.similarity import topk_cosine_pq
+
+    e = load(spark, sf_dir, "embeddings")
+    out = topk_cosine_pq(e.where(F.col("vec_id") < 50), e, k=5, m=8, n_codes=256)
+    return out.withColumn("rank", F.col("rank").cast("long"))

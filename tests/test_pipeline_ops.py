@@ -287,3 +287,34 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=1)
+
+
+def test_pq_topk_recall_vs_bruteforce(spark, vecs):
+    from parquetranger_spark.operators.similarity import topk_cosine_pq
+
+    probes = vecs.where(F.col("vec_id") < 30)
+    exact = topk_cosine_bruteforce(probes, vecs, k=5).toPandas()
+    approx = topk_cosine_pq(probes, vecs, k=5, m=8, n_codes=256).toPandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    # 256 codes × 8 subspaces (64-bit code) + 4k re-rank: near-exact
+    assert len(ap & ex) / len(ex) >= 0.9
+    # the emitted ranking is exact cosine within the re-ranked candidates
+    for _, grp in approx.groupby("query_id"):
+        sims = grp.sort_values("rank").cos.tolist()
+        assert sims == sorted(sims, reverse=True)
+        assert len(grp) == 5
+
+
+def test_pq_codebooks_deterministic_and_reusable(spark, vecs):
+    from parquetranger_spark.operators.similarity import (
+        topk_cosine_pq,
+        train_pq_codebooks,
+    )
+
+    b1 = train_pq_codebooks(vecs, m=8, n_codes=64, seed=7)
+    b2 = train_pq_codebooks(vecs, m=8, n_codes=64, seed=7)
+    assert b1 == b2  # seeded fit — stable across runs/retries
+    probes = vecs.where(F.col("vec_id") < 10)
+    out = topk_cosine_pq(probes, vecs, k=3, codebooks=b1).toPandas()
+    assert set(out.groupby("query_id").size()) == {3}
