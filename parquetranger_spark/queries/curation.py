@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from ..operators.curation import dedup_against_snapshot, repetition_stats, stable_sample_pred
 from ..operators.temporal import asof_join_backward, funnel_stages, range_join_count
 from . import query
-from .common import load
+from .common import load, md5_mod_sql
 
 # ------------------------------------------------------------- curation (X7)
 
@@ -708,3 +708,166 @@ def stream_doc_chunks(spark, sf_dir):
     )
     q.awaitTermination(600)
     return spark.table(name)
+
+
+@query(
+    "domain_mixture_resample",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_l,
+         sqrt(CAST((SELECT min(n_l) FROM counts) AS DOUBLE) / n_l) AS keep_rate
+  FROM counts
+),
+kept AS (
+  SELECT d.lang FROM documents d JOIN rates r USING (lang)
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT)
+)
+SELECT r.lang, r.n_l, r.keep_rate,
+       (SELECT count(*) FROM kept k WHERE k.lang = r.lang) AS n_kept
+FROM rates r
+""",
+)
+def domain_mixture_resample(spark, sf_dir):
+    """X7 (round 4): temperature-based domain rebalancing — the mixture
+    pass every multi-source training corpus runs before sampling. Keep
+    rate per language is ``sqrt(n_min / n_l)`` (temperature α = 0.5: the
+    rarest stratum keeps 100 %, over-represented strata are downsampled
+    toward balance), applied as a deterministic md5-threshold predicate —
+    selection is a pure function of doc_id, so the mixture is identical
+    across engines, runs, and cluster layouts. The rate table is one tiny
+    aggregate broadcast back onto the scan: at 100 TB the corpus is read
+    once and never shuffled."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            "n_l",
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l")).alias("keep_rate"),
+        )
+        .withColumn(
+            "thr", F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("long")
+        )
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .where(h32 < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left_outer")
+        .select(
+            "lang",
+            "n_l",
+            "keep_rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ({md5_mod_sql('tok', 1024)}) * 2654435761 % 1001 - 500 AS w
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS raw, count(*) AS n_tok
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_tok, raw,
+       0.5 + 0.5 * (CAST(raw AS DOUBLE) / (500.0 * n_tok))
+                 / (1.0 + abs(CAST(raw AS DOUBLE) / (500.0 * n_tok))) AS score
+FROM agg
+""",
+)
+def quality_classifier_score(spark, sf_dir):
+    """X7 (round 4): hashed-bag-of-words linear quality classifier — the
+    fastText-style scoring pass (hash each token into one of 1024 feature
+    buckets, dot with a weight vector, squash). Weights are a
+    deterministic function of the bucket id (a real model would broadcast
+    its learned vector; the plumbing — hash, gather, dot, squash — is
+    identical), so the score is value-exact cross-engine. Per-token
+    weights are INTEGERS summed exactly (a double Σ would be
+    order-dependent and unhashable); one final division feeds the
+    rational sigmoid x/(1+|x|) (IEEE-identical both engines — exp() is
+    libm-dependent and would not be). Entirely JVM Column expressions:
+    explode → md5-fold bucket → integer agg; no Python, one shuffle on
+    doc_id."""
+    from ..functions.hashing import md5_mod
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    w = (md5_mod(F.col("tok"), 1024) * F.lit(2654435761)) % 1001 - 500
+    agg = (
+        toks.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("raw"), F.count(F.lit(1)).alias("n_tok"))
+    )
+    z = F.col("raw").cast("double") / (F.lit(500.0) * F.col("n_tok"))
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "raw",
+        (F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))).alias("score"),
+    )
+
+
+@query(
+    "dup_ngram_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+g AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, n - 8),
+                        i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')) AS grams
+  FROM s
+)
+SELECT doc_id, n AS n_tokens,
+       len(grams) AS total_8grams,
+       len(list_distinct(grams)) AS distinct_8grams,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS dup_8gram_frac
+FROM g
+""",
+)
+def dup_ngram_stats(spark, sf_dir):
+    """X7 (round 4): Gopher's duplicate-n-gram fraction at the 8-gram
+    level — the self-repetition signal word-level ``repetition_stats``
+    can't see (a doc cycling one paragraph has high 8-gram duplication
+    with near-zero word duplication). The whole computation is array expressions
+    over the token array inside one codegen stage: sequence → slice →
+    array_distinct, zero shuffle, zero Python — per-row cost O(n·8), the
+    shape that survives a 100 TB scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select("doc_id", toks.alias("__t"), F.size(toks).alias("n")).where(
+        F.col("n") >= 8
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n") - 8),
+        lambda i: F.array_join(F.slice(F.col("__t"), i + 1, 8), " "),
+    )
+    g = base.select("doc_id", F.col("n").alias("n_tokens"), grams.alias("__g"))
+    total = F.size("__g").cast("long")
+    dist = F.size(F.array_distinct("__g")).cast("long")
+    return g.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        total.alias("total_8grams"),
+        dist.alias("distinct_8grams"),
+        (F.lit(1.0) - dist.cast("double") / total.cast("double")).alias("dup_8gram_frac"),
+    )

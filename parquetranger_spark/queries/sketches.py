@@ -328,3 +328,61 @@ def stream_running_max(spark, sf_dir):
             F.max("running_n").alias("n_events"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """X6 (round 4): stream-static enrichment — the streaming twin of
+    events_dim_join_agg. Each micro-batch of the event stream joins the
+    static customer dimension with an explicit broadcast (the dim is
+    planned ONCE and re-broadcast per batch; the stream side never
+    shuffles for the join), then feeds a complete-mode aggregation whose
+    state is 5 segments × two values. Decimal-routed sums make the
+    result independent of micro-batch arrival order — which is what lets
+    a streaming aggregation share a batch oracle at all."""
+    import uuid
+
+    from .common import scratch_dir
+
+    root = scratch_dir("senrich")
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    ev.write.mode("overwrite").parquet(f"{root}/src")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{root}/src")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("__sv"),
+        )
+    )
+    name = f"senrich_{uuid.uuid4().hex[:8]}"
+    from ..streaming.ingest import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        "c_mktsegment", "n", F.col("__sv").cast("double").alias("sum_value")
+    )
