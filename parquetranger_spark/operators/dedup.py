@@ -492,6 +492,17 @@ def connected_components(
         "component", F.col("id")
     )
     labels = labels.localCheckpoint(eager=True)
+
+    def _label_sum(lb) -> int:
+        # labels only ever DECREASE (min-propagation), so the total label
+        # sum is strictly monotone until the fixpoint — an unchanged sum
+        # IS convergence. One tiny aggregate per round instead of a
+        # full labels⋈labels diff join. decimal: immune to overflow at
+        # any id range × vertex count.
+        row = lb.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()
+        return row["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     try:
         for _ in range(max_iter):
@@ -504,16 +515,12 @@ def connected_components(
                 .agg(F.min("component").alias("component"))
             )
             new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = new_sum
     finally:
         edges.unpersist()
     if not converged:

@@ -306,10 +306,19 @@ def stream_ingest_dicts(spark, sf_dir):
     from ..sources.writers import RecordWriter
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    t = TableRepo(scratch_dir("wdict") + "/events", index_cols="event_id", spark=spark)
-    with RecordWriter(t, record_limit=4096) as w:
-        for row in ev.toLocalIterator():
-            w.add_record(row.asDict())
+    t = TableRepo(
+        scratch_dir("wdict") + "/events",
+        index_cols="event_id",
+        single_writer=True,  # scratch repo, one writer by construction
+        spark=spark,
+    )
+    with RecordWriter(t, record_limit=16384) as w:
+        # records arrive driver-side as Arrow batches → plain dicts (the
+        # per-record add_record loop IS the operator under test; pulling
+        # rows one at a time through py4j would just bench the gateway)
+        for batch in ev.toArrow().to_batches(max_chunksize=8192):
+            for rec in batch.to_pylist():
+                w.add_record(rec)
     return (
         t.get_full_df()
         .groupBy("event_type")
@@ -362,7 +371,12 @@ def stream_ingest_fixed(spark, sf_dir):
     from ..sources.writers import FixedRecordWriter
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    t = TableRepo(scratch_dir("wfix") + "/events", index_cols="event_id", spark=spark)
+    t = TableRepo(
+        scratch_dir("wfix") + "/events",
+        index_cols="event_id",
+        single_writer=True,  # scratch repo, one writer by construction
+        spark=spark,
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -370,12 +384,12 @@ def stream_ingest_fixed(spark, sf_dir):
             T.StructField("value", T.DoubleType()),
         ]
     )
-    with FixedRecordWriter(t, schema=schema, record_limit=4096) as w:
-        for row in ev.toLocalIterator():
-            d = row.asDict()
-            if d["value"] is None:
-                d.pop("value")
-            w.add_record(d)
+    with FixedRecordWriter(t, schema=schema, record_limit=16384) as w:
+        for batch in ev.toArrow().to_batches(max_chunksize=8192):
+            for d in batch.to_pylist():
+                if d["value"] is None:
+                    d.pop("value")
+                w.add_record(d)
     return t.get_full_df().agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),

@@ -102,10 +102,12 @@ class FixedRecordWriter(RecordWriter):
         self._names = list(cols) if cols is not None else [f.name for f in schema.fields]
 
     def _to_df(self) -> DataFrame:
-        if self.schema is not None:
-            rows = [tuple(r.get(c) for c in self._names) for r in self._buf]
-            return self.trepo._session().createDataFrame(rows, schema=self.schema)
+        # always go through pandas: createDataFrame(pandas, schema) takes
+        # the Arrow fast path, while a list of tuples pays per-row Python
+        # serialization (~2× the whole flush cost at 16k-row batches)
         pdf = pd.DataFrame(self._buf).reindex(columns=self._names)
+        if self.schema is not None:
+            return self.trepo._session().createDataFrame(pdf, schema=self.schema)
         return self.trepo._session().createDataFrame(pdf)
 
 
