@@ -291,3 +291,316 @@ def sql_q22_idle_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_custs"),
         dsum("c_acctbal", "total_bal"),
     )
+
+
+@query(
+    "sql_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND l.l_quantity > 0
+  GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT p.p_partkey, c.l_suppkey AS s_suppkey, c.unit_cost
+FROM cost c JOIN part p ON p.p_partkey = c.l_partkey
+WHERE p.p_size = 15
+  AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                     WHERE c2.l_partkey = c.l_partkey)
+""",
+)
+def sql_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped correlated min subquery: the cheapest European
+    supplier per size-15 part (lineitem plays partsupp; unit price plays
+    supply cost). The correlated ``= (SELECT min ...)`` decorrelates to a
+    min window over the SAME (partkey) partitioning the filter consumes —
+    no self-join of the cost table; the region restriction reaches the
+    fact scan through two broadcast hops (region→nation→supplier) before
+    any lineitem moves. Ties emit all minimal suppliers in both engines
+    (the hash compare is order-insensitive)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)),
+                  supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    cost = (
+        li.join(F.broadcast(euro_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("__mn", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("__mn")
+    )
+    part = load(spark, sf_dir, "part").where(F.col("p_size") == 15).select("p_partkey")
+    return best.join(
+        F.broadcast(part), best.l_partkey == part.p_partkey
+    ).select("p_partkey", F.col("l_suppkey").alias("s_suppkey"), "unit_cost")
+
+
+@query(
+    "sql_q7_nation_volume",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def sql_q7_nation_volume(spark, sf_dir):
+    """TPC-H-Q7-shaped bilateral trade volume: shipping between two
+    nations per direction per year. Both nation dims (and supplier /
+    customer, each pre-filtered to the two nations — ~8 % of the dim)
+    broadcast; the only real shuffle is orders⋈lineitem. The year comes
+    from civil UTC calendar on both engines (session TZ pinned)."""
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sql_q10_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def sql_q10_returned_revenue(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item ranking: lost revenue per customer
+    over returned lineitems, global top-20. The returnflag filter is
+    pushed to the lineitem scan (≈⅓ survives); customer broadcasts; the
+    top-20 plans as TakeOrderedAndProject over the aggregated frame —
+    each partition contributes its local top-20, never a global sort."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "sql_q11_important_stock",
+    oracle="""
+WITH vals AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS part_val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(part_val AS DOUBLE) AS part_value
+FROM vals
+WHERE CAST(part_val AS DOUBLE) >
+      0.001 * (SELECT CAST(SUM(part_val) AS DOUBLE) FROM vals)
+""",
+)
+def sql_q11_important_stock(spark, sf_dir):
+    """TPC-H-Q11-shaped group-sum-fraction filter: parts whose stock
+    value within one nation exceeds a fraction of the nation's total.
+    The scalar total is a 1-row broadcast cross join over the
+    ALREADY-AGGREGATED per-part frame (the per-part aggregate is
+    computed once and reused for both sides — no second scan); both
+    sides of the > compare collapse the same decimal sums to doubles, so
+    the boundary rows agree across engines."""
+    nat = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("__pv"))
+    )
+    vals = vals.localCheckpoint(eager=False)
+    total = vals.agg(F.sum("__pv").cast("double").alias("__tot"))
+    return (
+        vals.join(F.broadcast(total))
+        .where(F.col("__pv").cast("double") > 0.001 * F.col("__tot"))
+        .select("l_partkey", F.col("__pv").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "sql_q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem WHERE l_returnflag = 'N'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def sql_q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15-shaped view + scalar-max subquery: the supplier(s) whose
+    non-returned revenue equals the global maximum. The revenue view is
+    computed once (checkpointed, reused by both the max and the filter);
+    the scalar max is a 1-row broadcast. Revenue is the decimal sum cast
+    to double on both engines, so equality-at-the-max matches exactly —
+    the comparison Q15 is famous for being float-fragile."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "N")
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "sql_q21_waiting_suppliers",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         epoch_us(l_shipdate) AS s_us
+  FROM lineitem
+),
+o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_us
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT s.s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM li l1 JOIN o ON l1.l_orderkey = o.o_orderkey
+  WHERE l1.s_us > o.o_us
+    AND EXISTS (SELECT 1 FROM li l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM li l3 JOIN o o3 ON l3.l_orderkey = o3.o_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.s_us > o3.o_us)
+) w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_name
+""",
+)
+def sql_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21-shape — the hardest decorrelation in the suite: per
+    order, the supplier who shipped late counts only when ANOTHER
+    supplier participated (EXISTS) and NO other supplier was also late
+    (NOT EXISTS). Both correlated subqueries decorrelate to per-order
+    AGGREGATES over one shared scan — n_supps = distinct suppliers,
+    n_late_supps = distinct late suppliers — joined back on the order
+    key: the multi-supplier test is n_supps > 1, the sole-offender test
+    is n_late_supps = 1 ∧ this supplier late. One lineitem shuffle total
+    where the literal EXISTS/NOT-EXISTS rewrite would pay three."""
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__o_us"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("__s_us"),
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", (F.col("__s_us") > F.col("__o_us")).alias("late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
