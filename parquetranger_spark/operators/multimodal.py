@@ -77,6 +77,40 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+def embed_binary(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "item_id", dim: int = 64
+) -> DataFrame:
+    """Pseudo-embedding over binary payloads — the CLIP/CLAP-embed slot of
+    a multimodal pipeline, same honest stub contract as the decoder: a
+    real model plugs into the SAME mapInPandas signature (Arrow batches
+    in, ``array<float>`` out); absent one, the vector is derived
+    deterministically from the content hash (md5-chained bytes → [-1, 1)
+    floats), so identical payloads embed identically and the downstream
+    ANN/dedup plumbing is fully exercised and retry-stable."""
+
+    def run(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            vecs = []
+            for p in pdf[payload_col]:
+                raw = b""
+                seed = _hl.md5(bytes(p)).digest()
+                while len(raw) < dim:
+                    seed = _hl.md5(seed).digest()
+                    raw += seed
+                arr = _np.frombuffer(raw[:dim], dtype=_np.uint8).astype(_np.float32)
+                vecs.append((arr / 128.0 - 1.0).tolist())
+            yield _pd.DataFrame({"item_id": pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, "item_id long, embedding array<float>"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "item_id") -> DataFrame:
     """Deterministic 1-in-n sampling by id hash — the frame-subsampling
     shape for video pipelines (no RNG: retry-stable)."""

@@ -710,3 +710,65 @@ def topk_cosine_pq_q(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     out = topk_cosine_pq(e.where(F.col("vec_id") < 50), e, k=5, m=8, n_codes=256)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
+)
+SELECT md5(text) AS content_md5, count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def multimodal_dedup(spark, sf_dir):
+    """X5 (round 4): end-to-end multimodal dedup — payloads packed to
+    binary, content-hashed INSIDE the Arrow-batched feature extractor
+    (operators/multimodal.py::extract_features), duplicate groups found
+    by grouping on the 16-byte digest. The oracle reproduces the digests
+    from the text (md5 over utf-8 bytes is representation-independent),
+    so the mapInPandas decode path itself is value-verified, not just
+    shape-checked. Scale: the shuffle carries (digest, id) only — the
+    payload bytes never leave their scan tasks."""
+    from ..operators.multimodal import extract_features, pack_binary
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    feats = extract_features(pack_binary(corpus, "text", "doc_id"))
+    return (
+        feats.groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("item_id").alias("keep_id"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+@query("multimodal_embed_topk")
+def multimodal_embed_topk(spark, sf_dir):
+    """X5→X3 bridge (round 4): binary payloads → pseudo-embeddings
+    (operators/multimodal.py::embed_binary — a real encoder drops into
+    the same mapInPandas slot) → exact cosine top-3. Identical payloads
+    embed identically, so each injected duplicate's top-1 is its twin at
+    cos == 1 (asserted in tests/test_pipeline_ops.py); embedding values
+    are md5-derived, not SQL-expressible → rows-only."""
+    from ..operators.multimodal import embed_binary, pack_binary
+    from ..operators.similarity import topk_cosine_bruteforce
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").where(F.col("doc_id") < 100)
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    emb = embed_binary(pack_binary(corpus, "text", "doc_id"))
+    out = topk_cosine_bruteforce(
+        emb.where(F.col("item_id") >= 100000), emb, k=3, vec_col="embedding", id_col="item_id"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

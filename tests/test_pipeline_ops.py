@@ -318,3 +318,26 @@ def test_pq_codebooks_deterministic_and_reusable(spark, vecs):
     probes = vecs.where(F.col("vec_id") < 10)
     out = topk_cosine_pq(probes, vecs, k=3, codebooks=b1).toPandas()
     assert set(out.groupby("query_id").size()) == {3}
+
+
+def test_embed_binary_deterministic_and_dup_top1(spark, docs):
+    from parquetranger_spark.operators.multimodal import embed_binary, pack_binary
+    from parquetranger_spark.operators.similarity import topk_cosine_bruteforce
+
+    d = docs.select("doc_id", "text").where(F.col("doc_id") < 50)
+    dups = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    emb = embed_binary(pack_binary(d.unionByName(dups), "text", "doc_id"))
+    e1 = {r["item_id"]: r["embedding"] for r in emb.collect()}
+    e2 = {r["item_id"]: r["embedding"] for r in emb.collect()}
+    assert e1 == e2  # retry-stable
+    assert all(len(v) == 64 for v in e1.values())
+    top = topk_cosine_bruteforce(
+        emb.where(F.col("item_id") >= 1_000_000), emb, k=1,
+        vec_col="embedding", id_col="item_id",
+    ).toPandas()
+    # every duplicate's nearest neighbor is its byte-identical twin
+    for _, r in top.iterrows():
+        assert r.neighbor_id == r.query_id - 1_000_000
+        assert abs(r.cos - 1.0) < 1e-9
