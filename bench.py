@@ -56,6 +56,16 @@ HEADLINE = [
     "e2e_curation_pipeline",
     "decontaminate_ngrams",
     "stream_incremental_rollup",
+    # round-4 additions: subquery decorrelation (semi/anti joins, window
+    # thresholds), manifest commits + time travel, PQ ANN, domain mixture,
+    # multimodal dedup — new to the headline set this round
+    "sql_q4_priority_check",
+    "sql_q17_small_qty_revenue",
+    "sql_q21_waiting_suppliers",
+    "manifest_time_travel",
+    "topk_cosine_pq",
+    "domain_mixture_resample",
+    "multimodal_dedup",
 ]
 
 

@@ -168,3 +168,31 @@ def test_cas_loser_retries_without_data_rewrite(spark, tmp_root):
     assert t.versions() == [1, 2, 3]
     assert t.get_full_df().count() == 4
     assert len(os.listdir(os.path.join(root, "_pqrs_data"))) == 2
+
+
+def test_compact_collapses_manifest_commits(spark, tmp_root):
+    """compact() in manifest mode publishes one commit holding the whole
+    table — the knob that bounds the per-commit scan-union in
+    _manifest_df after many small appends."""
+    t = _repo(spark, f"{tmp_root}/t")
+    for i in range(4):
+        t.extend(spark.createDataFrame(_frame(6 * i)))
+    mf = load_manifest(t._fs(), t.main_path)
+    assert len(mf["commits"]) == 4
+    t.compact()
+    mf2 = load_manifest(t._fs(), t.main_path)
+    assert len(mf2["commits"]) == 1
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 24)))
+
+
+def test_manifest_schema_widening_reads_back(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t", allow_schema_extension=True)
+    t.extend(spark.createDataFrame(_frame(0, 3)))
+    wide = pd.DataFrame(
+        {"k": ["w1"], "A": [7], "C": ["0"], "B": [1.5]}
+    )
+    t.extend(spark.createDataFrame(wide))
+    got = t.get_full_df()
+    assert "B" in got.columns
+    vals = {r["k"]: r["B"] for r in got.collect()}
+    assert vals["w1"] == 1.5 and vals["k0"] is None

@@ -45,31 +45,85 @@ def replicate(df, id_col: str, factor: int, offset: int = 10_000_000):
 def probe(spark):
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    from parquetranger_spark.operators.similarity import (  # noqa: E402
+        topk_cosine_pq,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb)
+    pq_queries = emb.where(F.col("vec_id") < 50)
+
+    def pq_adc(f):
+        # corpus replicas shift ids; queries stay fixed — ADC scan cost
+        # is corpus-linear by construction (m-byte codes per row)
+        topk_cosine_pq(
+            pq_queries, replicate(emb, "vec_id", f), k=5, codebooks=books
+        ).count()
+
+    def q21(f):
+        lif = replicate(li, "l_orderkey", f)
+        of = replicate(
+            orders.where(F.col("o_orderstatus") == "F"), "o_orderkey", f
+        )
+        lo = lif.join(of, lif.l_orderkey == of.o_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("late"),
+        )
+        per_order = lo.groupBy("l_orderkey").agg(
+            F.count_distinct("l_suppkey").alias("n_supps"),
+            F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "n_late"
+            ),
+        )
+        (
+            lo.where(F.col("late"))
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+            .join(per_order, "l_orderkey")
+            .where((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+            .count()
+        )
 
     ops = {
         # near-dedup: bucketed LSH; candidate count grows with injected
         # replicas (every replica set is mutually near-dup), so expect
         # slightly superlinear on this adversarial corpus
-        "near_dedup_minhash": lambda d, e: near_dedup_minhash(d).count(),
-        "exact_dedup": lambda d, e: exact_dedup(d).count(),
-        "repetition_stats": lambda d, e: repetition_stats(d)
+        "near_dedup_minhash": lambda f: near_dedup_minhash(
+            replicate(docs, "doc_id", f)
+        ).count(),
+        "exact_dedup": lambda f: exact_dedup(replicate(docs, "doc_id", f)).count(),
+        "repetition_stats": lambda f: replicate(docs, "doc_id", f)
+        .transform(repetition_stats)
         .agg(F.sum("top_word_count"))
         .collect(),
-        "asof_join": lambda d, e: asof_join_backward(
-            e.where(F.col("event_type") == "purchase"),
-            e.where(F.col("event_type") == "view").select("user_id", "ts"),
+        "asof_join": lambda f: asof_join_backward(
+            replicate(ev, "event_id", f).where(F.col("event_type") == "purchase"),
+            replicate(ev, "event_id", f)
+            .where(F.col("event_type") == "view")
+            .select("user_id", "ts"),
             ["user_id"],
             "ts",
         ).count(),
+        # round 4: PQ ADC scan and the decorrelated Q21 shape — both
+        # should probe ≈ linear (exponent ≈ 1)
+        "pq_adc_topk": pq_adc,
+        "q21_decorrelated": q21,
     }
     results = {}
     for name, fn in ops.items():
         times = []
         for f in FACTORS:
-            d = replicate(docs, "doc_id", f)
-            e = replicate(ev, "event_id", f)
             t0 = time.monotonic()
-            fn(d, e)
+            fn(f)
             dt = time.monotonic() - t0
             times.append(round(dt, 2))
             spark.catalog.clearCache()
