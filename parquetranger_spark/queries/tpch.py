@@ -604,3 +604,202 @@ def sql_q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "sql_q8_market_share",
+    oracle="""
+SELECT year(o.o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS mkt_volume,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_volume,
+       count(*) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+WHERE p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def sql_q8_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped national market share: of all STANDARD-part
+    revenue sold into the ASIA market, how much was supplied from
+    NATION_5, per order year. The share division is deliberately left to
+    the reader (numerator and denominator surface as separate
+    decimal-exact columns) so the result stays bit-identical across
+    engines. Plan shape: part (type-filtered, ~1/6), supplier+nation
+    (carrying a supplied-from-NATION_5 flag, not the name), and the
+    ASIA-restricted customer dim all BROADCAST; the single real exchange
+    is lineitem⋈orders on the order key. The conditional/total split is
+    one aggregation pass — Q14's pattern lifted into an 8-table tree."""
+    part = (
+        load(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
+    )
+    nat = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", (F.col("n_name") == "NATION_5").alias("from_mkt_nation"))
+    )
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nat = nat.join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero = F.lit(0).cast("decimal(28,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("from_mkt_nation"), rev).otherwise(zero))
+        .cast("double")
+        .alias("mkt_volume"),
+        F.sum(rev).cast("double").alias("total_volume"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sql_q9_product_profit",
+    oracle="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+              - CAST(p.p_retailprice * 0.1 * l.l_quantity AS DECIMAL(28,6)))
+            AS DOUBLE) AS sum_profit,
+       count(*) AS n
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def sql_q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9-shaped product-type profit: per supplier nation per order
+    year over widget parts. The testdata has no partsupp, so
+    ps_supplycost is surrogated as 10 % of p_retailprice (the join
+    STRUCTURE — a name-LIKE-filtered part dim fanning into a five-table
+    tree — is what Q9 exercises; documented divergence). Revenue and
+    cost each route through DECIMAL before the subtraction so the profit
+    sum is exact. part (LIKE-filtered), supplier, nation broadcast; the
+    one real exchange is lineitem⋈orders for the year column."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    cost = (F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")).cast("decimal(28,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.sum(rev - cost).cast("double").alias("sum_profit"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "sql_q20_dominant_supplier",
+    oracle="""
+WITH pl AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%' AND year(l.l_shipdate) = 1997
+  GROUP BY 1, 2
+), dom AS (
+  SELECT l_suppkey,
+         CAST(qty AS DOUBLE) AS q,
+         CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS tot
+  FROM pl
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS n_parts
+FROM dom d
+JOIN supplier s ON s.s_suppkey = d.l_suppkey
+WHERE d.q > 0.5 * d.tot
+GROUP BY 1, 2
+""",
+)
+def sql_q20_dominant_supplier(spark, sf_dir):
+    """TPC-H-Q20-shaped nested-subquery supplier selection: suppliers who
+    shipped MORE THAN HALF of a small-part's total 1997 volume, with how
+    many parts they dominate. Q20's correlated availqty-vs-half-demand
+    threshold (the testdata has no partsupp) becomes a per-part share
+    threshold over the same aggregate: group to (part, supplier, exact
+    decimal qty), then the per-part total is a window SUM over that
+    ALREADY-AGGREGATED frame — the nested IN + correlated scalar
+    decorrelate to one aggregation, one window, zero self-joins. Both
+    sides of the > compare as doubles of exact decimal sums, so the
+    boundary is engine-stable. The name-filtered part dim broadcasts
+    into the lineitem scan; the supplier dim broadcasts at the end onto
+    a supplier-count-sized frame."""
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.year(F.col("l_shipdate").cast("timestamp")) == 1997)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    pl = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dom = pl.select(
+        "l_suppkey",
+        F.col("qty").cast("double").alias("q"),
+        F.sum("qty").over(w).cast("double").alias("tot"),
+    ).where(F.col("q") > 0.5 * F.col("tot"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.join(F.broadcast(supp), dom.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

@@ -281,3 +281,34 @@ def test_q19_disjunction_prunes_both_scan_sides(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     pushed = p.split("PushedFilters", 1)[1].split("]", 1)[0]
     assert "l_quantity" in pushed
+
+
+def test_q8_q9_single_fact_exchange_all_dims_broadcast(spark, sf_dir):
+    """Q8's 8-table tree and Q9's 5-table tree must broadcast every dim
+    (part/supplier/nation/customer/region fold into BroadcastHashJoins)
+    so the only shuffle joins are fact-fact (lineitem⋈orders) — at 100 TB
+    a single sort-merge exchange instead of five."""
+    from parquetranger_spark.queries.tpch import (
+        sql_q8_market_share,
+        sql_q9_product_profit,
+    )
+
+    for q in (sql_q8_market_share, sql_q9_product_profit):
+        p = plan(q(spark, sf_dir), "simple")
+        assert "BroadcastHashJoin" in p
+        # the lone non-broadcast join is the lineitem⋈orders equi-join
+        assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1, q.__name__
+
+
+def test_q20_threshold_reuses_aggregate_partitioning(spark, sf_dir):
+    """The per-part dominance threshold must run as a window over the
+    (part, supplier) aggregate — no self-join of lineitem, and the window's
+    part-key partitioning satisfied without a second fact-sized shuffle of
+    raw rows (only the already-aggregated frame re-keys)."""
+    from parquetranger_spark.queries.tpch import sql_q20_dominant_supplier
+
+    p = plan(sql_q20_dominant_supplier(spark, sf_dir), "simple")
+    # joins: part broadcast into the scan + supplier broadcast at the end;
+    # nothing fact-fact
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("BroadcastHashJoin") == 2, p
