@@ -871,3 +871,136 @@ def dup_ngram_stats(spark, sf_dir):
         dist.alias("distinct_8grams"),
         (F.lit(1.0) - dist.cast("double") / total.cast("double")).alias("dup_8gram_frac"),
     )
+
+
+@query(
+    "token_budget_sample",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tok
+  FROM t
+)
+SELECT doc_id, n_tok, cum_tok
+FROM c
+WHERE cum_tok <= 0.3 * (SELECT SUM(n_tok) FROM t)
+""",
+)
+def token_budget_sample(spark, sf_dir):
+    """X7: global token-budget selection — keep the best documents (here:
+    longest-first, doc_id tie-break) until a fixed token budget (30 % of
+    the corpus) is exhausted. The oracle states it as a global ordered
+    window cumsum; a global sort of 100 TB is exactly what the engine
+    must NOT do, so the plan is the two-phase order-statistics pattern:
+
+    1. bucket the priority key into coarse BANDS (n_chars div 16 —
+       monotone in the sort key), aggregate tokens per band (map-side
+       combined; the band frame is O(distinct bands), i.e. tiny);
+    2. a window over that TINY frame yields each band's starting cumsum
+       (prefix = tokens in all strictly-better bands);
+    3. broadcast the band prefixes back onto the scan; the within-band
+       running sum is a window partitioned BY BAND — bounded partitions,
+       never a single global sort partition. prefix + within-band cumsum
+       equals the global cumsum exactly (integer arithmetic throughout;
+       only the final budget compare is one double multiply, identical
+       both engines)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    d = d.withColumn("__band", F.expr("n_chars div 16"))
+    tot = d.agg(F.sum("n_tok").alias("__tot"))
+    bands = d.groupBy("__band").agg(F.sum("n_tok").alias("__band_tok"))
+    from pyspark.sql import Window
+
+    bw = Window.orderBy(F.col("__band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bands = bands.select(
+        "__band",
+        (F.sum("__band_tok").over(bw) - F.col("__band_tok")).alias("__prefix"),
+    )
+    dw = (
+        Window.partitionBy("__band")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.join(F.broadcast(bands), "__band")
+        .withColumn("cum_tok", F.col("__prefix") + F.sum("n_tok").over(dw))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.where(F.col("cum_tok") <= F.lit(0.3) * F.col("__tot")).select(
+        "doc_id", "n_tok", "cum_tok"
+    )
+
+
+@query(
+    "length_trim_per_lang",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, count(*) AS n_kept,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM r
+WHERE (r - 1) >= 0.05 * (n - 1) AND (r - 1) <= 0.95 * (n - 1)
+GROUP BY lang
+""",
+)
+def length_trim_per_lang(spark, sf_dir):
+    """X7: per-language length-percentile trim — drop each language's
+    shortest and longest 5 % (percent-rank outside [0.05, 0.95]). The
+    oracle ranks with a per-language window; ranking 100 TB per language
+    would sort whole-corpus partitions, so the engine derives every
+    document's exact rank WITHOUT a corpus-wide sort:
+
+    1. histogram (lang, n_chars) → count (tiny: languages × distinct
+       lengths, map-side combined);
+    2. a cumsum window over that tiny frame gives each length value's
+       END rank; its start rank = end - count + 1;
+    3. broadcast the histogram back; a row_number partitioned by
+       (lang, n_chars) — tie-width partitions only — offsets each doc
+       inside its value group: global rank = start + rn - 1, exactly the
+       oracle's rank.
+
+    Both boundary compares are integer-times-double (never a division),
+    so the 5 % cut lands on the same documents in both engines."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__nv"))
+    from pyspark.sql import Window
+
+    hw = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "lang",
+        "n_chars",
+        (F.sum("__nv").over(hw) - F.col("__nv") + 1).alias("__start"),
+        F.sum("__nv").over(Window.partitionBy("lang")).alias("__n"),
+    )
+    tw = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(hist), ["lang", "n_chars"])
+        .withColumn("__r", F.col("__start") + F.row_number().over(tw) - 1)
+    )
+    kept = ranked.where(
+        ((F.col("__r") - 1) >= F.lit(0.05) * (F.col("__n") - 1))
+        & ((F.col("__r") - 1) <= F.lit(0.95) * (F.col("__n") - 1))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -312,3 +312,27 @@ def test_q20_threshold_reuses_aggregate_partitioning(spark, sf_dir):
     # nothing fact-fact
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert p.count("BroadcastHashJoin") == 2, p
+
+
+def test_order_statistics_queries_never_global_sort(spark, sf_dir):
+    """token_budget_sample's oracle is a GLOBAL ordered cumsum and
+    length_trim_per_lang's is a per-language rank — but the engine must
+    compute both without a corpus-wide sort: every window over the
+    doc-sized frame is partitioned (by band / by tie group), and no
+    physical Sort is global. The only single-partition work is over the
+    tiny band/histogram aggregates."""
+    import re
+
+    from parquetranger_spark.queries.curation import (
+        length_trim_per_lang,
+        token_budget_sample,
+    )
+
+    for q in (token_budget_sample, length_trim_per_lang):
+        p = plan(q(spark, sf_dir), "simple")
+        # no global sort over the document ordering keys: physical Sort
+        # prints "Sort [keys...], <global>, 0" — global must stay false
+        assert not re.search(r"Sort \[[^\]]*n_chars[^\]]*\], true", p), q.__name__
+    # the doc-sized running sum is partitioned by the coarse band
+    pb = plan(token_budget_sample(spark, sf_dir), "simple")
+    assert re.search(r"Window \[sum\(n_tok[^\n]*partitionBy.*__band|Window \[[^\n]*\], \[__band", pb), pb
