@@ -938,3 +938,39 @@ def shipping_lag_by_priority(spark, sf_dir):
             F.max("__lag").alias("max_lag_days"),
         )
     )
+
+
+@query(
+    "events_props_variant",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def events_props_variant(spark, sf_dir):
+    """Semi-structured storage via Spark 4's VARIANT type: the events
+    ``props`` JSON is parsed ONCE at ingest (``parse_json``), persisted
+    to parquet as a variant column (binary metadata+value pair — typed,
+    no re-tokenizing on read), then queried with ``variant_get`` typed
+    path access. This is the storage evolution events_props_extract's
+    docstring promises (shred the hot keys; variant carries the long
+    tail): at 100 TB the JSON parse cost is paid once at write time,
+    and every later scan reads the compact binary encoding. The oracle
+    runs json_extract on the ORIGINAL strings, so the parse→write→
+    read→extract round trip is value-checked end-to-end."""
+    from .common import scratch_dir
+
+    root = scratch_dir("variant")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("props_v")
+    )
+    ev.write.mode("overwrite").parquet(f"{root}/t")
+    back = spark.read.parquet(f"{root}/t")
+    return back.groupBy("event_type").agg(
+        F.sum(F.variant_get("props_v", "$.k", "bigint")).alias("sum_k"),
+        F.max(F.variant_get("props_v", "$.k", "bigint")).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
