@@ -543,3 +543,93 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int:
 from ..serde import pickle_module_by_value as _pmv  # noqa: E402
 
 _pmv(__name__)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    train_limit: int | None = 8192,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a seeded k-means, generate candidate pairs
+    only WITHIN clusters, exact-verify with double cosine, and prune every
+    item that has a lower-id neighbor at ``cos >= threshold``. Returns the
+    kept ids.
+
+    Scale shape: clustering replaces the all-pairs O(n²) with
+    O(Σ cluster²) — SemDeDup's production setting sizes ``n_clusters``
+    ≈ n/1000 so clusters stay small; here the knob is explicit, the fit
+    runs on a bounded re-spread sample (same trade as topk_cosine_ivf's
+    coarse quantizer), and ``bucket_cap`` salts degenerate clusters (viral
+    duplicate blobs) exactly like the LSH buckets. Vectors are normalized
+    BEFORE clustering so scaled copies of one direction always co-cluster
+    (assignment is a deterministic argmin over broadcast centroids);
+    candidate generation shuffles ids only; each surviving pair pays one
+    pre-normed dot fold.
+
+    The prune rule — drop x iff some y < x has cos(x, y) ≥ τ — is a pure
+    pairwise predicate (no cluster-representative election), so when
+    candidate recall is total the result is engine-exact and a SQL oracle
+    can brute-force it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
+    spark = df.sparkSession
+    vec = df.select(F.col(id_col), to_double(F.col(vec_col)).alias("__vd")).withColumn(
+        "__vn", norm(F.col("__vd"))
+    )
+    unit = vec.select(
+        id_col,
+        "__vd",
+        "__vn",
+        F.transform("__vd", lambda x: x / F.col("__vn")).alias("__u"),
+    ).withColumn("__v", array_to_vector(F.col("__u")))
+    if train_limit:
+        par = spark.sparkContext.defaultParallelism
+        train = unit.limit(train_limit).repartition(par)
+    else:
+        train = unit
+    model = KMeans(
+        k=n_clusters,
+        seed=seed,
+        maxIter=max_iter,
+        initMode="random",
+        featuresCol="__v",
+        predictionCol="__cluster",
+    ).fit(train)
+    assigned = model.transform(unit).select(id_col, "__vd", "__vn", "__cluster")
+    ids = assigned.select(F.col(id_col), "__cluster")
+    ids, keys = _salt_oversized(ids, ["__cluster"], id_col, bucket_cap)
+    a = ids.select(F.col(id_col).alias("id_a"), *keys)
+    b = ids.select(F.col(id_col).alias("id_b"), *keys)
+    cand = (
+        a.join(b, keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("__vd").alias("va"), F.col("__vn").alias("na")
+    )
+    vb = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("__vd").alias("vb"), F.col("__vn").alias("nb")
+    )
+    pruned = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(
+            cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.select(id_col).join(pruned, id_col, "left_anti")

@@ -772,3 +772,44 @@ def multimodal_embed_topk(spark, sf_dir):
         emb.where(F.col("item_id") >= 100000), emb, k=3, vec_col="embedding", id_col="item_id"
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "semantic_dedup_kept",
+    oracle=f"""
+WITH sub AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) AS v
+             FROM embeddings WHERE vec_id % 17 = 0),
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+  UNION ALL SELECT vec_id + 100000, v FROM sub
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cosine_sql('a.v', 'b.v')} AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+pruned AS (SELECT DISTINCT id_b FROM pairs WHERE cos >= 0.99)
+SELECT c.vec_id FROM corpus c
+LEFT JOIN pruned p ON c.vec_id = p.id_b
+WHERE p.id_b IS NULL
+""",
+)
+def semantic_dedup_kept(spark, sf_dir):
+    """X2 (semantic flavor): SemDeDup-shaped cluster-scoped dedup
+    (operators/dedup.py::semantic_dedup) on a corpus with injected scaled
+    copies — k-means clusters bound candidate generation, exact cosine
+    verifies, every vector with a lower-id τ-neighbor is pruned. The
+    oracle brute-forces the same prune rule over all pairs; the engine
+    only ever compares within clusters, so the hash-exact match also
+    certifies the clustering lost no qualifying pair on this corpus."""
+    from ..operators.dedup import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 17 == 0)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    orig = e.select("vec_id", as_double.alias("embedding"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(as_double, lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = orig.unionByName(pert)
+    return semantic_dedup(corpus, threshold=0.99, n_clusters=8, bucket_cap=5000)

@@ -336,3 +336,22 @@ def test_order_statistics_queries_never_global_sort(spark, sf_dir):
     # the doc-sized running sum is partitioned by the coarse band
     pb = plan(token_budget_sample(spark, sf_dir), "simple")
     assert re.search(r"Window \[sum\(n_tok[^\n]*partitionBy.*__band|Window \[[^\n]*\], \[__band", pb), pb
+
+
+def test_dynamic_partition_pruning_on_grouped_repo(spark, repo):
+    """Joining a grouped TableRepo's fact on its partition column against
+    a filtered dim must plan a dynamicpruningexpression in the scan's
+    PartitionFilters — at 100 TB the fact side reads ONLY the partitions
+    the dim's surviving keys name, decided at runtime (Catalyst DPP over
+    the hive-layout directories the repo writes)."""
+    dim = spark.createDataFrame(
+        [("A", 1.0), ("N", 2.0)], "flag string, w double"
+    ).where(F.col("w") > 1.5)
+    j = (
+        repo.get_full_df()
+        .join(F.broadcast(dim), F.col("l_returnflag") == F.col("flag"))
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    p = plan(j)
+    seg = p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "dynamicpruning" in seg.lower(), seg
