@@ -90,10 +90,13 @@ def doc_fingerprint(col: str | Column) -> Column:
     content fingerprint (X4). Left fold via ``aggregate`` matches the
     oracle's ``list_reduce`` term for term."""
     c = _c(col)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.ascii(c.substr(i, F.lit(1))),
-    )
+    # chars via split, NOT substr-per-index: element i's substr walks the
+    # string from 0, so the sequence/substr form is O(len²) per document
+    # (the char-level twin of the shingles() materialization trap below —
+    # measured 5× on the sf0.1 corpus). split("") yields [""] for the
+    # empty string and ascii("") = 0, which folds to the same 0 the empty
+    # sequence produced.
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch))
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
