@@ -541,3 +541,45 @@ def manifest_time_travel(spark, sf_dir):
     return v2.join(F.broadcast(v1), "l_returnflag").select(
         "l_returnflag", "n_v1", "n_v2", "sum_price_v2"
     )
+
+
+@query(
+    "delete_records_roundtrip",
+    oracle="""
+WITH victims AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey % 10 = 3
+)
+SELECT l.l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+LEFT JOIN victims v
+  ON l.l_orderkey = v.l_orderkey AND l.l_linenumber = v.l_linenumber
+WHERE v.l_orderkey IS NULL
+GROUP BY l.l_returnflag
+""",
+)
+def delete_records_roundtrip(spark, sf_dir):
+    """Keyed deletion (TableRepo.delete_records — the right-to-erasure
+    surface the reference lacks): load lineitem into a grouped scratch
+    repo, delete every row whose (orderkey, linenumber) key matches the
+    victim set, read back. The rewrite is partition-pruned to the groups
+    holding matched keys; the oracle anti-joins the same victim set."""
+    li = load(spark, sf_dir, "lineitem")
+    t = TableRepo(
+        scratch_dir("delrec") + "/lineitem",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(li)
+    victims = li.where(F.col("l_orderkey") % 10 == 3).select(
+        "l_orderkey", "l_linenumber"
+    )
+    t.delete_records(victims)
+    return (
+        t.get_full_df()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )

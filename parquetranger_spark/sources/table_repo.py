@@ -366,6 +366,56 @@ class TableRepo:
         """Drop the table (reference core.py:162-167)."""
         self._fs().delete(self.main_path)
 
+    def delete_records(self, keys: DataFrame) -> None:
+        """Delete every row whose index matches an incoming key — the
+        right-to-erasure surface (no reference counterpart; the reference
+        can only overwrite whole tables/groups). Grouped tables rewrite
+        ONLY the partitions that hold a matched key (one semi-join scan
+        locates them, the read-back is partition-pruned), so cost is
+        O(matched partitions), not O(table); partitions left empty have
+        their directories cleared."""
+        if not self.index_cols:
+            raise TypeError("delete_records needs index_cols (the reified pandas index)")
+        keyset = keys.select(*self.index_cols).distinct()
+        self._delete_matching(
+            lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_semi"),
+            lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_anti"),
+        )
+
+    def delete_where(self, condition) -> None:
+        """Delete rows matching a Column predicate; same partition-pruned
+        rewrite as :meth:`delete_records` (rows where the predicate is
+        NULL are kept, matching SQL DELETE semantics)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        self._delete_matching(
+            lambda df: df.where(cond),
+            lambda df: df.where(~F.coalesce(cond, F.lit(False))),
+        )
+
+    def _delete_matching(self, match, keep) -> None:
+        old = self.get_full_df()
+        if old.isEmpty():
+            return
+        if self.group_cols:
+            touched_vals = {
+                tuple(r)
+                for r in match(old).select(*self.group_cols).distinct().collect()
+            }
+            if not touched_vals:
+                return
+            old_touched = old.where(self._group_filter(touched_vals))
+            out = keep(old_touched).localCheckpoint(eager=True)
+            kept_vals = {
+                tuple(r) for r in out.select(*self.group_cols).distinct().collect()
+            }
+            if kept_vals:
+                self._write(out, mode="overwrite", dynamic=True)
+            for gv in touched_vals - kept_vals:
+                self._delete_partition_dir(gv)
+        else:
+            out = keep(old).localCheckpoint(eager=True)
+            self._write(out, mode="overwrite", dynamic=False)
+
     # ------------------------------------------------------------- read paths
 
     def versions(self) -> list[int]:

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from parquetranger_spark import HashPartitioner, TableRepo
+from parquetranger_spark.queries.common import load
 
 # F1 `base4` — reference tests/test_core.py:11-48
 DF1 = pd.DataFrame(
@@ -576,3 +577,73 @@ def test_load_normalizes_both_events_ts_generations(spark, tmp_path):
         got = sorted(r.ts for r in out.collect())
         # ns gen: [base, base+1000ns]; us gen: [base, base+1us] → same nanos
         assert got == [base, base + 1000], (unit, got)
+
+
+def test_delete_records_prunes_to_matched_partitions(spark, sf_dir, tmp_path):
+    t = TableRepo(
+        str(tmp_path) + "/li",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        spark=spark,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    t.extend(li)
+    # keys are GLOBAL (pandas-index semantics): pick victims whose key
+    # lives only in the A partition so exactly one partition is touched
+    only_a = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count_distinct("l_returnflag").alias("nf"), F.min("l_returnflag").alias("f"))
+        .where("nf = 1 AND f = 'A'")
+    )
+    victims = only_a.select("l_orderkey", "l_linenumber").limit(20)
+    vk = {tuple(r) for r in victims.collect()}
+    # a key may cover several physical rows — expected loss is row count
+    n_victim_rows = li.join(
+        spark.createDataFrame(list(vk), "l_orderkey long, l_linenumber int"),
+        ["l_orderkey", "l_linenumber"],
+        "left_semi",
+    ).count()
+    before_n = {p for p in t.paths if "l_returnflag=N" in p}
+    n0 = t.get_full_df().count()
+    t.delete_records(victims)
+    # untouched partition's files not rewritten
+    assert {p for p in t.paths if "l_returnflag=N" in p} == before_n
+    got = t.get_full_df()
+    assert got.count() == n0 - n_victim_rows
+    left = {
+        tuple(r)
+        for r in got.select("l_orderkey", "l_linenumber")
+        .join(spark.createDataFrame(list(vk), "l_orderkey long, l_linenumber int"), ["l_orderkey", "l_linenumber"], "left_semi")
+        .collect()
+    }
+    assert left == set()
+
+
+def test_delete_where_clears_emptied_partition(spark, sf_dir, tmp_path):
+    t = TableRepo(
+        str(tmp_path) + "/li",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        spark=spark,
+    )
+    li = load(spark, sf_dir, "lineitem")
+    t.extend(li)
+    n_a = li.where("l_returnflag = 'A'").count()
+    n0 = t.get_full_df().count()
+    t.delete_where(F.col("l_returnflag") == "A")
+    got = t.get_full_df()
+    assert got.count() == n0 - n_a
+    assert got.where("l_returnflag = 'A'").count() == 0
+    # the emptied partition directory is gone, not a zero-row husk
+    assert not [p for p in t.paths if "l_returnflag=A" in p]
+
+
+def test_delete_where_ungrouped_and_null_predicate_rows_kept(spark, tmp_path):
+    import pandas as pd
+
+    t = TableRepo(str(tmp_path) + "/t", spark=spark)
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "v": [1.0, None, 3.0, 4.0]})
+    t.extend(spark.createDataFrame(pdf))
+    t.delete_where(F.col("v") > 2.5)  # NULL predicate rows must survive
+    got = sorted(r["k"] for r in t.get_full_df().collect())
+    assert got == [1, 2]
