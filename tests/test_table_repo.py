@@ -647,3 +647,22 @@ def test_delete_where_ungrouped_and_null_predicate_rows_kept(spark, tmp_path):
     t.delete_where(F.col("v") > 2.5)  # NULL predicate rows must survive
     got = sorted(r["k"] for r in t.get_full_df().collect())
     assert got == [1, 2]
+
+
+def test_compression_codec_per_repo(spark, sf_dir, tmp_path):
+    """compression= pins the parquet codec for every file the repo writes
+    (zstd for cold write-once tables, default snappy for hot appends);
+    read-back is codec-transparent."""
+    li = load(spark, sf_dir, "lineitem").limit(5000)
+    tz = TableRepo(str(tmp_path) + "/z", group_cols="l_returnflag",
+                   compression="zstd", single_writer=True, spark=spark)
+    ts = TableRepo(str(tmp_path) + "/s", group_cols="l_returnflag",
+                   single_writer=True, spark=spark)
+    tz.extend(li)
+    ts.extend(li)
+    assert all(p.endswith(".zstd.parquet") for p in tz.paths), tz.paths[:2]
+    assert all(p.endswith(".snappy.parquet") for p in ts.paths), ts.paths[:2]
+    assert tz.get_full_df().count() == ts.get_full_df().count() == 5000
+    z_bytes = sum(os.path.getsize(p) for p in tz.paths)
+    s_bytes = sum(os.path.getsize(p) for p in ts.paths)
+    assert z_bytes < s_bytes  # zstd beats snappy on this data
