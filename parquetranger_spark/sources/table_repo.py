@@ -372,6 +372,41 @@ class TableRepo:
         """Drop the table (reference core.py:162-167)."""
         self._fs().delete(self.main_path)
 
+    def extend_fenced(self, df: DataFrame, fence: tuple) -> None:
+        """Idempotent append for streaming sinks (manifest mode only): the
+        commit records ``fence`` — (stream id, epoch) — and a replayed
+        batch with the same fence is a no-op BEFORE any write job runs.
+        This is what turns foreachBatch's at-least-once replay contract
+        into exactly-once appends: the batch's data and its fence publish
+        in one atomic manifest CAS, so a crash between write and commit
+        leaves only an unreferenced data dir (manifest vacuum sweeps it),
+        never duplicate visible rows."""
+        self._write(self._prepare(df), mode="append", fence=fence)
+
+    def restore(self, version: int) -> None:
+        """Roll the table back to an earlier manifest version by
+        publishing a NEW version with the old version's commit list
+        (manifest mode only) — history stays linear and auditable, the
+        bad commits stay inspectable via time travel, and no data is
+        copied. Only possible while the target version's data dirs
+        survive (i.e. inside the vacuum horizon)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("restore() requires commit_mode='manifest'")
+        from .manifest import load_manifest, try_commit
+
+        fs = self._fs()
+        target = load_manifest(fs, self.main_path, version=version)
+        if target is None:
+            raise ValueError(f"no manifest version {version}")
+        while True:
+            cur = load_manifest(fs, self.main_path)
+            nxt = {
+                "version": (cur["version"] if cur else 0) + 1,
+                "commits": list(target["commits"]),
+            }
+            if try_commit(fs, self.main_path, nxt):
+                return
+
     def delete_records(self, keys: DataFrame) -> None:
         """Delete every row whose index matches an incoming key — the
         right-to-erasure surface (no reference counterpart; the reference
@@ -799,7 +834,9 @@ class TableRepo:
         # recovery instead of being destroyed by an unconditional cleanup
         fs.delete(staging)
 
-    def _write_manifest(self, df: DataFrame, mode: str, dynamic: bool) -> None:
+    def _write_manifest(
+        self, df: DataFrame, mode: str, dynamic: bool, fence: tuple | None = None
+    ) -> None:
         """Manifest-mode commit (sources/manifest.py): write the batch ONCE
         into a fresh ``_pqrs_data/<uuid>`` dir (hive-partitioned inside, so
         partition pruning still works), then CAS-publish the next manifest
@@ -820,6 +857,13 @@ class TableRepo:
         )
 
         fs = self._fs()
+        fkey = list(map(str, fence)) if fence is not None else None
+        if fkey is not None:
+            # replayed micro-batch: its fence already committed → no-op
+            # BEFORE paying the write job (the exactly-once fast path)
+            cur0 = load_manifest(fs, self.main_path)
+            if cur0 and any(c.get("fence") == fkey for c in cur0["commits"]):
+                return
         rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
         cdir = join_path(self.main_path, rel_dir)
         w = df.write.mode("overwrite")
@@ -833,6 +877,8 @@ class TableRepo:
         base = len(path_parts(cdir))
         files = ["/".join(path_parts(p)[base:]) for p in fs.list_files(cdir, ".parquet")]
         entry = {"dir": rel_dir, "files": files}
+        if fkey is not None:
+            entry["fence"] = fkey
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -841,6 +887,8 @@ class TableRepo:
         while True:
             cur = load_manifest(fs, self.main_path)
             commits = list(cur["commits"]) if cur else []
+            if fkey is not None and any(c.get("fence") == fkey for c in commits):
+                return  # lost a race to our own replay — already in
             if mode == "append":
                 commits = commits + ([entry] if files else [])
             elif dynamic and self.group_cols:
@@ -934,7 +982,9 @@ class TableRepo:
         parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
 
-    def _write(self, df: DataFrame, mode: str, dynamic: bool = True) -> None:
+    def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None) -> None:
+        if fence is not None and self.commit_mode != "manifest":
+            raise TypeError("fenced (exactly-once) writes need commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
         if self.cluster_by:
             # data clustering for scan skipping: each write task's rows
@@ -981,7 +1031,7 @@ class TableRepo:
             else:
                 df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
         if self.commit_mode == "manifest":
-            self._write_manifest(df, mode=mode, dynamic=dynamic)
+            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence)
             return
         if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are

@@ -23,20 +23,30 @@ def stream_into_repo(
     checkpoint: str,
     replace: bool = False,
     trigger_available_now: bool = True,
+    exactly_once: bool = False,
 ) -> StreamingQuery:
     """Sink a streaming DataFrame into a TableRepo via foreachBatch.
 
     Each micro-batch is one distributed TableRepo write (append, or keyed
     upsert when ``replace``). Upserts are idempotent under batch replay
-    (exactly-once contents); plain appends are at-least-once — see the
-    delivery note on the sink below.
+    (exactly-once contents); plain appends are at-least-once — unless
+    ``exactly_once=True`` on a manifest-mode repo, which fences every
+    append with (stream id, epoch) inside the atomic manifest CAS so a
+    replayed batch is a no-op (``TableRepo.extend_fenced``).
     """
+    if exactly_once and trepo.commit_mode != "manifest":
+        raise TypeError("exactly_once appends need commit_mode='manifest'")
+    sid: dict[str, str | None] = {"v": None}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if replace:
             trepo.replace_records(batch_df)
+        elif exactly_once:
+            if sid["v"] is None:
+                sid["v"] = _stream_id(checkpoint) or "?"
+            trepo.extend_fenced(batch_df, fence=(sid["v"], epoch_id))
         else:
             trepo.extend(batch_df)
 

@@ -196,3 +196,54 @@ def test_manifest_schema_widening_reads_back(spark, tmp_root):
     assert "B" in got.columns
     vals = {r["k"]: r["B"] for r in got.collect()}
     assert vals["w1"] == 1.5 and vals["k0"] is None
+
+
+def test_extend_fenced_is_idempotent(spark, tmp_root):
+    """A replayed (same-fence) append must be a no-op — the exactly-once
+    contract for foreachBatch sinks. The fast path skips even the write
+    job, so no orphan data dir appears for the replay."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend_fenced(spark.createDataFrame(_frame(0)), fence=("s1", 0))
+    n_dirs = len(os.listdir(os.path.join(t.main_path, "_pqrs_data")))
+    t.extend_fenced(spark.createDataFrame(_frame(0)), fence=("s1", 0))  # replay
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
+    assert len(os.listdir(os.path.join(t.main_path, "_pqrs_data"))) == n_dirs
+    t.extend_fenced(spark.createDataFrame(_frame(6)), fence=("s1", 1))  # next epoch
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+
+
+def test_extend_fenced_requires_manifest_mode(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/t2", group_cols="C", index_cols="k", spark=spark)
+    with pytest.raises(TypeError):
+        t.extend_fenced(spark.createDataFrame(_frame(0)), fence=("s1", 0))
+
+
+def test_stream_into_repo_exactly_once(spark, tmp_root):
+    """End-to-end: a file stream sunk with exactly_once=True lands every
+    row exactly once, and each committed epoch carries its fence."""
+    from parquetranger_spark.streaming.ingest import stream_into_repo
+
+    src = f"{tmp_root}/src"
+    spark.createDataFrame(_frame(0, 12)).repartition(2).write.parquet(src)
+    t = _repo(spark, f"{tmp_root}/t3")
+    stream = spark.readStream.schema("k string, A long, C string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_into_repo(stream, t, checkpoint=f"{tmp_root}/ckpt", exactly_once=True)
+    q.awaitTermination(300)
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+    mf = load_manifest(t._fs(), t.main_path)
+    assert all("fence" in c for c in mf["commits"])
+
+
+def test_restore_rolls_back_without_data_copy(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/t4")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    v = t.versions()[-1]
+    t.restore(1)
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
+    # history is linear: restore published a NEW version
+    assert t.versions()[-1] == v + 1
+    # the rolled-back state is still reachable via time travel
+    assert rows(t.get_full_df(version=v)) == rows(spark.createDataFrame(_frame(0, 12)))
