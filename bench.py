@@ -66,6 +66,12 @@ HEADLINE = [
     "topk_cosine_pq",
     "domain_mixture_resample",
     "multimodal_dedup",
+    # round-4 wave 2: completed TPC-H (Q8's 8-table broadcast tree),
+    # order-statistics-at-scale selection, SemDeDup, keyed deletion
+    "sql_q8_market_share",
+    "token_budget_sample",
+    "semantic_dedup_kept",
+    "delete_records_roundtrip",
 ]
 
 

@@ -108,3 +108,58 @@ def stratified_sample_pred(
     for s, hx in sorted(hex_max_by_stratum.items()):
         rate = F.when(stratum == s, F.lit(hx)).otherwise(rate)
     return F.md5(key.cast("string")).substr(1, 2) <= rate
+
+
+def budget_select(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    weight_col: str,
+    budget_frac: float,
+    band_width: int = 16,
+) -> DataFrame:
+    """Global ordered budget selection WITHOUT a global sort: keep the
+    best rows (``order_col`` descending, ``id_col`` tie-break) until
+    ``budget_frac`` of the total ``weight_col`` is exhausted — i.e. the
+    global window cumsum ``SUM(w) OVER (ORDER BY order DESC, id)``
+    filtered to ``cum <= frac * total``, computed scalably:
+
+    1. bucket ``order_col`` into coarse integer BANDS (monotone in the
+       sort key), aggregate weight per band — map-side combined, the
+       band frame is O(distinct bands);
+    2. a window over that TINY frame yields each band's prefix (weight
+       in all strictly-better bands);
+    3. broadcast the prefixes back; the within-band running sum is a
+       window partitioned BY BAND — bounded partitions, never one global
+       sort partition. prefix + within-band cumsum == the global cumsum
+       exactly (integer/decimal arithmetic preserved; only the final
+       budget compare multiplies by the double fraction).
+
+    Returns ``df``'s rows that fit the budget plus a ``cum_<weight_col>``
+    column holding the exact global running total."""
+    from pyspark.sql import Window
+
+    band = F.floor(F.col(order_col) / F.lit(band_width)).cast("long")
+    d = df.withColumn("__band", band)
+    tot = d.agg(F.sum(weight_col).alias("__tot"))
+    bands = d.groupBy("__band").agg(F.sum(weight_col).alias("__band_w"))
+    bw = Window.orderBy(F.col("__band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bands = bands.select(
+        "__band", (F.sum("__band_w").over(bw) - F.col("__band_w")).alias("__prefix")
+    )
+    dw = (
+        Window.partitionBy("__band")
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_col = f"cum_{weight_col}"
+    out = (
+        d.join(F.broadcast(bands), "__band")
+        .withColumn(cum_col, F.col("__prefix") + F.sum(weight_col).over(dw))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.where(
+        F.col(cum_col) <= F.lit(budget_frac) * F.col("__tot")
+    ).drop("__band", "__prefix", "__tot")

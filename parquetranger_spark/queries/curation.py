@@ -911,36 +911,17 @@ def token_budget_sample(spark, sf_dir):
        equals the global cumsum exactly (integer arithmetic throughout;
        only the final budget compare is one double multiply, identical
        both engines)."""
+    from ..operators.curation import budget_select
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
     )
-    d = d.withColumn("__band", F.expr("n_chars div 16"))
-    tot = d.agg(F.sum("n_tok").alias("__tot"))
-    bands = d.groupBy("__band").agg(F.sum("n_tok").alias("__band_tok"))
-    from pyspark.sql import Window
-
-    bw = Window.orderBy(F.col("__band").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    kept = budget_select(
+        d, order_col="n_chars", id_col="doc_id", weight_col="n_tok", budget_frac=0.3
     )
-    bands = bands.select(
-        "__band",
-        (F.sum("__band_tok").over(bw) - F.col("__band_tok")).alias("__prefix"),
-    )
-    dw = (
-        Window.partitionBy("__band")
-        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        d.join(F.broadcast(bands), "__band")
-        .withColumn("cum_tok", F.col("__prefix") + F.sum("n_tok").over(dw))
-        .crossJoin(F.broadcast(tot))
-    )
-    return cum.where(F.col("cum_tok") <= F.lit(0.3) * F.col("__tot")).select(
-        "doc_id", "n_tok", "cum_tok"
-    )
+    return kept.select("doc_id", "n_tok", F.col("cum_n_tok").alias("cum_tok"))
 
 
 @query(

@@ -22,8 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from parquetranger_spark.operators.curation import repetition_stats  # noqa: E402
-from parquetranger_spark.operators.dedup import exact_dedup, near_dedup_minhash  # noqa: E402
+from parquetranger_spark.operators.curation import budget_select, repetition_stats  # noqa: E402
+from parquetranger_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    near_dedup_minhash,
+    semantic_dedup,
+)
 from parquetranger_spark.operators.temporal import asof_join_backward  # noqa: E402
 from parquetranger_spark.queries.common import load  # noqa: E402
 from parquetranger_spark.session import get_spark  # noqa: E402
@@ -117,6 +121,31 @@ def probe(spark):
         # should probe ≈ linear (exponent ≈ 1)
         "pq_adc_topk": pq_adc,
         "q21_decorrelated": q21,
+        # round-4 wave 2: the no-global-sort budget selection (band
+        # windows — linear) and SemDeDup (cluster-scoped pairs; replicas
+        # share directions so candidate growth is factor-quadratic within
+        # each direction group — adversarial corpus, like minhash above)
+        "budget_select": lambda f: budget_select(
+            replicate(
+                docs.select(
+                    "doc_id",
+                    F.length("text").alias("n_chars"),
+                    F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+                ),
+                "doc_id",
+                f,
+            ),
+            order_col="n_chars",
+            id_col="doc_id",
+            weight_col="n_tok",
+            budget_frac=0.3,
+        ).count(),
+        "semantic_dedup": lambda f: semantic_dedup(
+            replicate(emb, "vec_id", f),
+            threshold=0.99,
+            n_clusters=max(8, 4 * f),
+            bucket_cap=5000,
+        ).count(),
     }
     results = {}
     for name, fn in ops.items():
