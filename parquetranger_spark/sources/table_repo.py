@@ -191,6 +191,29 @@ class TableRepo:
     def n_files(self) -> int:
         return len(self.paths)
 
+    def stats(self) -> DataFrame:
+        """Per-partition physical statistics as a DataFrame — rows, file
+        count, bytes, and rows-per-file — computed DISTRIBUTED from the
+        scan's hidden ``_metadata`` column (file path + size ride along
+        with each row; no driver-side footer walking, so this works
+        unchanged on a 100 TB table). This is the observability surface
+        compaction decisions read: partitions with many small files are
+        ``compact()`` candidates."""
+        df = self.get_full_df().select(
+            *self.group_cols,
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.file_size").alias("__sz"),
+        )
+        per_file = df.groupBy(*(self.group_cols + ["__f"])).agg(
+            F.count(F.lit(1)).alias("__rows"), F.first("__sz").alias("__bytes")
+        )
+        return per_file.groupBy(*self.group_cols).agg(
+            F.sum("__rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("__bytes").alias("n_bytes"),
+            (F.sum("__rows") / F.count(F.lit(1))).alias("rows_per_file"),
+        )
+
     @property
     def dfs(self):
         """Per-data-file DataFrames (reference ``dfs``, core.py:271-273).

@@ -666,3 +666,20 @@ def test_compression_codec_per_repo(spark, sf_dir, tmp_path):
     z_bytes = sum(os.path.getsize(p) for p in tz.paths)
     s_bytes = sum(os.path.getsize(p) for p in ts.paths)
     assert z_bytes < s_bytes  # zstd beats snappy on this data
+
+
+def test_stats_per_partition(spark, sf_dir, tmp_path):
+    """stats() reports per-partition rows/files/bytes from the scan's
+    _metadata column — values must agree with the driver-side surfaces."""
+    t = TableRepo(str(tmp_path) + "/li", group_cols="l_returnflag",
+                  single_writer=True, spark=spark)
+    li = load(spark, sf_dir, "lineitem")
+    t.extend(li)
+    got = {r["l_returnflag"]: r for r in t.stats().collect()}
+    exp = {r["l_returnflag"]: r["n"] for r in
+           li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v["n_rows"] for k, v in got.items()} == exp
+    assert sum(v["n_files"] for v in got.values()) == t.n_files
+    assert sum(v["n_bytes"] for v in got.values()) == sum(
+        os.path.getsize(p) for p in t.paths
+    )
