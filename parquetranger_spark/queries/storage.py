@@ -583,3 +583,44 @@ def delete_records_roundtrip(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
     )
+
+
+@query(
+    "pyds_generator_agg",
+    oracle="""
+WITH g AS (
+  SELECT i AS event_id,
+         (i * 2654435761) % 997 AS user_id,
+         CASE i % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                    WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+         CAST((i * 48271) % 100000 AS DOUBLE) / 1000.0 AS value
+  FROM generate_series(0, 49999) AS t(i)
+)
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM g GROUP BY event_type
+""",
+)
+def pyds_generator_agg(spark, sf_dir):
+    """Custom Python data source (Spark 4 pyspark.sql.datasource API,
+    sources/pyds.py): a deterministic synthetic-events generator whose
+    rows are pure integer functions of the index — generation happens
+    INSIDE the scan (one task per InputPartition, Arrow RecordBatches
+    across the boundary), and the oracle re-derives the identical table
+    from generate_series. This is the plan-visible, distributed
+    replacement for driver-side record-producer loops."""
+    from ..sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("pqrs_synth_events")
+        .option("rows", 50000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        F.sum("user_id").alias("sum_users"),
+    )
