@@ -39,20 +39,68 @@ def synthetic_events_source():
         def __init__(self, options):
             self.rows = int(options.get("rows", 100_000))
             self.splits = int(options.get("partitions", 8))
+            # pushdown state (pushFilters may tighten before planning)
+            self.lo_bound = 0
+            self.hi_bound = self.rows
+            self.type_mod: int | None = None
+
+        def pushFilters(self, filters):
+            """Source-side pruning (Spark 4.1 python-source pushdown):
+            event_id range predicates shrink the generated index range
+            (the partition-pruning analogue) and an event_type equality
+            becomes a stride-4 walk — rows that can't match are never
+            produced, not produced-then-filtered. Anything else is
+            returned for Spark to evaluate post-scan."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThanOrEqual,
+                LessThanOrEqual,
+            )
+
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("event_type",)
+                    and f.value in event_types
+                ):
+                    self.type_mod = event_types.index(f.value)
+                elif (
+                    isinstance(f, GreaterThanOrEqual)
+                    and f.attribute == ("event_id",)
+                    and isinstance(f.value, int)
+                ):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                elif (
+                    isinstance(f, LessThanOrEqual)
+                    and f.attribute == ("event_id",)
+                    and isinstance(f.value, int)
+                ):
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                else:
+                    yield f
 
         def partitions(self):
-            step = max(1, -(-self.rows // self.splits))
+            lo0, hi0 = self.lo_bound, max(self.lo_bound, self.hi_bound)
+            n = hi0 - lo0
+            step = max(1, -(-n // self.splits)) if n else 1
             return [
-                _Range(lo, min(lo + step, self.rows))
-                for lo in range(0, self.rows, step)
-            ]
+                _Range(lo, min(lo + step, hi0)) for lo in range(lo0, hi0, step)
+            ] or [_Range(0, 0)]
+
+        def _indices(self, lo: int, hi: int):
+            if self.type_mod is None:
+                return range(lo, hi)
+            start = lo + (self.type_mod - lo) % 4
+            return range(start, hi, 4)
 
         def read(self, partition):
             import pyarrow as pa
 
             for lo in range(partition.lo, partition.hi, BATCH):
                 hi = min(lo + BATCH, partition.hi)
-                idx = range(lo, hi)
+                idx = list(self._indices(lo, hi))
+                if not idx:
+                    continue
                 yield pa.record_batch(
                     {
                         "event_id": pa.array(idx, pa.int64()),
@@ -84,5 +132,7 @@ def synthetic_events_source():
 
 
 def register(spark) -> None:
-    """Idempotently register the source under ``pqrs_synth_events``."""
+    """Idempotently register the source under ``pqrs_synth_events`` (and
+    enable python-source filter pushdown, off by default in 4.1)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(synthetic_events_source())
