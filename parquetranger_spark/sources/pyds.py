@@ -27,7 +27,12 @@ def synthetic_events_source():
     serializes the class BY VALUE to executor python workers — they never
     need this package importable (same closure rule as the ingestor's
     shred and the TWS processor)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     event_types = list(EVENT_TYPES)
 
@@ -117,6 +122,46 @@ def synthetic_events_source():
                     }
                 )
 
+    class _StreamReader(SimpleDataSourceStreamReader):
+        """Offset-based streaming flavor: the offset is just the next row
+        index, each micro-batch advances it by ``batch_rows`` (until the
+        optional ``rows`` cap), and ``readBetweenOffsets`` regenerates any
+        replayed span bit-identically — determinism IS the recovery story
+        (nothing to persist beyond the offset in the checkpoint)."""
+
+        def __init__(self, options):
+            self.batch_rows = int(options.get("batch_rows", 1000))
+            self.cap = int(options.get("rows", 0))  # 0 = unbounded
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            # a LIST, not a generator: the simple-reader harness pickles
+            # the prefetched batch into the checkpoint cache for replay
+            return [
+                (
+                    i,
+                    (i * 2654435761) % 997,
+                    event_types[i % 4],
+                    ((i * 48271) % 100000) / 1000.0,
+                )
+                for i in range(lo, hi)
+            ]
+
+        def read(self, start):
+            lo = int(start["i"])
+            hi = lo + self.batch_rows
+            if self.cap:
+                hi = min(hi, self.cap)
+            return self._rows(lo, hi), {"i": max(hi, lo)}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(int(start["i"]), int(end["i"]))
+
+        def commit(self, end):
+            pass
+
     class SyntheticEvents(DataSource):
         @classmethod
         def name(cls):
@@ -127,6 +172,9 @@ def synthetic_events_source():
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return _StreamReader(self.options)
 
     return SyntheticEvents
 

@@ -66,3 +66,48 @@ def test_pushdown_prunes_generation(spark):
         & (F.col("event_type") == "click")
     ).count()
     assert got == 100
+
+
+def test_streaming_generator_matches_batch(spark, tmp_path):
+    """The streaming flavor (SimpleDataSourceStreamReader): a capped run
+    under availableNow must produce exactly the batch source's table —
+    offsets advance deterministically and replay spans regenerate
+    bit-identically."""
+    import uuid
+
+    register(spark)
+    stream = (
+        spark.readStream.format("pqrs_synth_events")
+        .option("rows", 5000)
+        .option("batch_rows", 1000)
+        .load()
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # the simple stream reader advances one batch_rows span per
+    # micro-batch until the cap; poll until all 5 batches landed
+    import time
+
+    deadline = time.monotonic() + 240
+    while time.monotonic() < deadline:
+        if spark.table(name).count() >= 5000:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("pqrs_synth_events")
+            .option("rows", 5000)
+            .load()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 5000
