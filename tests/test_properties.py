@@ -94,3 +94,48 @@ def test_replace_records_random(spark, tmp_path_factory, base, incoming, by_grou
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),  # order key (with ties)
+            st.integers(1, 50),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+def test_budget_select_matches_global_window(spark, rows, frac):
+    """budget_select (band prefix + within-band window) must equal the
+    naive global ordered cumsum filter on arbitrary frames — including
+    order-key ties, tiny bands, and 0%/100% budgets."""
+    import pandas as pd
+
+    from parquetranger_spark.operators.curation import budget_select
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(len(rows)),
+            "o": [r[0] for r in rows],
+            "w": [r[1] for r in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["id"], r["cum_w"])
+        for r in budget_select(
+            df, order_col="o", id_col="id", weight_col="w", budget_frac=frac
+        ).collect()
+    }
+    s = pdf.sort_values(["o", "id"], ascending=[False, True])
+    s["cum"] = s["w"].cumsum()
+    budget = frac * pdf["w"].sum()
+    want = {(r.id, r.cum) for r in s.itertuples() if r.cum <= budget}
+    assert got == want
