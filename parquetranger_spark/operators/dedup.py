@@ -633,3 +633,57 @@ def semantic_dedup(
         .distinct()
     )
     return df.select(id_col).join(pruned, id_col, "left_anti")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    band_width: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Approximate-string self-join (entity-resolution shape): all pairs
+    within Levenshtein distance ``max_dist``, WITHOUT a cross join.
+
+    Blocking is exact by the length bound — edit distance ≥ |len(a) −
+    len(b)|, so with length bands of ``band_width ≥ max_dist + 1`` every
+    qualifying pair lands in the same or an adjacent band. Candidates =
+    same-band pairs ∪ adjacent-band pairs (two id-only equi-joins);
+    verification joins the strings back and evaluates the built-in
+    ``levenshtein`` (JVM) once per candidate. 100 % recall by
+    construction — which is what lets the brute-force oracle match
+    hash-exactly.
+
+    Scale honesty: length blocking alone leaves big blocks at corpus
+    scale (many strings share a length); ``bucket_cap`` salts oversized
+    bands exactly like the LSH buckets, and a production deployment adds
+    q-gram prefix filtering INSIDE blocks (strings within distance k
+    share one of the first k·q+1 q-grams) before paying the verify."""
+    if band_width <= max_dist:
+        raise ValueError("band_width must exceed max_dist for exact recall")
+    base = df.select(
+        F.col(id_col), F.col(str_col).alias("__s"), F.length(str_col).alias("__len")
+    ).withColumn("__band", F.expr(f"__len div {band_width}"))
+    ids = base.select(id_col, "__band")
+    ids, keys = _salt_oversized(ids, ["__band"], id_col, bucket_cap)
+    a = ids.select(F.col(id_col).alias("id_a"), *keys)
+    b = ids.select(F.col(id_col).alias("id_b"), *keys)
+    same = a.join(b, keys).where(F.col("id_a") < F.col("id_b"))
+    # adjacent bands: border pairs (Δlen ≤ max_dist across the boundary).
+    # Salting never drops these: they join on the RAW band key.
+    a1 = base.select(F.col(id_col).alias("id_a"), (F.col("__band") + 1).alias("__nb"))
+    b1 = base.select(F.col(id_col).alias("id_b"), F.col("__band").alias("__nb"))
+    adj = a1.join(b1, "__nb").where(F.col("id_a") != F.col("id_b")).select(
+        F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+    )
+    cand = same.select("id_a", "id_b").unionByName(adj).distinct()
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

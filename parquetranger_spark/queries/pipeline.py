@@ -813,3 +813,33 @@ def semantic_dedup_kept(spark, sf_dir):
     )
     corpus = orig.unionByName(pert)
     return semantic_dedup(corpus, threshold=0.99, n_clusters=8, bucket_cap=5000)
+
+
+@query(
+    "fuzzy_title_pairs",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+""",
+)
+def fuzzy_title_pairs(spark, sf_dir):
+    """X2 (string flavor): approximate-string self-join — document-title
+    pairs within Levenshtein distance 2 (operators/dedup.py::fuzzy_pairs).
+    Length-band blocking (exact by the |Δlen| ≤ dist bound) replaces the
+    oracle's brute-force cross join; the hash-exact match certifies 100 %
+    recall of the blocked plan."""
+    from ..operators.dedup import fuzzy_pairs
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    titles = d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("title"),
+    )
+    return fuzzy_pairs(titles, "title", "doc_id", max_dist=2, bucket_cap=5000)
