@@ -985,3 +985,48 @@ def length_trim_per_lang(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "weighted_sample_poisson",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+s AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS n FROM t)
+SELECT doc_id, w AS n_tok
+FROM t, s
+WHERE 5 * h * tw < 4294967296 * w * n
+""",
+)
+def weighted_sample_poisson(spark, sf_dir):
+    """X7: deterministic weighted (Poisson) sampling — each document kept
+    with probability ∝ its token count (expected keep rate 1/5), the
+    size-weighted selection a domain-mixture pipeline applies per shard.
+    The uniform draw is the md5-prefix integer (the same device as
+    sample_hash_stable) and the inclusion test ``5·h·Σw < 2³²·w·n`` is
+    ALL int64 arithmetic — no ln/pow, no float rounding, so membership is
+    bit-identical across engines and stable across reruns/engines (the
+    property that makes the sample reproducible at 100 TB). One scan +
+    one 1-row broadcast aggregate; no shuffle of data rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    s = d.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        d.crossJoin(F.broadcast(s))
+        .where(
+            F.lit(5) * F.col("h") * F.col("tw")
+            < F.lit(4294967296) * F.col("w") * F.col("n")
+        )
+        .select("doc_id", F.col("w").alias("n_tok"))
+    )

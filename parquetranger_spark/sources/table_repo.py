@@ -688,6 +688,25 @@ class TableRepo:
         rows = grouped.applyInPandas(_wrap, "r binary").collect()
         return [pickle.loads(r["r"]) for r in rows]
 
+    def map_partitions_arrow(
+        self,
+        fun: Callable,
+        schema: T.StructType | str,
+        level: str | None = None,
+    ) -> DataFrame:
+        """Arrow-native per-partition apply (``applyInArrow``): ``fun``
+        receives each group as a ``pyarrow.Table`` and returns one. Skips
+        the pandas conversion ``map_partitions`` pays on both edges — for
+        columnar work (filters, projections, arrow-compute kernels) the
+        group payload stays zero-copy Arrow end to end, which at 100 TB
+        is the difference between the python stage being bandwidth-bound
+        and conversion-bound. Same grouping semantics as
+        :meth:`map_partitions`."""
+        if not self.group_cols:
+            raise TypeError("not a grouped table")
+        cols = [level] if level else list(self.group_cols)
+        return self.get_full_df().groupBy(*cols).applyInArrow(fun, schema)
+
     # ---------------------------------------------------------------- private
 
     def _session(self) -> SparkSession:

@@ -683,3 +683,33 @@ def test_stats_per_partition(spark, sf_dir, tmp_path):
     assert sum(v["n_bytes"] for v in got.values()) == sum(
         os.path.getsize(p) for p in t.paths
     )
+
+
+def test_map_partitions_arrow_matches_pandas(spark, tmp_root):
+    """map_partitions_arrow: same grouping semantics, pyarrow.Table in and
+    out (zero pandas conversion), results equal to the pandas flavor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = TableRepo(f"{tmp_root}/t", group_cols="C", index_cols="__index")
+    t.extend(spark.createDataFrame(DF1))
+    t.extend(spark.createDataFrame(DF2))
+
+    def arrow_agg(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "C": [tbl["C"][0].as_py()],
+                "sum_a": [pc.sum(tbl["A"]).as_py()],
+                "n": [tbl.num_rows],
+            }
+        )
+
+    got = {
+        (r["C"], r["sum_a"], r["n"])
+        for r in t.map_partitions_arrow(arrow_agg, "C long, sum_a long, n long").collect()
+    }
+    pdf = pd.concat([DF1, DF2])
+    want = {
+        (c, int(g.A.sum()), len(g)) for c, g in pdf.groupby("C")
+    }
+    assert got == want
