@@ -843,3 +843,53 @@ def fuzzy_title_pairs(spark, sf_dir):
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("title"),
     )
     return fuzzy_pairs(titles, "title", "doc_id", max_dist=2, bucket_cap=5000)
+
+
+@query(
+    "decontaminate_semantic",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bench AS (SELECT vec_id, v FROM c WHERE vec_id % 25 = 0),
+corpus AS (SELECT vec_id, v FROM c WHERE vec_id % 25 <> 0),
+flagged AS (
+  SELECT DISTINCT a.vec_id
+  FROM corpus a JOIN bench b ON {_cosine_sql('a.v', 'b.v')} >= 0.95
+)
+SELECT count(*) AS n_corpus,
+       (SELECT count(*) FROM flagged) AS n_flagged
+FROM corpus
+""",
+)
+def decontaminate_semantic(spark, sf_dir):
+    """X7/X3: SEMANTIC benchmark decontamination — corpus vectors within
+    cosine 0.95 of ANY benchmark vector are flagged (the embedding twin
+    of decontaminate_ngrams: catches paraphrased eval leakage that
+    n-gram overlap misses). The benchmark set is small by nature, so its
+    pre-normed vectors BROADCAST into the corpus scan: one pass, zero
+    corpus shuffle, each (corpus, bench) pair pays one dot fold — the
+    plan that decontaminates a 100 TB corpus without moving it. Flagging
+    dedups via semi-join-style distinct on ids only."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    bench = e.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nv").alias("nb")
+    )
+    corpus = e.where(F.col("vec_id") % 25 != 0)
+    flagged = (
+        corpus.crossJoin(F.broadcast(bench))
+        .where(
+            cosine_prenormed(F.col("v"), F.col("bv"), F.col("nv"), F.col("nb"))
+            >= 0.95
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return corpus.select(F.count(F.lit(1)).alias("n_corpus")).crossJoin(
+        flagged.select(F.count(F.lit(1)).alias("n_flagged"))
+    )
