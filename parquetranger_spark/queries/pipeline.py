@@ -893,3 +893,100 @@ def decontaminate_semantic(spark, sf_dir):
     return corpus.select(F.count(F.lit(1)).alias("n_corpus")).crossJoin(
         flagged.select(F.count(F.lit(1)).alias("n_flagged"))
     )
+
+
+@query(
+    "hard_negatives_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv FROM e WHERE vec_id < 40),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neg_id, {_cosine_sql('q.qv', 'c.v')} AS cos
+  FROM q JOIN e c ON c.label <> q.q_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, rank, cos FROM ranked WHERE rank <= 5
+""",
+)
+def hard_negatives_topk(spark, sf_dir):
+    """X3 (training-data flavor): HARD-NEGATIVE mining — for each query
+    vector, the top-5 most-similar vectors with a DIFFERENT label (the
+    near-miss examples contrastive training wants). Same plan skeleton
+    as brute-force top-k: queries (pre-normed, with their labels)
+    broadcast into one corpus scan, the label inequality rides the join
+    condition so same-label pairs never score, and the per-query top-5
+    is a window rank over candidates only. At 100 TB the corpus side
+    would swap in the IVF/PQ candidate path unchanged."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    q = e.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    scored = (
+        e.join(F.broadcast(q), e.label != q.q_label)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            cosine_prenormed(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias(
+                "cos"
+            ),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neg_id", "rank", "cos")
+    )
+
+
+@query(
+    "dataset_split_counts",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM documents
+),
+s AS (
+  SELECT lang,
+         CASE WHEN h % 10 < 8 THEN 'train'
+              WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         doc_id
+  FROM t
+)
+SELECT lang, split, count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM s GROUP BY lang, split
+""",
+)
+def dataset_split_counts(spark, sf_dir):
+    """X7: deterministic train/val/test split (80/10/10) by content-key
+    hash — the split assignment is a pure Column expression on the md5
+    prefix, so membership is reproducible across engines, reruns, and
+    incremental re-ingests (a new document never moves an old one between
+    splits — the leakage guarantee that matters when the corpus grows).
+    Zero shuffle beyond the audit aggregation."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    split = (
+        F.when(h % 10 < 8, "train").when(h % 10 == 8, "val").otherwise("test")
+    )
+    return d.withColumn("split", split).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids")
+    )
