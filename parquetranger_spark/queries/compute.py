@@ -974,3 +974,49 @@ def events_props_variant(spark, sf_dir):
         F.max(F.variant_get("props_v", "$.k", "bigint")).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "events_trailing_hour_sum",
+    oracle="""
+WITH t AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events WHERE user_id < 200
+)
+SELECT user_id, ts_s,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_s
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_1h,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_1h
+FROM t
+""",
+)
+def events_trailing_hour_sum(spark, sf_dir):
+    """C13 (RANGE flavor): per-user trailing-one-hour sums with a RANGE
+    window frame — the frame boundary is a VALUE offset on the ordering
+    key (3600 s), not a row count, which is the correct semantics for
+    irregularly-spaced events (a ROWS frame silently changes meaning
+    with event density). Decimal-routed sums keep the running values
+    exact; integer epoch-seconds ordering keeps the frame boundaries
+    engine-identical. Same one-shuffle shape as any per-key window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 200).select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("ts_s"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts_s",
+        F.sum("v").over(w).cast("double").alias("trailing_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
