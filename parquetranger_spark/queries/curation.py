@@ -1030,3 +1030,60 @@ def weighted_sample_poisson(spark, sf_dir):
         )
         .select("doc_id", F.col("w").alias("n_tok"))
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN md5(concat(text, ' edited'))
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 3 <> 1
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status,
+       count(*) AS n,
+       CAST(SUM(COALESCE(o.doc_id, n.doc_id)) AS BIGINT) AS sum_ids
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1
+""",
+)
+def snapshot_diff(spark, sf_dir):
+    """X7: dataset snapshot reconciliation — FULL OUTER join of two
+    corpus versions on the document key, rows classified added / removed
+    / changed / unchanged by content-hash comparison. This is the audit
+    every incremental re-crawl wants before promoting a snapshot (how
+    much churned?), and the one query shape that needs FULL OUTER
+    semantics: both dangling sides survive. Each side is reduced to
+    (key, 16-byte hash) BEFORE the join, so the shuffle carries hashes,
+    not documents — at 100 TB the join is key-sized."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    new = d.where(F.col("doc_id") % 3 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit(" edited")))
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("h"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))).alias("sum_ids"),
+    )
