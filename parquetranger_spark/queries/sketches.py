@@ -469,3 +469,30 @@ def _run_tws_profile(spark, sf_dir):
 
 
 _register_tws_query()
+
+
+@query("events_cms_heavy_hitters")
+def events_cms_heavy_hitters(spark, sf_dir):
+    """X9: count–min sketch heavy hitters — one mergeable CMS over the
+    event-type stream (``count_min_sketch`` aggregate: integer counter
+    grids, merge = elementwise add, so partial aggregation and cross-
+    shard unions are exact-commutative), then point estimates for the
+    candidate keys read driver-side from the (tiny) sketch binary. The
+    rows-seen count rides the same pass. Completes the sketch family
+    (HLL distinct / KLL quantiles / CMS frequencies). Estimates are
+    deterministic upper bounds, engine-specific layout → rows-only;
+    the ≥-exact and ε-slack contracts are pytest-asserted."""
+    ev = load(spark, sf_dir, "events")
+    row = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "sk"
+        ),
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    ).first()
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
+    )
+    est = [(t, int(cms.estimateCount(t)), int(row["n"])) for t in row["types"]]
+    return spark.createDataFrame(est, "event_type string, est_count long, n_total long")

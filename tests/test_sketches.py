@@ -63,3 +63,20 @@ def test_hll_union_estimate_within_5pct(spark, sf_dir):
     )
     assert abs(row["approx_total_users"] - exact) <= max(1, 0.05 * exact)
     assert row["n_types"] == 5
+
+
+def test_cms_estimates_bound_exact_counts(spark, sf_dir):
+    """CMS point estimates must dominate the exact counts and stay within
+    the eps·N overcount bound."""
+    from parquetranger_spark.queries.common import load
+    from parquetranger_spark.queries.sketches import events_cms_heavy_hitters
+
+    got = {r["event_type"]: r for r in events_cms_heavy_hitters(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(exact.values())
+    assert set(got) == set(exact)
+    for t, e in exact.items():
+        assert got[t]["est_count"] >= e
+        assert got[t]["est_count"] <= e + 0.001 * n + 1
