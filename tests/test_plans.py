@@ -355,3 +355,24 @@ def test_dynamic_partition_pruning_on_grouped_repo(spark, repo):
     p = plan(j)
     seg = p.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "dynamicpruning" in seg.lower(), seg
+
+
+def test_new_pair_generators_no_cartesian(spark, sf_dir):
+    """Cluster-scoped (SemDeDup) and length-band (fuzzy) candidate
+    generation must plan as equi-joins on the block keys — never a
+    cartesian / nested-loop pair scan."""
+    from parquetranger_spark.queries.curation import weighted_sample_poisson
+    from parquetranger_spark.queries.pipeline import (
+        fuzzy_title_pairs,
+        semantic_dedup_kept,
+    )
+
+    for q in (semantic_dedup_kept, fuzzy_title_pairs):
+        p = plan(q(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoopJoin" not in p, q.__name__
+    # weighted sampling: one scan + a 1-row broadcast — no row shuffle at
+    # all before the final selection (no Exchange over the doc frame other
+    # than the scalar aggregate's)
+    pw = plan(weighted_sample_poisson(spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in pw and pw.count("Exchange") <= 2, pw
