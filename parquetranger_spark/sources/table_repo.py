@@ -688,6 +688,17 @@ class TableRepo:
         rows = grouped.applyInPandas(_wrap, "r binary").collect()
         return [pickle.loads(r["r"]) for r in rows]
 
+    def as_view(self, name: str | None = None) -> str:
+        """Register the table as a temp view (default name: the table's
+        basename) and return the view name — the SQL front door
+        (`spark.sql(f"SELECT ... FROM {t.as_view()}")`). The view is a
+        plain read of the current root, so partition pruning / pushdown /
+        snapshot semantics are identical to :meth:`get_full_df`; re-call
+        after ``set_env`` to point the view at the new root."""
+        view = name or self.name
+        self.get_full_df().createOrReplaceTempView(view)
+        return view
+
     def map_partitions_arrow(
         self,
         fun: Callable,

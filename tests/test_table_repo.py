@@ -713,3 +713,15 @@ def test_map_partitions_arrow_matches_pandas(spark, tmp_root):
         (c, int(g.A.sum()), len(g)) for c, g in pdf.groupby("C")
     }
     assert got == want
+
+
+def test_as_view_sql_front_door(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/viewt", group_cols="C", index_cols="__index")
+    t.extend(spark.createDataFrame(DF1))
+    v = t.as_view()
+    got = spark.sql(f"SELECT C, count(*) AS n FROM {v} GROUP BY C ORDER BY C")
+    assert [(r["C"], r["n"]) for r in got.collect()] == [(1, 2), (2, 1)]
+    # pruning works through the view: partition filter reaches the scan
+    p = spark.sql(f"SELECT * FROM {v} WHERE C = 1")._jdf.queryExecution().executedPlan().toString()
+    seg = p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "C" in seg
