@@ -247,3 +247,12 @@ def test_restore_rolls_back_without_data_copy(spark, tmp_root):
     assert t.versions()[-1] == v + 1
     # the rolled-back state is still reachable via time travel
     assert rows(t.get_full_df(version=v)) == rows(spark.createDataFrame(_frame(0, 12)))
+
+
+def test_manifest_mode_honors_compression(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/tz", compression="zstd")
+    t.extend(spark.createDataFrame(_frame(0)))
+    mf = load_manifest(t._fs(), t.main_path)
+    files = [f for c in mf["commits"] for f in c["files"]]
+    assert files and all(f.endswith(".zstd.parquet") for f in files)
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
