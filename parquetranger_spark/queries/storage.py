@@ -624,3 +624,51 @@ def pyds_generator_agg(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         F.sum("user_id").alias("sum_users"),
     )
+
+
+@query(
+    "denormalized_star_agg",
+    oracle=f"""
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       count(*) AS n_orders, {dsum_sql('o.o_totalprice', 'revenue')}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+)
+def denormalized_star_agg(spark, sf_dir):
+    """Materialized denormalization: the orders→customer→nation star is
+    joined ONCE (all dims broadcast) and written as a wide TableRepo
+    partitioned by nation; the analytics query then runs joinless over
+    the wide table with partition pruning available on the hot dimension
+    column. This is the write-once-scan-many trade recurring dashboards
+    want at 100 TB — the join cost is paid at ingest, every later query
+    is a pruned scan + one aggregation. The oracle runs the classic
+    normalized join, proving the denormalized scan is value-identical."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "o_totalprice",
+        )
+    )
+    t = TableRepo(
+        scratch_dir("denorm") + "/orders_wide",
+        group_cols="nation",
+        single_writer=True,
+        spark=spark,
+    )
+    t.replace_all(wide)
+    return (
+        t.get_full_df()
+        .groupBy("nation", "segment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
