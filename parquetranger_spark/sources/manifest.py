@@ -129,5 +129,7 @@ def prune_partitions(
             if partition_values_of(f, group_cols) not in touched
         ]
         if kept:
-            out.append({"dir": c["dir"], "files": kept})
+            # preserve non-file keys (fence, spec) — a pruned-and-rebuilt
+            # entry must keep its exactly-once fence and partition spec
+            out.append({**c, "files": kept})
     return out

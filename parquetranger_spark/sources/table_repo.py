@@ -155,6 +155,89 @@ class TableRepo:
         self._spark = spark
         if mkdirs:
             self.mkdirs()
+        if self.commit_mode == "manifest":
+            # the manifest's partition spec is authoritative for an evolved
+            # table: a reopened instance must write under the CURRENT spec,
+            # not whatever the constructor was handed
+            spec = self._manifest_spec()
+            if spec is not None and spec != self.group_cols:
+                self.group_cols = spec
+
+    def _manifest_spec(self) -> list[str] | None:
+        from .manifest import load_manifest
+
+        try:
+            mf = load_manifest(self._fs(), self.main_path)
+        except Exception:
+            return None
+        return None if mf is None else mf.get("spec")
+
+    def _assert_uniform_spec(self, commits: list[dict]) -> None:
+        """Partition-value-targeted operations (dynamic overwrite, keyed
+        upsert/delete read-backs) are only sound when every live commit
+        was written under the CURRENT partition spec — an old-spec commit
+        cannot be pruned (or partition-filtered) by new-spec values.
+        Entries without a ``spec`` key predate evolution support and were
+        necessarily written under the table's only-ever spec."""
+        for c in commits:
+            if c.get("spec", self.group_cols) != self.group_cols:
+                raise RuntimeError(
+                    f"table {self.name!r} holds commits under partition spec "
+                    f"{c.get('spec')} != current {self.group_cols}; rewrite "
+                    "first (evolve_partitioning(..., rewrite=True), "
+                    "replace_all, or compact after a rewrite) before "
+                    "partition-targeted writes"
+                )
+
+    def evolve_partitioning(
+        self, group_cols: str | list[str] | None, rewrite: bool = False
+    ) -> None:
+        """Change the table's partition spec (manifest mode only) — the
+        lakehouse partition-evolution feature: data layout requirements
+        change as a table grows (e.g. date → (date, tenant) once one
+        partition gets hot) and a 100 TB table cannot be rewritten just
+        to change future layout.
+
+        ``rewrite=False`` (lazy, O(1)): future commits write under the
+        new spec; existing commits stay as-is. Reads remain correct —
+        every commit anchors its own hive-layout discovery, the scans
+        union with missing columns as nulls, and partition pruning still
+        applies per commit where the column exists. Partition-VALUE-
+        targeted writes (replace_groups / keyed upsert / delete /
+        compact) are refused while specs are mixed (see
+        ``_assert_uniform_spec``); appends and full overwrites flow.
+
+        ``rewrite=True`` (eager, O(table)): one static overwrite lays the
+        whole table out under the new spec immediately — the explicit
+        maintenance job, same posture as ``rewrite_to_canonical``."""
+        if self.commit_mode != "manifest":
+            raise TypeError("evolve_partitioning requires commit_mode='manifest'")
+        from .manifest import load_manifest, try_commit
+
+        new_spec = (
+            [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+        )
+        if rewrite:
+            df = self.get_full_df().localCheckpoint(eager=True)
+            self.group_cols = new_spec
+            self._write(self._prepare(df), mode="overwrite", dynamic=False)
+            return
+        fs = self._fs()
+        old_spec = list(self.group_cols)
+        self.group_cols = new_spec
+        while True:
+            cur = load_manifest(fs, self.main_path)
+            commits = [
+                {**c, "spec": c.get("spec", old_spec)}
+                for c in (cur["commits"] if cur else [])
+            ]
+            nxt = {
+                "version": (cur["version"] if cur else 0) + 1,
+                "commits": commits,
+                "spec": new_spec,
+            }
+            if try_commit(fs, self.main_path, nxt):
+                return
 
     # ------------------------------------------------------------------ paths
 
@@ -929,7 +1012,7 @@ class TableRepo:
         w.parquet(cdir)
         base = len(path_parts(cdir))
         files = ["/".join(path_parts(p)[base:]) for p in fs.list_files(cdir, ".parquet")]
-        entry = {"dir": rel_dir, "files": files}
+        entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if fkey is not None:
             entry["fence"] = fkey
         touched = (
@@ -945,12 +1028,17 @@ class TableRepo:
             if mode == "append":
                 commits = commits + ([entry] if files else [])
             elif dynamic and self.group_cols:
+                self._assert_uniform_spec(commits)
                 commits = prune_partitions(commits, self.group_cols, touched) + (
                     [entry] if files else []
                 )
             else:  # static truncate-and-load
                 commits = [entry] if files else []
-            nxt = {"version": (cur["version"] if cur else 0) + 1, "commits": commits}
+            nxt = {
+                "version": (cur["version"] if cur else 0) + 1,
+                "commits": commits,
+                "spec": list(self.group_cols),
+            }
             if try_commit(fs, self.main_path, nxt):
                 return
 
@@ -965,9 +1053,11 @@ class TableRepo:
             cur = load_manifest(fs, self.main_path)
             if cur is None:
                 return
+            self._assert_uniform_spec(cur["commits"])
             nxt = {
                 "version": cur["version"] + 1,
                 "commits": prune_partitions(cur["commits"], self.group_cols, touched),
+                "spec": list(self.group_cols),
             }
             if try_commit(fs, self.main_path, nxt):
                 return

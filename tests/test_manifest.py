@@ -256,3 +256,33 @@ def test_manifest_mode_honors_compression(spark, tmp_root):
     files = [f for c in mf["commits"] for f in c["files"]]
     assert files and all(f.endswith(".zstd.parquet") for f in files)
     assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
+
+
+def test_partition_evolution_lazy_reads_and_guards(spark, tmp_root):
+    """Lazy partition evolution: old commits stay under the old spec and
+    remain readable; new appends land under the new spec; mixed specs
+    refuse partition-targeted writes until a rewrite unifies them."""
+    t = _repo(spark, f"{tmp_root}/ev")  # grouped by C
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.evolve_partitioning("k")  # future commits partition by k
+    t.extend(spark.createDataFrame(_frame(6)))
+    # full read unions both specs
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+    # new-spec dir layout really is k=...
+    mf = load_manifest(t._fs(), t.main_path)
+    specs = {tuple(c["spec"]) for c in mf["commits"]}
+    assert specs == {("C",), ("k",)}
+    assert any(f.startswith("k=") for c in mf["commits"] for f in c["files"] if tuple(c["spec"]) == ("k",))
+    # partition-targeted writes are refused while mixed
+    with pytest.raises(RuntimeError, match="partition spec"):
+        t.replace_groups(spark.createDataFrame(_frame(0, 2)))
+    # a reopened instance picks the evolved spec up from the manifest
+    t2 = _repo(spark, f"{tmp_root}/ev")
+    assert t2.group_cols == ["k"]
+    # eager rewrite unifies the layout; targeted writes flow again
+    t.evolve_partitioning("k", rewrite=True)
+    t.replace_groups(
+        spark.createDataFrame(pd.DataFrame({"k": ["k0"], "A": [99], "C": ["0"]}))
+    )
+    got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
+    assert got["k0"] == 99 and len(got) == 12
