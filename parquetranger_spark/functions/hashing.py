@@ -49,6 +49,17 @@ def md5_mod(col: Column | str, num_groups: int) -> Column:
     return acc
 
 
+def md5_prefix_long(col: Column | str) -> Column:
+    """First 8 md5 hex digits of ``str(v)`` as a long in [0, 2³²) — the
+    engine-wide deterministic uniform draw (oracle twin: DuckDB
+    ``CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 8)) AS
+    BIGINT)``). Centralized so sampling/splitting surfaces share ONE
+    hash device — changing the prefix width in one place changes them
+    all in lockstep."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
 def md5_bucket(col: Column | str, num_groups: int) -> Column:
     """Zero-padded string bucket id, byte-identical to the reference's
     directory names (core.py:36,43-44)."""

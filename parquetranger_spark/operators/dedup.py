@@ -651,15 +651,19 @@ def fuzzy_pairs(
     qualifying pair lands in the same or an adjacent band. Candidates =
     same-band pairs ∪ adjacent-band pairs (two id-only equi-joins);
     verification joins the strings back and evaluates the built-in
-    ``levenshtein`` (JVM) once per candidate. 100 % recall by
-    construction — which is what lets the brute-force oracle match
-    hash-exactly.
+    ``levenshtein`` (JVM) once per candidate. Recall is 100 % as long as
+    no band exceeds ``bucket_cap`` (always true with the cap disabled) —
+    that regime is what lets the brute-force oracle match hash-exactly.
 
     Scale honesty: length blocking alone leaves big blocks at corpus
-    scale (many strings share a length); ``bucket_cap`` salts oversized
-    bands exactly like the LSH buckets, and a production deployment adds
-    q-gram prefix filtering INSIDE blocks (strings within distance k
-    share one of the first k·q+1 q-grams) before paying the verify."""
+    scale (many strings share a length). ``bucket_cap`` salts oversized
+    bands exactly like the LSH buckets — an explicit recall trade for
+    bounded pair counts, since unlike the MinHash pipeline there is no
+    second candidate channel to recover cross-salt pairs — and a
+    production deployment adds q-gram prefix filtering INSIDE blocks
+    (strings within distance k share one of the first k·q+1 q-grams)
+    before paying the verify, which restores bounded work without the
+    recall loss."""
     if band_width <= max_dist:
         raise ValueError("band_width must exceed max_dist for exact recall")
     base = df.select(

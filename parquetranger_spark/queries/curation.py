@@ -753,9 +753,9 @@ def domain_mixture_resample(spark, sf_dir):
             "thr", F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("long")
         )
     )
-    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    from ..functions.hashing import md5_prefix_long
+
+    h32 = md5_prefix_long("doc_id")
     kept = (
         d.join(F.broadcast(rates), "lang")
         .where(h32 < F.col("thr"))
@@ -999,34 +999,39 @@ WITH t AS (
 s AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS n FROM t)
 SELECT doc_id, w AS n_tok
 FROM t, s
-WHERE 5 * h * tw < 4294967296 * w * n
+WHERE 5.0 * (CAST(h AS DOUBLE) / 4294967296.0) * CAST(tw AS DOUBLE)
+      < CAST(w AS DOUBLE) * CAST(n AS DOUBLE)
 """,
 )
 def weighted_sample_poisson(spark, sf_dir):
     """X7: deterministic weighted (Poisson) sampling — each document kept
     with probability ∝ its token count (expected keep rate 1/5), the
     size-weighted selection a domain-mixture pipeline applies per shard.
-    The uniform draw is the md5-prefix integer (the same device as
-    sample_hash_stable) and the inclusion test ``5·h·Σw < 2³²·w·n`` is
-    ALL int64 arithmetic — no ln/pow, no float rounding, so membership is
-    bit-identical across engines and stable across reruns/engines (the
-    property that makes the sample reproducible at 100 TB). One scan +
-    one 1-row broadcast aggregate; no shuffle of data rows."""
+    The uniform draw ``u = h / 2³²`` is the md5-prefix integer (the same
+    device as sample_hash_stable) scaled by an EXACT power-of-two
+    division, and the inclusion test ``5·u·Σw < w·n`` uses no ln/pow and
+    no int64 products that could overflow at corpus scale (a pure-integer
+    form ``5·h·Σw < 2³²·w·n`` blows past int64 at ~4·10⁸ total tokens —
+    doubles never overflow and both engines evaluate the identical IEEE
+    expression in the identical order, so membership stays bit-reproducible
+    across engines and reruns at any corpus size). One scan + one 1-row
+    broadcast aggregate; no shuffle of data rows."""
+    from ..functions.hashing import md5_prefix_long
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("w"),
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
+        md5_prefix_long("doc_id").alias("h"),
     )
     s = d.agg(
         F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n")
     )
+    u = F.col("h").cast("double") / F.lit(4294967296.0)
     return (
         d.crossJoin(F.broadcast(s))
         .where(
-            F.lit(5) * F.col("h") * F.col("tw")
-            < F.lit(4294967296) * F.col("w") * F.col("n")
+            F.lit(5.0) * u * F.col("tw").cast("double")
+            < F.col("w").cast("double") * F.col("n").cast("double")
         )
         .select("doc_id", F.col("w").alias("n_tok"))
     )

@@ -981,9 +981,9 @@ def dataset_split_counts(spark, sf_dir):
     splits — the leakage guarantee that matters when the corpus grows).
     Zero shuffle beyond the audit aggregation."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    from ..functions.hashing import md5_prefix_long
+
+    h = md5_prefix_long("doc_id")
     split = (
         F.when(h % 10 < 8, "train").when(h % 10 == 8, "val").otherwise("test")
     )

@@ -128,8 +128,12 @@ def prune_partitions(
             for f in c["files"]
             if partition_values_of(f, group_cols) not in touched
         ]
-        if kept:
+        if kept or "fence" in c:
             # preserve non-file keys (fence, spec) — a pruned-and-rebuilt
-            # entry must keep its exactly-once fence and partition spec
+            # entry must keep its exactly-once fence and partition spec.
+            # A fenced commit whose files are ALL pruned survives as an
+            # empty tombstone: dropping it would erase the fence, and a
+            # crashed stream replaying that epoch would re-append rows a
+            # later overwrite/delete deliberately removed.
             out.append({**c, "files": kept})
     return out

@@ -504,13 +504,23 @@ class TableRepo:
         target = load_manifest(fs, self.main_path, version=version)
         if target is None:
             raise ValueError(f"no manifest version {version}")
+        restored_spec = target.get("spec") or next(
+            (c["spec"] for c in target["commits"] if c.get("spec")),
+            list(self.group_cols),
+        )
         while True:
             cur = load_manifest(fs, self.main_path)
             nxt = {
                 "version": (cur["version"] if cur else 0) + 1,
                 "commits": list(target["commits"]),
+                # the restored snapshot's layout comes back with it —
+                # without this, reopened instances would fall back to
+                # constructor group_cols and partition-targeted writes
+                # could run against a different on-disk layout
+                "spec": restored_spec,
             }
             if try_commit(fs, self.main_path, nxt):
+                self.group_cols = list(restored_spec)
                 return
 
     def delete_records(self, keys: DataFrame) -> None:
@@ -1034,10 +1044,18 @@ class TableRepo:
                 )
             else:  # static truncate-and-load
                 commits = [entry] if files else []
+            if mode == "append" and cur and cur.get("spec") is not None:
+                # an append must not revert a concurrent evolution: the
+                # manifest's spec is authoritative; this writer's entry
+                # records its own layout in entry["spec"] (mixed specs
+                # are a supported read state)
+                nxt_spec = cur["spec"]
+            else:
+                nxt_spec = list(self.group_cols)
             nxt = {
                 "version": (cur["version"] if cur else 0) + 1,
                 "commits": commits,
-                "spec": list(self.group_cols),
+                "spec": nxt_spec,
             }
             if try_commit(fs, self.main_path, nxt):
                 return

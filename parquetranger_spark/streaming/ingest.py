@@ -45,7 +45,12 @@ def stream_into_repo(
             trepo.replace_records(batch_df)
         elif exactly_once:
             if sid["v"] is None:
-                sid["v"] = _stream_id(checkpoint) or "?"
+                # fallback: a checkpoint-path-derived id, NOT a constant — a
+                # constant would make unrelated streams (or a failed
+                # metadata read) collide on fence (id, epoch) and silently
+                # drop real batches as replays. The checkpoint path is
+                # unique per stream and stable across restarts.
+                sid["v"] = _stream_id(checkpoint) or _ckpt_id(checkpoint)
             trepo.extend_fenced(batch_df, fence=(sid["v"], epoch_id))
         else:
             trepo.extend(batch_df)
@@ -176,7 +181,12 @@ def incremental_rollup_into_repo(
             # the epoch fence: a FRESH checkpoint restarts epoch_id at 0,
             # and fencing on the bare epoch would mark every existing
             # partition "done" and silently drop all new data
-            sid["v"] = _stream_id(checkpoint) or "?"
+            # fallback: a checkpoint-path-derived id, NOT a constant — a
+                # constant would make unrelated streams (or a failed
+                # metadata read) collide on fence (id, epoch) and silently
+                # drop real batches as replays. The checkpoint path is
+                # unique per stream and stable across restarts.
+                sid["v"] = _stream_id(checkpoint) or _ckpt_id(checkpoint)
         merge_rollup_batch(
             trepo, batch_df, keys, sum_cols, epoch_id, count_col, stream_id=sid["v"]
         )
@@ -187,6 +197,12 @@ def incremental_rollup_into_repo(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _ckpt_id(checkpoint: str) -> str:
+    import hashlib
+
+    return "ckpt-" + hashlib.md5(checkpoint.encode()).hexdigest()[:16]
 
 
 _EPOCH_COL = "__pqr_epoch"

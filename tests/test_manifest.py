@@ -286,3 +286,37 @@ def test_partition_evolution_lazy_reads_and_guards(spark, tmp_root):
     )
     got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
     assert got["k0"] == 99 and len(got) == 12
+
+
+def test_fence_survives_full_prune(spark, tmp_root):
+    """A fenced commit whose files are all pruned by a partition overwrite
+    must survive as an empty tombstone — otherwise a crashed stream
+    replaying that epoch would re-append deliberately-removed rows."""
+    t = _repo(spark, f"{tmp_root}/fp")
+    one_part = pd.DataFrame({"k": ["a1", "a2"], "A": [1, 2], "C": ["0", "0"]})
+    t.extend_fenced(spark.createDataFrame(one_part), fence=("s1", 0))
+    # overwrite partition C=0 → the fenced commit's only files are pruned
+    t.replace_groups(
+        spark.createDataFrame(pd.DataFrame({"k": ["b1"], "A": [9], "C": ["0"]}))
+    )
+    mf = load_manifest(t._fs(), t.main_path)
+    fences = [c.get("fence") for c in mf["commits"] if "fence" in c]
+    assert ["s1", "0"] in fences
+    # the replay is still a no-op
+    t.extend_fenced(spark.createDataFrame(one_part), fence=("s1", 0))
+    assert {r["k"] for r in t.get_full_df().collect()} == {"b1"}
+
+
+def test_stale_append_does_not_revert_evolution(spark, tmp_root):
+    """An append from an instance opened BEFORE an evolution must not
+    stamp its stale spec over the manifest's authoritative one."""
+    t = _repo(spark, f"{tmp_root}/sa")
+    t.extend(spark.createDataFrame(_frame(0)))
+    stale = _repo(spark, f"{tmp_root}/sa")  # opened under spec ["C"]
+    t.evolve_partitioning("k")
+    stale.extend(spark.createDataFrame(_frame(6)))  # writes under ["C"]
+    mf = load_manifest(t._fs(), t.main_path)
+    assert mf["spec"] == ["k"]  # evolution not reverted
+    # the stale commit honestly records its own layout
+    assert any(c.get("spec") == ["C"] for c in mf["commits"])
+    assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
