@@ -1020,3 +1020,37 @@ def events_trailing_hour_sum(spark, sf_dir):
         F.sum("v").over(w).cast("double").alias("trailing_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@query(
+    "ps_groupby_mean",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) /
+         count(*) AS avg_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def ps_groupby_mean(spark, sf_dir):
+    """C2 via the pandas API on Spark (`pyspark.pandas`) — the migration
+    path for the reference's users, whose entire compute layer is pandas
+    idioms on `get_full_df()` output (SURVEY §1): the same
+    `df.groupby(...).agg(...)` spelling runs distributed, planned by
+    Catalyst, and converts losslessly to a DataFrame. The decimal-routed
+    mean keeps the surface engine-exact (ps `.mean()` would sum doubles
+    in partition order); the point is the API, not a new operator."""
+    import pyspark.pandas as ps
+
+    psdf = ps.DataFrame(
+        load(spark, sf_dir, "lineitem").select(
+            "l_returnflag", F.col("l_quantity").cast("decimal(28,6)").alias("q")
+        )
+    )
+    g = psdf.groupby("l_returnflag").agg(q=("q", "sum"), n=("q", "count"))
+    out = g.reset_index().to_spark()
+    return out.select(
+        "l_returnflag",
+        (F.col("q").cast("double") / F.col("n")).alias("avg_qty"),
+        F.col("n").cast("long").alias("n"),
+    )
