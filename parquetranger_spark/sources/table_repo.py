@@ -584,7 +584,9 @@ class TableRepo:
 
         return list_versions(self._fs(), self.main_path)
 
-    def _manifest_df(self, version: int | None) -> DataFrame:
+    def _manifest_df(
+        self, version: int | None, ignore_corrupt_files: bool = False
+    ) -> DataFrame:
         """Manifest-mode scan: the file list comes from one manifest (the
         snapshot), frozen at plan time — concurrent commits cannot change
         a running query, and nothing ever lists directories. Each commit
@@ -608,6 +610,8 @@ class TableRepo:
             r = spark.read
             if schema is not None:
                 r = r.schema(schema)
+            if ignore_corrupt_files:
+                r = r.option("ignoreCorruptFiles", "true")
             scans.append(
                 r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in c["files"]])
             )
@@ -618,11 +622,18 @@ class TableRepo:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
 
-    def get_full_df(self, version: int | None = None) -> DataFrame:
+    def get_full_df(
+        self, version: int | None = None, ignore_corrupt_files: bool = False
+    ) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
         canonical-schema frame when no files exist (core.py:175).
         ``version`` (manifest mode only) time-travels to an earlier
-        committed snapshot.
+        committed snapshot. ``ignore_corrupt_files=True`` is the
+        disaster-recovery read: unreadable parquet files are skipped
+        instead of failing the scan (per-read option, never a session
+        conf — nothing leaks to concurrent readers), surfacing whatever
+        rows survive so a partial restore can proceed; the default read
+        fails loudly, as it should.
 
         With a canonical sidecar schema the scan is opened with that schema
         explicitly: no footer-merging pass over every file (``mergeSchema``
@@ -632,7 +643,7 @@ class TableRepo:
         surface typed nulls for the newer columns — the standard parquet
         schema-evolution read path."""
         if self.commit_mode == "manifest":
-            return self._manifest_df(version)
+            return self._manifest_df(version, ignore_corrupt_files)
         if version is not None:
             raise TypeError("time travel requires commit_mode='manifest'")
         spark = self._session()
@@ -643,7 +654,10 @@ class TableRepo:
             # RPC on an object store, and this runs on EVERY read
             if not self._fs().has_any_file(self.main_path, ".parquet"):
                 return spark.createDataFrame([], meta.schema)
-            return spark.read.schema(meta.schema).parquet(self.main_path)
+            r = spark.read.schema(meta.schema)
+            if ignore_corrupt_files:
+                r = r.option("ignoreCorruptFiles", "true")
+            return r.parquet(self.main_path)
         if not self.paths:
             return spark.createDataFrame([], T.StructType([]))
         # no sidecar (externally-written table): build the schema without

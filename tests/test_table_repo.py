@@ -725,3 +725,17 @@ def test_as_view_sql_front_door(spark, tmp_root):
     p = spark.sql(f"SELECT * FROM {v} WHERE C = 1")._jdf.queryExecution().executedPlan().toString()
     seg = p.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "C" in seg
+
+
+def test_ignore_corrupt_files_read(spark, tmp_root):
+    """get_full_df(ignore_corrupt_files=True) skips unreadable files (the
+    disaster-recovery read); the default read fails loudly."""
+    t = TableRepo(f"{tmp_root}/cor", group_cols="C", index_cols="__index")
+    t.extend(spark.createDataFrame(DF1))  # C ∈ {1, 2}
+    victim = [p for p in t.paths if "C=2" in p][0]
+    with open(victim, "wb") as f:
+        f.write(b"not parquet at all")
+    with pytest.raises(Exception):
+        t.get_full_df().count()
+    got = t.get_full_df(ignore_corrupt_files=True)
+    assert sorted(r["__index"] for r in got.collect()) == ["a1", "a3"]
