@@ -990,3 +990,30 @@ def dataset_split_counts(spark, sf_dir):
     return d.withColumn("split", split).groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids")
     )
+
+
+@query("events_session_window", oracle=_SESS_ORACLE)
+def events_session_window(spark, sf_dir):
+    """X6: the BUILT-IN ``session_window`` aggregation — Spark's native
+    gap-merged session windows (each event extends its session by the
+    30-min gap; overlapping extents merge inside one hash aggregate)
+    computing the same per-user session distribution as the custom
+    lag+cumsum operator (they share the oracle, so the two definitions
+    are proven equivalent on this corpus). The built-in exists for the
+    streaming case too (watermark + merging session state); batch-side
+    it is one aggregation — no window-function sort pass — which is the
+    cheaper plan when only per-session AGGREGATES (not per-row session
+    ids) are needed."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("timestamp_micros(ts div 1000)").alias("tts")
+    )
+    per_session = ev.groupBy(
+        F.session_window("tts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    per_user = per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_ev").alias("n_events")
+    )
+    return per_user.groupBy("n_sessions").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+    )
