@@ -435,10 +435,11 @@ FROM events GROUP BY event_type
 def _format_roundtrip(spark, sf_dir, fmt: str):
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     root = scratch_dir(f"{fmt}src")
-    ev.write.mode("overwrite").format(fmt).option("header", "true").save(f"{root}/ev")
+    opts = {"rowTag": "ev"} if fmt == "xml" else {"header": "true"}
+    ev.write.mode("overwrite").format(fmt).options(**opts).save(f"{root}/ev")
     back = (
         spark.read.format(fmt)
-        .option("header", "true")
+        .options(**opts)
         .schema("event_id long, ts long, event_type string, value double")
         .load(f"{root}/ev")
     )
@@ -472,6 +473,15 @@ def orc_source_agg(spark, sf_dir):
     pushdown); binary columnar storage makes the value round trip exact
     by construction."""
     return _format_roundtrip(spark, sf_dir, "orc")
+
+
+@query("xml_source_agg", oracle=_EVENTS_FMT_ORACLE)
+def xml_source_agg(spark, sf_dir):
+    """Source-format breadth: same round trip through Spark 4's NATIVE
+    XML source (row-tag records, explicit schema — no inference scan);
+    doubles serialize shortest-repr and reparse bit-identically, same
+    exactness argument as CSV."""
+    return _format_roundtrip(spark, sf_dir, "xml")
 
 
 @query(
