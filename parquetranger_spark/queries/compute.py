@@ -1054,3 +1054,53 @@ def ps_groupby_mean(spark, sf_dir):
         (F.col("q").cast("double") / F.col("n")).alias("avg_qty"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(epoch_ns(ts) // 3600000000000) AS mn,
+             max(epoch_ns(ts) // 3600000000000) AS mx FROM events),
+spine AS (
+  SELECT t.event_type, u.h
+  FROM (SELECT DISTINCT event_type FROM events) t, b,
+       UNNEST(generate_series(b.mn, b.mx)) AS u(h)
+)
+SELECT s.event_type, s.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(c.n, 0)) OVER (
+         PARTITION BY s.event_type ORDER BY s.h) AS BIGINT) AS cum_n
+FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+""",
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap filling: a dense hourly spine per event type
+    (sequence + explode over the observed range — spine size is
+    types × hours, metadata-sized, generated rather than shuffled), LEFT
+    joined to the hourly counts so silent hours surface as explicit
+    zeros, with a per-type running total over the dense axis. This is
+    the resample step every monitoring/feature pipeline needs before
+    window math — a sparse frame would silently skip empty periods. One
+    aggregation + one broadcast-spine join + one per-type window."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 3600000000000").alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    b = ev.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("cum_n", F.sum("n").over(w))
+    )
