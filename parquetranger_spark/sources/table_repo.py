@@ -235,6 +235,7 @@ class TableRepo:
                 "version": (cur["version"] if cur else 0) + 1,
                 "commits": commits,
                 "spec": new_spec,
+                "op": "evolve-partitioning",
             }
             if try_commit(fs, self.main_path, nxt):
                 return
@@ -518,6 +519,7 @@ class TableRepo:
                 # constructor group_cols and partition-targeted writes
                 # could run against a different on-disk layout
                 "spec": restored_spec,
+                "op": f"restore({version})",
             }
             if try_commit(fs, self.main_path, nxt):
                 self.group_cols = list(restored_spec)
@@ -583,6 +585,31 @@ class TableRepo:
         from .manifest import list_versions
 
         return list_versions(self._fs(), self.main_path)
+
+    def history(self) -> list[dict]:
+        """The table's operation log (manifest mode only) — one entry per
+        committed version: operation kind, partition spec, live commit /
+        file counts. The lakehouse audit surface: every mutation is a
+        manifest version, so the full history is a driver-side read of
+        the (tiny) manifest JSONs — no data files touched."""
+        if self.commit_mode != "manifest":
+            raise TypeError("history() requires commit_mode='manifest'")
+        from .manifest import load_manifest
+
+        fs = self._fs()
+        out = []
+        for v in self.versions():
+            mf = load_manifest(fs, self.main_path, version=v)
+            out.append(
+                {
+                    "version": v,
+                    "op": mf.get("op", "?"),
+                    "spec": mf.get("spec"),
+                    "n_commits": len(mf["commits"]),
+                    "n_files": sum(len(c["files"]) for c in mf["commits"]),
+                }
+            )
+        return out
 
     def _manifest_df(
         self, version: int | None, ignore_corrupt_files: bool = False
@@ -1070,6 +1097,11 @@ class TableRepo:
                 "version": (cur["version"] if cur else 0) + 1,
                 "commits": commits,
                 "spec": nxt_spec,
+                "op": (
+                    "append"
+                    if mode == "append"
+                    else ("overwrite-dynamic" if (dynamic and self.group_cols) else "overwrite")
+                ),
             }
             if try_commit(fs, self.main_path, nxt):
                 return
@@ -1090,6 +1122,7 @@ class TableRepo:
                 "version": cur["version"] + 1,
                 "commits": prune_partitions(cur["commits"], self.group_cols, touched),
                 "spec": list(self.group_cols),
+                "op": "drop-partitions",
             }
             if try_commit(fs, self.main_path, nxt):
                 return

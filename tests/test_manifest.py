@@ -320,3 +320,16 @@ def test_stale_append_does_not_revert_evolution(spark, tmp_root):
     # the stale commit honestly records its own layout
     assert any(c.get("spec") == ["C"] for c in mf["commits"])
     assert rows(t.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+
+
+def test_history_audit_log(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/hist")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    t.replace_groups(spark.createDataFrame(pd.DataFrame(
+        {"k": ["x"], "A": [1], "C": ["0"]})))
+    t.restore(1)
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["append", "append", "overwrite-dynamic", "restore(1)"]
+    assert all(h["spec"] == ["C"] for h in t.history())
+    assert t.history()[-1]["n_files"] == t.history()[0]["n_files"]
