@@ -26,6 +26,7 @@ def chunk_documents(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split each document's whitespace token stream into chunks of
     ``chunk_size`` tokens starting every ``stride`` tokens (overlap =
@@ -39,17 +40,19 @@ def chunk_documents(
     per row, chunk starts come from ``sequence(0, n-1, stride)``, and
     ``posexplode`` fans rows out inside the same stage.
     """
+    extra = list(extra_cols or [])
     toks = F.split(F.col(text_col), r"\s+")
     base = df.select(
-        F.col(id_col), toks.alias("__t"), F.size(toks).cast("long").alias("__n")
+        F.col(id_col), *extra, toks.alias("__t"), F.size(toks).cast("long").alias("__n")
     )
     starts = F.sequence(F.lit(0).cast("long"), F.col("__n") - 1, F.lit(stride).cast("long"))
     exploded = base.select(
-        id_col, "__t", "__n", F.posexplode(starts).alias("chunk_idx", "__s")
+        id_col, *extra, "__t", "__n", F.posexplode(starts).alias("chunk_idx", "__s")
     )
     chunk = F.slice(F.col("__t"), F.col("__s").cast("int") + 1, F.lit(chunk_size))
     return exploded.select(
         F.col(id_col),
+        *extra,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.least(F.lit(chunk_size).cast("long"), F.col("__n") - F.col("__s")).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),

@@ -1092,3 +1092,39 @@ def snapshot_diff(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))).alias("sum_ids"),
     )
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks FROM documents
+),
+s AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_slice(toks, u.s + 1, u.s + 32), ' ')) AS h
+  FROM s, UNNEST(generate_series(CAST(0 AS BIGINT), n - 1, CAST(24 AS BIGINT))) AS u(s)
+)
+SELECT lang, count(*) AS n_chunks,
+       count(DISTINCT h) AS n_distinct,
+       count(*) - count(DISTINCT h) AS n_dup_chunks
+FROM c GROUP BY lang
+""",
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """X7/X10 composition: chunk the corpus (the doc_chunks operator) and
+    measure chunk-level duplication per language — the pre-training
+    question 'how much of my context-window stream is repeated?' answered
+    without materializing chunk text: chunks surface as md5 the moment
+    they're sliced, so the distinct-count shuffle carries 16-byte hashes.
+    One chunking stage (zero shuffle) + one aggregation."""
+    from ..operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_size=32, stride=24, extra_cols=["lang"])
+    return ch.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct("chunk_hash").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("chunk_hash")).alias("n_dup_chunks"),
+    )
