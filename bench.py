@@ -127,6 +127,18 @@ def main() -> None:
         print(f"# {name}: {best}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # the headline set GROWS each round (new tiers join it), so the grand
+    # total is not comparable across rounds; the r1/r2-era 17-query subset
+    # subtotal is the like-for-like progression number
+    r2_set = [
+        "extend_roundtrip", "upsert_by_key", "partition_pruned_read",
+        "hash_partition_counts", "groupby_mean", "map_partitions_agg",
+        "json_shred_counts", "dedup_exact_text", "dedup_near_minhash",
+        "dedup_simhash_pairs", "topk_cosine_bruteforce", "topk_cosine_ivf",
+        "text_token_stats", "bpe_token_stats", "events_hourly_agg",
+        "sessionization", "stream_sessionization",
+    ]
+    r2_subtotal = round(sum(timings[n] for n in r2_set if n in timings), 3)
     print(
         json.dumps(
             {
@@ -134,6 +146,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r2_subset_total": r2_subtotal,
                 "sf": sf_of(SF_DIR),
             }
         )
