@@ -8,14 +8,14 @@ event analytics) expressed Spark-first: DataFrame/SQL plans optimized by
 Catalyst, Pandas UDFs only where built-ins can't express the semantics.
 """
 
-from .functions.hashing import HashPartitioner, md5_bucket, md5_mod
+from .functions.hashing import HashPartitioner, md5_bucket, md5_mod, md5_prefix_long
 from .session import get_spark
 from .sources.bucketed import BucketedRepo
 from .sources.ingestor import ObjIngestor, shred_json_df
 from .sources.table_repo import TableRepo
 from .sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 # the reference exports TableRepo, HashPartitioner, RecordWriter,
 # DfBatchWriter, ObjIngestor (/root/reference/parquetranger/__init__.py:3-4);
@@ -31,6 +31,7 @@ __all__ = [
     "shred_json_df",
     "md5_bucket",
     "md5_mod",
+    "md5_prefix_long",
     "get_spark",
     "__version__",
 ]

@@ -822,6 +822,31 @@ class TableRepo:
         rows = grouped.applyInPandas(_wrap, "r binary").collect()
         return [pickle.loads(r["r"]) for r in rows]
 
+    def stream(self, max_files_per_trigger: int | None = None) -> DataFrame:
+        """The table as a STREAMING source: a file stream over the repo
+        root with the sidecar canonical schema (file sources require an
+        explicit schema — the sidecar is exactly that). New files appended
+        by other writers become micro-batches; ``max_files_per_trigger``
+        bounds batch size. This is the read side of the streaming story
+        whose write side is ``stream_into_repo`` — two repos and two
+        streams form a pipeline stage. Not supported in manifest mode
+        (file-stream discovery is directory-based; manifest visibility
+        isn't), which raises rather than silently reading uncommitted
+        data dirs."""
+        if self.commit_mode == "manifest":
+            raise TypeError(
+                "stream() reads by directory listing; manifest-mode visibility "
+                "is the manifest, not the directory — stream the manifest "
+                "table via foreachBatch over versions instead"
+            )
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is None or meta.schema is None:
+            raise TypeError("stream() needs the sidecar schema (write once first)")
+        r = self._session().readStream.schema(meta.schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(self.main_path)
+
     def as_view(self, name: str | None = None) -> str:
         """Register the table as a temp view (default name: the table's
         basename) and return the view name — the SQL front door

@@ -415,3 +415,29 @@ def test_rollup_fresh_checkpoint_still_merges(spark, tmp_path):
 
     total = t.get_full_df().agg(F.sum("n")).collect()[0][0]
     assert total == 180  # src2's rows merged, not silently dropped
+
+
+def test_repo_stream_source_roundtrip(spark, tmp_root):
+    """TableRepo.stream(): the repo is a streaming SOURCE — rows appended
+    batch-side arrive as micro-batches with the sidecar schema; a
+    repo→stream→repo pipeline preserves the row set."""
+    import uuid
+
+    import pandas as pd
+
+    from parquetranger_spark import TableRepo
+    from parquetranger_spark.streaming.ingest import stream_into_repo
+
+    src = TableRepo(f"{tmp_root}/src_t", group_cols="C", index_cols="k", spark=spark)
+    pdf = pd.DataFrame({"k": [f"k{i}" for i in range(12)],
+                        "A": list(range(12)),
+                        "C": [str(i % 3) for i in range(12)]})
+    src.extend(spark.createDataFrame(pdf))
+    dst = TableRepo(f"{tmp_root}/dst_t", group_cols="C", index_cols="k", spark=spark)
+    q = stream_into_repo(
+        src.stream(max_files_per_trigger=2), dst, checkpoint=f"{tmp_root}/ck_{uuid.uuid4().hex[:6]}"
+    )
+    q.awaitTermination(300)
+    got = sorted((r["k"], r["A"], r["C"]) for r in dst.get_full_df().collect())
+    want = sorted(map(tuple, pdf[["k", "A", "C"]].itertuples(index=False)))
+    assert got == want
