@@ -1104,3 +1104,52 @@ def events_gap_fill(spark, sf_dir):
         .select("event_type", "h", F.coalesce("n", F.lit(0)).alias("n"))
         .withColumn("cum_n", F.sum("n").over(w))
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dv, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, count(*) AS n,
+       CAST(count(CASE WHEN d.dv > 3.0 * m.mad THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       min(d.med) AS med, min(m.mad) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection: per-type outlier counts by MEDIAN
+    ABSOLUTE DEVIATION (|v − median| > 3·MAD) — the robust twin of the
+    3-sigma z-score query (one extreme value cannot drag the threshold
+    the way it drags a mean/stddev). Exact medians interpolate
+    identically in both engines (verified bit-exact), so the whole
+    surface is deterministic. Cost shape: two order-statistic passes
+    (median, then MAD of deviations) + one counting pass, each a
+    map-side-combined aggregate with the tiny per-type medians broadcast
+    back — never a global sort."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dv"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dv, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("dv") > F.lit(3.0) * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+        )
+    )
