@@ -691,3 +691,81 @@ def fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTABLE LSH index of a corpus: one (id, band, bucket) row
+    per document per band — what an incremental dedup pipeline stores in
+    a TableRepo so history is never re-shingled. Index size is
+    bands × corpus rows of three longs; rebuilding it is the one-off
+    backfill, after which every new batch pays only its own signatures
+    (see :func:`incremental_near_dedup`)."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return _band_buckets(sig, id_col, bands, num_hashes // bands)
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    index_bb: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash near-dedup: flag new-batch documents that are
+    near-duplicates (Jaccard ≥ threshold) of the HISTORY corpus, using
+    its persisted :func:`minhash_index` — the production shape for a
+    growing corpus:
+
+    - only the NEW batch is tokenized/shingled/signed (O(batch));
+    - candidates come from an equi-join of the batch's band buckets
+      against the stored index (shuffle carries ids and two longs — the
+      history side is index rows, never documents);
+    - the exact-Jaccard verify re-reads ONLY the matched history docs
+      (semi-join on candidate ids) plus the matched new docs.
+
+    Cost is O(batch + matches), not O(corpus) — the difference between
+    re-running dedup nightly and streaming it. Returns the flagged new
+    ids as (id_col) rows; callers anti-join to keep the novel documents
+    and append their index rows (``minhash_index(new_kept)``) to the
+    stored index."""
+    nb = _band_buckets(
+        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        bands,
+        num_hashes // bands,
+    ).select(F.col(id_col).alias("id_b"), "band", "bucket")
+    hb = index_bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    hb, keys = _salt_oversized(hb, ["band", "bucket"], "id_a", bucket_cap)
+    if "__salt" in keys:
+        # salting splits only the HISTORY side's oversized buckets; the
+        # batch side must probe EVERY salt of a split bucket (asymmetric
+        # join — no recall loss here, unlike self-join salting), so fan
+        # the batch rows out over the (tiny, broadcast) salt list
+        salts = hb.select("band", "bucket", "__salt").distinct()
+        nb = nb.join(F.broadcast(salts), ["band", "bucket"], "left").fillna(
+            {"__salt": 0}
+        )
+    cand = nb.join(hb, keys).select("id_a", "id_b").distinct()
+    docs = history_df.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).unionByName(
+        new_df.join(
+            cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+    )
+    hits = jaccard_pairs(docs, cand, text_col, id_col, shingle_n).where(
+        F.col("jaccard") >= threshold
+    )
+    return hits.select(F.col("id_b").alias(id_col)).distinct()

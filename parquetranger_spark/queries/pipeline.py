@@ -1017,3 +1017,54 @@ def events_session_window(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+@query(
+    "dedup_incremental_near",
+    oracle=f"""
+WITH hist AS (SELECT doc_id, text FROM documents),
+newb AS (
+  SELECT doc_id + 200000 AS doc_id, text || ' xtra xtra' AS text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 13 = 0
+),
+hs AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM hist),
+ns AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM newb),
+flagged AS (
+  SELECT DISTINCT n.doc_id
+  FROM ns n JOIN hs h
+    ON CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE) /
+       CAST(len(list_distinct(list_concat(n.sh, h.sh))) AS DOUBLE) >= 0.6
+)
+SELECT doc_id FROM flagged
+""",
+)
+def dedup_incremental_near(spark, sf_dir):
+    """X2/X7: INCREMENTAL MinHash near-dedup — a new batch (near-copies of
+    every 11th history doc + word-reversed decoys of every 13th) checked
+    against the history corpus through its PERSISTED LSH index
+    (operators/dedup.py::minhash_index + incremental_near_dedup): only
+    the batch is shingled, candidates come from an index equi-join, and
+    exact verify re-reads only matched history docs — O(batch + matches)
+    per refresh instead of re-deduping the corpus. The oracle
+    brute-forces batch×history Jaccard, so the hash-exact match also
+    certifies the index lost no qualifying pair (reversed decoys share
+    the vocabulary but no 3-shingles — they must NOT flag)."""
+    from ..operators.dedup import incremental_near_dedup, minhash_index
+
+    hist = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    newb = hist.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra xtra")).alias("text"),
+    ).unionByName(
+        hist.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.array_join(F.reverse(toks), " ").alias("text"),
+        )
+    )
+    index = minhash_index(hist)
+    return incremental_near_dedup(newb, hist, index, threshold=0.6)

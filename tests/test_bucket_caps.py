@@ -128,3 +128,42 @@ def test_caps_are_noop_on_clean_corpus(spark, sf_dir):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_incremental_dedup_salted_history_keeps_recall(spark):
+    """Salting an oversized HISTORY bucket must not lose batch↔history
+    matches: the probe side fans over every salt (asymmetric join), so
+    unlike self-join salting there is NO recall trade at all."""
+    import pandas as pd
+
+    from parquetranger_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_index,
+    )
+
+    # 300 identical history docs → one viral (band, bucket) per band
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(300),
+                "text": ["alpha beta gamma delta epsilon zeta eta theta"] * 300,
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta iota",  # near-dup
+                    "completely different words entirely here now okay yes",
+                ],
+            }
+        )
+    )
+    idx = minhash_index(hist)
+    flagged_capped = {
+        r["doc_id"]
+        for r in incremental_near_dedup(new, hist, idx, threshold=0.6, bucket_cap=50).collect()
+    }
+    assert flagged_capped == {9001}
