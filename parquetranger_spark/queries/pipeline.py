@@ -1068,3 +1068,36 @@ def dedup_incremental_near(spark, sf_dir):
     )
     index = minhash_index(hist)
     return incremental_near_dedup(newb, hist, index, threshold=0.6)
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+|\\s+',
+                                 ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT count(DISTINCT h) AS n_unique, count(*) AS n_docs,
+       count(*) - count(DISTINCT h) AS n_collapsed
+FROM n
+""",
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """X1 (normalized flavor): exact dedup AFTER text normalization —
+    lowercase, punctuation stripped, whitespace collapsed — the
+    preprocessing every production exact-dedup runs so case/punct
+    variants of one document collapse (raw-byte md5 misses them). The
+    normalization is one JVM regexp inside the scan stage; the dedup
+    shuffle still carries 16-byte hashes."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]+|\s+", " ")
+    )
+    h = F.md5(norm)
+    return d.select(h.alias("__h")).agg(
+        F.count_distinct("__h").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("__h")).alias("n_collapsed"),
+    )

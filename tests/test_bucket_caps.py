@@ -167,3 +167,26 @@ def test_incremental_dedup_salted_history_keeps_recall(spark):
         for r in incremental_near_dedup(new, hist, idx, threshold=0.6, bucket_cap=50).collect()
     }
     assert flagged_capped == {9001}
+
+
+def test_minhash_index_roundtrips_through_repo(spark, tmp_path, sf_dir):
+    """The LSH index persists in a band-partitioned TableRepo and the
+    incremental dedup reads it back unchanged — the storage loop a
+    nightly refresh actually runs."""
+    import pandas as pd
+
+    from parquetranger_spark import TableRepo
+    from parquetranger_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_index,
+    )
+
+    hist = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    repo = TableRepo(str(tmp_path) + "/mh_index", group_cols="band",
+                     single_writer=True, spark=spark)
+    repo.extend(minhash_index(hist))
+    new = hist.limit(5).select(
+        (hist.doc_id + 900000).alias("doc_id"), "text"  # exact copies
+    )
+    flagged = incremental_near_dedup(new, hist, repo.get_full_df(), threshold=0.6)
+    assert flagged.count() == 5  # every copy caught via the stored index
