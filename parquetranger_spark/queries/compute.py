@@ -1153,3 +1153,46 @@ def events_mad_outliers(spark, sf_dir):
             F.min("mad").alias("mad"),
         )
     )
+
+
+@query(
+    "customer_retention_setops",
+    oracle="""
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+retained AS (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97),
+churned AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+SELECT c.c_mktsegment,
+       count(CASE WHEN r.o_custkey IS NOT NULL THEN 1 END) AS n_retained,
+       count(CASE WHEN ch.o_custkey IS NOT NULL THEN 1 END) AS n_churned
+FROM customer c
+LEFT JOIN retained r ON c.c_custkey = r.o_custkey
+LEFT JOIN churned ch ON c.c_custkey = ch.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def customer_retention_setops(spark, sf_dir):
+    """Set-operation analytics: customers active in BOTH 1996 and 1997
+    (INTERSECT) vs active in 1996 only (EXCEPT), rolled up per segment.
+    Catalyst plans INTERSECT as a left-semi and EXCEPT as a left-anti
+    hash join over the deduplicated key sets — no sort-based set
+    algebra; the year filters push to the orders scan and the two key
+    sets reuse one distinct pass each. The segment rollup joins against
+    the (customer-count-sized) result sets."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year(F.col("o_orderdate").cast("timestamp")).alias("y")
+    )
+    y96 = orders.where(F.col("y") == 1996).select("o_custkey").distinct()
+    y97 = orders.where(F.col("y") == 1997).select("o_custkey").distinct()
+    retained = y96.intersect(y97).withColumnRenamed("o_custkey", "r_key")
+    churned = y96.exceptAll(y97).withColumnRenamed("o_custkey", "c_key")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        cust.join(retained, cust.c_custkey == F.col("r_key"), "left")
+        .join(churned, cust.c_custkey == F.col("c_key"), "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("r_key").alias("n_retained"),
+            F.count("c_key").alias("n_churned"),
+        )
+    )
