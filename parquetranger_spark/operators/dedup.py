@@ -708,7 +708,13 @@ def minhash_index(
     backfill, after which every new batch pays only its own signatures
     (see :func:`incremental_near_dedup`)."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return _band_buckets(sig, id_col, bands, num_hashes // bands)
+    bb = _band_buckets(sig, id_col, bands, num_hashes // bands)
+    # stamp the hash-family parameters into the band column's metadata —
+    # it survives parquet round trips, so a probe with MISMATCHED
+    # parameters (which would silently hash into disjoint buckets and
+    # flag nothing) can be rejected instead of quietly missing every dup
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+    return bb.withColumn("band", F.col("band").alias("band", metadata=meta))
 
 
 def incremental_near_dedup(
@@ -740,6 +746,16 @@ def incremental_near_dedup(
     ids as (id_col) rows; callers anti-join to keep the novel documents
     and append their index rows (``minhash_index(new_kept)``) to the
     stored index."""
+    stamped = index_bb.schema["band"].metadata if "band" in index_bb.columns else {}
+    if stamped:
+        want = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        got = {k: stamped.get(k) for k in want}
+        if any(v is not None and v != want[k] for k, v in got.items()):
+            raise ValueError(
+                f"minhash index was built with {got}, probe uses {want} — "
+                "mismatched hash families silently share no buckets and "
+                "would flag nothing; rebuild the index or match the params"
+            )
     nb = _band_buckets(
         minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_n),
         id_col,
@@ -747,16 +763,34 @@ def incremental_near_dedup(
         num_hashes // bands,
     ).select(F.col(id_col).alias("id_b"), "band", "bucket")
     hb = index_bb.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    hb, keys = _salt_oversized(hb, ["band", "bucket"], "id_a", bucket_cap)
-    if "__salt" in keys:
-        # salting splits only the HISTORY side's oversized buckets; the
-        # batch side must probe EVERY salt of a split bucket (asymmetric
-        # join — no recall loss here, unlike self-join salting), so fan
-        # the batch rows out over the (tiny, broadcast) salt list
-        salts = hb.select("band", "bucket", "__salt").distinct()
-        nb = nb.join(F.broadcast(salts), ["band", "bucket"], "left").fillna(
+    if bucket_cap is not None:
+        over = collect_oversized(hb, ["band", "bucket"], bucket_cap)
+    else:
+        over = None
+    if over is not None:
+        n_salts = F.ceil(F.col("__n") / F.lit(float(bucket_cap))).cast("int")
+        hb = hb.join(F.broadcast(over), ["band", "bucket"], "left").withColumn(
+            "__salt",
+            F.when(F.col("__n").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col("id_a")), n_salts).cast("int")
+            ),
+        ).drop("__n")
+        # the batch side probes EVERY salt of a split bucket (asymmetric
+        # join — zero recall loss, unlike self-join salting). The fan-out
+        # list is derived from the OVERSIZED buckets only — a
+        # driver-bounded handful (collect_oversized) — never the distinct
+        # bucket set of the whole index, which is corpus-sized.
+        exp = over.select(
+            "band",
+            "bucket",
+            F.explode(F.sequence(F.lit(0), n_salts - 1)).alias("__salt"),
+        )
+        nb = nb.join(F.broadcast(exp), ["band", "bucket"], "left").fillna(
             {"__salt": 0}
         )
+        keys = ["band", "bucket", "__salt"]
+    else:
+        keys = ["band", "bucket"]
     cand = nb.join(hb, keys).select("id_a", "id_b").distinct()
     docs = history_df.join(
         cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"

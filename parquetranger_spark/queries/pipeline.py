@@ -992,14 +992,37 @@ def dataset_split_counts(spark, sf_dir):
     )
 
 
-@query("events_session_window", oracle=_SESS_ORACLE)
+_SESS_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag_us IS NULL OR ts_us - lag_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM (
+    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+           lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS lag_us
+    FROM events
+  )
+),
+per_user AS (
+  SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+  FROM flagged GROUP BY user_id
+)
+SELECT n_sessions, count(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_user GROUP BY n_sessions
+"""
+
+
+@query("events_session_window", oracle=_SESS_WINDOW_ORACLE)
 def events_session_window(spark, sf_dir):
     """X6: the BUILT-IN ``session_window`` aggregation — Spark's native
     gap-merged session windows (each event extends its session by the
     30-min gap; overlapping extents merge inside one hash aggregate)
     computing the same per-user session distribution as the custom
-    lag+cumsum operator (they share the oracle, so the two definitions
-    are proven equivalent on this corpus). The built-in exists for the
+    lag+cumsum operator. Boundary semantics differ by design: the
+    built-in's windows are half-open (an event exactly gap after the
+    previous one starts a NEW session) where the custom operator splits
+    only when the gap is EXCEEDED — so this query carries its own oracle
+    with the matching >= boundary at microsecond resolution (the
+    truncation the timestamp cast applies). The built-in exists for the
     streaming case too (watermark + merging session state); batch-side
     it is one aggregation — no window-function sort pass — which is the
     cheaper plan when only per-session AGGREGATES (not per-row session
@@ -1075,8 +1098,7 @@ def dedup_incremental_near(spark, sf_dir):
     oracle="""
 WITH n AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+|\\s+',
-                                 ' ', 'g'))) AS h
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
   FROM documents
 )
 SELECT count(DISTINCT h) AS n_unique, count(*) AS n_docs,
@@ -1092,9 +1114,10 @@ def dedup_exact_normalized(spark, sf_dir):
     normalization is one JVM regexp inside the scan stage; the dedup
     shuffle still carries 16-byte hashes."""
     d = load(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]+|\s+", " ")
-    )
+    # ONE class covering punctuation and whitespace: a punct-only class
+    # plus \s+ alternation leaves double spaces where punctuation adjoined
+    # whitespace ('a. b' → 'a  b'), so variants would hash apart
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
     h = F.md5(norm)
     return d.select(h.alias("__h")).agg(
         F.count_distinct("__h").alias("n_unique"),

@@ -695,7 +695,10 @@ class TableRepo:
         # the pure data schema; partition columns come from the directory
         # names, typed string.
         files = self.paths
-        merged = spark.read.option("mergeSchema", "true").parquet(*files).schema
+        base_r = spark.read
+        if ignore_corrupt_files:
+            base_r = base_r.option("ignoreCorruptFiles", "true")
+        merged = base_r.option("mergeSchema", "true").parquet(*files).schema
         known = set(merged.fieldNames())
         part_fields = [
             T.StructField(part.split("=", 1)[0], T.StringType())
@@ -703,7 +706,10 @@ class TableRepo:
             if "=" in part and part.split("=", 1)[0] not in known
         ]
         schema = T.StructType(list(merged.fields) + part_fields)
-        return spark.read.schema(schema).parquet(self.main_path)
+        r2 = spark.read.schema(schema)
+        if ignore_corrupt_files:
+            r2 = r2.option("ignoreCorruptFiles", "true")
+        return r2.parquet(self.main_path)
 
     def get_partition_df(self, value: Any, partition_col: str | None = None) -> DataFrame:
         """Partition-pruned read (reference core.py:177-194): Catalyst prunes
@@ -1109,7 +1115,15 @@ class TableRepo:
                     [entry] if files else []
                 )
             else:  # static truncate-and-load
-                commits = [entry] if files else []
+                # fence tombstones outlive even a full truncation: a
+                # crashed exactly-once stream replaying an old epoch must
+                # still see its fence, or it would re-append rows into the
+                # deliberately reloaded table (same invariant
+                # prune_partitions keeps on the dynamic path)
+                tombs = [
+                    {**c, "files": []} for c in commits if "fence" in c
+                ]
+                commits = tombs + ([entry] if files else [])
             if mode == "append" and cur and cur.get("spec") is not None:
                 # an append must not revert a concurrent evolution: the
                 # manifest's spec is authoritative; this writer's entry

@@ -180,13 +180,10 @@ def incremental_rollup_into_repo(
             # the checkpoint's stable query id (written at start()) scopes
             # the epoch fence: a FRESH checkpoint restarts epoch_id at 0,
             # and fencing on the bare epoch would mark every existing
-            # partition "done" and silently drop all new data
-            # fallback: a checkpoint-path-derived id, NOT a constant — a
-                # constant would make unrelated streams (or a failed
-                # metadata read) collide on fence (id, epoch) and silently
-                # drop real batches as replays. The checkpoint path is
-                # unique per stream and stable across restarts.
-                sid["v"] = _stream_id(checkpoint) or _ckpt_id(checkpoint)
+            # partition "done" and silently drop all new data. Fallback is
+            # a checkpoint-path-derived id, never a constant (see
+            # stream_into_repo's sink for why).
+            sid["v"] = _stream_id(checkpoint) or _ckpt_id(checkpoint)
         merge_rollup_batch(
             trepo, batch_df, keys, sum_cols, epoch_id, count_col, stream_id=sid["v"]
         )

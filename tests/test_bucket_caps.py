@@ -190,3 +190,21 @@ def test_minhash_index_roundtrips_through_repo(spark, tmp_path, sf_dir):
     )
     flagged = incremental_near_dedup(new, hist, repo.get_full_df(), threshold=0.6)
     assert flagged.count() == 5  # every copy caught via the stored index
+
+
+def test_incremental_dedup_rejects_mismatched_index_params(spark):
+    import pandas as pd
+
+    import pytest
+
+    from parquetranger_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_index,
+    )
+
+    hist = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f", "g h i j k l"]})
+    )
+    idx = minhash_index(hist, num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="hash famil"):
+        incremental_near_dedup(hist, hist, idx, num_hashes=32, bands=16)

@@ -333,3 +333,15 @@ def test_history_audit_log(spark, tmp_root):
     assert ops == ["append", "append", "overwrite-dynamic", "restore(1)"]
     assert all(h["spec"] == ["C"] for h in t.history())
     assert t.history()[-1]["n_files"] == t.history()[0]["n_files"]
+
+
+def test_fence_survives_static_overwrite(spark, tmp_root):
+    """replace_all (static truncate-and-load) must keep fence tombstones:
+    a replayed epoch after a reload must stay a no-op."""
+    t = _repo(spark, f"{tmp_root}/fso")
+    batch = pd.DataFrame({"k": ["a1"], "A": [1], "C": ["0"]})
+    t.extend_fenced(spark.createDataFrame(batch), fence=("s1", 7))
+    t.replace_all(spark.createDataFrame(pd.DataFrame(
+        {"k": ["fresh"], "A": [9], "C": ["1"]})))
+    t.extend_fenced(spark.createDataFrame(batch), fence=("s1", 7))  # replay
+    assert {r["k"] for r in t.get_full_df().collect()} == {"fresh"}

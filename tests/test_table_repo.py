@@ -739,3 +739,21 @@ def test_ignore_corrupt_files_read(spark, tmp_root):
         t.get_full_df().count()
     got = t.get_full_df(ignore_corrupt_files=True)
     assert sorted(r["__index"] for r in got.collect()) == ["a1", "a3"]
+
+
+def test_ignore_corrupt_files_without_sidecar(spark, tmp_root):
+    """The recovery read must work on the no-sidecar path too — the
+    disaster that takes a file can take the sidecar with it."""
+    import shutil
+
+    t = TableRepo(f"{tmp_root}/cor2", group_cols="C", index_cols="__index")
+    t.extend(spark.createDataFrame(DF1))
+    victim = [p for p in t.paths if "C=2" in p][0]
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    # lose the sidecar as well
+    for fn in os.listdir(t.main_path):
+        if fn.endswith(".json"):
+            os.remove(os.path.join(t.main_path, fn))
+    got = t.get_full_df(ignore_corrupt_files=True)
+    assert sorted(r["__index"] for r in got.collect()) == ["a1", "a3"]
