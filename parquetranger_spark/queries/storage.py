@@ -682,3 +682,40 @@ def denormalized_star_agg(spark, sf_dir):
         .groupBy("nation", "segment")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "revenue"))
     )
+
+
+@query(
+    "data_quality_checks",
+    oracle="""
+SELECT
+  CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT) AS bad_qty,
+  CAST(count(CASE WHEN l_extendedprice < 0 THEN 1 END) AS BIGINT) AS bad_price,
+  CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT)
+    AS bad_discount,
+  CAST(count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) AS null_shipdate,
+  CAST(count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS BIGINT)
+    AS bad_flag,
+  count(*) AS n_rows
+FROM lineitem
+""",
+)
+def data_quality_checks(spark, sf_dir):
+    """Data-quality constraint audit (dbt-test / Deequ shape): N
+    declarative rules evaluated in ONE scan — each rule is a conditional
+    count folded into the same aggregation pass, so auditing 50 rules
+    costs the same single pass as auditing one. This is the gate a
+    pipeline runs between landing and promoting a batch; pair with
+    `TableRepo.stats()` for the physical-health half of the audit."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def bad(cond, name):
+        return F.count(F.when(cond, 1)).alias(name)
+
+    return li.agg(
+        bad(F.col("l_quantity") <= 0, "bad_qty"),
+        bad(F.col("l_extendedprice") < 0, "bad_price"),
+        bad((F.col("l_discount") < 0) | (F.col("l_discount") > 1), "bad_discount"),
+        bad(F.col("l_shipdate").isNull(), "null_shipdate"),
+        bad(~F.col("l_returnflag").isin("A", "N", "R"), "bad_flag"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
