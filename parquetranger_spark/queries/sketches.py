@@ -496,3 +496,81 @@ def events_cms_heavy_hitters(spark, sf_dir):
     )
     est = [(t, int(cms.estimateCount(t)), int(row["n"])) for t in row["types"]]
     return spark.createDataFrame(est, "event_type string, est_count long, n_total long")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
+)
+SELECT count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs FROM corpus
+""",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """X9/X6: WATERMARK-BOUNDED streaming dedup
+    (``dropDuplicatesWithinWatermark``) — the production form of
+    stream_dedup_exact: plain streaming dropDuplicates keeps every key
+    in the state store FOREVER (state = O(stream)); the within-watermark
+    variant expires keys once the watermark passes them, bounding state
+    by the dedup horizon. Duplicates here share their original's event
+    time, so every dup lands inside the horizon and the result equals
+    exact dedup — which is what lets the batch oracle check it."""
+    import uuid
+
+    from ..streaming.ingest import state_partitions
+    from .common import scratch_dir
+
+    root = scratch_dir("sdwm")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    # deterministic event time derived from the ORIGINAL id so a dup and
+    # its source share a timestamp (both sides use doc_id mod 100000)
+    # +1000 min offset: an event time of exactly epoch 0 equals the
+    # operator's INITIAL watermark and is discarded as late before any
+    # data has set a real watermark
+    corpus = corpus.withColumn(
+        "ts", F.expr("timestamp_micros(((doc_id % 100000) + 1000) * 60000000)")
+    )
+    # ONE file → one micro-batch: with several batches the watermark
+    # advanced by batch 1 would discard batch 2's older-event-time rows
+    # as LATE (that is the operator's contract — bounded state means late
+    # data ages out); the oracle checks the no-late-data equivalence, so
+    # feed everything inside one watermark window
+    corpus.coalesce(1).write.mode("overwrite").parquet(f"{root}/src")
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    n_docs = sum(
+        _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(f"{root}/src/*.parquet")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(f"{root}/src")
+        .withColumn("__h", F.md5(F.col("text")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["__h"])
+    )
+    name = f"sdwm_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination(600)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.lit(n_docs).cast("long").alias("n_docs"),
+    )
