@@ -1,0 +1,68 @@
+"""TPC-H power run: execute all 22 query shapes sequentially at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) via the noop sink and print one
+JSON line with per-query and total wall times — the classic
+single-stream metric, over the engine's decorrelated/broadcast-planned
+implementations (queries/tpch.py + queries/compute.py).
+
+Usage: python tools/tpch_power.py [--repeat N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquetranger_spark.queries import QUERIES, load_all  # noqa: E402
+from parquetranger_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+ORDER = [
+    "sql_q1_pricing", "sql_q2_min_cost_supplier", "sql_q3_top_orders",
+    "sql_q4_priority_check", "sql_q5_local_supplier", "sql_q6_forecast_revenue",
+    "sql_q7_nation_volume", "sql_q8_market_share", "sql_q9_product_profit",
+    "sql_q10_returned_revenue", "sql_q11_important_stock",
+    "sql_q12_priority_by_flag", "sql_q13_order_distribution",
+    "sql_q14_promo_share", "sql_q15_top_supplier", "sql_q16_supplier_parts",
+    "sql_q17_small_qty_revenue", "sql_q18_big_orders",
+    "sql_q19_disjunctive_revenue", "sql_q20_dominant_supplier",
+    "sql_q21_waiting_suppliers", "sql_q22_idle_customers",
+]
+
+
+def main() -> None:
+    load_all()
+    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 3
+    spark = get_spark("tpch-power")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql("select count(*) from range(1000000)").collect()  # warm
+    times = {}
+    for name in ORDER:
+        best = None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_power_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf_dir": SF_DIR,
+                "n_queries": len(ORDER),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
