@@ -719,3 +719,38 @@ def data_quality_checks(spark, sf_dir):
         bad(~F.col("l_returnflag").isin("A", "N", "R"), "bad_flag"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "partition_evolution_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def partition_evolution_roundtrip(spark, sf_dir):
+    """S21 partition-spec evolution, driver-checked: half of lineitem
+    lands in a manifest repo partitioned by RETURNFLAG, the spec then
+    evolves lazily (O(1) — no rewrite) to LINESTATUS, and the other half
+    lands under the new layout. The full read unions both layouts
+    (per-commit basePath discovery restores each commit's own partition
+    column; the other surfaces as data), and the oracle aggregates the
+    original table — value-identity across the mixed-layout read is the
+    evolution contract."""
+    li = load(spark, sf_dir, "lineitem")
+    t = TableRepo(
+        scratch_dir("pevo") + "/li",
+        group_cols="l_returnflag",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(li.where(F.col("l_orderkey") % 2 == 0))
+    t.evolve_partitioning("l_linestatus")
+    t.extend(li.where(F.col("l_orderkey") % 2 == 1))
+    return (
+        t.get_full_df()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
