@@ -803,3 +803,53 @@ def incremental_near_dedup(
         F.col("jaccard") >= threshold
     )
     return hits.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Power-iteration PageRank over an undirected pair graph (edges are
+    symmetrized) — the influence measure over a near-duplicate / citation
+    graph, and the second iterative-algorithm shape next to
+    :func:`connected_components`.
+
+    Per round: one equi-join (ranks onto edge sources, out-degrees
+    pre-joined once) + one map-side-combined sum per destination — the
+    same partitioning every round, so at scale the shuffle reuses its
+    exchange. Lineage is cut with an eager localCheckpoint every
+    ``checkpoint_every`` rounds (an uncut 10-round plan re-executes the
+    whole chain per action). Dangling nodes don't arise in a symmetrized
+    pair graph (every vertex has degree ≥ 1). Returns (id, rank) with
+    ranks summing to ~1."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    out_edges = sym.join(deg, "s").persist()
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contribs = (
+            out_edges.join(ranks.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"), (F.col("rank") / F.col("__deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("id")
+            .agg(F.sum("c").alias("__sum"))
+            .select("id", (F.lit(base) + F.lit(damping) * F.col("__sum")).alias("rank"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    sym.unpersist()
+    out_edges.unpersist()
+    return ranks

@@ -1124,3 +1124,26 @@ def dedup_exact_normalized(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.count_distinct("__h")).alias("n_collapsed"),
     )
+
+
+@query("neardup_pagerank")
+def neardup_pagerank(spark, sf_dir):
+    """X12 second iterative algorithm: PageRank over the near-duplicate
+    pair graph — vertices with many (transitively popular) near-dup
+    partners rank highest, the centrality signal a curation pass uses to
+    pick which cluster member to KEEP (most-connected ≈ most canonical).
+    Ranks are double sums whose partition order is engine-private →
+    rows-only; the convergence/normalization contracts (ranks sum to 1,
+    uniform graph → uniform ranks, star center dominates) are
+    pytest-asserted in tests/test_pipeline_ops.py."""
+    from ..operators.dedup import near_dedup_minhash, pagerank
+
+    pairs = near_dedup_minhash(
+        _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    pr = pagerank(pairs, iterations=10)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank").desc(), F.col("id"))
+    return pr.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= 20)

