@@ -1147,3 +1147,44 @@ def neardup_pagerank(spark, sf_dir):
 
     w = Window.orderBy(F.col("rank").desc(), F.col("id"))
     return pr.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= 20)
+
+
+@query(
+    "neardup_triangles",
+    oracle=f"""
+WITH corpus AS ({_INJECTED_SQL}),
+sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+)
+SELECT count(*) AS n_triangles, (SELECT count(*) FROM pairs) AS n_edges
+FROM pairs e1
+JOIN pairs e2 ON e2.id_a = e1.id_b
+JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+""",
+)
+def neardup_triangles(spark, sf_dir):
+    """X12: exact triangle counting over the near-dup pair graph — the
+    clique-density signal (a duplicate CLUSTER is triangle-rich; a chain
+    of borderline matches is not), deciding when transitive merging is
+    safe. Edges are oriented a<b so each triangle counts once via two
+    equi-joins (e1:a→b, e2:b→c, closure a→c) — the standard
+    m^{3/2}-bounded shape (at scale, orient by DEGREE instead of id so
+    high-degree vertices never fan both joins). The oracle runs the same
+    joins over the brute-force pair set, so the count is hash-exact."""
+    from ..operators.dedup import near_dedup_minhash
+
+    pairs = near_dedup_minhash(
+        _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
