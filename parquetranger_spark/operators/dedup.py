@@ -836,6 +836,11 @@ def pagerank(
     out_edges = sym.join(deg, "s").persist()
     nodes = sym.select(F.col("s").alias("id")).distinct()
     n = nodes.count()
+    if n == 0:  # empty graph → empty ranks (same contract as
+        # connected_components on an empty pair set)
+        sym.unpersist()
+        out_edges.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(iterations):

@@ -1143,10 +1143,10 @@ def neardup_pagerank(spark, sf_dir):
     ).select("id_a", "id_b")
     pairs = pairs.localCheckpoint(eager=True)
     pr = pagerank(pairs, iterations=10)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("rank").desc(), F.col("id"))
-    return pr.withColumn("pos", F.row_number().over(w)).where(F.col("pos") <= 20)
+    # global top-20 via orderBy().limit() → TakeOrderedAndProject (each
+    # partition contributes its local top-20; never a one-task global
+    # window sort — the same shape as the Q10/top-bigrams top-k)
+    return pr.orderBy(F.col("rank").desc(), "id").limit(20)
 
 
 @query(

@@ -782,7 +782,10 @@ def compact_roundtrip(spark, sf_dir):
         t.extend(o.where(F.col("o_orderkey") % 4 == i))
     before = t.n_files
     t.compact()
-    assert t.n_files <= before
+    # the physical effect must actually happen: strictly fewer files,
+    # collapsed to one clustered file per partition
+    n_parts = t.get_full_df().select("o_orderstatus").distinct().count()
+    assert t.n_files < before and t.n_files == n_parts, (t.n_files, before)
     return (
         t.get_full_df()
         .groupBy("o_orderstatus")

@@ -36,7 +36,11 @@ ORDER = [
 
 def main() -> None:
     load_all()
-    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 3
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--repeat", type=int, default=3)
+    repeat = ap.parse_args().repeat
     spark = get_spark("tpch-power")
     spark.sparkContext.setLogLevel("ERROR")
     spark.sql("select count(*) from range(1000000)").collect()  # warm
