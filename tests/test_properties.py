@@ -139,3 +139,76 @@ def test_budget_select_matches_global_window(spark, rows, frac):
     budget = frac * pdf["w"].sum()
     want = {(r.id, r.cum) for r in s.itertuples() if r.cum <= budget}
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=12
+    ),
+    max_dist=st.sampled_from([1, 2]),
+)
+def test_fuzzy_pairs_match_bruteforce(spark, words, max_dist):
+    """fuzzy_pairs (length-band blocking) must equal the brute-force
+    O(n²) Levenshtein on arbitrary short strings — bands, adjacency, and
+    tie handling included."""
+    import pandas as pd
+
+    from parquetranger_spark.operators.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    pdf = pd.DataFrame({"id": range(len(words)), "s": words})
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(
+            spark.createDataFrame(pdf), "s", "id", max_dist=max_dist
+        ).collect()
+    }
+    want = {
+        (i, j, lev(words[i], words[j]))
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= max_dist
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    base=st.lists(frames(), min_size=1, max_size=2),
+    kill_keys=st.sets(KEYS, max_size=5),
+    grouped=st.booleans(),
+)
+def test_delete_records_random(spark, tmp_path_factory, base, kill_keys, grouped):
+    """delete_records equals pandas boolean filtering on random frames —
+    grouped and ungrouped, matched and unmatched keys, multi-row keys."""
+    root = str(tmp_path_factory.mktemp("del")) + "/t"
+    t = TableRepo(root, group_cols="g" if grouped else None, index_cols="k", spark=spark)
+    for pdf in base:
+        t.extend(spark.createDataFrame(pdf))
+    full = pd.concat(base, ignore_index=True)
+    if grouped:
+        full = full[full.g.notna()]
+    keys_df = spark.createDataFrame(
+        pd.DataFrame({"k": sorted(kill_keys) or [10**9]})
+    )
+    t.delete_records(keys_df)
+    got = canon(t.get_full_df().toPandas())
+    want = canon(full[~full.k.isin(kill_keys)])
+    pd.testing.assert_frame_equal(got, want)
+    t.purge()
