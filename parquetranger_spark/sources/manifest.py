@@ -92,13 +92,15 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
 
 
 def live_files(manifest: dict[str, Any] | None, root: str) -> list[str]:
-    """Absolute paths of every live data file in manifest order."""
+    """Absolute paths of every live data file in manifest order. A commit
+    carrying a ``base`` references another table's data dir (shallow
+    clone) — resolution anchors there instead of ``root``."""
     if not manifest:
         return []
     out = []
     for c in manifest["commits"]:
         for f in c["files"]:
-            out.append(join_path(root, c["dir"], f))
+            out.append(join_path(c.get("base", root), c["dir"], f))
     return sorted(out)
 
 

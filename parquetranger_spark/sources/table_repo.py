@@ -490,6 +490,50 @@ class TableRepo:
         never duplicate visible rows."""
         self._write(self._prepare(df), mode="append", fence=fence)
 
+    def clone_to(self, dest_root: str) -> "TableRepo":
+        """SHALLOW clone (manifest mode): publish at ``dest_root`` a
+        manifest whose commits reference THIS table's data dirs by
+        absolute ``base`` path — a full logical copy with ZERO data
+        copied, instantly. The clone is snapshot-isolated from the
+        source (it pins the commit list as of now; later source commits
+        don't appear) and independently writable (its own appends land
+        under its own root). The dev/test-against-prod-data primitive.
+
+        Caveat (same as Delta shallow clones): vacuum on the SOURCE can
+        delete data dirs the clone still references — run clones inside
+        the source's vacuum retention window, or rewrite the clone
+        (``replace_all(clone.get_full_df())``) to materialize it."""
+        if self.commit_mode != "manifest":
+            raise TypeError("clone_to() requires commit_mode='manifest'")
+        from .manifest import load_manifest, try_commit
+
+        fs = self._fs()
+        mf = load_manifest(fs, self.main_path)
+        clone = TableRepo(
+            dest_root,
+            group_cols=list(self.group_cols) or None,
+            index_cols=list(self.index_cols) or None,
+            commit_mode="manifest",
+            compression=self.compression,
+            spark=self._spark,
+        )
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is not None:
+            save_meta(clone.main_path, meta, spark=self._spark)
+        commits = [
+            {**c, "base": c.get("base", self.main_path)}
+            for c in (mf["commits"] if mf else [])
+        ]
+        nxt = {
+            "version": 1,
+            "commits": commits,
+            "spec": list(self.group_cols),
+            "op": f"clone({self.main_path})",
+        }
+        if not try_commit(clone._fs(), clone.main_path, nxt):
+            raise RuntimeError(f"clone target {dest_root} already has a manifest")
+        return clone
+
     def restore(self, version: int) -> None:
         """Roll the table back to an earlier manifest version by
         publishing a NEW version with the old version's commit list
@@ -633,7 +677,7 @@ class TableRepo:
         for c in commits:
             if not c["files"]:
                 continue
-            cdir = join_path(self.main_path, c["dir"])
+            cdir = join_path(c.get("base", self.main_path), c["dir"])
             r = spark.read
             if schema is not None:
                 r = r.schema(schema)

@@ -345,3 +345,32 @@ def test_fence_survives_static_overwrite(spark, tmp_root):
         {"k": ["fresh"], "A": [9], "C": ["1"]})))
     t.extend_fenced(spark.createDataFrame(batch), fence=("s1", 7))  # replay
     assert {r["k"] for r in t.get_full_df().collect()} == {"fresh"}
+
+
+def test_shallow_clone_zero_copy(spark, tmp_root):
+    """clone_to: instant logical copy referencing the source's data dirs;
+    snapshot-isolated both ways; independently writable; clone vacuum
+    never touches borrowed dirs."""
+    src = _repo(spark, f"{tmp_root}/src")
+    src.extend(spark.createDataFrame(_frame(0)))
+    clone = src.clone_to(f"{tmp_root}/clone")
+    assert rows(clone.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
+    # zero data under the clone root
+    assert not os.path.exists(os.path.join(clone.main_path, "_pqrs_data")) or not os.listdir(
+        os.path.join(clone.main_path, "_pqrs_data")
+    )
+    # source evolves → clone frozen at its snapshot
+    src.extend(spark.createDataFrame(_frame(6)))
+    assert rows(clone.get_full_df()) == rows(spark.createDataFrame(_frame(0)))
+    # clone writable independently; source unaffected
+    clone.extend(spark.createDataFrame(_frame(12)))
+    assert rows(clone.get_full_df()) == rows(spark.createDataFrame(_frame(0)).unionByName(
+        spark.createDataFrame(_frame(12))))
+    assert rows(src.get_full_df()) == rows(spark.createDataFrame(_frame(0, 12)))
+    ops = [h["op"] for h in clone.history()]
+    assert ops[0].startswith("clone(")
+    # clone vacuum leaves the source's (borrowed) data intact
+    clone.vacuum(max_age_seconds=-1)
+    assert rows(clone.get_full_df()) == rows(
+        spark.createDataFrame(_frame(0)).unionByName(spark.createDataFrame(_frame(12)))
+    )
