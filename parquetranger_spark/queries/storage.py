@@ -791,3 +791,41 @@ def compact_roundtrip(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "revenue"))
     )
+
+
+@query(
+    "shallow_clone_roundtrip",
+    oracle="""
+SELECT n_name, count(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+)
+def shallow_clone_roundtrip(spark, sf_dir):
+    """S21 zero-copy shallow clone, driver-checked: customer lands in a
+    manifest repo, ``clone_to`` publishes an instant logical copy whose
+    manifest references the source's data dirs (no bytes copied — the
+    dev/test-against-prod primitive), the SOURCE then mutates, and the
+    query reads the CLONE — which must still equal the original snapshot
+    (the oracle's aggregate over the untouched table). Snapshot isolation
+    across the clone boundary is the value being checked."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    root = scratch_dir("clone")
+    src = TableRepo(
+        f"{root}/src", group_cols="c_nationkey", commit_mode="manifest", spark=spark
+    )
+    src.extend(cust)
+    clone = src.clone_to(f"{root}/dev")
+    # source mutates AFTER the clone — the clone must not see it
+    src.extend(cust.limit(50).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    ))
+    return (
+        clone.get_full_df()
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "sum_bal"))
+    )
