@@ -829,3 +829,27 @@ def shallow_clone_roundtrip(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_cust"), dsum("c_acctbal", "sum_bal"))
     )
+
+
+@query(
+    "repo_stats_rows",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_rows
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def repo_stats_rows(spark, sf_dir):
+    """S7 stats(), driver-checked on its deterministic surface: the
+    per-partition row counts the distributed ``_metadata``-column
+    aggregation reports must equal a plain group count of the source
+    (file counts/bytes are physical and layout-dependent — those are
+    pytest-asserted instead)."""
+    o = load(spark, sf_dir, "orders")
+    t = TableRepo(
+        scratch_dir("stats") + "/orders",
+        group_cols="o_orderpriority",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(o)
+    return t.stats().select("o_orderpriority", "n_rows")
