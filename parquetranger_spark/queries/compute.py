@@ -1196,3 +1196,44 @@ def customer_retention_setops(spark, sf_dir):
             F.count("c_key").alias("n_churned"),
         )
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, count(*) AS len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM streaks GROUP BY user_id
+""",
+)
+def user_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days — the classic islands construction (day − row_number is
+    constant within a consecutive run, so one per-user window + one
+    group-by finds every island; no self-join, no recursion). Distinct
+    day buckets first, so the window sorts user-day rows, not raw
+    events; integer day arithmetic keeps the surface engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("d")
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
