@@ -1188,3 +1188,73 @@ def neardup_triangles(spark, sf_dir):
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     )
+
+
+@query(
+    "label_centroid_audit",
+    oracle="""
+WITH x AS (
+  SELECT label, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS c
+  FROM x GROUP BY label, pos
+),
+carr AS (
+  SELECT label, array_agg(c ORDER BY pos) AS cl FROM cent GROUP BY label
+),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - ca.cl[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - ca.cl[i]))),
+           (a, b) -> a + b)) AS dist
+  FROM embeddings e JOIN carr ca USING (label)
+)
+SELECT label, count(*) AS n,
+       min(dist) AS min_dist, max(dist) AS max_dist,
+       CAST(SUM(CAST(dist AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mean_dist
+FROM d GROUP BY label
+""",
+)
+def label_centroid_audit(spark, sf_dir):
+    """X3 cluster-quality audit: per-label centroid (exact decimal-routed
+    per-DIMENSION means via posexplode — the columnar vector-mean
+    primitive) and every member's Euclidean distance to its centroid —
+    the compactness report that decides whether a labeled embedding
+    space is clean enough to train on. Distances fold sequentially over
+    the dimension order (identical left fold both engines); the
+    per-label distance means route through DECIMAL so the whole surface
+    is engine-exact. Centroids are 10×64 doubles — broadcast back onto
+    one corpus scan."""
+    from ..functions.vectors import to_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double(F.col("embedding")).alias("v")
+    )
+    x = e.select("label", F.posexplode(F.col("v")).alias("pos", "x"))
+    cent = x.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "c"
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cl")
+    )
+    diff2 = F.zip_with(F.col("v"), F.col("cl"), lambda a, b: (a - b) * (a - b))
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, y: acc + y))
+    d = e.join(F.broadcast(carr), "label").select("label", dist.alias("dist"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+        (F.sum(F.col("dist").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_dist"
+        ),
+    )
