@@ -1258,3 +1258,60 @@ def label_centroid_audit(spark, sf_dir):
             "mean_dist"
         ),
     )
+
+
+@query(
+    "embedding_outliers_knn",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nb, {_cosine_sql('a.v', 'b.v')} AS cos
+  FROM c a JOIN c b ON a.vec_id <> b.vec_id
+),
+kth AS (
+  SELECT vec_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nb) AS rk
+  FROM scored
+)
+SELECT vec_id, cos AS knn5_cos
+FROM kth WHERE rk = 5
+ORDER BY knn5_cos ASC, vec_id
+LIMIT 10
+""",
+)
+def embedding_outliers_knn(spark, sf_dir):
+    """X3 density-based outlier detection: each vector's similarity to
+    its 5th-nearest neighbor — a low value means the point sits in a
+    sparse region (LOF-lite), the far-from-manifold examples a curation
+    pass quarantines before training. The kth-neighbor similarity comes
+    from the same per-query rank window the top-k search uses (here over
+    the brute-force scores at oracle scale; the ANN candidate paths swap
+    in unchanged at corpus scale), and the 10 most isolated points
+    surface via TakeOrderedAndProject — no global sort."""
+    from ..functions.vectors import cosine_prenormed, norm, to_double
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("nb"), F.col("v").alias("vb"), F.col("nv").alias("nb_n")
+    )
+    scored = a.crossJoin(F.broadcast(b)).where(F.col("vec_id") != F.col("nb")).select(
+        "vec_id",
+        "nb",
+        cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb_n")).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb"))
+    kth = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 5)
+    return (
+        kth.select("vec_id", F.col("cos").alias("knn5_cos"))
+        .orderBy(F.col("knn5_cos").asc(), "vec_id")
+        .limit(10)
+    )
