@@ -1237,3 +1237,36 @@ def user_activity_streaks(spark, sf_dir):
         F.max("len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS prev
+  FROM events
+)
+SELECT prev, event_type AS next, count(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """Sequence analytics: the per-user event-type TRANSITION MATRIX
+    (what follows what) — the empirical bigram model behaviour-modeling
+    and funnel-design read from. One per-user lag window (event_id
+    tie-break makes simultaneous events deterministic) + one count
+    aggregation; the matrix is |types|² rows regardless of stream
+    size."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        s.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
