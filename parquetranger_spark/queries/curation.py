@@ -1128,3 +1128,55 @@ def chunk_dedup_stats(spark, sf_dir):
         F.count_distinct("chunk_hash").alias("n_distinct"),
         (F.count(F.lit(1)) - F.count_distinct("chunk_hash")).alias("n_dup_chunks"),
     )
+
+
+@query(
+    "revenue_pareto_front",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM per_cust
+)
+SELECT o_custkey, cents, cum_cents
+FROM c
+WHERE cum_cents <= 0.5 * (SELECT SUM(cents) FROM per_cust)
+""",
+)
+def revenue_pareto_front(spark, sf_dir):
+    """X7 operator reuse on a second domain: the Pareto front — the
+    smallest set of customers covering 50 % of revenue — is EXACTLY the
+    token-budget selection with revenue as both priority and weight, so
+    it reuses operators/curation.py::budget_select unchanged (coarse
+    bands → tiny prefix window → within-band windows; never a global
+    sort, same answer as the oracle's global cumsum). Revenue is
+    integer cents via explicit FLOOR (DuckDB's double→BIGINT cast rounds
+    where Spark's truncates — floor pins both) so the
+    running totals are exact."""
+    from ..operators.curation import budget_select
+
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    kept = budget_select(
+        per_cust,
+        order_col="cents",
+        id_col="o_custkey",
+        weight_col="cents",
+        budget_frac=0.5,
+        band_width=100_000,
+    )
+    return kept.select(
+        "o_custkey", "cents", F.col("cum_cents").alias("cum_cents")
+    )
