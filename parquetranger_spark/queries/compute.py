@@ -1270,3 +1270,40 @@ def event_transition_matrix(spark, sf_dir):
         .groupBy("prev", F.col("event_type").alias("next"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE rev AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM {src} GROUP BY 1
+),
+bounds AS (SELECT min(ym) AS lo, max(ym) AS hi FROM rev),
+spine(ym, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT ym + 1, hi FROM spine WHERE ym < hi
+)
+SELECT s.ym, COALESCE(r.n_orders, 0) AS n_orders,
+       COALESCE(r.revenue, CAST(0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN rev r ON s.ym = r.ym
+"""
+
+
+@query("sql_recursive_spine", oracle=_RECURSIVE_SPINE_SQL.format(src="orders"))
+def sql_recursive_spine(spark, sf_dir):
+    """SQL surface, Spark 4 recursive CTE: a month spine generated by
+    WITH RECURSIVE (anchor = first order month, step = +1 month up to the
+    last) left-joined to monthly revenue, so months with zero orders
+    surface explicitly — the gap-filling shape `events_gap_fill` builds
+    with `sequence()`, here expressed through the recursive-union
+    iteration the SQL front door now supports. The IDENTICAL text runs on
+    DuckDB (dialect-portable: integer year*12+month spine, no
+    engine-specific date arithmetic); the recursion is bounded by the
+    calendar span (~80 rounds), far under Spark's recursion limit, and
+    each step is a constant-size row — driver-safe at any fact-table
+    scale because the recursion runs over the month AGGREGATE, never the
+    facts."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pqrs_orders_rec_v")
+    return spark.sql(_RECURSIVE_SPINE_SQL.format(src="pqrs_orders_rec_v"))

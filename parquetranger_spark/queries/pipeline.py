@@ -1315,3 +1315,52 @@ def embedding_outliers_knn(spark, sf_dir):
         .orderBy(F.col("knn5_cos").asc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "udtf_word_runs",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+),
+runs AS (
+  SELECT doc_id, lang, word, count(*) AS run_len
+  FROM (SELECT doc_id, lang, word, i,
+               i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+        FROM w)
+  GROUP BY doc_id, lang, word, grp
+  HAVING count(*) >= 2
+)
+SELECT lang, word, count(*) AS n_runs,
+       CAST(SUM(run_len) AS BIGINT) AS run_words,
+       CAST(MAX(run_len) AS INT) AS max_run
+FROM runs GROUP BY lang, word
+""",
+)
+def udtf_word_runs(spark, sf_dir):
+    """X4 via the Spark-4 Python UDTF surface (functions/udtfs.py): each
+    document streams through a LATERAL generator that emits its maximal
+    adjacent-repeated-word runs (the stutter/copy-paste artifact quality
+    filters flag), rolled up per (lang, word). The run detection is
+    inherently sequential per document — exactly the shape a UDTF owns:
+    Arrow-batched executor-side Python, no driver involvement, output
+    bounded by |langs|×|vocab| regardless of corpus size. The oracle
+    reproduces the runs relationally (gaps-and-islands: ordinal-unnest,
+    per-word island ids via row_number, HAVING len ≥ 2) — two
+    independent formulations, one hash."""
+    from ..functions.udtfs import word_runs
+
+    spark.udtf.register("pqrs_word_runs", word_runs)
+    load(spark, sf_dir, "documents").select("doc_id", "lang", "text").createOrReplaceTempView(
+        "pqrs_docs_udtf_v"
+    )
+    return spark.sql(
+        """
+SELECT d.lang, r.word, count(*) AS n_runs,
+       CAST(SUM(r.run_len) AS BIGINT) AS run_words,
+       MAX(r.run_len) AS max_run
+FROM pqrs_docs_udtf_v d, LATERAL pqrs_word_runs(d.text) r
+GROUP BY d.lang, r.word
+"""
+    )
