@@ -542,9 +542,7 @@ def bpe_token_stats(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_cluster_reps",
-    oracle=f"""
+_CLUSTER_REPS_ORACLE = f"""
 WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
 sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
 -- MATERIALIZED: the recursion references these CTEs repeatedly and the
@@ -571,8 +569,10 @@ closure AS (
 comp AS (SELECT src AS id, min(dst) AS component FROM closure GROUP BY src)
 SELECT component, count(*) AS cluster_size, CAST(SUM(id) AS BIGINT) AS sum_ids
 FROM comp GROUP BY component
-""",
-)
+"""
+
+
+@query("dedup_cluster_reps", oracle=_CLUSTER_REPS_ORACLE)
 def dedup_cluster_reps(spark, sf_dir):
     """X2 completion: near-dup pairs → connected components → one
     representative (minimum id) per duplicate cluster
@@ -1363,4 +1363,27 @@ SELECT d.lang, r.word, count(*) AS n_runs,
 FROM pqrs_docs_udtf_v d, LATERAL pqrs_word_runs(d.text) r
 GROUP BY d.lang, r.word
 """
+    )
+
+
+@query("dedup_clusters_star", oracle=_CLUSTER_REPS_ORACLE)
+def dedup_clusters_star(spark, sf_dir):
+    """X2 via the O(log n)-round clustering path: the same near-dup
+    pair graph as `dedup_cluster_reps`, resolved with alternating
+    large-star/small-star edge rewrites
+    (operators/dedup.py::connected_components_star, Kiveris et al.)
+    instead of HashMin propagation — the variant that stays cheap when
+    the duplicate graph has long chains (crawl mirrors of mirrors),
+    where HashMin's O(diameter) rounds would dominate. Shares the
+    transitive-closure oracle with the HashMin query: two independent
+    engine paths, one exact hash."""
+    from ..operators.dedup import connected_components_star, near_dedup_minhash
+
+    pairs = near_dedup_minhash(
+        _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components_star(pairs)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
     )

@@ -277,6 +277,39 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_star_matches_hashmin(spark):
+    """Large-star/small-star CC agrees with HashMin propagation on
+    random graphs, long chains (where its O(log n) rounds matter),
+    cliques, self-loops, and the empty graph — exact label parity,
+    not just partition parity (both label with the component min)."""
+    import random
+
+    from parquetranger_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = []
+    for seed, n, m in [(1, 40, 25), (2, 60, 80), (3, 30, 12), (4, 50, 50)]:
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    # long chain: diameter 15 — star resolves in ~log rounds
+    cases.append([(i, i + 1) for i in range(15)])
+    # self-loops only + a mixed component
+    cases.append([(7, 7), (8, 8), (1, 2), (2, 2)])
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ref = {r.id: r.component for r in connected_components(pairs).collect()}
+        got_rows = connected_components_star(pairs).collect()
+        got = {r.id: r.component for r in got_rows}
+        assert len(got_rows) == len(got), "duplicate vertex labels"
+        assert got == ref
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+
+
 def test_connected_components_raises_when_unconverged(spark):
     import pytest
 
