@@ -853,3 +853,45 @@ def repo_stats_rows(spark, sf_dir):
     )
     t.extend(o)
     return t.stats().select("o_orderpriority", "n_rows")
+
+
+@query(
+    "stats_skipping_read",
+    oracle=f"""
+SELECT count(*) AS n, {dsum_sql('value', 'sum_value')},
+       MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+FROM events WHERE event_type = 'purchase' AND value >= 10.0
+""",
+)
+def stats_skipping_read(spark, sf_dir):
+    """S24: manifest file-level [min,max] stats + driver-side file
+    skipping (the Delta/Iceberg data-skipping shape). Events land in one
+    manifest commit per event_type with stats on (event_type, value);
+    the skipping read proves from the manifest alone that four of the
+    five types' files cannot match and never hands them to Spark — at
+    100 TB a key-clustered table answers this with a handful of file
+    opens instead of planning the full file list. The surviving files
+    are still scanned WITH the predicates, so the oracle match is exact
+    regardless of stats coverage."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("skip") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        stats_cols=["event_type", "value"],
+        spark=spark,
+    )
+    for et in [r[0] for r in ev.select("event_type").distinct().collect()]:
+        t.extend(ev.where(F.col("event_type") == et))
+    kept, total = t.skip_plan([("event_type", "==", "purchase")])
+    if not kept < total:
+        raise AssertionError(f"stats skipping pruned nothing ({kept}/{total})")
+    out = t.get_full_df_skipping(
+        [("event_type", "==", "purchase"), ("value", ">=", 10.0)]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )

@@ -139,3 +139,57 @@ def prune_partitions(
             # later overwrite/delete deliberately removed.
             out.append({**c, "files": kept})
     return out
+
+
+# ---- file-level column statistics (data skipping) ----------------------
+
+SKIP_OPS = ("==", "<", "<=", ">", ">=", "between")
+
+
+def norm_predicates(predicates) -> list[tuple]:
+    """Validate/normalize skip predicates: (col, op, value) or
+    (col, 'between', lo, hi). Conjunctive (all must hold)."""
+    out = []
+    for p in predicates:
+        p = tuple(p)
+        if len(p) < 3 or p[1] not in SKIP_OPS:
+            raise ValueError(f"bad skip predicate {p!r}; ops: {SKIP_OPS}")
+        if p[1] == "between":
+            if len(p) != 4:
+                raise ValueError(f"between needs (col, 'between', lo, hi): {p!r}")
+        elif len(p) != 3:
+            raise ValueError(f"comparison needs (col, op, value): {p!r}")
+        out.append(p)
+    return out
+
+
+def stats_may_match(stats: dict | None, preds: list[tuple]) -> bool:
+    """Can a file with these per-column [min, max] stats contain a row
+    satisfying ALL predicates? Missing stats (file, column, or both)
+    → True (never skip what can't be proven empty). A column whose min
+    is None holds NO non-null values — comparison predicates match no
+    row of it, so the file is provably excluded. Sound for comparison
+    semantics because SQL comparisons never match NULL."""
+    if not preds:
+        return True
+    for p in preds:
+        st = (stats or {}).get(p[0])
+        if st is None:
+            continue  # no stats for this column — can't exclude
+        mn, mx = st[0], st[1]
+        if mn is None:
+            return False  # all-null column: no row can satisfy a comparison
+        op = p[1]
+        if op == "==" and not (mn <= p[2] <= mx):
+            return False
+        if op == ">=" and not (mx >= p[2]):
+            return False
+        if op == ">" and not (mx > p[2]):
+            return False
+        if op == "<=" and not (mn <= p[2]):
+            return False
+        if op == "<" and not (mn < p[2]):
+            return False
+        if op == "between" and not (mx >= p[2] and mn <= p[3]):
+            return False
+    return True

@@ -117,6 +117,7 @@ class TableRepo:
         single_writer: bool = False,
         commit_mode: str = "files",
         compression: str | None = None,
+        stats_cols: str | list[str] | None = None,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -152,6 +153,12 @@ class TableRepo:
         # zstd: ~30-40% smaller scans for a one-time encode cost; hot
         # append targets can stay on snappy per table.
         self.compression = compression
+        # columns whose per-FILE [min, max] are recorded in the manifest at
+        # commit time, enabling driver-side file skipping on read
+        # (get_full_df_skipping) — the Delta/Iceberg data-skipping shape
+        self.stats_cols = [stats_cols] if isinstance(stats_cols, str) else list(stats_cols or [])
+        if self.stats_cols and commit_mode != "manifest":
+            raise ValueError("stats_cols requires commit_mode='manifest' (stats live in the manifest)")
         self._spark = spark
         if mkdirs:
             self.mkdirs()
@@ -656,7 +663,10 @@ class TableRepo:
         return out
 
     def _manifest_df(
-        self, version: int | None, ignore_corrupt_files: bool = False
+        self,
+        version: int | None,
+        ignore_corrupt_files: bool = False,
+        file_keep=None,
     ) -> DataFrame:
         """Manifest-mode scan: the file list comes from one manifest (the
         snapshot), frozen at plan time — concurrent commits cannot change
@@ -675,7 +685,12 @@ class TableRepo:
         commits = (mf or {}).get("commits", [])
         scans = []
         for c in commits:
-            if not c["files"]:
+            cfiles = (
+                c["files"]
+                if file_keep is None
+                else [f for f in c["files"] if file_keep(c, f)]
+            )
+            if not cfiles:
                 continue
             cdir = join_path(c.get("base", self.main_path), c["dir"])
             r = spark.read
@@ -684,7 +699,7 @@ class TableRepo:
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
             scans.append(
-                r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in c["files"]])
+                r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
             )
         if not scans:
             return spark.createDataFrame([], schema or T.StructType([]))
@@ -1141,6 +1156,8 @@ class TableRepo:
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if fkey is not None:
             entry["fence"] = fkey
+        if self.stats_cols and files:
+            entry["stats"] = self._collect_file_stats(cdir, files)
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -1188,6 +1205,113 @@ class TableRepo:
             }
             if try_commit(fs, self.main_path, nxt):
                 return
+
+    def _collect_file_stats(self, cdir: str, files: list[str]) -> dict:
+        """Per-file [min, max] for ``stats_cols`` over a just-written
+        commit dir — ONE column-pruned aggregate grouped on
+        ``input_file_name()`` (distributed, any filesystem, and the data
+        is page-cache-hot right after the write; never a per-file driver
+        footer loop). Only JSON-safe, order-comparable types are recorded
+        (integrals, floats, strings — including hive partition columns);
+        other types simply get no stats and are never skipped. Result is
+        one row per file — driver-safe at any commit size the
+        maxRecordsPerFile/compaction policy produces."""
+        spark = self._session()
+        scan = spark.read.option("basePath", cdir).parquet(
+            *[join_path(cdir, f) for f in files]
+        )
+        ok = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType,
+        )
+        cols = [
+            c for c in self.stats_cols
+            if c in scan.columns and isinstance(scan.schema[c].dataType, ok)
+        ]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            scan.select(F.input_file_name().alias("__f"), *cols)
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        from urllib.parse import unquote
+
+        stats: dict = {}
+        for r in rows:
+            uri = unquote(r["__f"])
+            rel = next((f for f in files if uri.endswith("/" + f)), None)
+            if rel is None:
+                continue
+            stats[rel] = {c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols}
+        if len(stats) == len(rows):
+            # every data-bearing file mapped cleanly → the remainder are
+            # ZERO-ROW part files; [None, None] marks them provably
+            # excludable by any comparison predicate. If any URI failed to
+            # map we cannot tell empty from unmapped — record nothing for
+            # the rest (conservatively never skipped).
+            for f in files:
+                if f not in stats:
+                    stats[f] = {c: [None, None] for c in cols}
+        return stats
+
+    def get_full_df_skipping(
+        self, predicates, version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned scan (manifest mode): files whose recorded
+        per-column [min, max] PROVE no row can satisfy the conjunctive
+        ``predicates`` — ``(col, op, value)`` with op in ``==,<,<=,>,>=``
+        or ``(col, 'between', lo, hi)`` — are dropped from the plan
+        driver-side, before Spark lists or opens anything; the surviving
+        files are then scanned WITH the same predicates applied, so the
+        result is exact regardless of stats coverage (files or columns
+        without stats are conservatively kept). This is the
+        Delta/Iceberg data-skipping shape: at 100 TB a time- or
+        key-clustered table answers a narrow range query by opening a
+        handful of files instead of planning the full file list."""
+        from .manifest import norm_predicates, stats_may_match
+
+        preds = norm_predicates(predicates)
+
+        def keep(c: dict, f: str) -> bool:
+            return stats_may_match((c.get("stats") or {}).get(f), preds)
+
+        df = self._manifest_df(version, file_keep=keep)
+        for p in preds:
+            col = F.col(p[0])
+            if p[1] == "between":
+                df = df.where((col >= F.lit(p[2])) & (col <= F.lit(p[3])))
+            else:
+                cond = {
+                    "==": col == F.lit(p[2]),
+                    "<": col < F.lit(p[2]),
+                    "<=": col <= F.lit(p[2]),
+                    ">": col > F.lit(p[2]),
+                    ">=": col >= F.lit(p[2]),
+                }[p[1]]
+                df = df.where(cond)
+        return df
+
+    def skip_plan(self, predicates, version: int | None = None) -> tuple[int, int]:
+        """(files kept, files total) for ``predicates`` under the current
+        stats — the observability hook for how selective a skipping scan
+        will be, computed from the manifest alone (no data files touched)."""
+        from .manifest import load_manifest, norm_predicates, stats_may_match
+
+        preds = norm_predicates(predicates)
+        mf = load_manifest(self._fs(), self.main_path, version)
+        kept = total = 0
+        for c in (mf or {}).get("commits", []):
+            for f in c["files"]:
+                total += 1
+                if stats_may_match((c.get("stats") or {}).get(f), preds):
+                    kept += 1
+        return kept, total
 
     def _drop_partitions_from_manifest(self, group_value_tuples: set[tuple]) -> None:
         """Manifest-mode partition delete: publish a version whose file

@@ -374,3 +374,83 @@ def test_shallow_clone_zero_copy(spark, tmp_root):
     assert rows(clone.get_full_df()) == rows(
         spark.createDataFrame(_frame(0)).unionByName(spark.createDataFrame(_frame(12)))
     )
+
+
+def test_stats_skipping_prunes_files_and_stays_exact(spark, tmp_root):
+    """File-level [min,max] stats recorded at commit time prune files
+    driver-side on read; results equal the unpruned filtered scan."""
+    t = TableRepo(
+        f"{tmp_root}/sk",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols=["A", "tag"],
+        spark=spark,
+    )
+    # three range-disjoint commits (A: 0-5, 100-105, 200-205)
+    for lo, tag in [(0, "cold"), (100, "warm"), (200, "hot")]:
+        pdf = pd.DataFrame(
+            {"k": [f"k{lo+i}" for i in range(6)], "A": range(lo, lo + 6), "tag": tag}
+        )
+        t.extend(spark.createDataFrame(pdf))
+    mf = load_manifest(t._fs(), t.main_path)
+    assert all(c.get("stats") for c in mf["commits"]), "stats missing from manifest"
+    # numeric range hits only the middle commit
+    kept, total = t.skip_plan([("A", "between", 101, 104)])
+    assert kept < total and kept >= 1
+    got = sorted(r["A"] for r in t.get_full_df_skipping([("A", "between", 101, 104)]).collect())
+    assert got == [101, 102, 103, 104]
+    # string equality skips the other tags' files
+    kept_s, total_s = t.skip_plan([("tag", "==", "hot")])
+    assert kept_s < total_s
+    got_s = sorted(r["A"] for r in t.get_full_df_skipping([("tag", "==", "hot")]).collect())
+    assert got_s == list(range(200, 206))
+    # comparison ops
+    assert sorted(
+        r["A"] for r in t.get_full_df_skipping([("A", ">=", 204)]).collect()
+    ) == [204, 205]
+    kept_none, _ = t.skip_plan([("A", ">", 1000)])
+    assert kept_none == 0
+    assert t.get_full_df_skipping([("A", ">", 1000)]).count() == 0
+
+
+def test_stats_skipping_conservative_without_stats(spark, tmp_root):
+    """Commits written before stats_cols was configured (or columns with
+    no recorded stats) are never skipped — exactness beats pruning."""
+    t0 = TableRepo(f"{tmp_root}/cs", index_cols="k", commit_mode="manifest", spark=spark)
+    t0.extend(spark.createDataFrame(pd.DataFrame({"k": ["a"], "A": [1]})))
+    t = TableRepo(
+        f"{tmp_root}/cs",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["b"], "A": [500]})))
+    # predicate excludes the stats-bearing commit; the stats-less one stays
+    kept, total = t.skip_plan([("A", "<=", 10)])
+    assert (kept, total) == (1, 2)
+    assert [r["A"] for r in t.get_full_df_skipping([("A", "<=", 10)]).collect()] == [1]
+
+
+def test_stats_skipping_all_null_and_files_mode_guard(spark, tmp_root):
+    import pyspark.sql.types as T
+
+    with pytest.raises(ValueError, match="stats_cols requires"):
+        TableRepo(f"{tmp_root}/g", stats_cols="A", spark=spark)
+    t = TableRepo(
+        f"{tmp_root}/nu",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        spark=spark,
+    )
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("A", T.LongType())]
+    )
+    t.extend(spark.createDataFrame([("a", None), ("b", None)], schema))
+    t.extend(spark.createDataFrame([("c", 7)], schema))
+    # the all-null commit (and any zero-row part files) is provably
+    # excluded by any comparison
+    kept, total = t.skip_plan([("A", ">=", 0)])
+    assert kept == 1 and total >= 2
+    assert [r["k"] for r in t.get_full_df_skipping([("A", ">=", 0)]).collect()] == ["c"]

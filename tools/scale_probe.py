@@ -24,6 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from parquetranger_spark.operators.curation import budget_select, repetition_stats  # noqa: E402
 from parquetranger_spark.operators.dedup import (  # noqa: E402
+    connected_components_star,
     exact_dedup,
     incremental_near_dedup,
     minhash_index,
@@ -154,6 +155,19 @@ def probe(spark):
         # re-shingling of history. Indexes are PRE-MATERIALIZED outside
         # the timed lambda (that is the whole point of persisting them —
         # a nightly refresh reads the stored index, it doesn't rebuild)
+        # round 5: star CC on a pathological CHAIN (diameter = n —
+        # HashMin's worst case, O(n) rounds). Rounds grow as ~log2(n)
+        # (measured: 11/15/18 rounds at 1e3/1e4/1e5 vertices), so local
+        # wall time is round-overhead-bound and the exponent reads ≈0 —
+        # the property that makes diameter irrelevant at 100 TB
+        "cc_star_chain": lambda f: connected_components_star(
+            spark.range(100_000 * f - 1).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            ),
+            max_iter=40,
+        )
+        .where(F.col("component") != 0)
+        .count(),
         "incremental_dedup_fixed_batch": lambda f: incremental_near_dedup(
             docs.where(F.col("doc_id") % 37 == 0).select(
                 (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
