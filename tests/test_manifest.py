@@ -454,3 +454,41 @@ def test_stats_skipping_all_null_and_files_mode_guard(spark, tmp_root):
     kept, total = t.skip_plan([("A", ">=", 0)])
     assert kept == 1 and total >= 2
     assert [r["k"] for r in t.get_full_df_skipping([("A", ">=", 0)]).collect()] == ["c"]
+
+
+def test_cluster_by_makes_stats_skipping_selective(spark, tmp_root):
+    """Write clustering composes with manifest stats: cluster_by sorts
+    rows so each file covers a tight key range, and a range predicate
+    then skips most files of even a SINGLE commit — the
+    OPTIMIZE-then-skip pattern. The same data unclustered produces
+    overlapping per-file ranges that cannot be pruned."""
+    import random
+
+    rng = random.Random(7)
+    vals = list(range(4000))
+    rng.shuffle(vals)
+    pdf = pd.DataFrame({"k": [f"k{v}" for v in vals], "A": vals})
+
+    def build(root, **kw):
+        t = TableRepo(
+            root,
+            index_cols="k",
+            commit_mode="manifest",
+            stats_cols="A",
+            max_records=500,
+            spark=spark,
+            **kw,
+        )
+        t.extend(spark.createDataFrame(pdf).coalesce(1))
+        return t
+
+    clustered = build(f"{tmp_root}/cl", cluster_by="A")
+    plain = build(f"{tmp_root}/pl")
+    pred = [("A", "between", 100, 299)]
+    kept_c, total_c = clustered.skip_plan(pred)
+    kept_p, total_p = plain.skip_plan(pred)
+    assert total_c >= 8  # maxRecordsPerFile actually split the commit
+    assert kept_c <= 2, f"clustered files should be range-tight ({kept_c}/{total_c})"
+    assert kept_p == total_p, "unclustered shuffled data cannot be pruned"
+    got = sorted(r["A"] for r in clustered.get_full_df_skipping(pred).collect())
+    assert got == list(range(100, 300))
