@@ -895,3 +895,46 @@ def stats_skipping_read(spark, sf_dir):
         F.min("event_id").alias("min_eid"),
         F.max("event_id").alias("max_eid"),
     )
+
+
+@query(
+    "zorder_skipping_read",
+    oracle=f"""
+SELECT count(*) AS n, {dsum_sql('value', 'sum_value')},
+       MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+FROM events WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 20.0 AND 60.0
+""",
+)
+def zorder_skipping_read(spark, sf_dir):
+    """S19×S24: Z-order clustering composed with manifest stats
+    skipping — the OPTIMIZE ZORDER + data-skipping pattern. One commit,
+    Morton-ordered on (user_id, value), per-file [min,max] for both
+    recorded in the manifest; a conjunctive range predicate on the TWO
+    dimensions prunes files driver-side (each file covers a compact
+    hyper-rectangle, so both dimensions skip — lexicographic sort would
+    only serve the first). The surviving files are scanned with the
+    predicates applied, so the oracle match is exact; the in-query
+    guard proves pruning actually happened."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = TableRepo(
+        scratch_dir("zskip") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        cluster_by=["user_id", "value"],
+        cluster_algo="zorder",
+        stats_cols=["user_id", "value"],
+        max_records=1000,
+        spark=spark,
+    )
+    t.extend(ev)
+    preds = [("user_id", "between", 3, 7), ("value", "between", 20.0, 60.0)]
+    kept, total = t.skip_plan(preds)
+    if not kept < total:
+        raise AssertionError(f"zorder skipping pruned nothing ({kept}/{total})")
+    out = t.get_full_df_skipping(preds)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
