@@ -143,7 +143,7 @@ def prune_partitions(
 
 # ---- file-level column statistics (data skipping) ----------------------
 
-SKIP_OPS = ("==", "<", "<=", ">", ">=", "between")
+SKIP_OPS = ("==", "<", "<=", ">", ">=", "between", "in")
 
 
 def norm_predicates(predicates) -> list[tuple]:
@@ -157,6 +157,12 @@ def norm_predicates(predicates) -> list[tuple]:
         if p[1] == "between":
             if len(p) != 4:
                 raise ValueError(f"between needs (col, 'between', lo, hi): {p!r}")
+        elif p[1] == "in":
+            if len(p) != 3 or not isinstance(p[2], (list, tuple, set, frozenset)):
+                raise ValueError(f"in needs (col, 'in', values): {p!r}")
+            if not p[2]:
+                raise ValueError(f"empty 'in' list matches nothing: {p!r}")
+            p = (p[0], "in", tuple(p[2]))
         elif len(p) != 3:
             raise ValueError(f"comparison needs (col, op, value): {p!r}")
         out.append(p)
@@ -179,6 +185,11 @@ def stats_may_match(stats: dict | None, preds: list[tuple]) -> bool:
         mn, mx = st[0], st[1]
         if mn is None:
             return False  # all-null column: no row can satisfy a comparison
+        if any(isinstance(v, float) and v != v for v in (mn, mx)):
+            # NaN bound: Spark orders NaN above every double AND lets NaN
+            # satisfy ordering predicates (NaN >= x is true), so [min,max]
+            # interval logic is unsound here — never skip such a file
+            continue
         op = p[1]
         if op == "==" and not (mn <= p[2] <= mx):
             return False
@@ -191,5 +202,7 @@ def stats_may_match(stats: dict | None, preds: list[tuple]) -> bool:
         if op == "<" and not (mn < p[2]):
             return False
         if op == "between" and not (mx >= p[2] and mn <= p[3]):
+            return False
+        if op == "in" and not any(mn <= v <= mx for v in p[2]):
             return False
     return True

@@ -1286,6 +1286,8 @@ class TableRepo:
             col = F.col(p[0])
             if p[1] == "between":
                 df = df.where((col >= F.lit(p[2])) & (col <= F.lit(p[3])))
+            elif p[1] == "in":
+                df = df.where(col.isin(list(p[2])))
             else:
                 cond = {
                     "==": col == F.lit(p[2]),

@@ -492,3 +492,39 @@ def test_cluster_by_makes_stats_skipping_selective(spark, tmp_root):
     assert kept_p == total_p, "unclustered shuffled data cannot be pruned"
     got = sorted(r["A"] for r in clustered.get_full_df_skipping(pred).collect())
     assert got == list(range(100, 300))
+
+
+def test_stats_skipping_in_op_and_nan_conservative(spark, tmp_root):
+    """'in' predicates prune by interval overlap; NaN stats bounds
+    disable skipping for that file (Spark lets NaN satisfy ordering
+    predicates, so interval logic is unsound there)."""
+    t = TableRepo(
+        f"{tmp_root}/io",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols=["A", "v"],
+        spark=spark,
+    )
+    t.extend(
+        spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "b"], "A": [1, 2], "v": [1.0, 2.0]})
+        ).coalesce(1)
+    )
+    # tuple path, not pandas: pandas NaN converts to NULL on the way in,
+    # which is a different (correctly skippable) case — this row carries
+    # a genuine double NaN
+    t.extend(
+        spark.createDataFrame(
+            [("c", 50, float("nan"))], "k string, A bigint, v double"
+        )
+    )
+    kept, total = t.skip_plan([("A", "in", [2, 3])])
+    assert kept == 1 and total >= 2  # only the [1,2] file overlaps {2,3}
+    got = sorted(r["k"] for r in t.get_full_df_skipping([("A", "in", [2, 50])]).collect())
+    assert got == ["b", "c"]
+    # NaN max bound: the file must survive an ordering predicate
+    kept_nan, _ = t.skip_plan([("v", ">=", 100.0)])
+    assert kept_nan == 1  # only the NaN file — Spark NaN >= 100.0 is true
+    assert [r["k"] for r in t.get_full_df_skipping([("v", ">=", 100.0)]).collect()] == ["c"]
+    with pytest.raises(ValueError, match="empty 'in'"):
+        t.skip_plan([("A", "in", [])])
