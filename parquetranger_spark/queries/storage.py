@@ -938,3 +938,48 @@ def zorder_skipping_read(spark, sf_dir):
         F.min("event_id").alias("min_eid"),
         F.max("event_id").alias("max_eid"),
     )
+
+
+@query(
+    "manifest_stream_agg",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY event_type
+""",
+)
+def manifest_stream_agg(spark, sf_dir):
+    """S21 streaming read side: the manifest-log STREAMING SOURCE
+    (sources/manifest_stream.py) — manifest versions are the offsets,
+    each micro-batch is exactly the rows committed between two versions
+    (diff of two immutable manifest JSONs, never a directory listing),
+    replay is exactly-once by construction. Three appends land as three
+    versions; an availableNow run drains them and the aggregate equals
+    the batch oracle over the same slice — the 'stream the transaction
+    log' shape Delta readers use, closing the loop whose write side is
+    extend_fenced."""
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("mstream") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    for et in ("click", "view", "purchase"):
+        t.extend(ev.where(F.col("event_type") == et))
+    name = f"msagg_{uuid.uuid4().hex[:8]}"
+    q = (
+        t.stream_manifest()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("mstream_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )

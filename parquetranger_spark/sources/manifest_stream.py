@@ -1,0 +1,161 @@
+"""Stream a manifest-mode TableRepo as a Structured Streaming SOURCE —
+the Delta-style "stream the transaction log" shape.
+
+``TableRepo.stream()`` (directory-listing file stream) is refused in
+manifest mode because visibility there is the manifest, not the
+directory. This source closes that gap: the streaming OFFSET is the
+manifest VERSION, each micro-batch emits the rows of files ADDED between
+two committed versions (set difference of the two immutable manifests —
+never a directory listing), and replay is exactly-once by construction:
+``readBetweenOffsets(v1, v2)`` re-derives the identical file set from the
+identical JSONs. Appends stream naturally; an overwrite surfaces only its
+newly-written files (the ``ignoreChanges`` contract Delta documents —
+removed files are not retracted); a ``restore`` re-exposes only commits
+the start offset predates.
+
+Scale/retention notes, honestly stated:
+
+- This is the ``SimpleDataSourceStreamReader`` flavor: batches are
+  materialized driver-side (then pickled into the checkpoint prefetch
+  cache). Right for control-plane-sized increments (the micro-batch
+  ingest cadence the writers in this repo produce); the partition-based
+  ``DataSourceStreamReader`` handing file splits to executors is the
+  known upgrade for fat commits.
+- Offset replay needs the manifests at BOTH offsets retained: vacuuming
+  manifests below a live stream's checkpoint horizon breaks recovery
+  (same caveat as Delta vacuum vs. streaming) — a clear error is raised
+  rather than silently re-reading the world.
+- Reads use pyarrow on the repo's paths — local/NFS in this container;
+  an object-store deployment swaps in the corresponding pyarrow
+  filesystem.
+"""
+
+from __future__ import annotations
+
+FORMAT_NAME = "pqrs_manifest_stream"
+
+
+def manifest_stream_source():
+    """Build the DataSource class; factory-scoped so cloudpickle ships it
+    by value (no executor/driver dependence on this package's sys.path)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["root"]
+            self.cols = options["cols"].split(",")
+            self.types = options["col_types"].split(",")
+
+        # -- manifest plumbing (self-contained: no package imports) ----
+        def _versions(self):
+            import os
+
+            mdir = os.path.join(self.root, "_pqrs_manifest")
+            if not os.path.isdir(mdir):
+                return []
+            out = []
+            for name in os.listdir(mdir):
+                if name.startswith("v") and name.endswith(".json"):
+                    try:
+                        out.append(int(name[1:-5]))
+                    except ValueError:
+                        pass
+            return sorted(out)
+
+        def _manifest(self, version: int):
+            import json
+            import os
+
+            p = os.path.join(self.root, "_pqrs_manifest", f"v{version:020d}.json")
+            if not os.path.exists(p):
+                raise RuntimeError(
+                    f"manifest v{version} of {self.root} is gone (vacuumed?) — "
+                    "a streaming offset needs its manifest retained; keep "
+                    "manifests at least as long as stream checkpoints"
+                )
+            with open(p) as fh:
+                return json.load(fh)
+
+        def _file_set(self, version: int):
+            if version <= 0:
+                return set()
+            out = set()
+            for c in self._manifest(version)["commits"]:
+                base = c.get("base", self.root)
+                for f in c["files"]:
+                    out.add((base, c["dir"], f))
+            return out
+
+        def _cast_part(self, v: str, typ: str):
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            t = typ.strip().lower()
+            if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+                return int(v)
+            if t in ("float", "double"):
+                return float(v)
+            return v
+
+        def _rows_between(self, lo: int, hi: int):
+            import os
+
+            import pyarrow.parquet as pq
+
+            new = sorted(self._file_set(hi) - self._file_set(lo))
+            rows = []
+            for base, cdir, rel in new:
+                # hive col=value dirs inside the commit carry the
+                # partition columns the file itself omits
+                parts = {}
+                for seg in rel.split("/")[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        parts[k] = v
+                tbl = pq.read_table(os.path.join(base, cdir, rel))
+                n = tbl.num_rows
+                colvals = []
+                for name, typ in zip(self.cols, self.types):
+                    if name in tbl.column_names:
+                        colvals.append(tbl.column(name).to_pylist())
+                    elif name in parts:
+                        colvals.append([self._cast_part(parts[name], typ)] * n)
+                    else:
+                        colvals.append([None] * n)
+                rows.extend(zip(*colvals))
+            return rows
+
+        # -- streaming contract ----------------------------------------
+        def initialOffset(self):
+            return {"v": 0}
+
+        def read(self, start):
+            lo = int(start["v"])
+            vs = self._versions()
+            hi = vs[-1] if vs else 0
+            if hi <= lo:
+                return [], {"v": lo}
+            return self._rows_between(lo, hi), {"v": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows_between(int(start["v"]), int(end["v"]))
+
+        def commit(self, end):
+            pass
+
+    class ManifestStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "pqrs_manifest_stream"
+
+        def schema(self):
+            return self.options["schema_ddl"]
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return ManifestStream
+
+
+def register_manifest_stream(spark) -> None:
+    """Idempotently register the source for this session."""
+    spark.dataSource.register(manifest_stream_source())

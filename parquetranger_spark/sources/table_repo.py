@@ -901,8 +901,7 @@ class TableRepo:
         if self.commit_mode == "manifest":
             raise TypeError(
                 "stream() reads by directory listing; manifest-mode visibility "
-                "is the manifest, not the directory — stream the manifest "
-                "table via foreachBatch over versions instead"
+                "is the manifest, not the directory — use stream_manifest()"
             )
         meta = load_meta(self.main_path, spark=self._spark)
         if meta is None or meta.schema is None:
@@ -911,6 +910,33 @@ class TableRepo:
         if max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.parquet(self.main_path)
+
+    def stream_manifest(self) -> DataFrame:
+        """The table as a streaming source in MANIFEST mode — offsets are
+        manifest VERSIONS, each micro-batch is the rows of files added
+        between two committed versions, and replay re-derives identical
+        batches from the immutable manifest JSONs (exactly-once by
+        construction; see sources/manifest_stream.py for the
+        append/overwrite/vacuum contract). The streaming read side of the
+        commit protocol whose write side is ``extend_fenced``."""
+        if self.commit_mode != "manifest":
+            raise TypeError("stream_manifest() requires commit_mode='manifest'")
+        meta = load_meta(self.main_path, spark=self._spark)
+        schema = meta.schema if meta and meta.schema else self.get_full_df().schema
+        if not schema.fields:
+            raise TypeError("stream_manifest() needs a committed schema (write once first)")
+        from .manifest_stream import register_manifest_stream
+
+        spark = self._session()
+        register_manifest_stream(spark)
+        return (
+            spark.readStream.format("pqrs_manifest_stream")
+            .option("root", self.main_path)
+            .option("schema_ddl", ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields))
+            .option("cols", ",".join(f.name for f in schema.fields))
+            .option("col_types", ",".join(f.dataType.simpleString() for f in schema.fields))
+            .load()
+        )
 
     def as_view(self, name: str | None = None) -> str:
         """Register the table as a temp view (default name: the table's

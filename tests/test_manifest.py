@@ -528,3 +528,44 @@ def test_stats_skipping_in_op_and_nan_conservative(spark, tmp_root):
     assert [r["k"] for r in t.get_full_df_skipping([("v", ">=", 100.0)]).collect()] == ["c"]
     with pytest.raises(ValueError, match="empty 'in'"):
         t.skip_plan([("A", "in", [])])
+
+
+def test_stream_manifest_versions_as_offsets(spark, tmp_root, tmp_path):
+    """Manifest-log streaming source: offsets are manifest versions, a
+    resumed checkpoint streams ONLY commits made since (exactly-once, no
+    re-reads), partition columns are reconstructed from hive dirs, and
+    an overwrite surfaces only its newly-written rows (ignoreChanges
+    contract, no retraction)."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def run():
+        q = (
+            t.stream_manifest()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 12)))
+    t.extend(spark.createDataFrame(_frame(12)))
+    run()
+    got = rows(spark.read.parquet(out))
+    assert got == rows(spark.createDataFrame(_frame(0, 18)))  # no duplicates
+    upd = pd.DataFrame({"k": ["x"], "A": [99], "C": ["1"]})
+    t.replace_groups(spark.createDataFrame(upd))
+    run()
+    got2 = rows(spark.read.parquet(out))
+    assert ("x", 99, "1") in got2 and len(got2) == 19
+    # files mode refuses; manifest mode refuses the listing-based stream
+    with pytest.raises(TypeError, match="stream_manifest"):
+        TableRepo(f"{tmp_root}/fm", index_cols="k", spark=spark).stream_manifest()
+    with pytest.raises(TypeError, match="stream_manifest"):
+        t.stream(1)
