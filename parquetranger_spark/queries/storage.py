@@ -983,3 +983,39 @@ def manifest_stream_agg(spark, sf_dir):
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "manifest_changes_feed",
+    oracle=f"""
+SELECT 'delete' AS _change_type, event_type, count(*) AS n,
+       {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+UNION ALL
+SELECT 'insert' AS _change_type, event_type, count(*) AS n,
+       {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type = 'purchase' GROUP BY event_type
+""",
+)
+def manifest_changes_feed(spark, sf_dir):
+    """S21 batch CDF: row-level change feed between two manifest
+    versions (TableRepo.changes_between) — two appends then a
+    truncate-and-load; the v2→v3 feed shows every pre-truncation row as
+    a delete and the reload as inserts, derived purely from the two
+    immutable manifests (no directory diffing, no data rewrite). The
+    deletes-then-inserts replay contract is what keeps a downstream
+    sync convergent."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("cdf") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(ev.where(F.col("event_type") == "click"))
+    t.extend(ev.where(F.col("event_type") == "view"))
+    t.replace_all(ev.where(F.col("event_type") == "purchase"))
+    feed = t.changes_between(2, 3)
+    return feed.groupBy("_change_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )

@@ -541,6 +541,63 @@ class TableRepo:
             raise RuntimeError(f"clone target {dest_root} already has a manifest")
         return clone
 
+    def changes_between(self, start: int, end: int | None = None) -> DataFrame:
+        """Row-level CHANGE FEED between two committed versions (manifest
+        mode) — the batch CDF face of the commit protocol: rows of files
+        present at ``end`` but not ``start`` surface with
+        ``_change_type='insert'``, rows of files removed by then with
+        ``_change_type='delete'``. File-granular (this repo's ops —
+        append, dynamic/static overwrite, delete, restore — all move
+        whole files), derived ENTIRELY from the two immutable manifests:
+        an upsert that rewrote a partition shows its old files as
+        deletes and its new files as inserts, a downstream sync replays
+        deletes-then-inserts and converges. ``start=0`` is the empty
+        table; ``end=None`` means the latest version. Both manifests
+        must still be retained (same caveat as time travel)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("changes_between() requires commit_mode='manifest'")
+        from .manifest import load_manifest
+
+        fs = self._fs()
+        if end is None:
+            vs = self.versions()
+            end = vs[-1] if vs else 0
+
+        def fset(version: int) -> set:
+            if version <= 0:
+                return set()
+            mf = load_manifest(fs, self.main_path, version)
+            if mf is None:
+                raise KeyError(f"no manifest version {version} for {self.name}")
+            return {
+                (c.get("base", self.main_path), c["dir"], f)
+                for c in mf["commits"]
+                for f in c["files"]
+            }
+
+        s_set, e_set = fset(start), fset(end)
+
+        def scan(version: int, wanted: set, change: str) -> DataFrame:
+            df = self._manifest_df(
+                version if version > 0 else None,
+                file_keep=lambda c, f: (c.get("base", self.main_path), c["dir"], f)
+                in wanted,
+            )
+            return df.withColumn("_change_type", F.lit(change))
+
+        if not e_set - s_set and not s_set - e_set:
+            empty = self._manifest_df(end if end > 0 else None, file_keep=lambda c, f: False)
+            return empty.withColumn("_change_type", F.lit("insert"))
+        parts = []
+        if e_set - s_set:
+            parts.append(scan(end, e_set - s_set, "insert"))
+        if s_set - e_set:
+            parts.append(scan(start, s_set - e_set, "delete"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def restore(self, version: int) -> None:
         """Roll the table back to an earlier manifest version by
         publishing a NEW version with the old version's commit list

@@ -569,3 +569,35 @@ def test_stream_manifest_versions_as_offsets(spark, tmp_root, tmp_path):
         TableRepo(f"{tmp_root}/fm", index_cols="k", spark=spark).stream_manifest()
     with pytest.raises(TypeError, match="stream_manifest"):
         t.stream(1)
+
+
+def test_changes_between_versions(spark, tmp_root):
+    """Batch change feed: inserts for added files, deletes for removed
+    ones, derived purely from the two manifests — an upsert shows the
+    rewritten partition's old rows as deletes and new rows as inserts,
+    and replaying deletes-then-inserts converges a downstream copy."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0, 9)))      # v1: C 0/1/2 × 3
+    t.extend(spark.createDataFrame(_frame(9, 3)))      # v2: one row per C
+    upd = pd.DataFrame({"k": ["x1"], "A": [100], "C": ["1"]})
+    t.replace_groups(spark.createDataFrame(upd))       # v3: rewrites C=1
+
+    ch12 = t.changes_between(1, 2)
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in ch12.collect()
+    ) == sorted((f"k{i}", "insert") for i in range(9, 12))
+
+    ch23 = {(r["k"], r["_change_type"]) for r in t.changes_between(2, 3).collect()}
+    # C=1 rows at v2: k1, k4, k7, k10 deleted; x1 inserted
+    assert ch23 == {("k1", "delete"), ("k4", "delete"), ("k7", "delete"),
+                    ("k10", "delete"), ("x1", "insert")}
+    # full-feed replay from empty converges to the current table
+    feed = t.changes_between(0)
+    ins = {r["k"] for r in feed.where("_change_type = 'insert'").collect()}
+    assert ins == {r["k"] for r in t.get_full_df().collect()}
+    assert feed.where("_change_type = 'delete'").count() == 0
+    # identical versions → empty feed with the schema intact
+    same = t.changes_between(3, 3)
+    assert same.count() == 0 and "_change_type" in same.columns
+    with pytest.raises(TypeError, match="changes_between"):
+        TableRepo(f"{tmp_root}/fm", index_cols="k", spark=spark).changes_between(0)
