@@ -72,6 +72,16 @@ HEADLINE = [
     "token_budget_sample",
     "semantic_dedup_kept",
     "delete_records_roundtrip",
+    # round-5 additions: recursive CTE, Python UDTF, O(log n) star CC,
+    # manifest stats skipping (+ Z-order composition), manifest-log
+    # streaming source, batch change feed — new to the headline set
+    "sql_recursive_spine",
+    "udtf_word_runs",
+    "dedup_clusters_star",
+    "stats_skipping_read",
+    "zorder_skipping_read",
+    "manifest_stream_agg",
+    "manifest_changes_feed",
 ]
 
 
