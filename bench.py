@@ -98,8 +98,13 @@ def run_one(spark, name: str) -> float:
     # isolation between measurements: drop caches a query persisted for its
     # own self-joins so heap pressure never bleeds into the next query, and
     # nudge the JVM to collect — measured run-to-run swings of 2x on the
-    # heavier queries trace to old-gen pressure accumulated upstream
+    # heavier queries trace to old-gen pressure accumulated upstream.
+    # clearCache misses eager localCheckpoint blocks (they are persistent
+    # RDDs, not cached plans) — over hundreds of executions those outrun
+    # the async ContextCleaner, so unpersist them explicitly too
     spark.catalog.clearCache()
+    for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        r.unpersist(False)
     spark.sparkContext._jvm.System.gc()
     return dt
 

@@ -146,6 +146,14 @@ def prune_partitions(
 SKIP_OPS = ("==", "<", "<=", ">", ">=", "between", "in")
 
 
+def _check_value(p: tuple, v) -> None:
+    # None would TypeError against stats mid-scan (and a comparison to
+    # NULL matches nothing anyway); NaN satisfies no interval test but
+    # Spark's NaN ordering would match rows — both rejected up front
+    if v is None or (isinstance(v, float) and v != v):
+        raise ValueError(f"skip predicate value must be non-null and not NaN: {p!r}")
+
+
 def norm_predicates(predicates) -> list[tuple]:
     """Validate/normalize skip predicates: (col, op, value) or
     (col, 'between', lo, hi). Conjunctive (all must hold)."""
@@ -154,6 +162,12 @@ def norm_predicates(predicates) -> list[tuple]:
         p = tuple(p)
         if len(p) < 3 or p[1] not in SKIP_OPS:
             raise ValueError(f"bad skip predicate {p!r}; ops: {SKIP_OPS}")
+        for v in p[2:]:
+            if isinstance(v, (list, tuple, set, frozenset)):
+                for vv in v:
+                    _check_value(p, vv)
+            else:
+                _check_value(p, v)
         if p[1] == "between":
             if len(p) != 4:
                 raise ValueError(f"between needs (col, 'between', lo, hi): {p!r}")

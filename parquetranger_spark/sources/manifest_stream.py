@@ -87,6 +87,12 @@ def manifest_stream_source():
             return out
 
         def _cast_part(self, v: str, typ: str):
+            # Spark %xx-escapes special characters in partition dir values
+            # (e.g. ':' → %3A) — unescape so the stream agrees with what
+            # the batch read path's hive discovery reconstructs
+            from urllib.parse import unquote
+
+            v = unquote(v)
             if v == "__HIVE_DEFAULT_PARTITION__":
                 return None
             t = typ.strip().lower()
@@ -94,6 +100,16 @@ def manifest_stream_source():
                 return int(v)
             if t in ("float", "double"):
                 return float(v)
+            if t == "boolean":
+                return v.lower() == "true"
+            if t == "date":
+                from datetime import date
+
+                return date.fromisoformat(v)
+            if t.startswith("timestamp"):
+                from datetime import datetime
+
+                return datetime.fromisoformat(v.replace(" ", "T"))
             return v
 
         def _rows_between(self, lo: int, hi: int):

@@ -562,6 +562,11 @@ class TableRepo:
         if end is None:
             vs = self.versions()
             end = vs[-1] if vs else 0
+        if start > end:
+            # transposed args would return a feed with insert/delete
+            # INVERTED — a replaying sync would apply the exact opposite
+            # of the real change set; fail loudly instead
+            raise ValueError(f"changes_between: start {start} > end {end}")
 
         def fset(version: int) -> set:
             if version <= 0:
@@ -1300,9 +1305,15 @@ class TableRepo:
         one row per file — driver-safe at any commit size the
         maxRecordsPerFile/compaction policy produces."""
         spark = self._session()
-        scan = spark.read.option("basePath", cdir).parquet(
-            *[join_path(cdir, f) for f in files]
-        )
+        r = spark.read.option("basePath", cdir)
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta and meta.schema:
+            # same rule as _manifest_df: the sidecar schema types the hive
+            # partition columns — without it the scan INFERS them (string
+            # '1' dirs become ints) and the recorded stats would compare
+            # against the wrong type at skip time
+            r = r.schema(meta.schema)
+        scan = r.parquet(*[join_path(cdir, f) for f in files])
         ok = (
             T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.StringType,
@@ -1325,10 +1336,17 @@ class TableRepo:
         )
         from urllib.parse import unquote
 
+        # O(files): split each URI on the (uuid-named, unique) commit-dir
+        # segment instead of scanning the file list per row
+        fileset = set(files)
+        marker = "/" + cdir.rstrip("/").split("/")[-1] + "/"
         stats: dict = {}
         for r in rows:
             uri = unquote(r["__f"])
-            rel = next((f for f in files if uri.endswith("/" + f)), None)
+            pos = uri.rfind(marker)
+            rel = uri[pos + len(marker):] if pos >= 0 else None
+            if rel not in fileset:
+                rel = next((f for f in files if uri.endswith("/" + f)), None)
             if rel is None:
                 continue
             stats[rel] = {c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols}
@@ -1390,6 +1408,11 @@ class TableRepo:
 
         preds = norm_predicates(predicates)
         mf = load_manifest(self._fs(), self.main_path, version)
+        if version is not None and mf is None:
+            # same contract as the read path: an explicitly requested
+            # missing (vacuumed/never-committed) version is an error, not
+            # an empty plan
+            raise KeyError(f"no manifest version {version} for {self.name}")
         kept = total = 0
         for c in (mf or {}).get("commits", []):
             for f in c["files"]:

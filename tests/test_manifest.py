@@ -601,3 +601,46 @@ def test_changes_between_versions(spark, tmp_root):
     assert same.count() == 0 and "_change_type" in same.columns
     with pytest.raises(TypeError, match="changes_between"):
         TableRepo(f"{tmp_root}/fm", index_cols="k", spark=spark).changes_between(0)
+
+
+def test_stats_on_partition_column_and_api_guards(spark, tmp_root):
+    """Stats on a HIVE PARTITION column use the sidecar types (string
+    '1' dirs must not be inferred as ints), and the API guards hold:
+    transposed changes_between raises, a missing explicit version raises
+    KeyError from skip_plan too, and null/NaN predicate values are
+    rejected up front."""
+    t = _repo(spark, f"{tmp_root}/t", stats_cols=["C", "A"])
+    t.extend(spark.createDataFrame(_frame(0, 9)))  # C in '0','1','2'
+    kept, total = t.skip_plan([("C", "==", "1")])
+    assert kept < total
+    got = sorted(r["k"] for r in t.get_full_df_skipping([("C", "==", "1")]).collect())
+    assert got == ["k1", "k4", "k7"]
+    with pytest.raises(ValueError, match="start"):
+        t.changes_between(2, 1)
+    with pytest.raises(KeyError, match="99"):
+        t.skip_plan([("A", ">=", 0)], version=99)
+    with pytest.raises(ValueError, match="non-null"):
+        t.skip_plan([("A", "==", None)])
+    with pytest.raises(ValueError, match="NaN"):
+        t.skip_plan([("A", "in", [1.0, float("nan")])])
+
+
+def test_stream_manifest_unescapes_partition_values(spark, tmp_root, tmp_path):
+    """Partition values Spark %xx-escapes in dir names (':' → %3A) come
+    back unescaped from the streaming source, matching the batch read."""
+    t = _repo(spark, f"{tmp_root}/t")
+    pdf = pd.DataFrame({"k": ["a", "b"], "A": [1, 2], "C": ["x:1", "y 2"]})
+    t.extend(spark.createDataFrame(pdf))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    q = (
+        t.stream_manifest()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert rows(spark.read.parquet(out)) == rows(t.get_full_df())
+    assert {r["C"] for r in spark.read.parquet(out).collect()} == {"x:1", "y 2"}
