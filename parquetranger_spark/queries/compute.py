@@ -1307,3 +1307,102 @@ def sql_recursive_spine(spark, sf_dir):
     facts."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("pqrs_orders_rec_v")
     return spark.sql(_RECURSIVE_SPINE_SQL.format(src="pqrs_orders_rec_v"))
+
+
+@query(
+    "ab_test_lift",
+    oracle="""
+WITH t AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+agg AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN v END) AS DOUBLE) AS s_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN v END) AS DOUBLE) AS s_b
+  FROM t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+       (s_b / n_b) / (s_a / n_a) AS lift
+FROM agg
+""",
+)
+def ab_test_lift(spark, sf_dir):
+    """Experimentation surface: deterministic A/B assignment by content
+    hash (md5-prefix parity of user_id — the same leakage-proof device
+    as the dataset split: a user's arm never changes as data grows, and
+    any engine re-derives it), then per-arm decimal-exact purchase-value
+    means and their lift ratio in ONE conditional-aggregation pass over
+    the fact stream — no join, no second scan. The lift is a single
+    double division of two exactly-computed means, so the oracle hash
+    matches bit-for-bit."""
+    from ..functions.hashing import md5_prefix_long
+    from .common import DEC
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    t = ev.select(
+        (md5_prefix_long("user_id") % 2).alias("arm"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    agg = t.agg(
+        F.sum(F.when(a0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(a0, F.col("v"))).cast("double").alias("s_a"),
+        F.sum(F.when(a1, F.col("v"))).cast("double").alias("s_b"),
+    )
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("s_a") / F.col("n_a")).alias("mean_a"),
+        (F.col("s_b") / F.col("n_b")).alias("mean_b"),
+        ((F.col("s_b") / F.col("n_b")) / (F.col("s_a") / F.col("n_a"))).alias("lift"),
+    )
+
+
+@query(
+    "events_decayed_engagement",
+    oracle="""
+WITH ref AS (SELECT max(epoch_ns(ts)) AS tref FROM events),
+t AS (
+  SELECT user_id,
+         (ref.tref - epoch_ns(ts)) // 86400000000000 AS age_days,
+         CAST(value AS DECIMAL(28,6)) AS v
+  FROM events, ref
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(v * (CASE WHEN age_days <= 20
+                          THEN CAST(power(2, 20 - age_days) AS BIGINT)
+                          ELSE 0 END)) AS DOUBLE) / 1048576.0 AS score
+FROM t GROUP BY user_id
+""",
+)
+def events_decayed_engagement(spark, sf_dir):
+    """Recency-weighted engagement: per-user sum of event values decayed
+    by a one-day half-life, computed with EXACT integer weights — the
+    decay 0.5^age_days is expressed as the integer 2^(20-age_days)
+    (ages past 20 days decay to zero), so the weighted sum is pure
+    decimal×bigint arithmetic and only the final /2^20 normalization
+    touches doubles: bit-identical across engines where naive
+    pow(0.5, Δt/86400.0) would drift on division rounding. age comes
+    from integer epoch-nanos division (div), never a double divide of
+    ~1e18 nanos. One scan, one tiny max-aggregate for the reference
+    instant, one grouped sum."""
+    from .common import DEC
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tref = ev.agg(F.max("ts").alias("m")).first()["m"]
+    age = F.expr(f"({tref}L - ts) div 86400000000000")
+    w = F.when(age <= 20, F.pow(F.lit(2.0), (F.lit(20) - age).cast("double")).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    t = ev.select(
+        "user_id", (F.col("value").cast(DEC) * w).alias("wv")
+    )
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("wv").cast("double") / F.lit(1048576.0)).alias("score"),
+    )
