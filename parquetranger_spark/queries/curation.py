@@ -1180,3 +1180,41 @@ def revenue_pareto_front(spark, sf_dir):
     return kept.select(
         "o_custkey", "cents", F.col("cum_cents").alias("cum_cents")
     )
+
+
+@query(
+    "per_group_sample",
+    oracle="""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, count(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM r WHERE rk <= 7 GROUP BY lang
+""",
+)
+def per_group_sample(spark, sf_dir):
+    """X7: EXACT-k per-group sampling — each language contributes its 7
+    documents with the smallest content-key hash (md5 hex order, doc_id
+    tie-break), the balanced-subset primitive fraction-based sampling
+    can't provide (fractions guarantee rates, not counts). Deterministic
+    and stable: a new document displaces at most one old member per
+    group, never reshuffles the sample. Plans as WindowGroupLimit — the
+    rank ≤ k filter pushes below the shuffle, so each map task forwards
+    at most k rows per group instead of the whole corpus."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
+    )
