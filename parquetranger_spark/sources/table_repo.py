@@ -118,6 +118,7 @@ class TableRepo:
         commit_mode: str = "files",
         compression: str | None = None,
         stats_cols: str | list[str] | None = None,
+        constraints: dict[str, str] | None = None,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -159,6 +160,10 @@ class TableRepo:
         self.stats_cols = [stats_cols] if isinstance(stats_cols, str) else list(stats_cols or [])
         if self.stats_cols and commit_mode != "manifest":
             raise ValueError("stats_cols requires commit_mode='manifest' (stats live in the manifest)")
+        # named CHECK constraints (SQL boolean expressions over the batch's
+        # columns) enforced on EVERY write path — the Delta-style quality
+        # gate: a violating batch is rejected whole before any file lands
+        self.constraints = dict(constraints or {})
         self._spark = spark
         if mkdirs:
             self.mkdirs()
@@ -1036,7 +1041,8 @@ class TableRepo:
         return self._spark or active_spark()
 
     def _prepare(self, df: DataFrame) -> DataFrame:
-        """Bucket-assign, null-group-filter, schema-align (write-side)."""
+        """Bucket-assign, null-group-filter, schema-align, constraint-check
+        (write-side)."""
         if self.partitioner is not None and self.partitioner.bucket_col not in df.columns:
             df = self.partitioner.assign(df, index_cols=self.index_cols)
         for gc in self.group_cols:
@@ -1044,7 +1050,41 @@ class TableRepo:
             # core.py:350, SURVEY §7.3.3) — match it, instead of Spark's
             # __HIVE_DEFAULT_PARTITION__ dirs
             df = df.where(F.col(gc).isNotNull())
-        return self._align(df)
+        df = self._align(df)
+        self._enforce_constraints(df)
+        return df
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """CHECK-constraint gate: reject the WHOLE batch before any file
+        lands if any named boolean expression evaluates FALSE on any row
+        (SQL CHECK semantics — NULL passes). Enforced on every write path
+        in one map-side-combined aggregate over the batch (never the
+        table); the failure path pays one more small job to surface
+        example rows. Callers writing expensive lineage should
+        checkpoint/persist upstream — the check is a second evaluation
+        of the batch plan, same as the stats pass."""
+        if not self.constraints:
+            return
+        viol = {
+            name: F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(name)
+            for name, expr in self.constraints.items()
+        }
+        row = df.agg(*viol.values()).first()
+        bad = {n: row[n] for n in self.constraints if row[n]}
+        if bad:
+            name = next(iter(bad))
+            examples = (
+                df.where(~F.coalesce(F.expr(self.constraints[name]), F.lit(True)))
+                .limit(3)
+                .collect()
+            )
+            raise ValueError(
+                f"CHECK constraint(s) violated for {self.name}: "
+                + ", ".join(f"{n} ({c} rows)" for n, c in bad.items())
+                + f"; e.g. {[tuple(r) for r in examples]} fail {self.constraints[name]!r}"
+            )
 
     def _align(self, df: DataFrame) -> DataFrame:
         from ..plans.schema import as_nullable

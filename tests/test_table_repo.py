@@ -757,3 +757,34 @@ def test_ignore_corrupt_files_without_sidecar(spark, tmp_root):
             os.remove(os.path.join(t.main_path, fn))
     got = t.get_full_df(ignore_corrupt_files=True)
     assert sorted(r["__index"] for r in got.collect()) == ["a1", "a3"]
+
+
+def test_check_constraints_gate_every_write_path(spark, tmp_root):
+    """Named CHECK constraints reject a violating batch WHOLE before any
+    file lands (SQL semantics: NULL passes); clean batches write
+    normally on extend, upsert, and replace_all."""
+    import pandas as pd
+    import pytest
+
+    from parquetranger_spark import TableRepo
+
+    t = TableRepo(
+        f"{tmp_root}/ck",
+        group_cols="c",
+        index_cols="k",
+        constraints={"positive_a": "a > 0", "known_c": "c IN ('x', 'y')"},
+        spark=spark,
+    )
+    good = pd.DataFrame({"k": ["1", "2"], "a": [5, None], "c": ["x", "y"]})
+    t.extend(spark.createDataFrame(good))  # NULL a passes CHECK
+    assert t.get_full_df().count() == 2
+    bad = pd.DataFrame({"k": ["3", "4"], "a": [7, -1], "c": ["x", "x"]})
+    with pytest.raises(ValueError, match="positive_a"):
+        t.extend(spark.createDataFrame(bad))
+    assert t.get_full_df().count() == 2  # nothing landed
+    worse = pd.DataFrame({"k": ["3"], "a": [-2], "c": ["z"]})
+    with pytest.raises(ValueError, match="rows"):
+        t.replace_records(spark.createDataFrame(worse))
+    with pytest.raises(ValueError, match="known_c"):
+        t.replace_all(spark.createDataFrame(pd.DataFrame({"k": ["9"], "a": [1], "c": ["z"]})))
+    assert sorted(r["k"] for r in t.get_full_df().collect()) == ["1", "2"]
