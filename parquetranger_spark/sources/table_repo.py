@@ -119,6 +119,7 @@ class TableRepo:
         compression: str | None = None,
         stats_cols: str | list[str] | None = None,
         constraints: dict[str, str] | None = None,
+        constraint_mode: str = "fail",
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -162,8 +163,15 @@ class TableRepo:
             raise ValueError("stats_cols requires commit_mode='manifest' (stats live in the manifest)")
         # named CHECK constraints (SQL boolean expressions over the batch's
         # columns) enforced on EVERY write path — the Delta-style quality
-        # gate: a violating batch is rejected whole before any file lands
+        # gate. mode 'fail': a violating batch is rejected whole before any
+        # file lands; mode 'drop' (the DLT expect_or_drop shape): violating
+        # rows are filtered out and per-constraint drop counts land in
+        # ``last_constraint_drops`` for the caller's quality telemetry
         self.constraints = dict(constraints or {})
+        if constraint_mode not in ("fail", "drop"):
+            raise ValueError("constraint_mode must be 'fail' or 'drop'")
+        self.constraint_mode = constraint_mode
+        self.last_constraint_drops: dict[str, int] = {}
         self._spark = spark
         if mkdirs:
             self.mkdirs()
@@ -1051,20 +1059,20 @@ class TableRepo:
             # __HIVE_DEFAULT_PARTITION__ dirs
             df = df.where(F.col(gc).isNotNull())
         df = self._align(df)
-        self._enforce_constraints(df)
-        return df
+        return self._apply_constraints(df)
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        """CHECK-constraint gate: reject the WHOLE batch before any file
-        lands if any named boolean expression evaluates FALSE on any row
-        (SQL CHECK semantics — NULL passes). Enforced on every write path
-        in one map-side-combined aggregate over the batch (never the
-        table); the failure path pays one more small job to surface
-        example rows. Callers writing expensive lineage should
-        checkpoint/persist upstream — the check is a second evaluation
-        of the batch plan, same as the stats pass."""
+    def _apply_constraints(self, df: DataFrame) -> DataFrame:
+        """CHECK-constraint gate (SQL semantics — NULL passes), one
+        map-side-combined aggregate over the batch (never the table).
+        mode 'fail': any FALSE row rejects the WHOLE batch before a file
+        lands (the failure path pays one more small job for example
+        rows). mode 'drop': rows violating ANY constraint are filtered
+        from the write and per-constraint counts land in
+        ``last_constraint_drops``. Callers writing expensive lineage
+        should checkpoint/persist upstream — the check re-evaluates the
+        batch plan, same as the stats pass."""
         if not self.constraints:
-            return
+            return df
         viol = {
             name: F.sum(
                 F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
@@ -1072,7 +1080,15 @@ class TableRepo:
             for name, expr in self.constraints.items()
         }
         row = df.agg(*viol.values()).first()
-        bad = {n: row[n] for n in self.constraints if row[n]}
+        bad = {n: int(row[n]) for n in self.constraints if row[n]}
+        if self.constraint_mode == "drop":
+            self.last_constraint_drops = bad
+            if not bad:
+                return df
+            keep = F.lit(True)
+            for expr in self.constraints.values():
+                keep = keep & F.coalesce(F.expr(expr), F.lit(True))
+            return df.where(keep)
         if bad:
             name = next(iter(bad))
             examples = (
@@ -1085,6 +1101,7 @@ class TableRepo:
                 + ", ".join(f"{n} ({c} rows)" for n, c in bad.items())
                 + f"; e.g. {[tuple(r) for r in examples]} fail {self.constraints[name]!r}"
             )
+        return df
 
     def _align(self, df: DataFrame) -> DataFrame:
         from ..plans.schema import as_nullable

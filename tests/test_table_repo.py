@@ -788,3 +788,32 @@ def test_check_constraints_gate_every_write_path(spark, tmp_root):
     with pytest.raises(ValueError, match="known_c"):
         t.replace_all(spark.createDataFrame(pd.DataFrame({"k": ["9"], "a": [1], "c": ["z"]})))
     assert sorted(r["k"] for r in t.get_full_df().collect()) == ["1", "2"]
+
+
+def test_check_constraints_drop_mode(spark, tmp_root):
+    """constraint_mode='drop' (the expect_or_drop shape): violating rows
+    are filtered from the write, clean rows land, and per-constraint
+    drop counts surface in last_constraint_drops."""
+    import pandas as pd
+    import pytest
+
+    from parquetranger_spark import TableRepo
+
+    t = TableRepo(
+        f"{tmp_root}/ckd",
+        index_cols="k",
+        constraints={"positive_a": "a > 0", "short_k": "length(k) <= 2"},
+        constraint_mode="drop",
+        spark=spark,
+    )
+    batch = pd.DataFrame(
+        {"k": ["1", "2", "bad3", "4"], "a": [5, -1, 9, None]}
+    )
+    t.extend(spark.createDataFrame(batch))
+    assert t.last_constraint_drops == {"positive_a": 1, "short_k": 1}
+    assert sorted(r["k"] for r in t.get_full_df().collect()) == ["1", "4"]
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["5"], "a": [1]})))
+    assert t.last_constraint_drops == {}
+    assert t.get_full_df().count() == 3
+    with pytest.raises(ValueError, match="constraint_mode"):
+        TableRepo(f"{tmp_root}/bad", constraints={"x": "1=1"}, constraint_mode="warn", spark=spark)
