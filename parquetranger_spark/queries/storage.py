@@ -1019,3 +1019,37 @@ def manifest_changes_feed(spark, sf_dir):
     return feed.groupBy("_change_type", "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "constraints_drop_audit",
+    oracle=f"""
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events
+WHERE (value >= 1.0 OR value IS NULL)
+  AND (event_type <> 'error' OR event_type IS NULL)
+GROUP BY event_type
+""",
+)
+def constraints_drop_audit(spark, sf_dir):
+    """S25 driver-checked: events ingested through a drop-mode
+    constraint gate (value ≥ 1.0, type ≠ 'error'; SQL CHECK semantics so
+    NULL passes) — violating rows never land, clean rows read back
+    exactly as the oracle's WHERE with explicit NULL-pass terms. The
+    per-constraint drop counts the gate records are additionally
+    sanity-checked in-query: the gate must actually have dropped the
+    'error' rows."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("ckdrop") + "/events",
+        index_cols="event_id",
+        constraints={"v_pos": "value >= 1.0", "not_error": "event_type <> 'error'"},
+        constraint_mode="drop",
+        spark=spark,
+    )
+    t.extend(ev)
+    if not t.last_constraint_drops.get("not_error"):
+        raise AssertionError(f"gate dropped nothing: {t.last_constraint_drops}")
+    return t.get_full_df().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
