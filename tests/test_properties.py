@@ -212,3 +212,119 @@ def test_delete_records_random(spark, tmp_path_factory, base, kill_keys, grouped
     want = canon(full[~full.k.isin(kill_keys)])
     pd.testing.assert_frame_equal(got, want)
     t.purge()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    preds=st.lists(
+        st.one_of(
+            st.tuples(st.just("A"), st.sampled_from(["==", "<", "<=", ">", ">="]),
+                      st.integers(min_value=-100, max_value=100)),
+            st.tuples(st.just("A"), st.just("between"),
+                      st.integers(min_value=-100, max_value=0),
+                      st.integers(min_value=0, max_value=100)),
+            st.tuples(st.just("s"), st.just("=="), st.sampled_from(["x", "y", "z", "w"])),
+            st.tuples(st.just("s"), st.just("in"),
+                      st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=3)),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    n_commits=st.integers(min_value=1, max_value=3),
+)
+def test_stats_skipping_soundness_random(spark, tmp_path_factory, rows, preds, n_commits):
+    """SOUNDNESS of file skipping: for random data sliced into random
+    commits and random conjunctive predicates, the stats-pruned read
+    returns exactly the rows a plain filtered full scan returns —
+    pruning may only ever remove files that provably hold no match."""
+    root = str(tmp_path_factory.mktemp("skiprop")) + "/t"
+    t = TableRepo(
+        root, index_cols="k", commit_mode="manifest", stats_cols=["A", "s"], spark=spark
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "A", "s"])
+    chunk = max(1, len(pdf) // n_commits)
+    for i in range(0, len(pdf), chunk):
+        t.extend(spark.createDataFrame(pdf.iloc[i : i + chunk]))
+    got = t.get_full_df_skipping(preds).toPandas()
+    mask = pd.Series(True, index=pdf.index)
+    for p in preds:
+        col = pdf[p[0]]
+        if p[1] == "between":
+            mask &= (col >= p[2]) & (col <= p[3])
+        elif p[1] == "in":
+            mask &= col.isin(list(p[2]))
+        else:
+            import operator
+
+            ops = {"==": operator.eq, "<": operator.lt, "<=": operator.le,
+                   ">": operator.gt, ">=": operator.ge}
+            mask &= ops[p[1]](col, p[2])
+    want = pdf[mask]
+    assert sorted(map(tuple, got[["k", "A", "s"]].itertuples(index=False))) == sorted(
+        map(tuple, want.itertuples(index=False))
+    )
+    t.purge()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["extend", "replace_groups", "replace_all"]),
+                  st.integers(min_value=0, max_value=1000)),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_change_feed_replay_converges_random(spark, tmp_path_factory, ops):
+    """Change-feed ALGEBRA: replaying the v0→latest feed (apply deletes,
+    then inserts) over a random op sequence reconstructs exactly the
+    current table — and chaining per-version feeds composes to the same
+    thing."""
+    root = str(tmp_path_factory.mktemp("cdfprop")) + "/t"
+    t = TableRepo(root, group_cols="g", index_cols="k", commit_mode="manifest", spark=spark)
+    for i, (op, seed) in enumerate(ops):
+        pdf = pd.DataFrame(
+            {
+                "k": [f"k{seed}_{i}_{j}" for j in range(3)],
+                "A": [seed + j for j in range(3)],
+                "g": [str((seed + j) % 2) for j in range(3)],
+            }
+        )
+        getattr(t, op)(spark.createDataFrame(pdf))
+    # stepwise: apply each version's feed (deletes then inserts) to a
+    # running replica — the delete legs of overwrites must exactly cancel
+    # previously-inserted rows
+    versions = [0] + t.versions()
+    replica: set = set()
+    for lo, hi in zip(versions, versions[1:]):
+        feed = t.changes_between(lo, hi).toPandas()
+        cols = ["k", "A", "g"]
+        dels = set(map(tuple, feed[feed["_change_type"] == "delete"][cols].itertuples(index=False)))
+        ins = set(map(tuple, feed[feed["_change_type"] == "insert"][cols].itertuples(index=False)))
+        assert dels <= replica, "feed deleted a row the replica never had"
+        replica = (replica - dels) | ins
+    current = set(map(tuple, t.get_full_df().toPandas()[["k", "A", "g"]].itertuples(index=False)))
+    assert replica == current
+    # and the one-shot v0→latest feed agrees
+    full = t.changes_between(0).toPandas()
+    assert full[full["_change_type"] == "delete"].empty
+    assert set(map(tuple, full[["k", "A", "g"]].itertuples(index=False))) == current
+    t.purge()
