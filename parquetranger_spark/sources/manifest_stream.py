@@ -38,7 +38,12 @@ FORMAT_NAME = "pqrs_manifest_stream"
 def manifest_stream_source():
     """Build the DataSource class; factory-scoped so cloudpickle ships it
     by value (no executor/driver dependence on this package's sys.path)."""
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -158,6 +163,79 @@ def manifest_stream_source():
         def commit(self, end):
             pass
 
+    class _FilePartition(InputPartition):
+        def __init__(self, base: str, cdir: str, rel: str):
+            self.base, self.cdir, self.rel = base, cdir, rel
+
+    class _PartitionedReader(DataSourceStreamReader):
+        """Executor-side flavor: one InputPartition per file added between
+        two manifest versions; each Spark task reads its file with
+        pyarrow and streams Arrow RecordBatches across the boundary —
+        the scale path for fat commits (the simple reader above
+        materializes whole batches driver-side). Offset planning (tiny
+        manifest JSON diffs) stays on the driver; row bytes never touch
+        it."""
+
+        def __init__(self, options):
+            # reuse the simple reader's manifest plumbing driver-side
+            self._mf = _Reader(options)
+            self.cols = self._mf.cols
+            self.types = self._mf.types
+            # JSON, not DDL: parsing DDL needs a live JVM session, which
+            # executor python workers don't have — StructType.fromJson is
+            # pure Python
+            self.schema_json = options["schema_json"]
+
+        def initialOffset(self):
+            return {"v": 0}
+
+        def latestOffset(self):
+            vs = self._mf._versions()
+            return {"v": vs[-1] if vs else 0}
+
+        def partitions(self, start, end):
+            new = sorted(
+                self._mf._file_set(int(end["v"])) - self._mf._file_set(int(start["v"]))
+            )
+            return [_FilePartition(b, d, r) for b, d, r in new] or []
+
+        def read(self, partition):
+            import json
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_type
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(self.schema_json))
+            parts = {}
+            for seg in partition.rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k] = v
+            tbl = pq.read_table(
+                os.path.join(partition.base, partition.cdir, partition.rel)
+            )
+            n = tbl.num_rows
+            arrays, fields = [], []
+            for field, typ in zip(st.fields, self.types):
+                name = field.name
+                patype = to_arrow_type(field.dataType)
+                if name in tbl.column_names:
+                    arrays.append(tbl.column(name).combine_chunks().cast(patype))
+                elif name in parts:
+                    val = _Reader._cast_part(self._mf, parts[name], typ)
+                    arrays.append(pa.array([val] * n).cast(patype))
+                else:
+                    arrays.append(pa.nulls(n, type=patype))
+                fields.append(pa.field(name, patype))
+            out = pa.table(arrays, schema=pa.schema(fields))
+            yield from out.to_batches(max_chunksize=65536)
+
+        def commit(self, end):
+            pass
+
     class ManifestStream(DataSource):
         @classmethod
         def name(cls):
@@ -169,9 +247,25 @@ def manifest_stream_source():
         def simpleStreamReader(self, schema):
             return _Reader(self.options)
 
-    return ManifestStream
+    class ManifestStreamPartitioned(DataSource):
+        @classmethod
+        def name(cls):
+            return "pqrs_manifest_stream_px"
+
+        def schema(self):
+            return self.options["schema_ddl"]
+
+        def streamReader(self, schema):
+            return _PartitionedReader(self.options)
+
+    return ManifestStream, ManifestStreamPartitioned
+
+
+manifest_stream_sources = manifest_stream_source  # both classes, one factory
 
 
 def register_manifest_stream(spark) -> None:
-    """Idempotently register the source for this session."""
-    spark.dataSource.register(manifest_stream_source())
+    """Idempotently register both flavors for this session."""
+    simple, partitioned = manifest_stream_source()
+    spark.dataSource.register(simple)
+    spark.dataSource.register(partitioned)

@@ -986,14 +986,18 @@ class TableRepo:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.parquet(self.main_path)
 
-    def stream_manifest(self) -> DataFrame:
+    def stream_manifest(self, partitioned: bool = False) -> DataFrame:
         """The table as a streaming source in MANIFEST mode — offsets are
         manifest VERSIONS, each micro-batch is the rows of files added
         between two committed versions, and replay re-derives identical
         batches from the immutable manifest JSONs (exactly-once by
         construction; see sources/manifest_stream.py for the
         append/overwrite/vacuum contract). The streaming read side of the
-        commit protocol whose write side is ``extend_fenced``."""
+        commit protocol whose write side is ``extend_fenced``.
+        ``partitioned=True`` selects the executor-side flavor: one Spark
+        task per added file, Arrow batches off the scan — the scale path
+        for fat commits (the default simple reader prefetches each batch
+        driver-side, right for control-plane-sized increments)."""
         if self.commit_mode != "manifest":
             raise TypeError("stream_manifest() requires commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
@@ -1005,9 +1009,12 @@ class TableRepo:
         spark = self._session()
         register_manifest_stream(spark)
         return (
-            spark.readStream.format("pqrs_manifest_stream")
+            spark.readStream.format(
+                "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
+            )
             .option("root", self.main_path)
             .option("schema_ddl", ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields))
+            .option("schema_json", schema.json())
             .option("cols", ",".join(f.name for f in schema.fields))
             .option("col_types", ",".join(f.dataType.simpleString() for f in schema.fields))
             .load()

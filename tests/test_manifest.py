@@ -644,3 +644,32 @@ def test_stream_manifest_unescapes_partition_values(spark, tmp_root, tmp_path):
     q.awaitTermination(300)
     assert rows(spark.read.parquet(out)) == rows(t.get_full_df())
     assert {r["C"] for r in spark.read.parquet(out).collect()} == {"x:1", "y 2"}
+
+
+def test_stream_manifest_partitioned_matches_simple(spark, tmp_root, tmp_path):
+    """The executor-side (partitioned) stream flavor produces exactly
+    the simple reader's rows — one task per added file, Arrow batches,
+    partition columns reconstructed and typed, incremental resume
+    exactly-once."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def run():
+        q = (
+            t.stream_manifest(partitioned=True)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 12)))
+    t.extend(spark.createDataFrame(_frame(12)))
+    run()
+    assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 18)))
