@@ -47,9 +47,17 @@ def manifest_stream_source():
 
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, options):
+            import json
+
             self.root = options["root"]
             self.cols = options["cols"].split(",")
             self.types = options["col_types"].split(",")
+            # optional stats-pruned SUBSCRIPTION: files whose recorded
+            # [min,max] provably cannot match these conjuncts never enter
+            # a micro-batch (file-level pruning only — exact row filters
+            # stay with the caller)
+            sp = options.get("skip_preds")
+            self.skip_preds = [tuple(p) for p in json.loads(sp)] if sp else None
 
         # -- manifest plumbing (self-contained: no package imports) ----
         def _versions(self):
@@ -117,12 +125,29 @@ def manifest_stream_source():
                 return datetime.fromisoformat(v.replace(" ", "T"))
             return v
 
+        def _new_files(self, lo: int, hi: int):
+            """Sorted diff of live files between two versions, stats-pruned
+            when a subscription predicate is set. Runs at PLANNING time on
+            the driver (both reader flavors), so the package import is
+            safe — executors never execute this."""
+            new = sorted(self._file_set(hi) - self._file_set(lo))
+            if not self.skip_preds or not new:
+                return new
+            from parquetranger_spark.sources.manifest import stats_may_match
+
+            stats = {}
+            for c in self._manifest(hi)["commits"]:
+                base = c.get("base", self.root)
+                for f, st in (c.get("stats") or {}).items():
+                    stats[(base, c["dir"], f)] = st
+            return [k for k in new if stats_may_match(stats.get(k), self.skip_preds)]
+
         def _rows_between(self, lo: int, hi: int):
             import os
 
             import pyarrow.parquet as pq
 
-            new = sorted(self._file_set(hi) - self._file_set(lo))
+            new = self._new_files(lo, hi)
             rows = []
             for base, cdir, rel in new:
                 # hive col=value dirs inside the commit carry the
@@ -194,9 +219,7 @@ def manifest_stream_source():
             return {"v": vs[-1] if vs else 0}
 
         def partitions(self, start, end):
-            new = sorted(
-                self._mf._file_set(int(end["v"])) - self._mf._file_set(int(start["v"]))
-            )
+            new = self._mf._new_files(int(start["v"]), int(end["v"]))
             return [_FilePartition(b, d, r) for b, d, r in new] or []
 
         def read(self, partition):

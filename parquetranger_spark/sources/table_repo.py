@@ -986,7 +986,7 @@ class TableRepo:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.parquet(self.main_path)
 
-    def stream_manifest(self, partitioned: bool = False) -> DataFrame:
+    def stream_manifest(self, partitioned: bool = False, predicates=None) -> DataFrame:
         """The table as a streaming source in MANIFEST mode — offsets are
         manifest VERSIONS, each micro-batch is the rows of files added
         between two committed versions, and replay re-derives identical
@@ -997,7 +997,14 @@ class TableRepo:
         ``partitioned=True`` selects the executor-side flavor: one Spark
         task per added file, Arrow batches off the scan — the scale path
         for fat commits (the default simple reader prefetches each batch
-        driver-side, right for control-plane-sized increments)."""
+        driver-side, right for control-plane-sized increments).
+        ``predicates`` (same spec as :meth:`get_full_df_skipping`) turns
+        the stream into a stats-pruned SUBSCRIPTION: files whose manifest
+        [min,max] provably cannot match never enter a micro-batch —
+        FILE-level pruning only (a surviving file streams whole); apply
+        the exact row filter downstream. The CDC-of-a-keyspace-slice
+        shape: a consumer tracking one tenant/key range reads a fraction
+        of each commit instead of the whole feed."""
         if self.commit_mode != "manifest":
             raise TypeError("stream_manifest() requires commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
@@ -1008,11 +1015,19 @@ class TableRepo:
 
         spark = self._session()
         register_manifest_stream(spark)
-        return (
+        r = (
             spark.readStream.format(
                 "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
             )
-            .option("root", self.main_path)
+        )
+        if predicates is not None:
+            import json as _json
+
+            from .manifest import norm_predicates
+
+            r = r.option("skip_preds", _json.dumps(norm_predicates(predicates)))
+        return (
+            r.option("root", self.main_path)
             .option("schema_ddl", ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields))
             .option("schema_json", schema.json())
             .option("cols", ",".join(f.name for f in schema.fields))

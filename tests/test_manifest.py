@@ -673,3 +673,36 @@ def test_stream_manifest_partitioned_matches_simple(spark, tmp_root, tmp_path):
     t.extend(spark.createDataFrame(_frame(12)))
     run()
     assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 18)))
+
+
+def test_stream_manifest_stats_pruned_subscription(spark, tmp_root, tmp_path):
+    """predicates= turns the stream into a stats-pruned subscription:
+    commits whose files provably cannot match never enter a micro-batch
+    (file-level — a surviving file streams whole), in both reader
+    flavors."""
+    t = TableRepo(
+        f"{tmp_root}/sub",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        spark=spark,
+    )
+    # two range-disjoint commits
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "A": [1, 2]})).coalesce(1))
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["c", "d"], "A": [100, 101]})).coalesce(1))
+    for flavor, partitioned in [("simple", False), ("px", True)]:
+        out, ckpt = f"{tmp_path}/out_{flavor}", f"{tmp_path}/ckpt_{flavor}"
+        q = (
+            t.stream_manifest(partitioned=partitioned, predicates=[("A", ">=", 50)])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+        # the low-range commit's file was pruned at the SOURCE: its rows
+        # never streamed even though no row filter ran
+        assert got == ["c", "d"], flavor
