@@ -179,7 +179,9 @@ def manifest_stream_source():
             vs = self._versions()
             hi = vs[-1] if vs else 0
             if hi <= lo:
-                return [], {"v": lo}
+                # ITERATOR, not list: on a no-progress poll the harness
+                # probes next(it) to verify emptiness (a list TypeErrors)
+                return iter(()), {"v": lo}
             return self._rows_between(lo, hi), {"v": hi}
 
         def readBetweenOffsets(self, start, end):

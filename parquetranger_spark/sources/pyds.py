@@ -154,6 +154,11 @@ def synthetic_events_source():
             hi = lo + self.batch_rows
             if self.cap:
                 hi = min(hi, self.cap)
+            if hi <= lo:
+                # ITERATOR on a no-progress poll (past the cap): the
+                # harness probes next(it) to verify emptiness — a list
+                # would TypeError there
+                return iter(()), {"i": lo}
             return self._rows(lo, hi), {"i": max(hi, lo)}
 
         def readBetweenOffsets(self, start, end):

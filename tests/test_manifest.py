@@ -706,3 +706,36 @@ def test_stream_manifest_stats_pruned_subscription(spark, tmp_root, tmp_path):
         # the low-range commit's file was pruned at the SOURCE: its rows
         # never streamed even though no row filter ran
         assert got == ["c", "d"], flavor
+
+
+def test_manifest_to_manifest_exactly_once_replication(spark, tmp_root, tmp_path):
+    """The full loop: manifest-log SOURCE (versions as offsets) feeding a
+    FENCED manifest sink — end-to-end exactly-once replication between
+    two repos. Incremental runs ship only new commits; a re-run with no
+    new source commits changes nothing; row sets match after every
+    step."""
+    from parquetranger_spark.streaming.ingest import stream_into_repo
+
+    src = _repo(spark, f"{tmp_root}/src")
+    dst = _repo(spark, f"{tmp_root}/dst")
+    ckpt = f"{tmp_path}/ckpt"
+
+    def replicate():
+        q = stream_into_repo(
+            src.stream_manifest(), dst, checkpoint=ckpt, exactly_once=True
+        )
+        q.awaitTermination(300)
+
+    src.extend(spark.createDataFrame(_frame(0)))
+    src.extend(spark.createDataFrame(_frame(6)))
+    replicate()
+    assert rows(dst.get_full_df()) == rows(src.get_full_df())
+    # incremental: only the new commit ships
+    src.extend(spark.createDataFrame(_frame(12)))
+    replicate()
+    assert rows(dst.get_full_df()) == rows(src.get_full_df())
+    # idempotent: nothing new → nothing appended, no duplicate rows
+    v_before = dst.versions()[-1]
+    replicate()
+    assert dst.versions()[-1] == v_before
+    assert rows(dst.get_full_df()) == rows(src.get_full_df())
