@@ -238,7 +238,12 @@ def stream_incremental_rollup(spark, sf_dir):
         .withColumn("value_dec", F.col("value").cast(DEC))
         .drop("value")
     )
-    t = TableRepo(f"{root}/rollup", group_cols="event_type", spark=spark)
+    # manifest mode: the per-epoch data+fence partition overwrite commits
+    # as ONE atomic manifest flip — crash-exact, where a files-mode
+    # dynamic overwrite (delete-then-rename) could tear mid-crash
+    t = TableRepo(
+        f"{root}/rollup", group_cols="event_type", commit_mode="manifest", spark=spark
+    )
     q = incremental_rollup_into_repo(
         stream, t, ["event_type", "hour_bucket"], ["value_dec"], f"{root}/ckpt"
     )

@@ -90,13 +90,15 @@ class LocalFS:
             p
             for p in glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True)
             # glob already skips dot-prefixed names; ALSO skip _-prefixed
-            # components (committer _temporary trees) so a concurrent
-            # overwrite's uncommitted attempts never surface as table data.
-            # Exception, same as Spark's file index: names containing '='
+            # components INCLUDING the file name itself (committer
+            # _temporary trees, _SUCCESS-style markers) so visibility
+            # matches both HadoopFS and Spark's own file index — a
+            # '_'-named file a directory scan would hide must not surface
+            # here either. Exception, same as Spark: names containing '='
             # are partition dirs (a bucket column may be named __pqr_…)
             if not any(
                 part.startswith("_") and "=" not in part
-                for part in path_parts(p)[base:-1]
+                for part in path_parts(p)[base:]
             )
         )
 
@@ -106,7 +108,7 @@ class LocalFS:
         for p in glob.iglob(os.path.join(root, "**", f"*{suffix}"), recursive=True):
             if not any(
                 part.startswith("_") and "=" not in part
-                for part in path_parts(p)[base:-1]
+                for part in path_parts(p)[base:]
             ):
                 return True
         return False
@@ -198,7 +200,11 @@ class HadoopFS:
         p = self._jPath(root)
         if not self._fs.exists(p):
             return []
-        base = len(path_parts(root))
+        # the hidden-prefix window must be measured on the QUALIFIED root:
+        # listFiles returns fully-qualified paths (scheme + authority), and
+        # an authority-less input root ('hdfs:///w/t') would otherwise
+        # shift the slice and hide/expose the wrong components
+        base = len(path_parts(self._fs.makeQualified(p).toString()))
         out = []
         it = self._fs.listFiles(p, True)
         while it.hasNext():
@@ -221,7 +227,7 @@ class HadoopFS:
         p = self._jPath(root)
         if not self._fs.exists(p):
             return False
-        base = len(path_parts(root))
+        base = len(path_parts(self._fs.makeQualified(p).toString()))
         it = self._fs.listFiles(p, True)
         while it.hasNext():
             fp = it.next().getPath().toString()
@@ -296,22 +302,37 @@ class HadoopFS:
                 raise IOError(f"rename {tmp} -> {dest} failed")
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        """Create-if-absent (manifest CAS). ``FileSystem.create(path,
-        overwrite=False)`` raises when the destination exists — atomic on
-        HDFS; on S3-class stores it is check-then-write (the conditional
-        PUT depends on the connector), which still shrinks the race to one
-        RPC and is the standard Hadoop-ecosystem fallback."""
-        p = self._jPath(path)
+        """Create-if-absent (manifest CAS), torn-read-safe: the bytes are
+        FULLY written to a uuid temp file first, then a no-overwrite
+        ``rename`` publishes them — rename returns false when the
+        destination exists (the lost race), so readers only ever see an
+        absent or complete manifest, never the zero-length/partial window
+        a direct ``create(path, overwrite=False)`` + write would expose
+        (and a writer crashing mid-write strands only an ignorable
+        ``*.tmp``). Atomic on HDFS/local; on S3-class stores rename is
+        copy+delete with a check-then-act race — one RPC wide, the
+        standard Hadoop-ecosystem fallback. I/O errors PROPAGATE: only a
+        rename refused because the destination exists reads as 'lost the
+        race' — swallowing real failures would spin try_commit retry
+        loops forever."""
+        dest = self._jPath(path)
         self.mkdirs(parent_dir(path))
-        try:
-            out = self._fs.create(p, False)
-        except Exception:
+        if self._fs.exists(dest):
             return False
+        tmp = self._jPath(f"{path}.{uuid4().hex[:12]}.tmp")
+        out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        return True
+        if self._fs.rename(tmp, dest):
+            return True
+        # rename refused: either the destination appeared (lost the CAS) or
+        # something is genuinely wrong — distinguish them
+        self._fs.delete(tmp, False)
+        if self._fs.exists(dest):
+            return False
+        raise IOError(f"create_exclusive: rename {tmp} -> {dest} failed")
 
 
 _LOCAL = LocalFS()

@@ -228,22 +228,38 @@ def merge_rollup_batch(
     sum_cols: list[str],
     epoch_id: int,
     count_col: str = "n",
-    stream_id: str = "?",
+    stream_id: str | None = None,
 ) -> None:
     """One epoch's additive merge, idempotent under foreachBatch replay.
 
     Every rollup partition carries a (stream id, high-water epoch) fence
     written in the SAME dynamic-overwrite that writes the merged data —
-    per partition, data and fence commit together (a partition overwrite
-    is an atomic dir swap). On replay of epoch N, partitions whose stored
-    fence is already ≥ N for THIS stream incarnation merged the batch
-    before the crash and are skipped; partitions still below N merge
-    normally — each batch lands exactly once per partition, the unit at
-    which the storage layer is atomic. A different ``stream_id`` (fresh
-    checkpoint over an existing table) never fences: its epochs restart
-    at 0, and the handoff boundary is the usual at-least-once caveat of
-    replacing a checkpoint mid-flight.
+    per partition, data and fence commit together. On replay of epoch N,
+    partitions whose stored fence is already ≥ N for THIS stream
+    incarnation merged the batch before the crash and are skipped;
+    partitions still below N merge normally — each batch lands exactly
+    once per partition, the unit at which the storage layer is atomic.
+    A different ``stream_id`` (fresh checkpoint over an existing table)
+    never fences: its epochs restart at 0, and the handoff boundary is
+    the usual at-least-once caveat of replacing a checkpoint mid-flight.
+
+    ``stream_id`` is REQUIRED: a shared default would make unrelated
+    pipelines writing one table collide on fence (id, epoch) and
+    silently drop each other's batches as replays.
+
+    Crash-atomicity of the data+fence commit is per partition overwrite:
+    EXACT in manifest mode (one atomic manifest flip) — prefer
+    ``commit_mode='manifest'`` for rollup targets; in files mode Spark's
+    dynamic overwrite is delete-then-rename, so a driver crash inside
+    the overwrite itself can leave a touched partition torn (the usual
+    files-mode caveat, absent on a manifest repo).
     """
+    if not stream_id:
+        raise ValueError(
+            "merge_rollup_batch needs an explicit stream_id (unique per "
+            "pipeline — e.g. the checkpoint's stream id); a shared default "
+            "would fence away other pipelines' batches as replays"
+        )
     gc = trepo.group_cols[0]
     partial = batch_df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias(count_col),
@@ -253,8 +269,25 @@ def merge_rollup_batch(
     # the merge union, and it is tiny (one row per touched key)
     partial = partial.localCheckpoint(eager=True)
     touched = [r[0] for r in partial.select(gc).distinct().collect()]
-    if trepo.paths:
+    if trepo.commit_mode == "manifest":
+        nonempty = bool(trepo.paths)  # one small manifest JSON read
+    else:
+        # cheap early-exit probe, not a full recursive listing per epoch
+        nonempty = trepo._fs().has_any_file(trepo.main_path, ".parquet")
+    if nonempty:
         existing = trepo.get_full_df().where(F.col(gc).isin(touched))
+        if _SID_COL not in existing.columns or _EPOCH_COL not in existing.columns:
+            # a fence-less pre-existing table (seeded by a plain batch
+            # write) cannot record idempotence state — and the default
+            # schema alignment would silently DROP the fence columns on
+            # write-back, losing replay protection without any error.
+            # Fail loudly instead of degrading silently.
+            raise TypeError(
+                f"rollup table {trepo.name} has no fence columns "
+                f"({_SID_COL}, {_EPOCH_COL}); seed incremental rollups "
+                "through merge_rollup_batch itself (first epoch creates "
+                "them) or recreate the table with the fence columns"
+            )
         # same double-use: fence probe + merge read the touched partitions
         existing = existing.localCheckpoint(eager=True)
         done = {

@@ -47,6 +47,7 @@ def streaming_session_stats(
     batch ``session_stats`` exactly.
     """
     gap_ns = gap_seconds * NS_PER_SEC
+    key_t = stream_df.schema[user_col].dataType.simpleString()
 
     def update(
         key: Tuple[Any, ...],
@@ -55,6 +56,11 @@ def streaming_session_stats(
     ) -> Iterator[pd.DataFrame]:
         ts_chunks = [pdf[ts_ns_col] for pdf in pdfs]
         ts = pd.concat(ts_chunks).sort_values() if ts_chunks else pd.Series([], dtype="int64")
+        # a NULL ts arrives as NaN (the long column widens to float64) —
+        # int(NaN) would wedge the stream permanently on one bad record;
+        # drop them, matching the batch operator's null-last window order
+        # where a null ts never opens or extends a session
+        ts = ts.dropna()
         if state.exists:
             last_ts, n_sessions, n_events = state.get
         else:
@@ -72,7 +78,7 @@ def streaming_session_stats(
 
     return stream_df.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType=f"{user_col} long, n_sessions long, n_events long",
+        outputStructType=f"{user_col} {key_t}, n_sessions long, n_events long",
         stateStructType="last_ts long, n_sessions long, n_events long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -93,6 +99,7 @@ def streaming_running_agg(
     Same scale posture as streaming_session_stats: state hash-partitioned
     by key, each micro-batch shuffles only its own rows, O(1) state per
     key."""
+    key_t = stream_df.schema[key_col].dataType.simpleString()
 
     def update(
         key: Tuple[Any, ...],
@@ -115,7 +122,7 @@ def streaming_running_agg(
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType=f"{key_col} long, running_max double, running_n long",
+        outputStructType=f"{key_col} {key_t}, running_max double, running_n long",
         stateStructType="cur_max double, cur_n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -146,6 +153,7 @@ def streaming_profile_tws(
     The processor class is defined inside this function so cloudpickle
     serializes it BY VALUE — executors never need this package on their
     sys.path (same rule as the ingestor's shred closure)."""
+    key_t = stream_df.schema[key_col].dataType.simpleString()
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -180,7 +188,7 @@ def streaming_profile_tws(
 
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_Profile(),
-        outputStructType=f"{key_col} long, n_events long, n_types long",
+        outputStructType=f"{key_col} {key_t}, n_events long, n_types long",
         outputMode="Update",
         timeMode="None",
     )

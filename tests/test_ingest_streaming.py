@@ -368,12 +368,12 @@ def test_rollup_merge_replay_idempotent(spark, tmp_path):
     ).withColumn("value_dec", F.col("value").cast("decimal(28,6)")).drop("value")
 
     for _ in range(3):  # original + two replays of the SAME epoch
-        merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=0)
+        merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=0, stream_id="s1")
     got = {(r.grp, r.bucket): (r.n, float(r.value_dec)) for r in t.get_full_df().collect()}
     assert got == {("g0", 0): (1, 1.5), ("g0", 1): (1, 2.5), ("g1", 0): (1, 3.5)}
 
     # a genuinely new epoch still merges
-    merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=1)
+    merge_rollup_batch(t, batch, ["grp", "bucket"], ["value_dec"], epoch_id=1, stream_id="s1")
     got = {(r.grp, r.bucket): r.n for r in t.get_full_df().collect()}
     assert got == {("g0", 0): 2, ("g0", 1): 2, ("g1", 0): 2}
 

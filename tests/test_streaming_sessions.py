@@ -127,3 +127,35 @@ def test_tws_profile_matches_batch(spark, sf_dir, tmp_path):
         .sort_index()
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_streaming_session_stats_string_key_and_null_ts(spark, tmp_path):
+    """Grouping-key type follows the input schema (string keys work, not
+    just long), and a NULL ts row is tolerated instead of wedging the
+    stream on int(NaN)."""
+    import uuid
+
+    from parquetranger_spark.streaming.sessions import streaming_session_stats
+
+    src = f"{tmp_path}/src"
+    spark.createDataFrame(
+        [("alice", 1_000_000_000_000), ("alice", 2_000_000_000_000_000),
+         ("bob", None), ("bob", 5_000_000_000_000)],
+        "user_id string, ts long",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id string, ts long").parquet(src)
+    out = streaming_session_stats(stream, gap_seconds=1800)
+    name = f"sss_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in spark.table(name).collect()}
+    # alice: two events > gap apart = 2 sessions; bob: one real event
+    # (the null-ts row is dropped) = 1 session, 1 event
+    assert got == {"alice": (2, 2), "bob": (1, 1)}
