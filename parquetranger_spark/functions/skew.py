@@ -45,10 +45,18 @@ def salted_agg(
     if bad:
         raise ValueError(f"non-decomposable aggregate(s): {sorted(bad)}")
 
-    # deterministic salt: hash of the whole row partition-spreads hot keys
-    # without RNG (retry-stable, no shuffle-order dependence)
+    # salt by physical row position, NOT row content: a hot key made of
+    # IDENTICAL rows (the duplicate-heavy shape skew remedies exist for)
+    # hashes to one value and would all land in a single salt — zero
+    # mitigation. (partition id, row index) spreads duplicates evenly and
+    # is deterministic per scan; the final merge makes results
+    # independent of the salt layout either way
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        _SALT,
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
 
     partial_exprs: list[Column] = []
@@ -97,7 +105,14 @@ def salted_join(
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"unsupported join type for salting: {how}")
     lsalt = left.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        _SALT,
+        # position-based, same reasoning as salted_agg: identical hot-key
+        # rows must spread across salts, and content hashing puts them
+        # all in one
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
     rsalt = right.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))

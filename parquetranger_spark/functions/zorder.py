@@ -26,12 +26,13 @@ def scale_to_bits(col: Column, cmin: float, cmax: float, bits: int = 16) -> Colu
     if span <= 0:
         return F.lit(0).cast("long")
     maxv = (1 << bits) - 1
-    scaled = F.floor((col.cast("double") - F.lit(float(cmin))) / F.lit(span) * F.lit(maxv))
-    clamped = F.greatest(F.lit(0), F.least(F.lit(maxv), scaled))
-    # NULLs must not ride least/greatest's null-skipping up to the max
-    # cell (co-locating with genuine max rows widens those files' stats);
-    # send them to cell 0, matching a lexicographic sort's nulls-first
-    return F.coalesce(clamped, F.lit(0)).cast("long")
+    # NULLs map to cmin BEFORE the clamp (matching a lexicographic sort's
+    # nulls-first): least/greatest SKIP nulls, so a null reaching the
+    # clamp would ride up to the max cell and co-locate with genuine
+    # max-value rows, widening those files' stats
+    safe = F.coalesce(col.cast("double"), F.lit(float(cmin)))
+    scaled = F.floor((safe - F.lit(float(cmin))) / F.lit(span) * F.lit(maxv))
+    return F.greatest(F.lit(0), F.least(F.lit(maxv), scaled)).cast("long")
 
 
 def zorder_value(scaled_cols: list[Column], bits: int = 16) -> Column:

@@ -33,7 +33,9 @@ def repetition_stats(
     two map-side-combined aggregations keyed by document, so it scales
     linearly and skews only with pathological single-doc word counts.
     """
-    words = F.split(F.col(text_col), " ")
+    from ..functions.text import tokens as _tokens
+
+    words = _tokens(F.col(text_col))
     base = df.select(F.col(id_col), words.alias("__w"))
     stats = base.select(
         id_col,
@@ -116,7 +118,7 @@ def budget_select(
     id_col: str,
     weight_col: str,
     budget_frac: float,
-    band_width: int = 16,
+    band_width: float = 16,
 ) -> DataFrame:
     """Global ordered budget selection WITHOUT a global sort: keep the
     best rows (``order_col`` descending, ``id_col`` tie-break) until
@@ -124,9 +126,14 @@ def budget_select(
     global window cumsum ``SUM(w) OVER (ORDER BY order DESC, id)``
     filtered to ``cum <= frac * total``, computed scalably:
 
-    1. bucket ``order_col`` into coarse integer BANDS (monotone in the
-       sort key), aggregate weight per band — map-side combined, the
-       band frame is O(distinct bands);
+    1. bucket ``order_col`` into coarse BANDS (``floor(order /
+       band_width)`` — monotone in the sort key; pick ``band_width`` at
+       the column's natural scale: fractional widths, e.g. 0.01 for a
+       [0, 1] quality score, keep many bands — a width coarser than the
+       value range collapses everything into ONE band and the within-
+       band window silently becomes the global sort this design avoids),
+       aggregate weight per band — map-side combined, the band frame is
+       O(distinct bands);
     2. a window over that TINY frame yields each band's prefix (weight
        in all strictly-better bands);
     3. broadcast the prefixes back; the within-band running sum is a

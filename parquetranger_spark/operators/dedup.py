@@ -18,9 +18,10 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import shingles, tokens
-from ..functions.vectors import cosine, hyperplane_bits
+from ..functions.vectors import hyperplane_bits
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -28,9 +29,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Grouping on ``md5(text)`` instead of the raw text keeps shuffle rows
     narrow (16 bytes vs document bodies); the representative id is a plain
-    min aggregate (partial + final, no window)."""
+    min aggregate (partial + final, no window). NULL-text rows are
+    excluded up front — md5(NULL) is NULL, so a crawl's failed
+    extractions would otherwise collapse into one giant 'duplicate'
+    group and all but one be reported as copies; missing text is a
+    quality-filter concern, not a duplication fact (same guard as
+    minhash/simhash signatures)."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col)).alias("__h"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("__h")
     )
@@ -336,7 +343,7 @@ def simhash_signatures(
     nonempty = df.where(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
     toks = nonempty.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
     ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
     bit_sums = [
         F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__b{j}")
@@ -493,14 +500,31 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    def _label_sum(lb) -> int:
-        # labels only ever DECREASE (min-propagation), so the total label
-        # sum is strictly monotone until the fixpoint — an unchanged sum
-        # IS convergence. One tiny aggregate per round instead of a
-        # full labels⋈labels diff join. decimal: immune to overflow at
-        # any id range × vertex count.
-        row = lb.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()
-        return row["s"]
+    numeric_ids = isinstance(
+        pairs.schema[id_a].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+
+    def _label_sum(lb) -> tuple:
+        # numeric ids: labels only ever DECREASE (min-propagation), so the
+        # decimal label sum is strictly monotone until the fixpoint — an
+        # unchanged sum IS convergence, one tiny aggregate per round
+        # instead of a labels⋈labels diff join (decimal: overflow-immune
+        # at any id range × vertex count). Non-numeric ids (string doc
+        # keys) cannot cast to decimal — under ANSI the cast THROWS, and
+        # with ANSI off it would null out and declare convergence after
+        # one round, silently splitting components — so their probe is a
+        # 64-bit hash sum of the labels: equal sums across a round mean
+        # an unchanged label multiset up to a 2^-64-ish collision.
+        probe = (
+            F.col("component").cast("decimal(38,0)")
+            if numeric_ids
+            else F.xxhash64(F.col("component")).cast("decimal(38,0)")
+        )
+        row = lb.agg(
+            F.sum(probe).alias("s"), F.count(F.lit(1)).alias("n")
+        ).first()
+        return (row["s"], row["n"])
 
     prev_sum = _label_sum(labels)
     converged = False
@@ -571,14 +595,26 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    numeric_ids = isinstance(
+        pairs.schema[id_a].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+
     def _fingerprint(e: DataFrame) -> tuple:
-        row = e.agg(
+        # the decimal endpoint sums sharpen the fingerprint for numeric
+        # ids; for string ids they would THROW under ANSI (or null out
+        # with it off), so those rely on count + the 64-bit pair-hash sum
+        aggs = [
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
-            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return (row["n"], row["sa"], row["sb"], row["h"])
+        ]
+        if numeric_ids:
+            aggs += [
+                F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+                F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+            ]
+        row = e.agg(*aggs).first()
+        return tuple(row)
 
     def _large_star(e: DataFrame) -> DataFrame:
         und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -768,10 +804,19 @@ def fuzzy_pairs(
     b = ids.select(F.col(id_col).alias("id_b"), *keys)
     same = a.join(b, keys).where(F.col("id_a") < F.col("id_b"))
     # adjacent bands: border pairs (Δlen ≤ max_dist across the boundary).
-    # Salting never drops these: they join on the RAW band key.
-    a1 = base.select(F.col(id_col).alias("id_a"), (F.col("__band") + 1).alias("__nb"))
-    b1 = base.select(F.col(id_col).alias("id_b"), F.col("__band").alias("__nb"))
-    adj = a1.join(b1, "__nb").where(F.col("id_a") != F.col("id_b")).select(
+    # The SAME cap applies — the boundary key is as viral as the band
+    # itself (most strings share a few lengths), and an uncapped
+    # adjacent join would re-open exactly the quadratic blowup
+    # bucket_cap closes on the same-band side. Both sides of a boundary
+    # are salted TOGETHER (one union, one hash) so cross-side pairs
+    # within a salt survive; cross-salt recall inside an oversized
+    # boundary is the same explicit trade as the same-band salting.
+    a1 = base.select(F.col(id_col).alias("__id"), (F.col("__band") + 1).alias("__nb"), F.lit(0).alias("__side"))
+    b1 = base.select(F.col(id_col).alias("__id"), F.col("__band").alias("__nb"), F.lit(1).alias("__side"))
+    u, adj_keys = _salt_oversized(a1.unionByName(b1), ["__nb"], "__id", bucket_cap)
+    aa = u.where(F.col("__side") == 0).select(F.col("__id").alias("id_a"), *adj_keys)
+    bb = u.where(F.col("__side") == 1).select(F.col("__id").alias("id_b"), *adj_keys)
+    adj = aa.join(bb, adj_keys).where(F.col("id_a") != F.col("id_b")).select(
         F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
     )
     cand = same.select("id_a", "id_b").unionByName(adj).distinct()

@@ -80,9 +80,22 @@ def pack_by_offset(
     pack parallelizes across ``n_shards × partitions`` at any scale.
     Returns one row per document: shard, bin_id, id, token count.
     """
-    shard = (shard_expr if shard_expr is not None else F.pmod(F.col(id_col), F.lit(n_shards))).alias(
-        "shard"
-    )
+    if shard_expr is None:
+        # numeric ids shard by value (deterministic, oracle-friendly);
+        # anything else hashes first — a string id through pmod would
+        # THROW under ANSI (or null-collapse every row into ONE global
+        # window partition with ANSI off, silently voiding the
+        # shards-bound-the-sort guarantee)
+        from pyspark.sql import types as T
+
+        if isinstance(
+            df.schema[id_col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            shard_expr = F.pmod(F.col(id_col), F.lit(n_shards))
+        else:
+            shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    shard = shard_expr.alias("shard")
     base = df.select(shard, F.col(id_col), F.col(count_col).cast("long").alias("n_toks"))
     w = (
         Window.partitionBy("shard")

@@ -98,7 +98,9 @@ def topk_cosine_lsh(
 
     if dim is None:
         row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(row["d"])
+        # empty corpus: no dimension to probe — zero hyperplanes still
+        # yield a well-formed (empty) plan instead of a driver TypeError
+        dim = int(row["d"]) if row else 0
     buckets = []
     for t in range(n_tables):
         planes = default_planes(dim, n_planes, seed=42 + t)

@@ -116,15 +116,31 @@ def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
     Per canonical field: present → cast to the canonical type; missing →
     typed null (reference ``_cast_table``, core.py:547-558). Columns not in
     the canonical schema are dropped (reference default, core.py:410).
-    Pure column expressions — Catalyst folds no-op casts away, so an
-    already-aligned frame compiles to the identity projection.
+    Matching is case-INSENSITIVE like Spark's own column resolution
+    (default spark.sql.caseSensitive=false): an incoming 'TEXT' satisfies
+    canonical 'text' instead of being silently replaced by typed nulls —
+    unless the frame carries case-colliding duplicates, where only the
+    exact name is trusted. Pure column expressions — Catalyst folds no-op
+    casts away, so an already-aligned frame compiles to the identity
+    projection.
     """
     have = {f.name: f for f in df.schema.fields}
+    lower_counts: dict[str, int] = {}
+    for f in df.schema.fields:
+        lower_counts[f.name.lower()] = lower_counts.get(f.name.lower(), 0) + 1
+    by_lower = {
+        f.name.lower(): f for f in df.schema.fields if lower_counts[f.name.lower()] == 1
+    }
     cols = []
     for f in canonical.fields:
-        if f.name in have:
-            src = F.col(f.name)
-            cols.append(src if have[f.name].dataType == f.dataType else src.cast(f.dataType).alias(f.name))
+        src_f = have.get(f.name) or by_lower.get(f.name.lower())
+        if src_f is not None:
+            src = F.col(src_f.name)
+            cols.append(
+                src.alias(f.name)
+                if src_f.dataType == f.dataType
+                else src.cast(f.dataType).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
