@@ -1053,3 +1053,43 @@ def constraints_drop_audit(spark, sf_dir):
     return t.get_full_df().groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "bloom_skipping_read",
+    oracle=f"""
+SELECT count(*) AS n, {dsum_sql('value', 'sum_value')},
+       MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+FROM events WHERE event_id = 4242
+""",
+)
+def bloom_skipping_read(spark, sf_dir):
+    """S24 bloom face: point lookup on an UNCLUSTERED key. Events land in
+    one manifest commit split across many files with event ids scattered
+    (every file spans the full id range, so [min,max] stats would prune
+    NOTHING); each file's manifest entry carries a Bloom bitmap of its
+    event_id set, and the driver prunes every file whose bitmap disproves
+    the id before Spark opens anything — the needle-in-haystack lookup
+    a 100 TB event table answers by opening a handful of files. The
+    surviving files are scanned WITH the predicate, so the result is
+    exact despite the bloom's one-sided error."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = TableRepo(
+        scratch_dir("bloom") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        bloom_cols="event_id",
+        max_records=400,  # ~400 keys x 4 hashes in 4096 bits: sparse bitmaps, ~1% FP
+        spark=spark,
+    )
+    t.extend(ev.repartition(8))  # scatter ids so [min,max] ranges would prune nothing
+    kept, total = t.skip_plan([("event_id", "==", 4242)])
+    if not kept < total:
+        raise AssertionError(f"bloom skipping pruned nothing ({kept}/{total})")
+    out = t.get_full_df_skipping([("event_id", "==", 4242)])
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )

@@ -220,3 +220,66 @@ def stats_may_match(stats: dict | None, preds: list[tuple]) -> bool:
         if op == "in" and not any(mn <= v <= mx for v in p[2]):
             return False
     return True
+
+
+# ---- per-file Bloom filters (point-lookup skipping) --------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def bloom_positions(value: str, m: int = BLOOM_BITS, k: int = BLOOM_HASHES) -> list[int]:
+    """Bit positions for a value — md5-derived so Python (read side) and
+    Spark SQL (collection side: ``conv(substring(md5(concat(col, seed)),
+    1, 8), 16, 10) % m``) compute IDENTICAL positions with no shared
+    native hash library."""
+    import hashlib
+
+    return [
+        int(hashlib.md5((value + f"#s{i}").encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def bloom_encode(positions) -> str:
+    """Base64 bitmap from an iterable of set bit positions."""
+    import base64
+
+    bits = bytearray(BLOOM_BITS // 8)
+    for p in positions:
+        p = int(p)
+        bits[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def bloom_may_contain(b64: str | None, value) -> bool:
+    """False only when the bitmap PROVES the value absent; unknown/missing
+    bloom → True (never skip what can't be disproven)."""
+    if b64 is None:
+        return True
+    import base64
+
+    bits = base64.b64decode(b64)
+    for p in bloom_positions(str(value)):
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def file_may_match(commit: dict, rel: str, preds: list[tuple]) -> bool:
+    """Combined per-file pruning verdict: [min,max] interval logic for
+    every op, sharpened by the per-file Bloom filter for point predicates
+    (``==`` / ``in``) on bloom-indexed columns — the lookup range stats
+    cannot serve when the file isn't clustered on that column."""
+    if not stats_may_match((commit.get("stats") or {}).get(rel), preds):
+        return False
+    blooms = (commit.get("blooms") or {}).get(rel) or {}
+    for p in preds:
+        b64 = blooms.get(p[0])
+        if b64 is None:
+            continue
+        if p[1] == "==" and not bloom_may_contain(b64, p[2]):
+            return False
+        if p[1] == "in" and not any(bloom_may_contain(b64, v) for v in p[2]):
+            return False
+    return True

@@ -133,14 +133,18 @@ def manifest_stream_source():
             new = sorted(self._file_set(hi) - self._file_set(lo))
             if not self.skip_preds or not new:
                 return new
-            from parquetranger_spark.sources.manifest import stats_may_match
+            from parquetranger_spark.sources.manifest import file_may_match
 
-            stats = {}
+            owner = {}
             for c in self._manifest(hi)["commits"]:
                 base = c.get("base", self.root)
-                for f, st in (c.get("stats") or {}).items():
-                    stats[(base, c["dir"], f)] = st
-            return [k for k in new if stats_may_match(stats.get(k), self.skip_preds)]
+                for f in c["files"]:
+                    owner[(base, c["dir"], f)] = (c, f)
+            return [
+                k
+                for k in new
+                if k not in owner or file_may_match(owner[k][0], owner[k][1], self.skip_preds)
+            ]
 
         def _rows_between(self, lo: int, hi: int):
             import os

@@ -120,6 +120,7 @@ class TableRepo:
         stats_cols: str | list[str] | None = None,
         constraints: dict[str, str] | None = None,
         constraint_mode: str = "fail",
+        bloom_cols: str | list[str] | None = None,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -161,6 +162,14 @@ class TableRepo:
         self.stats_cols = [stats_cols] if isinstance(stats_cols, str) else list(stats_cols or [])
         if self.stats_cols and commit_mode != "manifest":
             raise ValueError("stats_cols requires commit_mode='manifest' (stats live in the manifest)")
+        # columns given a per-FILE Bloom filter in the manifest at commit
+        # time: point predicates (== / in) on UNCLUSTERED columns prune
+        # files min/max ranges can't (the Delta bloom-index shape);
+        # string/integral columns only — position hashing is over the
+        # canonical string form, identical in Spark SQL and Python
+        self.bloom_cols = [bloom_cols] if isinstance(bloom_cols, str) else list(bloom_cols or [])
+        if self.bloom_cols and commit_mode != "manifest":
+            raise ValueError("bloom_cols requires commit_mode='manifest' (blooms live in the manifest)")
         # named CHECK constraints (SQL boolean expressions over the batch's
         # columns) enforced on EVERY write path — the Delta-style quality
         # gate. mode 'fail': a violating batch is rejected whole before any
@@ -1325,6 +1334,8 @@ class TableRepo:
             entry["fence"] = fkey
         if self.stats_cols and files:
             entry["stats"] = self._collect_file_stats(cdir, files)
+        if self.bloom_cols and files:
+            entry["blooms"] = self._collect_file_blooms(cdir, files)
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -1440,6 +1451,77 @@ class TableRepo:
                     stats[f] = {c: [None, None] for c in cols}
         return stats
 
+    def _collect_file_blooms(self, cdir: str, files: list[str]) -> dict:
+        """Per-file Bloom bitmaps for ``bloom_cols`` over a just-written
+        commit — ONE distributed pass: each row contributes k md5-derived
+        bit positions per indexed column (computed in SQL with the exact
+        arithmetic the Python read side replays), positions dedup into a
+        bounded ``collect_set`` per (file, column) — never more than
+        BLOOM_BITS ints per group however large the file — and the driver
+        packs each set into a base64 bitmap. NULLs contribute no
+        positions (a point predicate never matches NULL). Only
+        string/integral columns are indexed; others get no bloom and are
+        never bloom-skipped."""
+        from .manifest import BLOOM_BITS, BLOOM_HASHES, bloom_encode
+
+        spark = self._session()
+        r = spark.read.option("basePath", cdir)
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta and meta.schema:
+            r = r.schema(meta.schema)
+        scan = r.parquet(*[join_path(cdir, f) for f in files])
+        ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+        cols = [
+            c for c in self.bloom_cols
+            if c in scan.columns and isinstance(scan.schema[c].dataType, ok)
+        ]
+        if not cols:
+            return {}
+
+        def positions(c: str) -> F.Column:
+            s = F.col(c).cast("string")
+            return F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(s, F.lit(f"#s{i}"))), 1, 8),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_BITS
+                    )
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+
+        parts = [
+            scan.select(
+                F.input_file_name().alias("__f"),
+                F.lit(c).alias("__c"),
+                F.explode(positions(c)).alias("__p"),
+            ).where(F.col("__p").isNotNull())
+            for c in cols
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        rows = u.groupBy("__f", "__c").agg(F.collect_set("__p").alias("__ps")).collect()
+        from urllib.parse import unquote
+
+        fileset = set(files)
+        marker = "/" + cdir.rstrip("/").split("/")[-1] + "/"
+        blooms: dict = {}
+        for row in rows:
+            uri = unquote(row["__f"])
+            pos = uri.rfind(marker)
+            rel = uri[pos + len(marker):] if pos >= 0 else None
+            if rel not in fileset:
+                rel = next((f for f in files if uri.endswith("/" + f)), None)
+            if rel is None:
+                continue
+            blooms.setdefault(rel, {})[row["__c"]] = bloom_encode(row["__ps"])
+        return blooms
+
     def get_full_df_skipping(
         self, predicates, version: int | None = None
     ) -> DataFrame:
@@ -1454,12 +1536,12 @@ class TableRepo:
         Delta/Iceberg data-skipping shape: at 100 TB a time- or
         key-clustered table answers a narrow range query by opening a
         handful of files instead of planning the full file list."""
-        from .manifest import norm_predicates, stats_may_match
+        from .manifest import file_may_match, norm_predicates
 
         preds = norm_predicates(predicates)
 
         def keep(c: dict, f: str) -> bool:
-            return stats_may_match((c.get("stats") or {}).get(f), preds)
+            return file_may_match(c, f, preds)
 
         df = self._manifest_df(version, file_keep=keep)
         for p in preds:
@@ -1483,7 +1565,7 @@ class TableRepo:
         """(files kept, files total) for ``predicates`` under the current
         stats — the observability hook for how selective a skipping scan
         will be, computed from the manifest alone (no data files touched)."""
-        from .manifest import load_manifest, norm_predicates, stats_may_match
+        from .manifest import file_may_match, load_manifest, norm_predicates
 
         preds = norm_predicates(predicates)
         mf = load_manifest(self._fs(), self.main_path, version)
@@ -1496,7 +1578,7 @@ class TableRepo:
         for c in (mf or {}).get("commits", []):
             for f in c["files"]:
                 total += 1
-                if stats_may_match((c.get("stats") or {}).get(f), preds):
+                if file_may_match(c, f, preds):
                     kept += 1
         return kept, total
 

@@ -739,3 +739,48 @@ def test_manifest_to_manifest_exactly_once_replication(spark, tmp_root, tmp_path
     replicate()
     assert dst.versions()[-1] == v_before
     assert rows(dst.get_full_df()) == rows(src.get_full_df())
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_root):
+    """Per-file Bloom filters prune == / in lookups on an UNCLUSTERED
+    column where [min,max] ranges cannot (every file spans the full key
+    range); results stay exact, absent keys prune everything, and range
+    predicates are untouched by blooms."""
+    import random
+
+    rng = random.Random(3)
+    keys = [f"user{i:04d}" for i in range(400)]
+    rng.shuffle(keys)
+    t = TableRepo(
+        f"{tmp_root}/bl",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        bloom_cols="k",
+        max_records=100,
+        spark=spark,
+    )
+    pdf = pd.DataFrame({"k": keys, "A": range(400)})
+    t.extend(spark.createDataFrame(pdf).coalesce(1))  # one commit, 4 files
+    mf = load_manifest(t._fs(), t.main_path)
+    assert any(c.get("blooms") for c in mf["commits"])
+    # keys are shuffled, so every file's k-range overlaps: without blooms
+    # a point lookup keeps all files
+    target = keys[0]
+    kept, total = t.skip_plan([("k", "==", target)])
+    assert total >= 4 and kept < total
+    got = [r["A"] for r in t.get_full_df_skipping([("k", "==", target)]).collect()]
+    assert got == [pdf.index[pdf["k"] == target][0]]
+    # absent key: every file provably excluded
+    kept_absent, _ = t.skip_plan([("k", "==", "nope")])
+    assert kept_absent == 0
+    assert t.get_full_df_skipping([("k", "==", "nope")]).count() == 0
+    # 'in' keeps the union of files holding either key
+    k2 = keys[333]
+    got_in = sorted(
+        r["k"] for r in t.get_full_df_skipping([("k", "in", [target, k2])]).collect()
+    )
+    assert got_in == sorted([target, k2])
+    # blooms never affect range predicates
+    kept_rng, total_rng = t.skip_plan([("A", "between", 0, 399)])
+    assert kept_rng == total_rng
