@@ -253,7 +253,12 @@ def test_stats_skipping_soundness_random(spark, tmp_path_factory, rows, preds, n
     pruning may only ever remove files that provably hold no match."""
     root = str(tmp_path_factory.mktemp("skiprop")) + "/t"
     t = TableRepo(
-        root, index_cols="k", commit_mode="manifest", stats_cols=["A", "s"], spark=spark
+        root,
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols=["A", "s"],
+        bloom_cols=["A", "s"],
+        spark=spark,
     )
     pdf = pd.DataFrame(rows, columns=["k", "A", "s"])
     chunk = max(1, len(pdf) // n_commits)
