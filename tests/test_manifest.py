@@ -784,3 +784,63 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_root):
     # blooms never affect range predicates
     kept_rng, total_rng = t.skip_plan([("A", "between", 0, 399)])
     assert kept_rng == total_rng
+
+
+def test_bloom_pruned_stream_subscription(spark, tmp_root, tmp_path):
+    """Point-predicate subscriptions consult blooms too: a stream
+    subscribed to one key receives only files whose bitmap may contain
+    it — needle subscriptions on unclustered keys."""
+    t = TableRepo(
+        f"{tmp_root}/bs",
+        index_cols="k",
+        commit_mode="manifest",
+        bloom_cols="k",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["a1", "a2"], "A": [1, 2]})).coalesce(1))
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["b1", "b2"], "A": [3, 4]})).coalesce(1))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    q = (
+        t.stream_manifest(predicates=[("k", "==", "b2")])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # first commit's file pruned by its bloom; second streams whole
+    assert sorted(r["k"] for r in spark.read.parquet(out).collect()) == ["b1", "b2"]
+
+
+def test_compact_backfills_stats_and_blooms(spark, tmp_root):
+    """compact() rewrites the table under the CURRENT repo config, so
+    configuring stats/bloom columns on an existing table and compacting
+    is the index backfill — afterwards skipping prunes where the
+    original commits had nothing to prune on."""
+    plain = TableRepo(f"{tmp_root}/bf", index_cols="k", commit_mode="manifest", spark=spark)
+    for lo in (0, 100):
+        plain.extend(
+            spark.createDataFrame(
+                pd.DataFrame({"k": [f"k{lo+i}" for i in range(4)], "A": range(lo, lo + 4)})
+            ).coalesce(1)
+        )
+    indexed = TableRepo(
+        f"{tmp_root}/bf",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        bloom_cols="k",
+        max_records=4,
+        spark=spark,
+    )
+    kept0, total0 = indexed.skip_plan([("A", "<=", 3)])
+    assert kept0 == total0  # nothing recorded yet — conservatively all kept
+    indexed.compact()
+    kept, total = indexed.skip_plan([("A", "<=", 3)])
+    assert total >= 2 and kept < total
+    got = sorted(r["A"] for r in indexed.get_full_df_skipping([("A", "<=", 3)]).collect())
+    assert got == [0, 1, 2, 3]
+    kept_b, total_b = indexed.skip_plan([("k", "==", "k101")])
+    assert kept_b < total_b
