@@ -82,6 +82,9 @@ HEADLINE = [
     "zorder_skipping_read",
     "manifest_stream_agg",
     "manifest_changes_feed",
+    "bloom_skipping_read",
+    "constraints_drop_audit",
+    "ab_test_lift",
 ]
 
 
