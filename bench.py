@@ -114,10 +114,23 @@ def run_one(spark, name: str) -> float:
 
 def main() -> None:
     load_all()
-    names = list(QUERIES) if "--all" in sys.argv else [n for n in HEADLINE if n in QUERIES]
+    if "--all" in sys.argv:
+        names = list(QUERIES)
+    else:
+        missing = [n for n in HEADLINE if n not in QUERIES]
+        if missing:
+            # fail LOUDLY: silently skipping a misspelled/renamed headline
+            # entry would shrink the total and read as a perf win
+            raise SystemExit(f"headline queries not registered: {missing}")
+        names = list(HEADLINE)
     # best-of-3 by default: later runs reflect steady-state throughput
     # (codegen compiled, buffers warm) and mask transient host/GC noise
-    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 3
+    repeat = 3
+    if "--repeat" in sys.argv:
+        try:
+            repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("usage: bench.py [--all] [--repeat N]")
     spark = get_spark("bench")
     # warm the JVM once so q1 doesn't pay session startup: codegen compile,
     # parquet reader + committer, shuffle, and the Arrow/python-udf bridge
@@ -135,12 +148,23 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    scratch_glob = os.path.join(_tempfile.gettempdir(), "pqrs_*")
     timings: dict[str, float] = {}
     for name in names:
         best = None
         for _ in range(repeat):
+            pre = set(_glob.glob(scratch_glob))
             t = run_one(spark, name)
             best = t if best is None else min(best, t)
+            # storage queries materialize scratch repos per run; a long
+            # --all --repeat sweep would otherwise grow /tmp linearly and
+            # can exhaust it mid-bench
+            for d in set(_glob.glob(scratch_glob)) - pre:
+                _shutil.rmtree(d, ignore_errors=True)
         timings[name] = best
         print(f"# {name}: {best}s", file=sys.stderr)
 

@@ -37,26 +37,19 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every query module so registration side effects run."""
-    from . import compute, storage  # noqa: F401
+    """Import every query module so registration side effects run.
 
-    try:
-        from . import pipeline  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import ingestion  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import curation  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import sketches  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import tpch  # noqa: F401
-    except ImportError:
-        pass
+    Imports are UNGUARDED on purpose: a broken import must fail the
+    entry point loudly — an ``except ImportError: pass`` here once meant
+    a refactor typo could silently delete an entire query tier from the
+    registry while the gate kept printing N/N passed over the shrunken
+    set and the bench read as a massive speedup."""
+    from . import (  # noqa: F401
+        compute,
+        curation,
+        ingestion,
+        pipeline,
+        sketches,
+        storage,
+        tpch,
+    )

@@ -387,7 +387,7 @@ def stream_static_enrich(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        q.awaitTermination(600)
     return spark.table(name).select(
         "c_mktsegment", "n", F.col("__sv").cast("double").alias("sum_value")
     )

@@ -7,7 +7,6 @@ oracle reproduces directly from the source parquet.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

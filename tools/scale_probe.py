@@ -170,7 +170,7 @@ def probe(spark):
         .count(),
         "incremental_dedup_fixed_batch": lambda f: incremental_near_dedup(
             docs.where(F.col("doc_id") % 37 == 0).select(
-                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+                (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
             ),
             replicate(docs, "doc_id", f),
             prebuilt_idx[f],

@@ -51,6 +51,13 @@ def main() -> None:
             t0 = time.monotonic()
             QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
+            # same isolation as bench.run_one: q11/q15 localCheckpoint a
+            # reused aggregate per run — without an unpersist the leaked
+            # blocks pile old-gen pressure onto every LATER timed query
+            spark.catalog.clearCache()
+            for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                r.unpersist(False)
+            spark.sparkContext._jvm.System.gc()
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
