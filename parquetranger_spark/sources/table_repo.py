@@ -1561,6 +1561,41 @@ class TableRepo:
                 df = df.where(cond)
         return df
 
+    def index_stats(self, version: int | None = None) -> DataFrame:
+        """The manifest's file-level index as a DataFrame — one row per
+        (file, indexed column): recorded [min, max] and whether a Bloom
+        bitmap exists. Read entirely from the (tiny) manifest JSON; no
+        data files are touched. The observability face of S24: what WOULD
+        a predicate be able to prune, per file."""
+        if self.commit_mode != "manifest":
+            raise TypeError("index_stats() requires commit_mode='manifest'")
+        from .manifest import load_manifest
+
+        mf = load_manifest(self._fs(), self.main_path, version)
+        if version is not None and mf is None:
+            raise KeyError(f"no manifest version {version} for {self.name}")
+        rows = []
+        for c in (mf or {}).get("commits", []):
+            blooms = c.get("blooms") or {}
+            for f in c["files"]:
+                st = (c.get("stats") or {}).get(f) or {}
+                fb = blooms.get(f) or {}
+                for col in sorted(set(st) | set(fb)):
+                    mnmx = st.get(col) or [None, None]
+                    rows.append(
+                        (
+                            f,
+                            col,
+                            None if mnmx[0] is None else str(mnmx[0]),
+                            None if mnmx[1] is None else str(mnmx[1]),
+                            col in fb,
+                        )
+                    )
+        return self._session().createDataFrame(
+            rows,
+            "file string, column string, min_value string, max_value string, has_bloom boolean",
+        )
+
     def skip_plan(self, predicates, version: int | None = None) -> tuple[int, int]:
         """(files kept, files total) for ``predicates`` under the current
         stats — the observability hook for how selective a skipping scan

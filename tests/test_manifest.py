@@ -844,3 +844,37 @@ def test_compact_backfills_stats_and_blooms(spark, tmp_root):
     assert got == [0, 1, 2, 3]
     kept_b, total_b = indexed.skip_plan([("k", "==", "k101")])
     assert kept_b < total_b
+
+
+def test_index_survives_deletion_and_index_stats(spark, tmp_root):
+    """Keyed deletion rewrites touched partitions through the normal
+    write path, so the NEW commit re-records stats and blooms — skipping
+    stays sound and selective after deletes; index_stats() exposes the
+    per-file index from the manifest alone."""
+    t = TableRepo(
+        f"{tmp_root}/ix",
+        group_cols="C",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="A",
+        bloom_cols="k",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0, 12)))
+    t.delete_records(spark.createDataFrame(pd.DataFrame({"k": ["k3", "k4"]})))
+    # exactness post-delete under skipping
+    got = sorted(r["k"] for r in t.get_full_df_skipping([("A", "<=", 5)]).collect())
+    assert got == ["k0", "k1", "k2", "k5"]
+    # the rewritten partitions' files carry fresh stats + blooms
+    ix = t.index_stats().collect()
+    assert ix and all(r["column"] in ("A", "k") for r in ix)
+    a_rows = [r for r in ix if r["column"] == "A"]
+    k_rows = [r for r in ix if r["column"] == "k"]
+    assert a_rows and all(r["min_value"] is not None for r in a_rows)
+    assert k_rows and all(r["has_bloom"] for r in k_rows)
+    # deleted keys are bloom-pruned wherever their old files died
+    kept, total = t.skip_plan([("k", "==", "k3")])
+    got3 = t.get_full_df_skipping([("k", "==", "k3")]).count()
+    assert got3 == 0
+    with pytest.raises(TypeError, match="index_stats"):
+        TableRepo(f"{tmp_root}/fm2", index_cols="k", spark=spark).index_stats()
