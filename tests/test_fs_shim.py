@@ -129,3 +129,50 @@ def test_hash_bucket_partitions_visible_on_uri_root(spark, tmp_root):
     t.extend(spark.createDataFrame(DF1))
     assert t.n_files > 0
     assert t.get_full_df().count() == len(DF1)
+
+
+def test_hadoop_create_exclusive_cas_race_and_torn_read_safety(spark, tmp_root):
+    """The HadoopFS CAS under contention: 16 threads racing one
+    destination — exactly one wins, losers see False (never an
+    exception), the winner's bytes are complete, and no .tmp residue of
+    the winner is left in the destination's role. Also: a pre-existing
+    destination refuses immediately."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fs = fs_for(f"file://{tmp_root}", spark=spark)
+    dest = f"file://{tmp_root}/cas/v1.json"
+    payloads = [f'{{"writer": {i}, "pad": "{"x" * 2000}"}}' for i in range(16)]
+
+    def attempt(i):
+        return fs.create_exclusive(dest, payloads[i])
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        results = list(ex.map(attempt, range(16)))
+    assert sum(results) == 1
+    winner = results.index(True)
+    assert fs.read_text(dest) == payloads[winner]
+    # second round on an existing destination: everyone refuses
+    assert fs.create_exclusive(dest, "late") is False
+    assert fs.read_text(dest) == payloads[winner]
+
+
+def test_manifest_concurrent_appends_on_file_uri(spark, tmp_root):
+    """The manifest commit protocol through the HadoopFS branch: four
+    concurrent appenders on a file:// root compose via CAS retries, with
+    the torn-read-safe rename publish."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = f"file://{tmp_root}/t"
+    seed = TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
+    seed.extend(spark.createDataFrame(DF1))
+
+    def worker(i):
+        r = TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
+        pdf = pd.DataFrame({"__index": [f"w{i}_{j}" for j in range(3)], "A": [i] * 3, "C2": ["z"] * 3})
+        r.extend(spark.createDataFrame(pdf))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+    t = TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
+    assert t.get_full_df().count() == 3 + 4 * 3
+    assert t.versions()[-1] == 5
