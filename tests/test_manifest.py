@@ -878,3 +878,37 @@ def test_index_survives_deletion_and_index_stats(spark, tmp_root):
     assert got3 == 0
     with pytest.raises(TypeError, match="index_stats"):
         TableRepo(f"{tmp_root}/fm2", index_cols="k", spark=spark).index_stats()
+
+
+def test_stream_resume_after_vacuumed_offset_fails_loudly(spark, tmp_root, tmp_path):
+    """Vacuuming the manifest a live stream's checkpoint offset points at
+    must fail the resumed stream with the documented retention error —
+    never silently re-read the world (the Delta vacuum-vs-streaming
+    caveat, enforced)."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def run():
+        q = (
+            t.stream_manifest()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # checkpoint now at v2
+    t.replace_all(spark.createDataFrame(_frame(20, 3)))  # v3 supersedes all
+    data_root = os.path.join(f"{tmp_root}/t", "_pqrs_data")
+    past = time.time() - 7200
+    for name in os.listdir(data_root):
+        os.utime(os.path.join(data_root, name), (past, past))
+    t.vacuum(max_age_seconds=3600)  # sweeps manifests v1/v2
+    assert t.versions() == [3]
+    with pytest.raises(Exception, match="vacuumed|retained"):
+        run()
