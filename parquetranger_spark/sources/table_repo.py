@@ -1638,7 +1638,7 @@ class TableRepo:
             if try_commit(fs, self.main_path, nxt):
                 return
 
-    def vacuum(self, max_age_seconds: float = 24 * 3600) -> list[str]:
+    def vacuum(self, max_age_seconds: float = 24 * 3600, keep_versions: int = 1) -> list[str]:
         """Delete orphaned two-phase-append staging dirs older than
         ``max_age_seconds`` — the maintenance sweep for writers that
         crashed mid-append. Readers never see staging (dot-prefixed), so
@@ -1653,9 +1653,18 @@ class TableRepo:
         entries with non-positive mtime are SKIPPED rather than treated
         as infinitely old (on such stores the two-phase append is already
         documented as degraded; use single_writer there). Returns the
-        deleted paths."""
+        deleted paths.
+
+        ``keep_versions`` (manifest mode) retains the newest N manifest
+        versions AND every data dir they reference — the retention knob
+        that keeps time travel, change feeds, and streaming-source
+        offsets alive across vacuums: set it at least as deep as the
+        slowest consumer's checkpoint lag (the vacuum-vs-streaming
+        caveat, now tunable instead of absolute)."""
         import time as _time
 
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1 (the latest always survives)")
         fs = self._fs()
         cutoff = _time.time() - max_age_seconds
         deleted = []
@@ -1664,31 +1673,35 @@ class TableRepo:
                 fs.delete(path)
                 deleted.append(path)
         if self.commit_mode == "manifest":
-            deleted += self._vacuum_manifest(cutoff)
+            deleted += self._vacuum_manifest(cutoff, keep_versions)
         return deleted
 
-    def _vacuum_manifest(self, cutoff: float) -> list[str]:
+    def _vacuum_manifest(self, cutoff: float, keep_versions: int = 1) -> list[str]:
         """Manifest-mode sweep: (a) commit dirs referenced by NO retained
         manifest and older than the cutoff — superseded by later
         overwrites/compactions, or stranded by a writer that crashed
-        between data write and CAS; (b) all manifest versions below the
-        latest, so time travel's retention window IS the vacuum cadence.
-        The age threshold protects in-flight commits exactly as it does
-        staging dirs: a live writer's data dir is younger than any sane
-        cutoff."""
+        between data write and CAS; (b) manifest versions below the
+        retained window, so time travel's retention window IS the vacuum
+        cadence. The age threshold protects in-flight commits exactly as
+        it does staging dirs: a live writer's data dir is younger than
+        any sane cutoff."""
         from .fs import basename as _bn
         from .manifest import DATA_DIR, MANIFEST_DIR, list_versions, load_manifest
 
         fs = self._fs()
-        latest = load_manifest(fs, self.main_path)
-        live_dirs = {c["dir"].split("/")[-1] for c in (latest or {}).get("commits", [])}
+        versions = list_versions(fs, self.main_path)
+        retained = versions[-keep_versions:] if versions else []
+        live_dirs = set()
+        for v in retained:
+            mf = load_manifest(fs, self.main_path, v)
+            for c in (mf or {}).get("commits", []):
+                live_dirs.add(c["dir"].split("/")[-1])
         deleted = []
         for path, mtime in fs.list_dirs(join_path(self.main_path, DATA_DIR)):
             if _bn(path) not in live_dirs and 0 < mtime < cutoff:
                 fs.delete(path)
                 deleted.append(path)
-        versions = list_versions(fs, self.main_path)
-        for v in versions[:-1]:
+        for v in versions[: max(0, len(versions) - keep_versions)]:
             p = join_path(self.main_path, MANIFEST_DIR, f"v{v:020d}.json")
             fs.delete(p)
             deleted.append(p)

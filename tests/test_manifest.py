@@ -912,3 +912,42 @@ def test_stream_resume_after_vacuumed_offset_fails_loudly(spark, tmp_root, tmp_p
     assert t.versions() == [3]
     with pytest.raises(Exception, match="vacuumed|retained"):
         run()
+
+
+def test_vacuum_keep_versions_preserves_stream_resume(spark, tmp_root, tmp_path):
+    """keep_versions retains the newest N manifests AND their data dirs,
+    so a stream whose checkpoint lags inside the window resumes cleanly
+    after a vacuum — the tunable answer to the retention caveat."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def run():
+        q = (
+            t.stream_manifest()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()  # checkpoint at v2
+    t.extend(spark.createDataFrame(_frame(12)))  # v3
+    data_root = os.path.join(f"{tmp_root}/t", "_pqrs_data")
+    past = time.time() - 7200
+    for name in os.listdir(data_root):
+        os.utime(os.path.join(data_root, name), (past, past))
+    t.vacuum(max_age_seconds=3600, keep_versions=2)  # keeps v2 AND v3
+    assert t.versions() == [2, 3]
+    run()  # resumes from v2 across the vacuum
+    assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 18)))
+    # time travel within the retained window still works
+    assert t.get_full_df(version=2).count() == 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_versions"):
+        t.vacuum(keep_versions=0)
