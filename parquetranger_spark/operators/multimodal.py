@@ -54,12 +54,11 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-
-            decoder = "pil"
-        except ImportError:
-            decoder = "fake-md5"
+        # the decoder column must label what PRODUCED the dimensions:
+        # this stub always uses the md5 fake (a real PIL decode would
+        # plug in here), so advertising 'pil' merely because the library
+        # happens to be importable would mark fake dimensions as real
+        decoder = "fake-md5"
         for pdf in batches:
             payloads = pdf[payload_col]
             dims = [_fake_decode(bytes(p)) for p in payloads]

@@ -283,3 +283,26 @@ def file_may_match(commit: dict, rel: str, preds: list[tuple]) -> bool:
         if p[1] == "in" and not any(bloom_may_contain(b64, v) for v in p[2]):
             return False
     return True
+
+
+# ---- hive partition-value encoding -------------------------------------
+
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f')
+
+
+def hive_value(v) -> str:
+    """Render a partition VALUE exactly as Spark encodes it in hive dir
+    names (ExternalCatalogUtils.escapePathName semantics): booleans
+    lowercase, NULL as the default-partition token, and the reserved
+    character set %XX-escaped. Python's ``str()`` differs on precisely
+    these cases ('True' vs 'true', raw ':' vs '%3A') — a mismatch makes
+    partition deletes/lookups silently miss the real directory."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if (ch in _HIVE_ESCAPE or ord(ch) < 0x20) else ch
+        for ch in s
+    )

@@ -312,11 +312,30 @@ class TableRepo:
         unchanged on a 100 TB table). This is the observability surface
         compaction decisions read: partitions with many small files are
         ``compact()`` candidates."""
-        df = self.get_full_df().select(
-            *self.group_cols,
-            F.col("_metadata.file_path").alias("__f"),
-            F.col("_metadata.file_size").alias("__sz"),
-        )
+        def proj(s: DataFrame) -> DataFrame:
+            return s.select(
+                *self.group_cols,
+                F.col("_metadata.file_path").alias("__f"),
+                F.col("_metadata.file_size").alias("__sz"),
+            )
+
+        if self.commit_mode == "manifest":
+            if not self.paths:
+                df = (
+                    self.get_full_df()
+                    .select(*self.group_cols)
+                    .withColumn("__f", F.lit(None).cast("string"))
+                    .withColumn("__sz", F.lit(None).cast("long"))
+                    .where(F.lit(False))
+                )
+            else:
+                # _metadata must be selected INSIDE each per-commit scan:
+                # Spark does not propagate metadata columns through Union,
+                # so projecting after the multi-commit unionByName raises
+                # UNRESOLVED_COLUMN
+                df = self._manifest_df(None, project=proj)
+        else:
+            df = proj(self.get_full_df())
         per_file = df.groupBy(*(self.group_cols + ["__f"])).agg(
             F.count(F.lit(1)).alias("__rows"), F.first("__sz").alias("__bytes")
         )
@@ -340,14 +359,19 @@ class TableRepo:
     def _scan_base(self, path: str) -> str:
         """The basePath partition-column discovery anchors on: the table
         root, except in manifest mode where hive dirs live under each
-        commit's own ``_pqrs_data/<uuid>`` directory."""
+        commit's own ``_pqrs_data/<uuid>`` directory. The anchor is cut
+        from the PATH itself, not rebuilt under this repo's root — a
+        shallow clone's commits reference data dirs under the SOURCE
+        table's root, and a basePath that is not an ancestor of the file
+        path fails the scan."""
         if self.commit_mode == "manifest":
             from .manifest import DATA_DIR
 
-            parts = path_parts(path)
-            if DATA_DIR in parts:
-                i = parts.index(DATA_DIR)
-                return join_path(self.main_path, DATA_DIR, parts[i + 1])
+            token = "/" + DATA_DIR + "/"
+            i = path.find(token)
+            if i >= 0:
+                rest = path[i + len(token):]
+                return path[: i + len(token)] + rest.split("/", 1)[0]
         return self.main_path
 
     def get_partition_paths(self, partition_col: str) -> Iterable[tuple[str, list[str]]]:
@@ -379,7 +403,9 @@ class TableRepo:
         pc = partition_col or (self.group_cols[0] if self.group_cols else None)
         if pc is None:
             raise TypeError("not a grouped table")
-        needle = f"{pc}={value}"
+        from .manifest import hive_value
+
+        needle = f"{pc}={hive_value(value)}"
         out = [p for p in self.paths if needle in path_parts(p)]
         if not out and self.paths:
             raise KeyError(f"no files for partition {needle}")
@@ -546,9 +572,6 @@ class TableRepo:
             compression=self.compression,
             spark=self._spark,
         )
-        meta = load_meta(self.main_path, spark=self._spark)
-        if meta is not None:
-            save_meta(clone.main_path, meta, spark=self._spark)
         commits = [
             {**c, "base": c.get("base", self.main_path)}
             for c in (mf["commits"] if mf else [])
@@ -561,6 +584,11 @@ class TableRepo:
         }
         if not try_commit(clone._fs(), clone.main_path, nxt):
             raise RuntimeError(f"clone target {dest_root} already has a manifest")
+        # sidecar only AFTER the CAS: a refused clone onto an existing
+        # table must not clobber that table's canonical schema
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is not None:
+            save_meta(clone.main_path, meta, spark=self._spark)
         return clone
 
     def changes_between(self, start: int, end: int | None = None) -> DataFrame:
@@ -735,6 +763,10 @@ class TableRepo:
         out = []
         for v in self.versions():
             mf = load_manifest(fs, self.main_path, version=v)
+            if mf is None:
+                # vacuumed between the listing and this read — skip, the
+                # remaining versions still form a valid (gappy) log
+                continue
             out.append(
                 {
                     "version": v,
@@ -751,6 +783,7 @@ class TableRepo:
         version: int | None,
         ignore_corrupt_files: bool = False,
         file_keep=None,
+        project=None,
     ) -> DataFrame:
         """Manifest-mode scan: the file list comes from one manifest (the
         snapshot), frozen at plan time — concurrent commits cannot change
@@ -782,9 +815,12 @@ class TableRepo:
                 r = r.schema(schema)
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
-            scans.append(
-                r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
-            )
+            s = r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
+            if project is not None:
+                # per-scan projection BEFORE the union — the hook for
+                # metadata columns (_metadata does not survive Union)
+                s = project(s)
+            scans.append(s)
         if not scans:
             return spark.createDataFrame([], schema or T.StructType([]))
         out = scans[0]
@@ -1288,7 +1324,12 @@ class TableRepo:
         fs.delete(staging)
 
     def _write_manifest(
-        self, df: DataFrame, mode: str, dynamic: bool, fence: tuple | None = None
+        self,
+        df: DataFrame,
+        mode: str,
+        dynamic: bool,
+        fence: tuple | None = None,
+        meta=None,
     ) -> None:
         """Manifest-mode commit (sources/manifest.py): write the batch ONCE
         into a fresh ``_pqrs_data/<uuid>`` dir (hive-partitioned inside, so
@@ -1327,15 +1368,24 @@ class TableRepo:
         if self.compression:
             w = w.option("compression", self.compression)
         w.parquet(cdir)
-        base = len(path_parts(cdir))
-        files = ["/".join(path_parts(p)[base:]) for p in fs.list_files(cdir, ".parquet")]
+        # split on the unique uuid commit-dir segment, never a component
+        # count: HadoopFS lists FULLY-QUALIFIED URIs (authority included),
+        # so an authority-less root ('hdfs:///w/t') would shift a count-
+        # based slice and corrupt every rel path in the manifest (same
+        # normalization hazard _two_phase_append documents)
+        marker = rel_dir.split("/")[-1] + "/"
+        files = []
+        for p in fs.list_files(cdir, ".parquet"):
+            norm = "/".join(path_parts(p))
+            pos = norm.rfind("/" + marker)
+            files.append(norm[pos + len(marker) + 1:])
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if fkey is not None:
             entry["fence"] = fkey
         if self.stats_cols and files:
-            entry["stats"] = self._collect_file_stats(cdir, files)
+            entry["stats"] = self._collect_file_stats(cdir, files, meta=meta)
         if self.bloom_cols and files:
-            entry["blooms"] = self._collect_file_blooms(cdir, files)
+            entry["blooms"] = self._collect_file_blooms(cdir, files, meta=meta)
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -1384,7 +1434,7 @@ class TableRepo:
             if try_commit(fs, self.main_path, nxt):
                 return
 
-    def _collect_file_stats(self, cdir: str, files: list[str]) -> dict:
+    def _collect_file_stats(self, cdir: str, files: list[str], meta=None) -> dict:
         """Per-file [min, max] for ``stats_cols`` over a just-written
         commit dir — ONE column-pruned aggregate grouped on
         ``input_file_name()`` (distributed, any filesystem, and the data
@@ -1396,7 +1446,8 @@ class TableRepo:
         maxRecordsPerFile/compaction policy produces."""
         spark = self._session()
         r = spark.read.option("basePath", cdir)
-        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is None:
+            meta = load_meta(self.main_path, spark=self._spark)
         if meta and meta.schema:
             # same rule as _manifest_df: the sidecar schema types the hive
             # partition columns — without it the scan INFERS them (string
@@ -1451,7 +1502,7 @@ class TableRepo:
                     stats[f] = {c: [None, None] for c in cols}
         return stats
 
-    def _collect_file_blooms(self, cdir: str, files: list[str]) -> dict:
+    def _collect_file_blooms(self, cdir: str, files: list[str], meta=None) -> dict:
         """Per-file Bloom bitmaps for ``bloom_cols`` over a just-written
         commit — ONE distributed pass: each row contributes k md5-derived
         bit positions per indexed column (computed in SQL with the exact
@@ -1466,7 +1517,8 @@ class TableRepo:
 
         spark = self._session()
         r = spark.read.option("basePath", cdir)
-        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is None:
+            meta = load_meta(self.main_path, spark=self._spark)
         if meta and meta.schema:
             r = r.schema(meta.schema)
         scan = r.parquet(*[join_path(cdir, f) for f in files])
@@ -1623,7 +1675,9 @@ class TableRepo:
         from .manifest import load_manifest, prune_partitions, try_commit
 
         fs = self._fs()
-        touched = {tuple(str(v) for v in gv) for gv in group_value_tuples}
+        from .manifest import hive_value
+
+        touched = {tuple(hive_value(v) for v in gv) for gv in group_value_tuples}
         while True:
             cur = load_manifest(fs, self.main_path)
             if cur is None:
@@ -1711,7 +1765,9 @@ class TableRepo:
         if self.commit_mode == "manifest":
             self._drop_partitions_from_manifest({tuple(group_values)})
             return
-        parts = [f"{c}={v}" for c, v in zip(self.group_cols, group_values)]
+        from .manifest import hive_value
+
+        parts = [f"{c}={hive_value(v)}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
 
     def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None) -> None:
@@ -1763,7 +1819,7 @@ class TableRepo:
             else:
                 df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
         if self.commit_mode == "manifest":
-            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence)
+            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence, meta=meta)
             return
         if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are

@@ -157,11 +157,20 @@ class DfBatchWriter:
         for d in self._bufs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         obs = Observation()
-        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.replace:
+            # upsert path: count buffered rows (the merge decides what
+            # physically lands)
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
             self.trepo.replace_records(out)
         else:
-            self.trepo.extend(out)
+            # append path: observe AFTER the write-side filters (null
+            # group keys, drop-mode constraints, schema align) so
+            # written_count reports rows that actually LANDED, not rows
+            # buffered — the adaptive flush trigger recalibrates from it
+            prepared = self.trepo._prepare(out).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            self.trepo._write(prepared, mode="append")
         n_rows = int(obs.get["n"])
         self.written_count += n_rows
         self._bufs = []

@@ -951,3 +951,47 @@ def test_vacuum_keep_versions_preserves_stream_resume(spark, tmp_root, tmp_path)
 
     with _pytest.raises(ValueError, match="keep_versions"):
         t.vacuum(keep_versions=0)
+
+
+def test_stats_clone_dfs_and_boolean_partition_delete(spark, tmp_root):
+    """Three regressions in one lifecycle: stats() works on a MULTI-commit
+    manifest table (_metadata does not survive Union — must be selected
+    per scan); a shallow clone's per-file readers anchor basePath under
+    the SOURCE root; boolean partition values render as Spark's lowercase
+    hive encoding so emptying deletes actually remove the rows."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    st = {r["C"]: r["n_rows"] for r in t.stats().collect()}
+    assert sum(st.values()) == 12 and set(st) == {"0", "1", "2"}
+    # clone: dfs / read_df_from_path resolve against the source's data dirs
+    c = t.clone_to(f"{tmp_root}/c")
+    first = next(iter(c.dfs))
+    assert "C" in first.columns and first.count() > 0
+    assert c.read_df_from_path(c.paths[0]).count() > 0
+    # a refused clone must not clobber the existing target's sidecar
+    import pytest as _pytest
+
+    from parquetranger_spark.plans.schema import load_meta
+
+    before = load_meta(c.main_path, spark=spark).schema
+    with _pytest.raises(RuntimeError, match="already has a manifest"):
+        t.clone_to(f"{tmp_root}/c")
+    assert load_meta(c.main_path, spark=spark).schema == before
+    # boolean partition column: delete-to-empty must hit 'flag=true'
+    b = TableRepo(
+        f"{tmp_root}/b", group_cols="flag", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    b.extend(
+        spark.createDataFrame(
+            [("a", True), ("b", False)], "k string, flag boolean"
+        )
+    )
+    b.delete_records(spark.createDataFrame([("a",)], "k string"))
+    assert [r["k"] for r in b.get_full_df().collect()] == ["b"]
+    fb = TableRepo(f"{tmp_root}/fb", group_cols="flag", index_cols="k", spark=spark)
+    fb.extend(
+        spark.createDataFrame([("a", True), ("b", False)], "k string, flag boolean")
+    )
+    fb.delete_records(spark.createDataFrame([("a",)], "k string"))
+    assert [r["k"] for r in fb.get_full_df().collect()] == ["b"]
