@@ -29,35 +29,63 @@ _MERGE = {
 }
 
 
-def salted_agg(
-    df: DataFrame,
-    keys: list[str],
-    aggs: dict[str, tuple[str, str]],
-    n_salts: int = 16,
-) -> DataFrame:
-    """``df.groupBy(keys).agg(...)`` with a salt-split first stage.
+def _with_salt(df: DataFrame, n_salts: int, salt_mode: str) -> DataFrame:
+    """Attach the salt column under one of three explicit trade-offs.
 
-    ``aggs`` maps output alias → (function, column) with function in
-    {sum, count, min, max, avg}, e.g. ``{"n": ("count", "*"),
-    "total": ("sum", "v"), "m": ("avg", "v")}``.
+    ``position`` (default): salt from (partition id, row index) — spreads
+    even a hot key made of IDENTICAL rows (the duplicate-heavy shape skew
+    remedies exist for). CAVEAT, honestly: the row index is not stable
+    across stage retries when the upstream is a shuffle (row arrival
+    order is nondeterministic), so a fetch-failure recompute can assign
+    rows different salts than the attempt whose partial aggregates
+    already landed — the classic nondeterministic-partitioning hazard.
+    Spark's indeterminate-stage rollback re-runs the WHOLE stage on such
+    a failure, which restores correctness for the supported algebraic
+    merges; when reading files directly (deterministic scan order) the
+    salt is stable anyway.
+
+    ``content``: salt = xxhash64 of every column — fully deterministic
+    under any retry, but fully-identical duplicate rows share one salt
+    (no mitigation for that one shape).
+
+    ``checkpoint``: position salt, then an EAGER localCheckpoint pins the
+    salted rows against any recompute — exactness under task retry at
+    the cost of materializing the input once.
     """
-    bad = {f for f, _ in aggs.values()} - {"sum", "count", "min", "max", "avg"}
-    if bad:
-        raise ValueError(f"non-decomposable aggregate(s): {sorted(bad)}")
-
-    # salt by physical row position, NOT row content: a hot key made of
-    # IDENTICAL rows (the duplicate-heavy shape skew remedies exist for)
-    # hashes to one value and would all land in a single salt — zero
-    # mitigation. (partition id, row index) spreads duplicates evenly and
-    # is deterministic per scan; the final merge makes results
-    # independent of the salt layout either way
-    salted = df.withColumn(
+    if salt_mode == "content":
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        return df.withColumn(_SALT, salt)
+    if salt_mode not in ("position", "checkpoint"):
+        raise ValueError(f"salt_mode must be position|content|checkpoint: {salt_mode!r}")
+    out = df.withColumn(
         _SALT,
         F.pmod(
             F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
             F.lit(n_salts),
         ),
     )
+    return out.localCheckpoint(eager=True) if salt_mode == "checkpoint" else out
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_mode: str = "position",
+) -> DataFrame:
+    """``df.groupBy(keys).agg(...)`` with a salt-split first stage.
+
+    ``aggs`` maps output alias → (function, column) with function in
+    {sum, count, min, max, avg}, e.g. ``{"n": ("count", "*"),
+    "total": ("sum", "v"), "m": ("avg", "v")}``. See :func:`_with_salt`
+    for the ``salt_mode`` determinism trade-offs.
+    """
+    bad = {f for f, _ in aggs.values()} - {"sum", "count", "min", "max", "avg"}
+    if bad:
+        raise ValueError(f"non-decomposable aggregate(s): {sorted(bad)}")
+
+    salted = _with_salt(df, n_salts, salt_mode)
 
     partial_exprs: list[Column] = []
     needed: dict[str, tuple[str, str]] = {}
@@ -91,6 +119,7 @@ def salted_join(
     on: list[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_mode: str = "position",
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the (skewed) left side, replicate the
     right side ``n_salts``× so every (key, salt) pair finds its match.
@@ -104,16 +133,7 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"unsupported join type for salting: {how}")
-    lsalt = left.withColumn(
-        _SALT,
-        # position-based, same reasoning as salted_agg: identical hot-key
-        # rows must spread across salts, and content hashing puts them
-        # all in one
-        F.pmod(
-            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(n_salts),
-        ),
-    )
+    lsalt = _with_salt(left, n_salts, salt_mode)
     rsalt = right.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
     )

@@ -246,6 +246,38 @@ def jaccard_pairs(
     )
 
 
+def overlap_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Inverted-index candidate generation for EXACT any-overlap pair
+    queries: ``jaccard > 0`` ⟺ the pair shares at least one shingle, so
+    exploding each doc's distinct shingle set and self-equi-joining on
+    the shingle yields precisely the pairs a cross join + post-filter
+    would — with work proportional to Σ(posting-list²), i.e. the size of
+    the ANSWER, never the O(n²) cross product of the corpus. Shingles
+    are xxhash64-hashed so the shuffle key is one long, not a token
+    triple; a hash collision can only ADD a candidate, and callers
+    verify with the exact jaccard (> 0 filter) which removes it."""
+    sets = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__tk")).select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col("__tk"), shingle_n)).alias("sh"),
+    )
+    inv = sets.select(
+        F.col(id_col), F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("__s")
+    )
+    a = inv.select(F.col(id_col).alias("id_a"), "__s")
+    b = inv.select(F.col(id_col).alias("id_b"), "__s")
+    return (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -17,6 +17,7 @@ from ..operators.dedup import (
     near_dedup_embedding,
     near_dedup_minhash,
     near_dedup_simhash,
+    overlap_candidate_pairs,
 )
 from ..operators.multimodal import extract_features, pack_binary
 from ..operators.events import session_stats
@@ -260,16 +261,15 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard > 0
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     """X2: exact n-gram (3-token shingle) Jaccard similarity — all pairs
-    of a blocked subset with any overlap."""
+    of a blocked subset with any overlap. Candidates come from an
+    inverted-index shingle equi-join (work ∝ answer size), NOT a
+    cartesian self-join — identical result set because jaccard > 0 holds
+    exactly when a pair shares a shingle. Plan-gated no-cartesian in
+    tests/test_plans.py."""
     d = load(spark, sf_dir, "documents").where(
         (F.col("lang") == "de") & (F.col("doc_id") % 2 == 0)
     )
-    ids = d.select("doc_id")
-    pairs = (
-        ids.select(F.col("doc_id").alias("id_a"))
-        .crossJoin(ids.select(F.col("doc_id").alias("id_b")))
-        .where(F.col("id_a") < F.col("id_b"))
-    )
+    pairs = overlap_candidate_pairs(d)
     return jaccard_pairs(d, pairs).where(F.col("jaccard") > 0)
 
 

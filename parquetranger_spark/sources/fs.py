@@ -45,6 +45,30 @@ def is_uri(path: str) -> bool:
     return bool(_SCHEME_RE.match(path))
 
 
+def local_path_of(path: str) -> str | None:
+    """The plain local path behind a ``file:`` URI (both ``file:///x`` and
+    Hadoop's authority-less ``file:/x`` spelling), or None for any other
+    scheme / a bare path. Used to route primitives that need POSIX-only
+    atomicity (link(2) CAS) when the 'remote' FS is really local disk."""
+    m = _SCHEME_RE.match(path)
+    if not m or not path[: m.end()].lower().startswith("file:"):
+        return None
+    return "/" + path[m.end():].lstrip("/")
+
+
+# tmp files staged for an atomic publish live in a dot-prefixed subdir of
+# the destination's parent, NOT beside the destination: a concurrent
+# reader listing the parent (non-recursively) then never stats a tmp name
+# that a rename may yank away mid-iteration — Hadoop's located-status
+# iterators re-stat every entry and throw on a vanished one BEFORE any
+# caller-side suffix filter can skip it (the manifest-listing race).
+STAGING_DIR = ".staging"
+
+
+def _staging_tmp(path: str) -> str:
+    return join_path(parent_dir(path), STAGING_DIR, f"{basename(path)}.{uuid4().hex[:12]}.tmp")
+
+
 def _split_scheme(path: str) -> tuple[str, str]:
     m = _SCHEME_RE.match(path)
     return (path[: m.end()], path[m.end():]) if m else ("", path)
@@ -148,12 +172,27 @@ class LocalFS:
         is missing. Callers guarantee dest uniqueness (UUID file names)."""
         os.rename(src, dest)
 
+    def list_names(self, root: str, suffix: str) -> list[str]:
+        """NON-recursive listing of plain files directly under ``root``
+        matching ``suffix`` — the read primitive of the manifest protocol.
+        Name-only (os.listdir reads dirents, no per-entry stat), so a
+        concurrent rename/delete of a sibling can never torn-window it."""
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, n)
+            for n in os.listdir(root)
+            if n.endswith(suffix) and not n.startswith((".", "_"))
+        )
+
     def write_text_atomic(self, path: str, text: str) -> None:
-        self.mkdirs(os.path.dirname(path))
-        # unique temp name: a SHARED temp path would let two concurrent
-        # writers interleave truncate/write and publish torn bytes — with
-        # per-writer temps the final rename is genuinely last-writer-wins
-        tmp = f"{path}.{uuid4().hex[:12]}.tmp"
+        # unique temp name in a dot-dir: a SHARED temp path would let two
+        # concurrent writers interleave truncate/write and publish torn
+        # bytes — with per-writer temps the final rename is genuinely
+        # last-writer-wins, and the dot-dir keeps the churn out of the
+        # namespace concurrent readers list (see STAGING_DIR note above)
+        tmp = _staging_tmp(path)
+        self.mkdirs(os.path.dirname(tmp))
         with open(tmp, "w") as fh:
             fh.write(text)
         os.replace(tmp, path)
@@ -165,8 +204,8 @@ class LocalFS:
         reads are impossible: the bytes are staged to a temp file and
         hard-linked into place (link(2) is atomic create-if-absent), so the
         destination either absent or complete."""
-        self.mkdirs(os.path.dirname(path))
-        tmp = f"{path}.{uuid4().hex[:12]}.tmp"
+        tmp = _staging_tmp(path)
+        self.mkdirs(os.path.dirname(tmp))
         with open(tmp, "w") as fh:
             fh.write(text)
         try:
@@ -196,7 +235,28 @@ class HadoopFS:
         self._jPath = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jPath(uri).getFileSystem(spark._jsc.hadoopConfiguration())
 
+    _LIST_RETRIES = 5
+
     def list_files(self, root: str, suffix: str = ".parquet") -> list[str]:
+        # Hadoop's located-status iterator re-stats every entry while
+        # iterating (RawLocalFileSystem even shells out for permissions);
+        # an entry a concurrent writer renames/deletes mid-iteration makes
+        # it.hasNext() THROW — before any Python-side suffix filter runs.
+        # Staged tmps now live in dot-dirs, but data-file churn (vacuum,
+        # compaction) can still race a listing, so retry the whole listing
+        # on a vanished-entry error; races are rare and the re-list is the
+        # correct snapshot anyway.
+        last = None
+        for _ in range(self._LIST_RETRIES):
+            try:
+                return self._list_files_once(root, suffix)
+            except Exception as e:  # py4j wraps FileNotFoundException
+                if "FileNotFoundException" not in str(e) and "No such file" not in str(e):
+                    raise
+                last = e
+        raise last
+
+    def _list_files_once(self, root: str, suffix: str) -> list[str]:
         p = self._jPath(root)
         if not self._fs.exists(p):
             return []
@@ -219,6 +279,32 @@ class HadoopFS:
             ):
                 out.append(fp)
         return sorted(out)
+
+    def list_names(self, root: str, suffix: str) -> list[str]:
+        """NON-recursive listing of plain files directly under ``root``
+        matching ``suffix`` — the manifest protocol's read primitive.
+        listStatus is one RPC over a flat dir; published manifests are
+        never renamed away (only vacuum deletes old ones), and staged
+        tmps live in a dot-dir this listing skips, so a vanished-entry
+        error here is rare — still retried for the vacuum-vs-reader race."""
+        last = None
+        for _ in range(self._LIST_RETRIES):
+            try:
+                p = self._jPath(root)
+                if not self._fs.exists(p):
+                    return []
+                return sorted(
+                    st.getPath().toString()
+                    for st in self._fs.listStatus(p)
+                    if st.isFile()
+                    and st.getPath().getName().endswith(suffix)
+                    and not st.getPath().getName().startswith((".", "_"))
+                )
+            except Exception as e:
+                if "FileNotFoundException" not in str(e) and "No such file" not in str(e):
+                    raise
+                last = e
+        raise last
 
     def has_any_file(self, root: str, suffix: str = ".parquet") -> bool:
         """Early-exit existence probe: stops at the first visible data
@@ -272,8 +358,9 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        self.mkdirs(parent_dir(path))
-        tmp = self._jPath(f"{path}.{uuid4().hex[:12]}.tmp")
+        tmp_s = _staging_tmp(path)
+        self.mkdirs(parent_dir(tmp_s))
+        tmp = self._jPath(tmp_s)
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
@@ -309,17 +396,26 @@ class HadoopFS:
         absent or complete manifest, never the zero-length/partial window
         a direct ``create(path, overwrite=False)`` + write would expose
         (and a writer crashing mid-write strands only an ignorable
-        ``*.tmp``). Atomic on HDFS/local; on S3-class stores rename is
+        ``*.tmp``). Atomic on HDFS; on S3-class stores rename is
         copy+delete with a check-then-act race — one RPC wide, the
-        standard Hadoop-ecosystem fallback. I/O errors PROPAGATE: only a
-        rename refused because the destination exists reads as 'lost the
-        race' — swallowing real failures would spin try_commit retry
+        standard Hadoop-ecosystem fallback. ``file:`` roots do NOT get
+        the rename CAS at all: Hadoop's LocalFileSystem rename maps to
+        rename(2), which silently REPLACES an existing destination — two
+        racing committers would both 'win' and one manifest would be
+        lost — so local URIs delegate to the link(2) create-if-absent
+        primitive, which is genuinely atomic. I/O errors PROPAGATE: only
+        a rename refused because the destination exists reads as 'lost
+        the race' — swallowing real failures would spin try_commit retry
         loops forever."""
+        lp = local_path_of(path)
+        if lp is not None:
+            return _LOCAL.create_exclusive(lp, text)
         dest = self._jPath(path)
-        self.mkdirs(parent_dir(path))
         if self._fs.exists(dest):
             return False
-        tmp = self._jPath(f"{path}.{uuid4().hex[:12]}.tmp")
+        tmp_s = _staging_tmp(path)
+        self.mkdirs(parent_dir(tmp_s))
+        tmp = self._jPath(tmp_s)
         out = self._fs.create(tmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))

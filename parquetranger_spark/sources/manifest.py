@@ -58,8 +58,12 @@ def _mpath(root: str, version: int) -> str:
 
 
 def list_versions(fs, root: str) -> list[int]:
+    # list_names, not list_files: the manifest dir is flat, and the
+    # non-recursive single-RPC listing neither descends into the
+    # .staging tmp dir nor per-entry-stats names a concurrent CAS
+    # publish may rename away mid-iteration (the reader/writer race)
     out = []
-    for p in fs.list_files(join_path(root, MANIFEST_DIR), ".json"):
+    for p in fs.list_names(join_path(root, MANIFEST_DIR), ".json"):
         name = p.rsplit("/", 1)[-1]
         if name.startswith("v") and name.endswith(".json"):
             try:
@@ -252,18 +256,54 @@ def bloom_encode(positions) -> str:
     return base64.b64encode(bytes(bits)).decode("ascii")
 
 
-def bloom_may_contain(b64: str | None, value) -> bool:
+def bloom_may_contain(b64: str | None, key: str | None) -> bool:
     """False only when the bitmap PROVES the value absent; unknown/missing
-    bloom → True (never skip what can't be disproven)."""
-    if b64 is None:
+    bloom OR no sound canonical probe key → True (never skip what can't
+    be disproven). ``key`` must already be the canonical Spark
+    ``cast(col as string)`` form (see :func:`bloom_probe_key`) — the bits
+    were collected from that exact string."""
+    if b64 is None or key is None:
         return True
     import base64
 
     bits = base64.b64decode(b64)
-    for p in bloom_positions(str(value)):
+    for p in bloom_positions(key):
         if not (bits[p // 8] >> (p % 8)) & 1:
             return False
     return True
+
+
+def bloom_probe_key(value, col_type: str | None) -> str | None:
+    """Canonical ``cast(col as string)`` form of a predicate value for
+    bloom probing, or None when no SOUND canonical form exists (the bloom
+    is then not consulted — stats and the row filter still apply).
+
+    Collection hashes Spark's string cast of the column; Python's
+    ``str()`` differs on exactly the dangerous cases — ``str(True)`` is
+    'True' not '1', ``str(4242.0)`` is '4242.0' not '4242' — so a naive
+    probe would prove PRESENT values absent and silently drop matching
+    files. ``col_type`` is the indexed column's Spark typeName recorded
+    at collection time (``bloom_types``); legacy manifests without it
+    fall back to probing only values whose str() is unambiguous across
+    every indexable type (plain int / str)."""
+    integral = ("byte", "short", "integer", "long")
+    if col_type in integral:
+        if isinstance(value, bool):
+            return str(int(value))
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, float) and value.is_integer():
+            return str(int(value))
+        return None
+    if col_type == "string":
+        return value if isinstance(value, str) else None
+    # unknown column type (legacy manifest): bools/floats are ambiguous,
+    # int-vs-string columns could zero-pad — probe only the safe pair
+    if isinstance(value, bool) or isinstance(value, float):
+        return None
+    if isinstance(value, (int, str)):
+        return str(value)
+    return None
 
 
 def file_may_match(commit: dict, rel: str, preds: list[tuple]) -> bool:
@@ -274,14 +314,22 @@ def file_may_match(commit: dict, rel: str, preds: list[tuple]) -> bool:
     if not stats_may_match((commit.get("stats") or {}).get(rel), preds):
         return False
     blooms = (commit.get("blooms") or {}).get(rel) or {}
+    btypes = commit.get("bloom_types") or {}
     for p in preds:
         b64 = blooms.get(p[0])
         if b64 is None:
             continue
-        if p[1] == "==" and not bloom_may_contain(b64, p[2]):
+        ct = btypes.get(p[0])
+        if p[1] == "==" and not bloom_may_contain(b64, bloom_probe_key(p[2], ct)):
             return False
-        if p[1] == "in" and not any(bloom_may_contain(b64, v) for v in p[2]):
-            return False
+        if p[1] == "in":
+            keys = [bloom_probe_key(v, ct) for v in p[2]]
+            # skip only when EVERY value is provably absent — a value
+            # without a sound probe key is unprovable, so the file stays
+            if all(k is not None for k in keys) and not any(
+                bloom_may_contain(b64, k) for k in keys
+            ):
+                return False
     return True
 
 

@@ -48,8 +48,15 @@ def manifest_stream_source():
     class _Reader(SimpleDataSourceStreamReader):
         def __init__(self, options):
             import json
+            import re
 
-            self.root = options["root"]
+            root = options["root"]
+            # the reader walks the manifest dir with os.path — a file://
+            # URI root (supported by TableRepo, listed via HadoopFS)
+            # would make os.path.isdir('file:///…') False and the stream
+            # silently emit zero rows forever. Strip the local scheme;
+            # refuse anything genuinely remote LOUDLY.
+            self.root = self._localize(root)
             self.cols = options["cols"].split(",")
             self.types = options["col_types"].split(",")
             # optional stats-pruned SUBSCRIPTION: files whose recorded
@@ -58,6 +65,29 @@ def manifest_stream_source():
             # stay with the caller)
             sp = options.get("skip_preds")
             self.skip_preds = [tuple(p) for p in json.loads(sp)] if sp else None
+
+        @staticmethod
+        def _localize(p: str) -> str:
+            """The reader walks the manifest dir and data files with
+            os.path/pyarrow-local — a ``file://`` URI (supported by
+            TableRepo, listed via HadoopFS) would make
+            ``os.path.isdir('file:///…')`` False and the stream silently
+            emit zero rows forever. Strip the local scheme; refuse
+            anything genuinely remote LOUDLY. Applied to the root AND to
+            every per-commit ``base`` (shallow clones record the donor's
+            root verbatim, which may be a URI)."""
+            import re
+
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):/+", p)
+            if not m:
+                return p
+            if m.group(1).lower() != "file":
+                raise NotImplementedError(
+                    f"stream_manifest: unsupported path scheme {m.group(1)!r} "
+                    "(local paths and file:// only — the reader walks the "
+                    "manifest with os.path/pyarrow-local)"
+                )
+            return "/" + p[m.end():].lstrip("/")
 
         # -- manifest plumbing (self-contained: no package imports) ----
         def _versions(self):
@@ -94,7 +124,7 @@ def manifest_stream_source():
                 return set()
             out = set()
             for c in self._manifest(version)["commits"]:
-                base = c.get("base", self.root)
+                base = self._localize(c.get("base", self.root))
                 for f in c["files"]:
                     out.add((base, c["dir"], f))
             return out
@@ -137,7 +167,7 @@ def manifest_stream_source():
 
             owner = {}
             for c in self._manifest(hi)["commits"]:
-                base = c.get("base", self.root)
+                base = self._localize(c.get("base", self.root))
                 for f in c["files"]:
                     owner[(base, c["dir"], f)] = (c, f)
             return [

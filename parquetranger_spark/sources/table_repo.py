@@ -1378,6 +1378,13 @@ class TableRepo:
         for p in fs.list_files(cdir, ".parquet"):
             norm = "/".join(path_parts(p))
             pos = norm.rfind("/" + marker)
+            if pos < 0:
+                # silently slicing at rfind's -1 would record a corrupt
+                # rel path in the manifest — fail loudly instead, matching
+                # the commit path's conventions
+                raise AssertionError(
+                    f"listed file {p!r} is not under commit dir marker {marker!r}"
+                )
             files.append(norm[pos + len(marker) + 1:])
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if fkey is not None:
@@ -1385,7 +1392,9 @@ class TableRepo:
         if self.stats_cols and files:
             entry["stats"] = self._collect_file_stats(cdir, files, meta=meta)
         if self.bloom_cols and files:
-            entry["blooms"] = self._collect_file_blooms(cdir, files, meta=meta)
+            entry["blooms"], entry["bloom_types"] = self._collect_file_blooms(
+                cdir, files, meta=meta
+            )
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -1512,7 +1521,11 @@ class TableRepo:
         packs each set into a base64 bitmap. NULLs contribute no
         positions (a point predicate never matches NULL). Only
         string/integral columns are indexed; others get no bloom and are
-        never bloom-skipped."""
+        never bloom-skipped. Returns ``(blooms, bloom_types)`` — the
+        per-column Spark typeName travels in the manifest so the read
+        side can canonicalize predicate values to the exact
+        ``cast(col as string)`` form the bits were collected from
+        (:func:`manifest.bloom_probe_key`)."""
         from .manifest import BLOOM_BITS, BLOOM_HASHES, bloom_encode
 
         spark = self._session()
@@ -1528,7 +1541,8 @@ class TableRepo:
             if c in scan.columns and isinstance(scan.schema[c].dataType, ok)
         ]
         if not cols:
-            return {}
+            return {}, {}
+        btypes = {c: scan.schema[c].dataType.typeName() for c in cols}
 
         def positions(c: str) -> F.Column:
             s = F.col(c).cast("string")
@@ -1572,7 +1586,7 @@ class TableRepo:
             if rel is None:
                 continue
             blooms.setdefault(rel, {})[row["__c"]] = bloom_encode(row["__ps"])
-        return blooms
+        return blooms, btypes
 
     def get_full_df_skipping(
         self, predicates, version: int | None = None
@@ -1739,10 +1753,22 @@ class TableRepo:
         cadence. The age threshold protects in-flight commits exactly as
         it does staging dirs: a live writer's data dir is younger than
         any sane cutoff."""
+        from .fs import STAGING_DIR
         from .fs import basename as _bn
         from .manifest import DATA_DIR, MANIFEST_DIR, list_versions, load_manifest
 
         fs = self._fs()
+        deleted = []
+        # stranded CAS tmps (writer crashed between staging and rename)
+        # live in _pqrs_manifest/.staging — the dir's mtime advances on
+        # every create/rename in it, so an old mtime means no in-flight
+        # publish; sweep the whole dir (mkdirs recreates it on next write)
+        for path, mtime in fs.list_dirs(
+            join_path(self.main_path, MANIFEST_DIR), prefix=STAGING_DIR
+        ):
+            if 0 < mtime < cutoff:
+                fs.delete(path)
+                deleted.append(path)
         versions = list_versions(fs, self.main_path)
         retained = versions[-keep_versions:] if versions else []
         live_dirs = set()
@@ -1750,7 +1776,6 @@ class TableRepo:
             mf = load_manifest(fs, self.main_path, v)
             for c in (mf or {}).get("commits", []):
                 live_dirs.add(c["dir"].split("/")[-1])
-        deleted = []
         for path, mtime in fs.list_dirs(join_path(self.main_path, DATA_DIR)):
             if _bn(path) not in live_dirs and 0 < mtime < cutoff:
                 fs.delete(path)

@@ -176,3 +176,92 @@ def test_manifest_concurrent_appends_on_file_uri(spark, tmp_root):
     t = TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
     assert t.get_full_df().count() == 3 + 4 * 3
     assert t.versions()[-1] == 5
+
+
+def test_manifest_soak_16_writers_mixed_ops(spark, tmp_root):
+    """Concurrency soak for the manifest protocol — the component the
+    whole storage story rests on. 16 threads on one file:// root mixing
+    appends, snapshot readers, vacuum sweeps, and shallow clones, with
+    the protocol invariants checked throughout:
+
+    - version linearity: one CAS win per commit, no duplicates, final
+      version == seed + every append (readers/vacuum/clones add none);
+    - no lost commits: the final row set is exactly seed + all appended
+      keys (every CAS loser retried and landed);
+    - reader snapshot isolation: each reader thread only ever observes a
+      committed version's row count, and (appends only) those counts are
+      non-decreasing per thread — a torn listing mid-CAS or a vanished
+      tmp stat would surface here as an exception or a bogus count.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = f"file://{tmp_root}/soak"
+
+    def repo():
+        return TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
+
+    repo().extend(spark.createDataFrame(DF1))
+    n_appenders, n_per, n_rows = 10, 2, 3
+    valid_counts = {3 + n_rows * k for k in range(n_appenders * n_per + 1)}
+
+    def appender(i):
+        r = repo()
+        for j in range(n_per):
+            pdf = pd.DataFrame(
+                {
+                    "__index": [f"w{i}_{j}_{k}" for k in range(n_rows)],
+                    "A": [i] * n_rows,
+                    "C2": ["z"] * n_rows,
+                }
+            )
+            r.extend(spark.createDataFrame(pdf))
+
+    def reader(i):
+        r = repo()
+        out = []
+        for _ in range(5):
+            out.append(r.get_full_df().count())
+            vs = r.versions()  # capture ONCE — it moves under concurrent commits
+            assert vs == sorted(set(vs))
+        return ("reader", i, out)
+
+    def vacuumer():
+        r = repo()
+        for _ in range(4):
+            # age gate keeps in-flight commits safe; keep_versions deeper
+            # than the total commit count so no reader's snapshot vanishes
+            r.vacuum(max_age_seconds=3600, keep_versions=64)
+        return ("vacuum", 0, [])
+
+    def cloner(j):
+        r = repo()
+        c = r.clone_to(f"{tmp_root}/soak_clone_{j}")
+        n = c.get_full_df().count()
+        assert n in valid_counts
+        return ("clone", j, [n])
+
+    jobs = (
+        [lambda i=i: appender(i) for i in range(n_appenders)]
+        + [lambda i=i: reader(i) for i in range(3)]
+        + [vacuumer]
+        + [lambda j=j: cloner(j) for j in range(2)]
+    )
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        results = [f.result() for f in [ex.submit(j) for j in jobs]]
+
+    for kind, i, counts in filter(None, results):
+        if kind == "reader":
+            assert counts == sorted(counts), f"reader {i} saw time-travel: {counts}"
+            assert set(counts) <= valid_counts, f"reader {i} saw a torn count: {counts}"
+
+    t = repo()
+    expect = {r[0] for r in DF1[["__index"]].itertuples(index=False)} | {
+        f"w{i}_{j}_{k}"
+        for i in range(n_appenders)
+        for j in range(n_per)
+        for k in range(n_rows)
+    }
+    got = [r["__index"] for r in t.get_full_df().select("__index").collect()]
+    assert sorted(got) == sorted(expect), "lost or duplicated commit rows"
+    assert t.versions()[-1] == 1 + n_appenders * n_per
+    assert t.versions() == sorted(set(t.versions()))

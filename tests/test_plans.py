@@ -78,6 +78,17 @@ def test_minhash_candidates_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_ngram_jaccard_pairs_no_cartesian(spark, sf_dir):
+    # the exact any-overlap pair query must build candidates from the
+    # inverted shingle index (equi-join), never an O(n²) cross join of
+    # the blocked subset — the full-query plan is gated, not just the
+    # operator, so a regression in the query wiring is caught too
+    from parquetranger_spark.queries.pipeline import ngram_jaccard_pairs
+
+    p = plan(ngram_jaccard_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_upsert_by_groups_reads_partition_pruned(spark, sf_dir, tmp_path, monkeypatch):
     # by_groups=True: touched groups = incoming group values, so the
     # read-back scan must carry literal PartitionFilters (O(touched
