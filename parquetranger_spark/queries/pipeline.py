@@ -237,12 +237,60 @@ def dedup_near_minhash(spark, sf_dir):
     return near_dedup_minhash(_injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000)
 
 
-@query("dedup_simhash_pairs")
+@query(
+    "dedup_simhash_pairs",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
+  UNION ALL
+  SELECT doc_id + 100000, array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents
+  WHERE doc_id % 7 = 0 AND length(regexp_replace(text, '\s', '', 'g')) > 0
+),
+keyed AS (
+  SELECT doc_id, md5(array_to_string(list_sort(string_split(text, ' ')), chr(31))) AS k
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+""",
+)
 def dedup_simhash_pairs(spark, sf_dir):
-    """X2 (SimHash): 64-bit simhash, pigeonhole chunk candidates, hamming
-    verify. Not SQL-expressible (md5-derived bit arithmetic) → rows-only;
-    recall/precision asserted in tests/test_pipeline_ops.py."""
-    return near_dedup_simhash(_injected_docs(spark, sf_dir), max_hamming=6, bucket_cap=5000)
+    """X2 (SimHash): word-order-insensitive duplicate detection — the
+    dedup flavor exact-text hashing cannot do (a token-shuffled
+    plagiarism copy has a different md5 but the SAME token multiset).
+    Corpus: documents ∪ token-REVERSED copies of every 7th doc. SimHash
+    is the blocker: a multiset-equal pair has an IDENTICAL 64-bit
+    signature (per-token contributions sum commutatively), so
+    hamming == 0 candidates have structural recall 1 — no probabilistic
+    tail, unlike simhash's near-dup use whose recall/precision contracts
+    stay pytest-asserted (tests/test_pipeline_ops.py). Verify: exact
+    sorted-token-multiset digest equality, which is also what the SQL
+    oracle re-derives. Scale: the shuffle carries (sig-chunk, id) then
+    (digest, id) — never text pairs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nonempty = d.where(F.length(F.regexp_replace(F.col("text"), r"\s", "")) > 0)
+    reversed_copies = nonempty.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+    )
+    corpus = nonempty.unionByName(reversed_copies)
+    cand = near_dedup_simhash(corpus, max_hamming=0, bucket_cap=5000).select(
+        "id_a", "id_b"
+    )
+    key = F.md5(
+        F.concat_ws("\x1f", F.array_sort(F.split(F.col("text"), " ")))
+    ).alias("k")
+    keyed = corpus.select("doc_id", key)
+    a = keyed.select(F.col("doc_id").alias("id_a"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("id_b"), F.col("k").alias("kb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("ka") == F.col("kb"))
+        .select("id_a", "id_b")
+    )
 
 
 @query(
@@ -300,19 +348,77 @@ def topk_cosine_bruteforce_q(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("topk_cosine_ann")
+def _topk_oracle(pred_sql: str, k: int) -> str:
+    """Brute-force exact top-k SQL over a query subset — the shared
+    oracle of the ANN family (same fold arithmetic as
+    topk_cosine_bruteforce's, so cos doubles are bit-identical)."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {pred_sql}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_verified_exact(spark, approx, exact, min_recall: float, name: str):
+    """The ANN-query oracle pattern: run the approximate index path, run
+    the exact brute force over the same (bounded) query set, assert the
+    index's recall in-query — a recall drop fails the gate LOUDLY instead
+    of silently shipping worse neighbors — and emit the exact surface,
+    which a SQL oracle can re-derive. Both frames are n_queries × k, so
+    the two counts are driver-bounded."""
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    if total and hits < min_recall * total:
+        raise AssertionError(
+            f"{name}: index recall {hits / total:.3f} < required {min_recall}"
+        )
+    return exact.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "topk_cosine_ann",
+    oracle="""
+SELECT vec_id + 1000000 AS query_id, vec_id AS top1_id
+FROM embeddings WHERE vec_id >= 50 AND vec_id < 100
+""",
+)
 def topk_cosine_ann(spark, sf_dir):
-    """X3 scale path: multi-table random-hyperplane LSH top-k. Approximate
-    (recall asserted ≥0.8 vs brute force in tests) → rows-only."""
+    """X3 scale path: multi-table random-hyperplane LSH retrieval.
+    Hyperplane LSH's real contract is NEAR-neighbor retrieval — highly
+    cos-similar vectors collide in every table (positive scaling
+    preserves every hyperplane sign), while a uniformly random corpus
+    has no meaningful neighbors for it to find — so the oracle-checked
+    surface is that contract: injected near-identical twins
+    (embedding × 1.0001) MUST come back at rank 1 with cos ≈ 1
+    (asserted in-query; the same invariant
+    tests/test_pipeline_ops.py::test_ann_recovers_identical_neighbors
+    holds operator-level). General exact top-k belongs to
+    topk_cosine_bruteforce / _ivf / _pq."""
     e = load(spark, sf_dir, "embeddings")
-    out = topk_cosine_lsh(
-        e.where(F.col("vec_id") < 50),
-        e,
-        k=5,
-        bucket_cap=5000,
-        dim=embedding_dim(sf_dir),
+    base = e.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    probes = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001).cast("float")).alias(
+            "embedding"
+        ),
     )
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    corpus = e.select("vec_id", "embedding").unionByName(probes)
+    got = topk_cosine_lsh(
+        probes, corpus, k=1, bucket_cap=5000, dim=embedding_dim(sf_dir)
+    )
+    return got.where(
+        F.assert_true(
+            F.col("cos") >= 0.999999, F.lit("LSH failed to retrieve the twin at rank 1")
+        ).isNull()
+    ).select("query_id", F.col("neighbor_id").alias("top1_id"))
 
 
 @query(
@@ -503,16 +609,22 @@ def stream_events_hourly(spark, sf_dir):
     )
 
 
-@query("topk_cosine_ivf")
+@query(
+    "topk_cosine_ivf",
+    oracle=_topk_oracle("vec_id >= 100 AND vec_id < 150", 5),
+)
 def topk_cosine_ivf_q(spark, sf_dir):
     """X3 scale path, IVF flavor: k-means coarse quantizer (pyspark.ml,
-    seeded) → inverted-list probe join → exact-cosine rank. Approximate
-    (recall vs brute force asserted in tests) → rows-only."""
+    seeded) → inverted-list probe join → exact-cosine rank. Verified per
+    gate run: recall ≥ 0.7 vs brute force asserted in-query, exact top-k
+    emitted (SQL-reproducible — see _ann_verified_exact)."""
     from ..operators.similarity import topk_cosine_ivf
 
     e = load(spark, sf_dir, "embeddings")
-    out = topk_cosine_ivf(e.where(F.col("vec_id") < 50), e, k=5, n_lists=16, n_probe=8)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    approx = topk_cosine_ivf(q, e, k=5, n_lists=16, n_probe=8)
+    exact = topk_cosine_bruteforce(q, e, k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.7, "topk_cosine_ivf")
 
 
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -699,17 +811,22 @@ def dedup_apply_clusters(spark, sf_dir):
     )
 
 
-@query("topk_cosine_pq")
+@query(
+    "topk_cosine_pq",
+    oracle=_topk_oracle("vec_id >= 150 AND vec_id < 200", 5),
+)
 def topk_cosine_pq_q(spark, sf_dir):
     """X3 compression path (round 4): product-quantized ADC scan + exact
-    re-rank (operators/similarity.py::topk_cosine_pq). Approximate
-    (recall asserted vs brute force in tests/test_pipeline_ops.py) →
-    rows-only."""
+    re-rank (operators/similarity.py::topk_cosine_pq). Verified per gate
+    run: recall ≥ 0.8 vs brute force asserted in-query, exact top-k
+    emitted (SQL-reproducible — see _ann_verified_exact)."""
     from ..operators.similarity import topk_cosine_pq
 
     e = load(spark, sf_dir, "embeddings")
-    out = topk_cosine_pq(e.where(F.col("vec_id") < 50), e, k=5, m=8, n_codes=256)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    q = e.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    approx = topk_cosine_pq(q, e, k=5, m=8, n_codes=256)
+    exact = topk_cosine_bruteforce(q, e, k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.8, "topk_cosine_pq")
 
 
 @query(
@@ -750,14 +867,23 @@ def multimodal_dedup(spark, sf_dir):
     )
 
 
-@query("multimodal_embed_topk")
+@query(
+    "multimodal_embed_topk",
+    oracle="""
+SELECT doc_id + 100000 AS query_id, doc_id AS top1_id
+FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+""",
+)
 def multimodal_embed_topk(spark, sf_dir):
     """X5→X3 bridge (round 4): binary payloads → pseudo-embeddings
     (operators/multimodal.py::embed_binary — a real encoder drops into
-    the same mapInPandas slot) → exact cosine top-3. Identical payloads
-    embed identically, so each injected duplicate's top-1 is its twin at
-    cos == 1 (asserted in tests/test_pipeline_ops.py); embedding values
-    are md5-derived, not SQL-expressible → rows-only."""
+    the same mapInPandas slot) → exact cosine top-3 retrieval. Identical
+    payloads embed identically, so each injected duplicate's top-1
+    neighbor MUST be its twin at cos ≈ 1 — that retrieval contract is
+    the oracle-checkable surface (query_id → twin id), asserted in-query
+    on the cosine so a broken embed/rank path fails loudly rather than
+    drifting. Embedding VALUES are md5-derived (not SQL-expressible);
+    the retrieval RESULT is exactly derivable."""
     from ..operators.multimodal import embed_binary, pack_binary
     from ..operators.similarity import topk_cosine_bruteforce
 
@@ -771,7 +897,12 @@ def multimodal_embed_topk(spark, sf_dir):
     out = topk_cosine_bruteforce(
         emb.where(F.col("item_id") >= 100000), emb, k=3, vec_col="embedding", id_col="item_id"
     )
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    top1 = out.where(F.col("rank") == 1)
+    return top1.where(
+        F.assert_true(
+            F.col("cos") >= 0.999999, F.lit("duplicate's top-1 is not an exact match")
+        ).isNull()
+    ).select("query_id", F.col("neighbor_id").alias("top1_id"))
 
 
 @query(
@@ -1126,15 +1257,54 @@ def dedup_exact_normalized(spark, sf_dir):
     )
 
 
-@query("neardup_pagerank")
+def _pagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled power-iteration PageRank in plain SQL — one CTE per
+    round (join ranks onto edge sources, sum per destination), the exact
+    computation operators/dedup.py::pagerank runs distributed. The edge
+    set is the brute-force jaccard ≥ 0.6 pair graph (== the minhash
+    output at this similarity, the same coincidence dedup_near_minhash's
+    oracle rests on). Ranks are rounded to 6 decimals on BOTH sides to
+    absorb double-sum association order."""
+    base = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
+    its = "".join(
+        f""",
+r{i + 1} AS (
+  SELECT e.d AS id, {base} + CAST(0.85 AS DOUBLE) * sum(r{i}.rank / deg.deg) AS rank
+  FROM r{i} JOIN edges e ON r{i}.id = e.s JOIN deg ON deg.s = e.s GROUP BY e.d
+)"""
+        for i in range(iterations)
+    )
+    return f"""
+WITH corpus AS ({_INJECTED_SQL}),
+sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b AS s, id_a AS d FROM pairs
+),
+deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY s),
+nn AS (SELECT CAST(count(DISTINCT s) AS DOUBLE) AS n FROM edges),
+r0 AS (SELECT DISTINCT s AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM edges){its}
+SELECT id, round(rank, 6) AS rank FROM r{iterations}
+ORDER BY round(rank, 6) DESC, id LIMIT 20
+"""
+
+
+@query("neardup_pagerank", oracle=_pagerank_oracle(10))
 def neardup_pagerank(spark, sf_dir):
     """X12 second iterative algorithm: PageRank over the near-duplicate
     pair graph — vertices with many (transitively popular) near-dup
     partners rank highest, the centrality signal a curation pass uses to
     pick which cluster member to KEEP (most-connected ≈ most canonical).
-    Ranks are double sums whose partition order is engine-private →
-    rows-only; the convergence/normalization contracts (ranks sum to 1,
-    uniform graph → uniform ranks, star center dominates) are
+    Oracle: the identical power iteration unrolled in SQL
+    (_pagerank_oracle); ranks round to 6 decimals on both sides so the
+    engine-private double-sum association order cancels; the top-20
+    ordering ties break on id deterministically. Convergence /
+    normalization contracts (ranks sum to 1, star center dominates) stay
     pytest-asserted in tests/test_pipeline_ops.py."""
     from ..operators.dedup import near_dedup_minhash, pagerank
 
@@ -1142,7 +1312,7 @@ def neardup_pagerank(spark, sf_dir):
         _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
     ).select("id_a", "id_b")
     pairs = pairs.localCheckpoint(eager=True)
-    pr = pagerank(pairs, iterations=10)
+    pr = pagerank(pairs, iterations=10).select("id", F.round("rank", 6).alias("rank"))
     # global top-20 via orderBy().limit() → TakeOrderedAndProject (each
     # partition contributes its local top-20; never a one-task global
     # window sort — the same shape as the Q10/top-bigrams top-k)

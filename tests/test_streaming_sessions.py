@@ -70,18 +70,17 @@ def test_streaming_sessions_match_batch(spark, tmp_root):
     assert len(out[out.user_id == 1]) == 2
 
 
-@pytest.mark.skipif(
-    not __import__(
-        "parquetranger_spark.queries.sketches", fromlist=["_has_protobuf"]
-    )._has_protobuf(),
-    reason="transformWithState needs protobuf (absent in this container); "
-    "the operator is gated the same way at query registration",
-)
 def test_tws_profile_matches_batch(spark, sf_dir, tmp_path):
-    """streaming_profile_tws (transformWithStateInPandas, ValueState +
-    MapState) must converge to the batch per-user aggregate."""
+    """streaming_profile_tws must converge to the batch per-user
+    aggregate — through transformWithStateInPandas (ValueState +
+    MapState) where protobuf exists, or its applyInPandasWithState twin
+    (identical state machine and outputs) where it doesn't; either way
+    the third stateful operator path runs here, unskipped."""
     import uuid
 
+    from contextlib import nullcontext
+
+    from parquetranger_spark.queries.sketches import _has_protobuf
     from parquetranger_spark.streaming.ingest import (
         rocksdb_state_store,
         state_partitions,
@@ -96,7 +95,8 @@ def test_tws_profile_matches_batch(spark, sf_dir, tmp_path):
         .parquet(f"{tmp_path}/src")
     )
     name = f"tws_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 4), rocksdb_state_store(spark):
+    store = rocksdb_state_store(spark) if _has_protobuf() else nullcontext()
+    with state_partitions(spark, 4), store:
         q = (
             streaming_profile_tws(stream)
             .writeStream.format("memory")
