@@ -181,6 +181,11 @@ def main() -> None:
         "sessionization", "stream_sessionization",
     ]
     r2_subtotal = round(sum(timings[n] for n in r2_set if n in timings), 3)
+    # the 16-query round-1 set (r2_set minus dedup_simhash_pairs, which
+    # joined in r2) — BENCH_r01.json's 71.0 s over these queries is the
+    # driver's ≤2×-of-baseline bar, so emit the comparable number directly
+    r1_set = [n for n in r2_set if n != "dedup_simhash_pairs"]
+    r1_subtotal = round(sum(timings[n] for n in r1_set if n in timings), 3)
     print(
         json.dumps(
             {
@@ -188,6 +193,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r1_subset_total": r1_subtotal,
                 "r2_subset_total": r2_subtotal,
                 "sf": sf_of(SF_DIR),
             }

@@ -796,6 +796,91 @@ def semantic_dedup(
     return df.select(id_col).join(pruned, id_col, "left_anti")
 
 
+def _qgram_prefix_candidates(
+    base: DataFrame, q: int, k: int, id_col: str, band_width: int
+) -> DataFrame:
+    """Positional-order-free q-gram PREFIX FILTER candidates for an edit-
+    distance-≤k self-join (Chaudhuri et al. SSJoin / Gravano et al.): one
+    edit alters at most ``q`` distinct q-grams, so two strings within
+    distance k share at least ``|G| − k·q`` grams — and under ANY global
+    total order their (k·q + 1)-element prefixes must intersect. Grams
+    are ordered RAREST-FIRST (document frequency, gram as tie-break), so
+    prefix posting lists are the smallest ones — this is what keeps big
+    same-length blocks from going quadratic without the bucket_cap
+    recall trade.
+
+    The theorem needs ≥ k·q + 1 DISTINCT grams per string; strings below
+    that (short, or highly repetitive like 'ababab…') route through the
+    length-band channel instead — asymmetrically joined against EVERY
+    string in their own/adjacent bands, so low-gram × high-gram pairs
+    are never lost between channels. Recall is exact."""
+    from pyspark.sql import Window
+
+    plen = k * q + 1
+    grams = F.when(
+        F.col("__len") >= q,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__len") - q + 1),
+                lambda i: F.substr(F.col("__s"), i, F.lit(q)),
+            )
+        ),
+    ).otherwise(F.array(F.col("__s")))
+    gb = base.select(F.col(id_col), "__len", "__band", grams.alias("__gs")).withColumn(
+        "__ng", F.size("__gs")
+    )
+    high = gb.where(F.col("__ng") >= plen)
+    lows = gb.where(F.col("__ng") < plen)
+
+    # high×high: rare-first prefix equi-join on the gram
+    g = high.select(F.col(id_col), "__len", F.explode("__gs").alias("__g"))
+    dfreq = g.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "__g")
+    prefix = (
+        g.join(dfreq, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= plen)
+        .select(id_col, "__g", "__len")
+    )
+    pa = prefix.select(F.col(id_col).alias("id_a"), "__g", F.col("__len").alias("__la"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), "__g", F.col("__len").alias("__lb"))
+    hh = (
+        pa.join(pb, "__g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select("id_a", "id_b")
+    )
+
+    # low×anything: a low-gram string meets every string in its own and
+    # adjacent length bands (the |Δlen| ≤ k bound is exact); low-gram
+    # strings are rare by construction, so the asymmetric fan-out is
+    # |lows| × band size, not quadratic in the corpus
+    lo = lows.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__len").alias("__la"),
+        F.explode(
+            F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+        ).alias("__band"),
+    )
+    all_b = gb.select(
+        F.col(id_col).alias("id_b"), F.col("__len").alias("__lb"), "__band"
+    )
+    la = (
+        lo.join(all_b, "__band")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return hh.unionByName(la).distinct()
+
+
 def fuzzy_pairs(
     df: DataFrame,
     str_col: str,
@@ -803,6 +888,7 @@ def fuzzy_pairs(
     max_dist: int = 2,
     band_width: int = 3,
     bucket_cap: int | None = None,
+    qgram: int | None = None,
 ) -> DataFrame:
     """Approximate-string self-join (entity-resolution shape): all pairs
     within Levenshtein distance ``max_dist``, WITHOUT a cross join.
@@ -817,19 +903,30 @@ def fuzzy_pairs(
     that regime is what lets the brute-force oracle match hash-exactly.
 
     Scale honesty: length blocking alone leaves big blocks at corpus
-    scale (many strings share a length). ``bucket_cap`` salts oversized
-    bands exactly like the LSH buckets — an explicit recall trade for
-    bounded pair counts, since unlike the MinHash pipeline there is no
-    second candidate channel to recover cross-salt pairs — and a
-    production deployment adds q-gram prefix filtering INSIDE blocks
-    (strings within distance k share one of the first k·q+1 q-grams)
-    before paying the verify, which restores bounded work without the
-    recall loss."""
+    scale (many strings share a length). Two remedies, composable by
+    argument: ``bucket_cap`` salts oversized bands exactly like the LSH
+    buckets — an explicit recall trade for bounded pair counts, since
+    unlike the MinHash pipeline there is no second candidate channel to
+    recover cross-salt pairs; ``qgram=q`` switches candidate generation
+    to the rare-first q-gram prefix filter
+    (:func:`_qgram_prefix_candidates`) — bounded verify work inside big
+    same-length blocks WITHOUT any recall loss (recall stays exact)."""
     if band_width <= max_dist:
         raise ValueError("band_width must exceed max_dist for exact recall")
     base = df.select(
         F.col(id_col), F.col(str_col).alias("__s"), F.length(str_col).alias("__len")
     ).withColumn("__band", F.expr(f"__len div {band_width}"))
+    if qgram is not None:
+        cand = _qgram_prefix_candidates(base, qgram, max_dist, id_col, band_width)
+        sa0 = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+        sb0 = base.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+        return (
+            cand.join(sa0, "id_a")
+            .join(sb0, "id_b")
+            .withColumn("dist", F.levenshtein("__sa", "__sb"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "dist")
+        )
     ids = base.select(id_col, "__band")
     ids, keys = _salt_oversized(ids, ["__band"], id_col, bucket_cap)
     a = ids.select(F.col(id_col).alias("id_a"), *keys)

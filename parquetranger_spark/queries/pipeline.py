@@ -962,10 +962,11 @@ WHERE levenshtein(a.title, b.title) <= 2
 )
 def fuzzy_title_pairs(spark, sf_dir):
     """X2 (string flavor): approximate-string self-join — document-title
-    pairs within Levenshtein distance 2 (operators/dedup.py::fuzzy_pairs).
-    Length-band blocking (exact by the |Δlen| ≤ dist bound) replaces the
-    oracle's brute-force cross join; the hash-exact match certifies 100 %
-    recall of the blocked plan."""
+    pairs within Levenshtein distance 2 (operators/dedup.py::fuzzy_pairs)
+    via the rare-first q-gram PREFIX FILTER (qgram=2): bounded candidate
+    work inside big same-length blocks with EXACT recall (no bucket_cap
+    trade needed), which is what lets the brute-force oracle still match
+    hash-exactly."""
     from ..operators.dedup import fuzzy_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
@@ -973,7 +974,7 @@ def fuzzy_title_pairs(spark, sf_dir):
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("title"),
     )
-    return fuzzy_pairs(titles, "title", "doc_id", max_dist=2, bucket_cap=5000)
+    return fuzzy_pairs(titles, "title", "doc_id", max_dist=2, qgram=2)
 
 
 @query(

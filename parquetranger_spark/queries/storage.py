@@ -864,14 +864,16 @@ FROM events WHERE event_type = 'purchase' AND value >= 10.0
 )
 def stats_skipping_read(spark, sf_dir):
     """S24: manifest file-level [min,max] stats + driver-side file
-    skipping (the Delta/Iceberg data-skipping shape). Events land in one
-    manifest commit per event_type with stats on (event_type, value);
-    the skipping read proves from the manifest alone that four of the
-    five types' files cannot match and never hands them to Spark — at
-    100 TB a key-clustered table answers this with a handful of file
-    opens instead of planning the full file list. The surviving files
-    are still scanned WITH the predicates, so the oracle match is exact
-    regardless of stats coverage."""
+    skipping (the Delta/Iceberg data-skipping shape). ONE commit, ONE
+    write job: the incoming frame is range-repartitioned on the stats
+    key, so each written file covers a tight, NON-overlapping event_type
+    range (hash partitioning would let a {click,view} file's [min,max]
+    lexicographically swallow 'purchase'); the skipping read then proves
+    from the manifest alone that the other types' files cannot match and
+    never hands them to Spark — at 100 TB a key-clustered table answers
+    this with a handful of file opens instead of planning the full file
+    list. The surviving files are still scanned WITH the predicates, so
+    the oracle match is exact regardless of stats coverage."""
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     t = TableRepo(
         scratch_dir("skip") + "/events",
@@ -880,8 +882,7 @@ def stats_skipping_read(spark, sf_dir):
         stats_cols=["event_type", "value"],
         spark=spark,
     )
-    for et in [r[0] for r in ev.select("event_type").distinct().collect()]:
-        t.extend(ev.where(F.col("event_type") == et))
+    t.extend(ev.repartitionByRange(8, "event_type"))
     kept, total = t.skip_plan([("event_type", "==", "purchase")])
     if not kept < total:
         raise AssertionError(f"stats skipping pruned nothing ({kept}/{total})")

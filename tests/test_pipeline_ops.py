@@ -401,3 +401,48 @@ def test_pagerank_contracts(spark):
     leaves = [v for k, v in rs.items() if k != 0]
     assert rs[0] > max(leaves) * 2
     assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_qgram_prefix_cuts_candidates_in_same_length_blocks(spark):
+    """The q-gram prefix filter's reason to exist: a same-length-heavy
+    corpus (every string 12 chars) makes length bands useless — the band
+    channel verifies ~n²/2 pairs — while rare-first prefix grams cut the
+    candidate set by an order of magnitude AND recall stays exact."""
+    import random
+
+    from parquetranger_spark.operators.dedup import (
+        _qgram_prefix_candidates,
+        fuzzy_pairs,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = ["".join(rng.choice(alpha) for _ in range(12)) for _ in range(300)]
+    # a handful of true near-dups: one substitution each
+    for i in range(0, 30, 3):
+        w = list(words[i])
+        w[5] = "z" if w[5] != "z" else "q"
+        words.append("".join(w))
+    pdf = pd.DataFrame({"id": range(len(words)), "s": words})
+    sdf = spark.createDataFrame(pdf)
+
+    base = sdf.select(
+        F.col("id"), F.col("s").alias("__s"), F.length("s").alias("__len")
+    ).withColumn("__band", F.expr("__len div 3"))
+    n = len(words)
+    band_pairs = n * (n - 1) // 2  # one 12-char band: the full cross set
+    qg_pairs = _qgram_prefix_candidates(base, 2, 2, "id", 3).count()
+    assert qg_pairs < band_pairs / 10, (qg_pairs, band_pairs)
+
+    # and the verified result is still the exact distance-<=2 pair set
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(sdf, "s", "id", max_dist=2, qgram=2).collect()
+    }
+    want = {(i, 300 + j) for j, i in enumerate(range(0, 30, 3))}
+    assert want <= got
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(sdf, "s", "id", max_dist=2).collect()
+    }
+    assert got == banded

@@ -169,19 +169,26 @@ def test_fuzzy_pairs_match_bruteforce(spark, words, max_dist):
         return dp[len(b)]
 
     pdf = pd.DataFrame({"id": range(len(words)), "s": words})
-    got = {
-        (r["id_a"], r["id_b"], r["dist"])
-        for r in fuzzy_pairs(
-            spark.createDataFrame(pdf), "s", "id", max_dist=max_dist
-        ).collect()
-    }
+    sdf = spark.createDataFrame(pdf)
     want = {
         (i, j, lev(words[i], words[j]))
         for i in range(len(words))
         for j in range(i + 1, len(words))
         if lev(words[i], words[j]) <= max_dist
     }
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(sdf, "s", "id", max_dist=max_dist).collect()
+    }
     assert got == want
+    # q-gram prefix-filter channel: same exact recall contract — the
+    # 'ab' alphabet makes low-distinct-gram strings common, so the
+    # low-gram band fallback is exercised too
+    got_q = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(sdf, "s", "id", max_dist=max_dist, qgram=2).collect()
+    }
+    assert got_q == want
 
 
 @settings(
