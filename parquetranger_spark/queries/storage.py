@@ -1093,3 +1093,64 @@ def bloom_skipping_read(spark, sf_dir):
         F.min("event_id").alias("min_eid"),
         F.max("event_id").alias("max_eid"),
     )
+
+
+@query(
+    "merge_upsert_delete",
+    oracle=f"""
+WITH seed AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id < 5000
+),
+src AS (
+  SELECT event_id, event_type, value * 2 AS value
+  FROM events WHERE event_id >= 2500 AND event_id < 7500
+),
+upd AS (
+  SELECT s.event_id, s.event_type,
+         CASE WHEN r.event_id IS NULL THEN s.value ELSE s.value + r.value END AS value,
+         CASE WHEN r.event_id IS NOT NULL AND r.value >= 120.0 THEN 1 ELSE 0 END AS del
+  FROM seed s LEFT JOIN src r ON s.event_id = r.event_id
+),
+ins AS (
+  SELECT r.event_id, r.event_type, r.value
+  FROM src r LEFT JOIN seed s ON s.event_id = r.event_id
+  WHERE s.event_id IS NULL
+),
+final AS (
+  SELECT event_id, event_type, value FROM upd WHERE del = 0
+  UNION ALL SELECT event_id, event_type, value FROM ins
+)
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM final GROUP BY event_type
+""",
+)
+def merge_upsert_delete(spark, sf_dir):
+    """S-tier (round 6): SQL MERGE INTO — conditional update + conditional
+    delete + insert in ONE keyed pass (table_repo.py::merge, the
+    Delta/Iceberg MERGE shape the reference cannot express). Seeded with
+    the first half of events; the source overlaps half of it (updates:
+    value accumulates; deletes: big source values) and extends past it
+    (inserts). Scale: one semi-join finds the partitions holding matched
+    keys; only those plus insert-target partitions are read back through
+    ONE full-outer join and dynamically overwritten — O(touched
+    partitions), never O(table)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("merge") + "/events",
+        group_cols="event_type",
+        index_cols="event_id",
+        spark=spark,
+    )
+    t.extend(ev.where(F.col("event_id") < 5000))
+    src = ev.where((F.col("event_id") >= 2500) & (F.col("event_id") < 7500)).select(
+        "event_id", "event_type", (F.col("value") * 2).alias("value")
+    )
+    t.merge(
+        src,
+        update={"value": "tgt.value + src.value"},
+        delete_condition="src.value >= 120.0",
+        insert=True,
+    )
+    return t.get_full_df().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )

@@ -530,6 +530,124 @@ class TableRepo:
             out = out.localCheckpoint(eager=True)
             self._write(out, mode="overwrite", dynamic=False)
 
+    def merge(
+        self,
+        source: DataFrame,
+        update: dict[str, str] | str | None = "all",
+        update_condition: str | None = None,
+        delete_condition: str | None = None,
+        insert: bool = True,
+    ) -> None:
+        """SQL MERGE INTO over the keyed table (the Delta/Iceberg MERGE
+        shape; no reference counterpart — core.py can only upsert whole
+        rows via replace_records). Rows match on ``index_cols``; then,
+        in clause order:
+
+        - matched + ``delete_condition`` (SQL expr over ``src.``/``tgt.``
+          namespaces) → row deleted;
+        - matched + ``update_condition`` (default: always) → row updated:
+          ``update="all"`` takes every source column (keys and partition
+          group columns keep the target's values); a dict maps target
+          column → SQL expr over ``src.``/``tgt.`` (e.g.
+          ``{"value": "tgt.value + src.value"}``);
+        - matched otherwise → row kept unchanged;
+        - unmatched source rows → inserted when ``insert=True``, else
+          dropped; unmatched target rows are always kept.
+
+        Duplicate source keys keep FIRST in incoming order (the
+        replace_records convention; Delta raises instead — documented
+        divergence). Updating key or group columns through ``update`` is
+        rejected: a key rewrite is a delete+insert, and a group move
+        belongs to replace_records' full-row semantics.
+
+        Scale shape, same as replace_records: one semi-join locates the
+        partitions holding matched keys; only those (plus partitions
+        receiving inserts) are read back, merged via ONE full-outer join
+        on the keys, and dynamically overwritten — O(touched partitions),
+        never O(table). Partitions emptied by deletes are cleared."""
+        if not self.index_cols:
+            raise TypeError("merge needs index_cols (the match key)")
+        protected = set(self.index_cols) | set(self.group_cols)
+        if isinstance(update, dict):
+            bad = protected & set(update)
+            if bad:
+                raise ValueError(f"merge cannot update key/group columns: {sorted(bad)}")
+        elif update not in ("all", None):
+            raise ValueError(f"update must be 'all', None, or a dict: {update!r}")
+        src = self._dedup_keep_first(self._prepare(source), keys=self.index_cols)
+        old = self.get_full_df()
+        keys = self.index_cols
+        if old.isEmpty():
+            if insert:
+                self._write(src, mode="append")
+            return
+
+        from functools import reduce
+
+        def _merged(old_side: DataFrame) -> DataFrame:
+            t = old_side.withColumn("__tp", F.lit(True)).alias("tgt")
+            s = src.withColumn("__sp", F.lit(True)).alias("src")
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}")) for k in keys],
+            )
+            j = t.join(s, cond, "full_outer")
+            matched = F.col("tgt.__tp").isNotNull() & F.col("src.__sp").isNotNull()
+            src_only = F.col("tgt.__tp").isNull() & F.col("src.__sp").isNotNull()
+            delc = (
+                F.coalesce(F.expr(delete_condition), F.lit(False))
+                if delete_condition
+                else F.lit(False)
+            )
+            updc = (
+                F.coalesce(F.expr(update_condition), F.lit(True))
+                if update_condition
+                else F.lit(True)
+            )
+            keep = ~(matched & delc)
+            if not insert:
+                keep = keep & ~src_only
+            out_cols = []
+            for c in old.columns:
+                tgt_c, src_c = F.col(f"tgt.{c}"), F.col(f"src.{c}")
+                if update is None or c in protected:
+                    upd = tgt_c
+                elif update == "all":
+                    upd = src_c
+                else:
+                    upd = F.expr(update[c]) if c in update else tgt_c
+                out_cols.append(
+                    F.when(src_only, src_c)
+                    .when(matched & updc, upd)
+                    .otherwise(tgt_c)
+                    .alias(c)
+                )
+            return j.where(keep).select(*out_cols)
+
+        if self.group_cols:
+            # matched keys may live in any partition: one semi-join scan
+            # locates their groups; inserts land in the source's groups
+            touched = (
+                old.join(
+                    F.broadcast(src.select(*keys).distinct()), keys, "left_semi"
+                ).select(*self.group_cols)
+            )
+            if insert:
+                touched = touched.unionByName(src.select(*self.group_cols))
+            touched_vals = {tuple(r) for r in touched.distinct().collect()}
+            if not touched_vals:
+                return
+            old_touched = old.where(self._group_filter(touched_vals))
+            out = _merged(old_touched).localCheckpoint(eager=True)
+            kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
+            if kept_vals:
+                self._write(out, mode="overwrite", dynamic=True)
+            for gv in touched_vals - kept_vals:
+                self._delete_partition_dir(gv)
+        else:
+            out = _merged(old).localCheckpoint(eager=True)
+            self._write(out, mode="overwrite", dynamic=False)
+
     def purge(self) -> None:
         """Drop the table (reference core.py:162-167)."""
         self._fs().delete(self.main_path)

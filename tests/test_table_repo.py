@@ -817,3 +817,85 @@ def test_check_constraints_drop_mode(spark, tmp_root):
     assert t.get_full_df().count() == 3
     with pytest.raises(ValueError, match="constraint_mode"):
         TableRepo(f"{tmp_root}/bad", constraints={"x": "1=1"}, constraint_mode="warn", spark=spark)
+
+
+def test_merge_update_delete_insert(spark, tmp_path):
+    """MERGE INTO: conditional update + conditional delete + insert in
+    one pass, grouped table, partition-pruned rewrite."""
+    t = TableRepo(
+        str(tmp_path / "m"), group_cols="g", index_cols="k", spark=spark
+    )
+    t.extend(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"k": ["a", "b", "c", "d"], "g": ["x", "x", "y", "y"],
+                 "v": [1, 2, 3, 4]}
+            )
+        )
+    )
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["a", "c", "e"], "g": ["x", "y", "x"], "v": [10, -1, 50]}
+        )
+    )
+    t.merge(
+        src,
+        update={"v": "tgt.v + src.v"},
+        delete_condition="src.v < 0",
+        insert=True,
+    )
+    got = {r["k"]: (r["g"], r["v"]) for r in t.get_full_df().collect()}
+    assert got == {
+        "a": ("x", 11),   # matched, updated: 1 + 10
+        "b": ("x", 2),    # untouched target
+        "d": ("y", 4),    # untouched target
+        "e": ("x", 50),   # unmatched source, inserted
+    }  # "c" deleted (src.v < 0)
+
+
+def test_merge_update_all_and_no_insert(spark, tmp_path):
+    t = TableRepo(str(tmp_path / "m2"), index_cols="k", spark=spark)
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})))
+    src = spark.createDataFrame(pd.DataFrame({"k": ["b", "z"], "v": [20, 99]}))
+    t.merge(src, update="all", insert=False)
+    got = {r["k"]: r["v"] for r in t.get_full_df().collect()}
+    assert got == {"a": 1, "b": 20}  # z NOT inserted
+
+
+def test_merge_update_condition_and_dup_source_keeps_first(spark, tmp_path):
+    t = TableRepo(str(tmp_path / "m3"), index_cols="k", spark=spark)
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "v": [5, 5]})))
+    src = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 100, 3]})
+    )
+    # only update when the source value is LOWER (min-merge)
+    t.merge(src, update="all", update_condition="src.v < tgt.v", insert=False)
+    got = {r["k"]: r["v"] for r in t.get_full_df().collect()}
+    assert got == {"a": 1, "b": 3}  # a: first dup (1) wins then updates
+
+
+def test_merge_rejects_key_and_group_updates(spark, tmp_path):
+    t = TableRepo(str(tmp_path / "m4"), group_cols="g", index_cols="k", spark=spark)
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["a"], "g": ["x"], "v": [1]})))
+    src = spark.createDataFrame(pd.DataFrame({"k": ["a"], "g": ["x"], "v": [2]}))
+    with pytest.raises(ValueError, match="key/group"):
+        t.merge(src, update={"k": "src.k"})
+    with pytest.raises(ValueError, match="key/group"):
+        t.merge(src, update={"g": "src.g"})
+
+
+def test_merge_delete_empties_partition(spark, tmp_path):
+    t = TableRepo(str(tmp_path / "m5"), group_cols="g", index_cols="k", spark=spark)
+    t.extend(
+        spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "b"], "g": ["x", "y"], "v": [1, 2]})
+        )
+    )
+    src = spark.createDataFrame(pd.DataFrame({"k": ["b"], "g": ["y"], "v": [0]}))
+    t.merge(src, update=None, delete_condition="true", insert=False)
+    got = {r["k"] for r in t.get_full_df().collect()}
+    assert got == {"a"}
+    # the emptied partition directory is actually gone
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(str(tmp_path / "m5"), "g=y"))
