@@ -824,7 +824,12 @@ def topk_cosine_pq_q(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     q = e.where((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
-    approx = topk_cosine_pq(q, e, k=5, m=8, n_codes=256)
+    # rerank=100: the ADC shortlist handed to exact re-scoring. The
+    # default 4k=20 held 0.9 recall at 500 vectors but fell to 0.72 at
+    # 2000 (the in-query assertion caught it at bench scale) — a wider
+    # exact-rerank window is the standard PQ accuracy knob and costs 100
+    # exact cosines per query regardless of corpus size.
+    approx = topk_cosine_pq(q, e, k=5, m=8, n_codes=256, rerank=100)
     exact = topk_cosine_bruteforce(q, e, k=5)
     return _ann_verified_exact(spark, approx, exact, 0.8, "topk_cosine_pq")
 
