@@ -177,3 +177,93 @@ def asof_join_forward(
             ),
         )
     return out.select(*l_cols, out_col)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current: str = "is_current",
+) -> DataFrame:
+    """Apply a change batch to a Slowly-Changing-Dimension Type-2 table
+    (Kimball SCD2: closed-out history rows + one open row per key — the
+    warehouse-dimension shape; no reference counterpart, the reference
+    can only overwrite whole rows).
+
+    ``dim`` carries ``key_cols + attr_cols + valid_from + valid_to +
+    is_current`` (``valid_to`` NULL on the open row); ``changes`` carries
+    ``key_cols + attr_cols + ts_col`` (effective time). Duplicate keys in
+    one batch keep the LATEST effective time (ties broken by attr order —
+    deterministic). Semantics, per change row:
+
+    - key's open row exists and any attribute differs → the open row is
+      closed (``valid_to`` = change ts, ``is_current`` false) and a new
+      open row starts at the change ts;
+    - attributes identical → no-op (no empty versions);
+    - unseen key → inserted as a new open row starting at its ts.
+
+    History rows pass through untouched.
+
+    Scale shape: history is routed around the join with a filter (at
+    100 TB the history dwarfs the open set); the open rows meet the
+    deduped batch in ONE full-outer equi-join on the key, and the
+    close+reopen split is a 2-element array explode — no second join, no
+    window over the dimension. One shuffle on the key, O(open + batch).
+    """
+    seq = F.struct(F.col(ts_col), *[F.col(c) for c in attr_cols]).alias("__seq")
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__seq").desc())
+    ch = (
+        changes.select(*key_cols, *attr_cols, ts_col)
+        .withColumn("__seq", seq)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__seq", "__rn")
+    )
+    hist = dim.where(~F.col(current))
+    open_rows = dim.where(F.col(current))
+
+    t = open_rows.alias("tgt")
+    s = ch.alias("src")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}"))
+        cond = c if cond is None else cond & c
+    j = t.join(s, cond, "full_outer")
+    tgt_open = F.col(f"tgt.{current}").isNotNull()
+    src_new = F.col(f"src.{ts_col}").isNotNull() & ~tgt_open
+    differs = None
+    for a in attr_cols:
+        d = ~F.col(f"tgt.{a}").eqNullSafe(F.col(f"src.{a}"))
+        differs = d if differs is None else differs | d
+    changed = tgt_open & F.col(f"src.{ts_col}").isNotNull() & differs
+
+    def _row(from_src: bool, vf, vt, cur):
+        cols = []
+        side = "src" if from_src else "tgt"
+        for k in key_cols:
+            cols.append(F.coalesce(F.col(f"tgt.{k}"), F.col(f"src.{k}")).alias(k))
+        for a in attr_cols:
+            cols.append(F.col(f"{side}.{a}").alias(a))
+        cols += [vf.alias(valid_from), vt.alias(valid_to), cur.alias(current)]
+        return F.struct(*cols)
+
+    kept = _row(False, F.col(f"tgt.{valid_from}"), F.col(f"tgt.{valid_to}"), F.lit(True))
+    closed = _row(False, F.col(f"tgt.{valid_from}"), F.col(f"src.{ts_col}"), F.lit(False))
+    reopened = _row(True, F.col(f"src.{ts_col}"), F.lit(None).cast("long"), F.lit(True))
+    inserted = _row(True, F.col(f"src.{ts_col}"), F.lit(None).cast("long"), F.lit(True))
+
+    out = (
+        j.select(
+            F.explode(
+                F.when(changed, F.array(closed, reopened))
+                .when(src_new, F.array(inserted))
+                .otherwise(F.array(kept))
+            ).alias("__r")
+        )
+        .select("__r.*")
+    )
+    return hist.select(*key_cols, *attr_cols, valid_from, valid_to, current).unionByName(out)

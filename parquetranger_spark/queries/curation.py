@@ -449,6 +449,81 @@ def word_commonness_score(spark, sf_dir):
     )
 
 
+@query(
+    "bigram_fluency_score",
+    oracle=r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+bg AS (
+  SELECT doc_id, toks[u.g] AS prefix,
+         toks[u.g] || ' ' || toks[u.g + 1] AS bigram
+  FROM s, UNNEST(generate_series(CAST(1 AS BIGINT), n - 1)) AS u(g)
+),
+bgf AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram),
+pref AS (SELECT prefix, count(*) AS c_pref FROM bg GROUP BY prefix)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       SUM(bgf.c_bg) AS sum_bg,
+       SUM(pref.c_pref) AS sum_prefix,
+       CAST(SUM(bgf.c_bg) AS DOUBLE) / CAST(SUM(pref.c_pref) AS DOUBLE)
+         AS fluency
+FROM bg JOIN bgf USING (bigram) JOIN pref USING (prefix)
+GROUP BY bg.doc_id
+""",
+)
+def bigram_fluency_score(spark, sf_dir):
+    """X7: Markov-bigram fluency signal — each document scored by a
+    pooled conditional bigram probability: sum over its bigrams of the
+    corpus bigram count, divided by the sum of the corpus prefix-word
+    counts (how often each bigram's first word starts ANY bigram).
+    Fluent text chains transitions the corpus itself makes often;
+    word-salad built from common words scores low where the unigram
+    commonness signal (word_commonness_score) cannot tell the
+    difference. Same exactness recipe: integer-exact sums, one final
+    double division — the per-bigram log-prob average would diverge in
+    libm's last ulp across engines.
+
+    Scale shape: bigrams are built in place from the token array (no
+    exploded-token self-join), the two model tables are map-side-
+    combined counts, and scoring is two equi-joins re-aggregated per
+    doc_id — every shuffle carries bounded word/bigram keys. At 100 TB
+    the model tables stay corpus-vocabulary-sized (Zipf-bounded), far
+    smaller than the corpus itself."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id", toks.alias("__t"), F.size(toks).alias("__n")
+    ).where(F.col("__n") >= 2)
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.struct(
+                    F.col("__t")[i - 1].alias("prefix"),
+                    F.concat_ws(
+                        " ", F.col("__t")[i - 1], F.col("__t")[i]
+                    ).alias("bigram"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prefix", "p.bigram")
+    bgf = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    pref = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("c_pref"))
+    return (
+        bg.join(bgf, "bigram")
+        .join(pref, "prefix")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_bg").alias("sum_bg"),
+            F.sum("c_pref").alias("sum_prefix"),
+            (F.sum("c_bg").cast("double") / F.sum("c_pref").cast("double")).alias(
+                "fluency"
+            ),
+        )
+    )
+
+
 def _ngram_md5s(n: int):
     """Spark: md5 of each space-joined n-token window of column __t."""
     return F.transform(
@@ -587,6 +662,95 @@ def events_asof_forward(spark, sf_dir):
         out_col="next_purchase_us",
         tolerance=600_000_000,
     )
+
+
+@query(
+    "scd2_track_changes",
+    oracle=r"""
+WITH dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+raw AS (
+  SELECT CASE WHEN o.o_custkey % 7 = 0 THEN o.o_custkey + 1000000
+              ELSE o.o_custkey END AS custkey,
+         CASE WHEN o.o_custkey % 3 = 0 THEN c.c_mktsegment
+              ELSE 'P-' || o.o_orderpriority END AS segment,
+         epoch_us(o.o_orderdate) AS ts
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ch AS (
+  SELECT custkey, segment, ts FROM (
+    SELECT raw.*, row_number() OVER (
+      PARTITION BY custkey ORDER BY ts DESC, segment DESC) AS rn
+    FROM raw
+  ) WHERE rn = 1
+),
+matched AS (
+  SELECT d.custkey, d.segment AS old_seg, d.valid_from,
+         ch.segment AS new_seg, ch.ts
+  FROM dim d JOIN ch USING (custkey)
+),
+kept AS (
+  SELECT d.custkey, d.segment, d.valid_from, d.valid_to, d.is_current
+  FROM dim d LEFT JOIN ch ON d.custkey = ch.custkey
+  WHERE ch.custkey IS NULL OR ch.segment IS NOT DISTINCT FROM d.segment
+),
+closed AS (
+  SELECT custkey, old_seg AS segment, valid_from, ts AS valid_to,
+         FALSE AS is_current
+  FROM matched WHERE new_seg IS DISTINCT FROM old_seg
+),
+reopened AS (
+  SELECT custkey, new_seg AS segment, ts AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM matched WHERE new_seg IS DISTINCT FROM old_seg
+),
+inserted AS (
+  SELECT ch.custkey, ch.segment, ch.ts AS valid_from,
+         CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM ch LEFT JOIN dim d ON ch.custkey = d.custkey WHERE d.custkey IS NULL
+)
+SELECT * FROM kept UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM reopened UNION ALL SELECT * FROM inserted
+""",
+)
+def scd2_track_changes(spark, sf_dir):
+    """X8: Slowly-Changing-Dimension Type-2 maintenance
+    (operators/temporal.py::scd2_apply) — a customer-segment dimension
+    receives one change batch derived from orders (latest order per
+    key wins; every 3rd key submits its unchanged segment to exercise
+    the no-op path; every 7th key is offset to an unseen id to exercise
+    inserts). Changed keys close their open row at the change time and
+    reopen; the result is the full versioned dimension.
+
+    Scale shape: one row_number dedup of the batch, ONE full-outer
+    equi-join of open rows against the batch, close+reopen as a
+    2-element array explode — history rows never enter the join. The
+    oracle restates the same semantics as kept/closed/reopened/inserted
+    UNION branches."""
+    from ..operators.temporal import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ck = F.col("o_custkey")
+    ch = o.join(c, ck == F.col("c_custkey")).select(
+        F.when(ck % 7 == 0, ck + 1000000).otherwise(ck).alias("custkey"),
+        F.when(ck % 3 == 0, F.col("c_mktsegment"))
+        .otherwise(F.concat(F.lit("P-"), F.col("o_orderpriority")))
+        .alias("segment"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+    )
+    return scd2_apply(dim, ch, ["custkey"], ["segment"], ts_col="ts")
 
 
 @query(

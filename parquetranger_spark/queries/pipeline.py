@@ -373,7 +373,14 @@ def _ann_verified_exact(spark, approx, exact, min_recall: float, name: str):
     index's recall in-query — a recall drop fails the gate LOUDLY instead
     of silently shipping worse neighbors — and emit the exact surface,
     which a SQL oracle can re-derive. Both frames are n_queries × k, so
-    the two counts are driver-bounded."""
+    the two counts are driver-bounded. Both are cached before the recall
+    check: without it the exact brute force runs three times (its own
+    count, the recall semi-join, the returned surface) and the index
+    path twice — the whole ANN DAG re-executed per action. The cached
+    frames are n_queries × k rows (KBs); bench/gate clearCache between
+    queries."""
+    exact = exact.cache()
+    approx = approx.cache()
     total = exact.count()
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
     if total and hits < min_recall * total:

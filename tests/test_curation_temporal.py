@@ -163,3 +163,42 @@ def test_asof_forward_ties_and_tolerance(spark):
         (2, 100): None,  # 1000 is beyond tolerance 200
         (3, 500): None,  # no following right row at all
     }
+
+
+def test_scd2_apply_all_branches(spark):
+    """SCD2: history passes through untouched; identical attrs are a
+    no-op; a changed attr closes the open row at the change ts and
+    reopens; unseen keys insert; duplicate batch keys keep latest ts."""
+    from parquetranger_spark.operators.temporal import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: one history row + open row (attr "a")
+            (1, "old", 0, 50, False),
+            (1, "a", 50, None, True),
+            # key 2: open row, will receive an identical-attr change
+            (2, "b", 0, None, True),
+            # key 3: open row, no change at all
+            (3, "c", 0, None, True),
+        ],
+        "k long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 100),  # superseded duplicate (older ts)
+            (1, "a3", 200),  # wins: key 1 closes at 200, reopens as a3
+            (2, "b", 150),   # identical attr -> no-op
+            (9, "new", 300), # unseen key -> insert
+        ],
+        "k long, attr string, ts long",
+    )
+    out = scd2_apply(dim, changes, ["k"], ["attr"], ts_col="ts")
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "old", 0, 50, False),    # history untouched
+        (1, "a", 50, 200, False),    # closed at the winning change ts
+        (1, "a3", 200, None, True),  # reopened with the latest attr
+        (2, "b", 0, None, True),     # no-op: no empty version created
+        (3, "c", 0, None, True),     # unchanged key kept
+        (9, "new", 300, None, True), # insert
+    }
