@@ -754,6 +754,97 @@ def scd2_track_changes(spark, sf_dir):
 
 
 @query(
+    "dedup_soft_weights",
+    oracle="""
+WITH h AS (SELECT doc_id, lang, md5(text) AS th FROM documents),
+c AS (SELECT th, count(*) AS cluster_size FROM h GROUP BY th)
+SELECT h.lang, c.cluster_size, count(*) AS n_docs,
+       CAST(count(*) AS DOUBLE) / CAST(c.cluster_size AS DOUBLE)
+         AS effective_docs
+FROM h JOIN c USING (th)
+GROUP BY h.lang, c.cluster_size
+""",
+)
+def dedup_soft_weights(spark, sf_dir):
+    """X7: soft dedup — instead of dropping duplicates, every document
+    is down-weighted by 1/cluster_size of its exact-text cluster (the
+    repeated-data reweighting used when duplicates carry signal:
+    popular quotes, licenses, boilerplate). Surfaced as the per-
+    (lang, cluster_size) histogram with the weighted contribution
+    n_docs/cluster_size — summing effective_docs per lang gives the
+    effective corpus size. Grouping by cluster size keeps the exactness
+    recipe intact: each output value is ONE double division of two
+    exact integers (a per-row SUM of 1/n doubles would be
+    order-dependent and engine-divergent).
+
+    Scale shape: md5 groupBy (16-byte shuffle keys) + join back + one
+    aggregation over (lang, size) — identical cost to exact dedup; the
+    output is |langs| x |distinct cluster sizes|, constant-ish."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select("doc_id", "lang", F.md5("text").alias("th"))
+    c = h.groupBy("th").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        h.join(c, "th")
+        .groupBy("lang", "cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)).cast("double") / F.col("cluster_size").cast("double")).alias(
+                "effective_docs"
+            ),
+        )
+    )
+
+
+@query(
+    "leakage_safe_splits",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         {md5_mod_sql("source", 10)} AS bucket
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 8 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         source, n_chars
+  FROM b
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+""",
+)
+def leakage_safe_splits(spark, sf_dir):
+    """X7: GROUP-aware train/val/test split — the split is decided by
+    the md5 hash of the SOURCE, not the document, so every document
+    from one crawl source lands in the same split (near-duplicates and
+    templated pages cluster within sources; a per-doc split leaks them
+    across the train/eval boundary — the complement of
+    dataset_split_counts, which splits per doc on purpose). Assignment
+    is the engine's exact 128-bit md5-mod (functions/hashing.py), so
+    membership is reproducible across engines and as the corpus grows.
+
+    Scale shape: pure Column split predicate (no shuffle to assign),
+    one aggregation; distinct-source count shuffles source keys only."""
+    from ..functions.hashing import md5_mod
+
+    d = load(spark, sf_dir, "documents")
+    b = d.withColumn("bucket", md5_mod(F.col("source"), 10))
+    s = b.withColumn(
+        "split",
+        F.when(F.col("bucket") < 8, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test"),
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
     "source_quality_rollup",
     oracle="""
 WITH h AS (

@@ -1154,3 +1154,52 @@ def merge_upsert_delete(spark, sf_dir):
     return t.get_full_df().groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "wap_audited_append",
+    oracle=f"""
+SELECT o_orderstatus, count(*) AS n, {dsum_sql('o_totalprice', 'sum_price')}
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def wap_audited_append(spark, sf_dir):
+    """S26: write-audit-publish (table_repo.py::stage_extend /
+    StagedCommit — the Iceberg WAP shape). Two batches are staged
+    against a seeded table; each is audited for key overlap with the
+    live table BEFORE becoming visible (the audit reads exactly the
+    staged files). The duplicate batch aborts — its files are deleted,
+    readers never saw them; the clean batch publishes via the normal
+    CAS loop. The final table must therefore hold each order exactly
+    once: if an abort leaked or a publish dropped, the count and the
+    decimal-routed price sum both diverge from the oracle.
+
+    Scale shape: the audit is one left-semi join against the live
+    snapshot (broadcast when the staged batch is small); publish costs
+    one JSON CAS — no second data write, no renames."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    t = TableRepo(
+        scratch_dir("wap") + "/orders",
+        group_cols="o_orderstatus",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    even = F.col("o_orderkey") % 2 == 0
+    t.extend(o.where(even))
+    # batch 1 duplicates the seed (audit must abort it); batch 2 is clean
+    for batch in (o.where(even), o.where(~even)):
+        st = t.stage_extend(batch)
+        overlap = (
+            st.dataframe()
+            .join(t.get_full_df(), "o_orderkey", "left_semi")
+            .count()
+        )
+        if overlap:
+            st.abort()
+        else:
+            st.publish()
+    return t.get_full_df().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )

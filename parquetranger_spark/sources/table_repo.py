@@ -442,6 +442,28 @@ class TableRepo:
         """Append (reference ``extend``, core.py:91-112)."""
         self._write(self._prepare(df), mode="append")
 
+    def stage_extend(self, df: DataFrame) -> "StagedCommit":
+        """Write-audit-publish (the Iceberg WAP pattern; no reference
+        counterpart): write the batch's data files now, make them visible
+        LATER — after arbitrary audit queries have run against exactly the
+        files that would land. ``stage_extend`` pays the full write path
+        (schema alignment, constraints, clustering, stats/bloom
+        collection) but stops before the manifest CAS; the returned
+        handle's :meth:`StagedCommit.dataframe` reads the staged files,
+        :meth:`StagedCommit.publish` runs the normal optimistic-
+        concurrency commit loop, :meth:`StagedCommit.abort` deletes the
+        staged dir. Readers never see an unpublished stage (visibility is
+        the manifest flip), a crashed auditor strands only an
+        unreferenced data dir (reclaimed by :meth:`vacuum`'s age-windowed
+        sweep — publish within the vacuum window), and audits cost no
+        second write: publish is one small JSON CAS."""
+        if self.commit_mode != "manifest":
+            raise TypeError("stage_extend needs commit_mode='manifest' (WAP is a manifest flip)")
+        meta = load_meta(self.main_path, spark=self._spark)
+        staged = self._apply_clustering(self._prepare(df))
+        entry = self._stage_entry(staged, meta=meta)
+        return StagedCommit(self, entry)
+
     def batch_extend(self, dfs: Iterable[DataFrame]) -> None:
         """Reference ``batch_extend`` (core.py:135-136) fans ``extend`` over
         worker threads guarded by path locks; Spark writes are already
@@ -1458,15 +1480,7 @@ class TableRepo:
         data; concurrent appends and disjoint partition overwrites
         therefore compose, and a conflicting SAME-partition overwrite is
         last-committer-wins (same as dynamic overwrite on files)."""
-        import uuid
-
-        from .manifest import (
-            DATA_DIR,
-            load_manifest,
-            partition_values_of,
-            prune_partitions,
-            try_commit,
-        )
+        from .manifest import load_manifest
 
         fs = self._fs()
         fkey = list(map(str, fence)) if fence is not None else None
@@ -1476,6 +1490,23 @@ class TableRepo:
             cur0 = load_manifest(fs, self.main_path)
             if cur0 and any(c.get("fence") == fkey for c in cur0["commits"]):
                 return
+        entry = self._stage_entry(df, meta=meta)
+        if fkey is not None:
+            entry["fence"] = fkey
+        self._publish_entry(entry, mode, dynamic, fkey)
+
+    def _stage_entry(self, df: DataFrame, meta=None) -> dict:
+        """First half of a manifest commit: write the batch once into a
+        fresh ``_pqrs_data/<uuid>`` dir and build its manifest entry
+        (files, spec, stats, blooms) — WITHOUT publishing. Shared by the
+        direct commit path (_write_manifest) and write-audit-publish
+        (stage_extend), whose whole point is the gap between this and
+        _publish_entry."""
+        import uuid
+
+        from .manifest import DATA_DIR
+
+        fs = self._fs()
         rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
         cdir = join_path(self.main_path, rel_dir)
         w = df.write.mode("overwrite")
@@ -1505,14 +1536,25 @@ class TableRepo:
                 )
             files.append(norm[pos + len(marker) + 1:])
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
-        if fkey is not None:
-            entry["fence"] = fkey
         if self.stats_cols and files:
             entry["stats"] = self._collect_file_stats(cdir, files, meta=meta)
         if self.bloom_cols and files:
             entry["blooms"], entry["bloom_types"] = self._collect_file_blooms(
                 cdir, files, meta=meta
             )
+        return entry
+
+    def _publish_entry(
+        self, entry: dict, mode: str, dynamic: bool, fkey: list[str] | None = None
+    ) -> None:
+        """Second half of a manifest commit: CAS-publish a staged entry as
+        the next manifest version, retrying against concurrent committers.
+        Losing the CAS costs re-reading one small JSON and re-deriving the
+        file list, never re-writing data."""
+        from .manifest import load_manifest, partition_values_of, prune_partitions, try_commit
+
+        fs = self._fs()
+        files = entry["files"]
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
             if (dynamic and self.group_cols)
@@ -1917,6 +1959,39 @@ class TableRepo:
         if fence is not None and self.commit_mode != "manifest":
             raise TypeError("fenced (exactly-once) writes need commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
+        df = self._apply_clustering(df)
+        if self.commit_mode == "manifest":
+            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence, meta=meta)
+            return
+        if mode == "append" and not self.single_writer:
+            # two-phase append: concurrent direct appends to one root are
+            # NOT safe — all jobs share the committer's _temporary/0
+            # staging dir and one job's commit cleanup deletes the other's
+            # in-flight attempts. Each append therefore commits into its
+            # own hidden staging dir under the root (invisible to readers:
+            # Spark ignores dot-prefixed paths) and then renames the
+            # finished files into place — same-filesystem renames of
+            # uniquely-named immutable files, so interleaved appends
+            # compose and a crashed append leaves only an ignorable
+            # staging dir, never partial visible data. A table declared
+            # single_writer skips all of this and pays one plain write job.
+            self._two_phase_append(df)
+            return
+        w = df.write.mode(mode)
+        if self.group_cols:
+            w = w.partitionBy(*self.group_cols)
+        if self.max_records:
+            w = w.option("maxRecordsPerFile", self.max_records)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if mode == "overwrite":
+            w = w.option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        w.parquet(self.main_path)
+        # a static overwrite wipes the table root, sidecar included — restore
+        if meta is not None and load_meta(self.main_path, spark=self._spark) is None:
+            save_meta(self.main_path, meta, spark=self._spark)
+
+    def _apply_clustering(self, df: DataFrame) -> DataFrame:
         if self.cluster_by:
             # data clustering for scan skipping: each write task's rows
             # arrive sorted on the cluster keys, so parquet row-group (and
@@ -1961,33 +2036,71 @@ class TableRepo:
                     )
             else:
                 df = df.sortWithinPartitions(*(self.group_cols + self.cluster_by))
-        if self.commit_mode == "manifest":
-            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence, meta=meta)
-            return
-        if mode == "append" and not self.single_writer:
-            # two-phase append: concurrent direct appends to one root are
-            # NOT safe — all jobs share the committer's _temporary/0
-            # staging dir and one job's commit cleanup deletes the other's
-            # in-flight attempts. Each append therefore commits into its
-            # own hidden staging dir under the root (invisible to readers:
-            # Spark ignores dot-prefixed paths) and then renames the
-            # finished files into place — same-filesystem renames of
-            # uniquely-named immutable files, so interleaved appends
-            # compose and a crashed append leaves only an ignorable
-            # staging dir, never partial visible data. A table declared
-            # single_writer skips all of this and pays one plain write job.
-            self._two_phase_append(df)
-            return
-        w = df.write.mode(mode)
-        if self.group_cols:
-            w = w.partitionBy(*self.group_cols)
-        if self.max_records:
-            w = w.option("maxRecordsPerFile", self.max_records)
-        if self.compression:
-            w = w.option("compression", self.compression)
-        if mode == "overwrite":
-            w = w.option("partitionOverwriteMode", "dynamic" if dynamic else "static")
-        w.parquet(self.main_path)
-        # a static overwrite wipes the table root, sidecar included — restore
-        if meta is not None and load_meta(self.main_path, spark=self._spark) is None:
-            save_meta(self.main_path, meta, spark=self._spark)
+        return df
+
+
+class StagedCommit:
+    """Handle for a write-audit-publish stage (``TableRepo.stage_extend``).
+
+    The staged data files already sit in their final ``_pqrs_data/<uuid>``
+    location with their manifest entry (files, spec, stats, blooms) fully
+    built — the only thing between them and visibility is the manifest
+    CAS. Exactly one of :meth:`publish` / :meth:`abort` may be called."""
+
+    def __init__(self, repo: TableRepo, entry: dict):
+        self._repo = repo
+        self._entry = entry
+        self._state = "staged"
+
+    @property
+    def files(self) -> list[str]:
+        """Relative paths of the staged data files."""
+        return list(self._entry["files"])
+
+    def dataframe(self) -> DataFrame:
+        """The staged batch, read back from exactly the files that would
+        become visible — the audit surface. Typed by the table's sidecar
+        schema like any committed read (partition dirs are not
+        re-inferred)."""
+        self._check("dataframe")
+        repo = self._repo
+        spark = repo._session()
+        meta = load_meta(repo.main_path, spark=repo._spark)
+        cdir = join_path(repo.main_path, self._entry["dir"])
+        r = spark.read
+        if meta and meta.schema:
+            r = r.schema(meta.schema)
+        files = [join_path(cdir, f) for f in self._entry["files"]]
+        if not files:
+            return repo.get_full_df().limit(0)
+        return r.option("basePath", cdir).parquet(*files)
+
+    def publish(self, mode: str = "append") -> None:
+        """Flip the staged entry into the table: ``append`` adds it,
+        ``replace_groups`` dynamically overwrites exactly the partitions
+        present in the staged batch (grouped tables only). Runs the same
+        optimistic CAS retry loop as a direct commit — concurrent
+        publishes and commits compose."""
+        self._check("publish")
+        repo = self._repo
+        if mode == "append":
+            repo._publish_entry(self._entry, "append", dynamic=False)
+        elif mode == "replace_groups":
+            if not repo.group_cols:
+                raise TypeError("not a grouped table")
+            repo._publish_entry(self._entry, "overwrite", dynamic=True)
+        else:
+            raise ValueError(f"mode must be append|replace_groups: {mode!r}")
+        self._state = "published"
+
+    def abort(self) -> None:
+        """Discard the stage: delete the staged data dir. The table never
+        saw it; nothing to roll back."""
+        self._check("abort")
+        repo = self._repo
+        repo._fs().delete(join_path(repo.main_path, self._entry["dir"]))
+        self._state = "aborted"
+
+    def _check(self, op: str) -> None:
+        if self._state != "staged":
+            raise RuntimeError(f"cannot {op}: staged commit already {self._state}")

@@ -995,3 +995,63 @@ def test_stats_clone_dfs_and_boolean_partition_delete(spark, tmp_root):
     )
     fb.delete_records(spark.createDataFrame([("a",)], "k string"))
     assert [r["k"] for r in fb.get_full_df().collect()] == ["b"]
+
+
+def test_wap_stage_audit_publish(spark, tmp_root):
+    """Write-audit-publish: a staged batch is invisible until publish,
+    auditable from exactly the files that would land, and abortable
+    without a trace."""
+    t = _repo(spark, f"{tmp_root}/wap")
+    t.extend(spark.createDataFrame(_frame(0)))
+    v0 = t.versions()[-1]
+
+    # stage a bad batch, audit it, abort: nothing changes
+    bad = t.stage_extend(spark.createDataFrame(_frame(100)))
+    assert bad.dataframe().count() == 6      # audit reads the staged files
+    assert t.get_full_df().count() == 6      # readers see only v0 data
+    assert t.versions()[-1] == v0
+    bad.abort()
+    assert t.get_full_df().count() == 6
+    # the staged dir is gone — no stranded data for vacuum to chase
+    from parquetranger_spark.sources.manifest import DATA_DIR
+    live = {c["dir"] for c in load_manifest(t._fs(), t.main_path)["commits"]}
+    on_disk = {
+        f"{DATA_DIR}/{d}" for d in os.listdir(os.path.join(t.main_path, DATA_DIR))
+    }
+    assert on_disk == live
+
+    # stage a good batch and publish: one new version, rows appended
+    good = t.stage_extend(spark.createDataFrame(_frame(10)))
+    assert t.get_full_df().count() == 6
+    good.publish()
+    assert t.get_full_df().count() == 12
+    assert t.versions()[-1] == v0 + 1
+
+    # a consumed handle refuses every op
+    with pytest.raises(RuntimeError):
+        good.publish()
+    with pytest.raises(RuntimeError):
+        good.abort()
+    with pytest.raises(RuntimeError):
+        good.dataframe()
+
+
+def test_wap_publish_replace_groups(spark, tmp_root):
+    """publish(mode='replace_groups') dynamically overwrites exactly the
+    staged partitions, like replace_groups."""
+    t = _repo(spark, f"{tmp_root}/wap_rg")
+    t.extend(spark.createDataFrame(_frame(0)))
+    before = rows(t.get_full_df())
+    # stage rows for group C='0' only (k90: 90%3=0)
+    batch = pd.DataFrame({"k": ["z1", "z2"], "A": [900, 901], "C": ["0", "0"]})
+    st = t.stage_extend(spark.createDataFrame(batch))
+    st.publish(mode="replace_groups")
+    after = rows(t.get_full_df())
+    kept = [r for r in before if r[2] != "0"]
+    assert after == sorted(kept + [("z1", 900, "0"), ("z2", 901, "0")])
+
+
+def test_wap_requires_manifest_mode(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/wap_files", group_cols="C", spark=spark)
+    with pytest.raises(TypeError):
+        t.stage_extend(spark.createDataFrame(_frame(0)))
