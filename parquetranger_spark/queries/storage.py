@@ -1203,3 +1203,65 @@ def wap_audited_append(spark, sf_dir):
     return t.get_full_df().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "delete_dv_roundtrip",
+    oracle="""
+WITH dead1 AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 10 = 3
+),
+survivors AS (
+  SELECT l.* FROM lineitem l
+  LEFT JOIN dead1 v
+    ON l.l_orderkey = v.l_orderkey AND l.l_linenumber = v.l_linenumber
+  WHERE v.l_orderkey IS NULL
+),
+readd AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity * 2 AS l_quantity
+  FROM lineitem WHERE l_orderkey % 10 = 3 AND l_linenumber = 1
+),
+final AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM survivors
+  UNION ALL SELECT * FROM readd
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM final GROUP BY l_returnflag
+""",
+)
+def delete_dv_roundtrip(spark, sf_dir):
+    """S27: merge-on-read deletion vectors
+    (table_repo.py::delete_records_dv — the Delta-DV/Iceberg-delete
+    shape, keyed): tombstone every key with orderkey%10=3 (zero data
+    files rewritten — the commit is the key list), then re-append
+    doubled-quantity rows for the linenumber-1 victims. The read must
+    hide tombstoned rows but keep the re-appended ones (the dv only
+    kills rows below it in the commit list) — the oracle states exactly
+    that: survivors UNION the re-added rows.
+
+    Scale shape: delete cost is O(deleted keys) — one tiny parquet job
+    + one CAS against a table of any size; readers pay one
+    position-aware anti-join against the (key → dv position) frame,
+    broadcastable until deletes approach table size (then compact)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    t = TableRepo(
+        scratch_dir("deldv") + "/lineitem",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(li)
+    victims = li.where(F.col("l_orderkey") % 10 == 3)
+    t.delete_records_dv(victims.select("l_orderkey", "l_linenumber"))
+    t.extend(
+        victims.where(F.col("l_linenumber") == 1).withColumn(
+            "l_quantity", F.col("l_quantity") * 2
+        )
+    )
+    return t.get_full_df().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )

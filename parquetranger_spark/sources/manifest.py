@@ -96,13 +96,18 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
 
 
 def live_files(manifest: dict[str, Any] | None, root: str) -> list[str]:
-    """Absolute paths of every live data file in manifest order. A commit
+    """Absolute paths of every live DATA file in manifest order. A commit
     carrying a ``base`` references another table's data dir (shallow
-    clone) — resolution anchors there instead of ``root``."""
+    clone) — resolution anchors there instead of ``root``. Deletion-
+    vector commits (``kind='dv'``) are excluded: their files hold
+    tombstone keys, not table rows (vacuum protects them through its own
+    commit walk, which does not use this)."""
     if not manifest:
         return []
     out = []
     for c in manifest["commits"]:
+        if c.get("kind") == "dv":
+            continue
         for f in c["files"]:
             out.append(join_path(c.get("base", root), c["dir"], f))
     return sorted(out)

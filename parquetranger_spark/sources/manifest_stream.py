@@ -124,6 +124,11 @@ def manifest_stream_source():
                 return set()
             out = set()
             for c in self._manifest(version)["commits"]:
+                if c.get("kind") == "dv":
+                    # deletion-vector commits carry tombstone keys, not
+                    # rows — deletes do not stream (same contract as the
+                    # docstring: this source surfaces appended data only)
+                    continue
                 base = self._localize(c.get("base", self.root))
                 for f in c["files"]:
                     out.add((base, c["dir"], f))

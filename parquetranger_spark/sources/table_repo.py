@@ -69,6 +69,7 @@ from . import fs as _fsmod
 from .fs import fs_for, join_path, path_parts
 
 _SEQ_COL = "__pqr_seq"
+_DV_POS = "__pqr_dv_pos"
 
 
 class TableRepo:
@@ -758,19 +759,24 @@ class TableRepo:
             # of the real change set; fail loudly instead
             raise ValueError(f"changes_between: start {start} > end {end}")
 
-        def fset(version: int) -> set:
+        def commits_of(version: int) -> list[dict]:
             if version <= 0:
-                return set()
+                return []
             mf = load_manifest(fs, self.main_path, version)
             if mf is None:
                 raise KeyError(f"no manifest version {version} for {self.name}")
+            return mf["commits"]
+
+        def fset(commits: list[dict], kind) -> set:
             return {
                 (c.get("base", self.main_path), c["dir"], f)
-                for c in mf["commits"]
+                for c in commits
+                if (c.get("kind") == "dv") == (kind == "dv")
                 for f in c["files"]
             }
 
-        s_set, e_set = fset(start), fset(end)
+        s_commits, e_commits = commits_of(start), commits_of(end)
+        s_set, e_set = fset(s_commits, "data"), fset(e_commits, "data")
 
         def scan(version: int, wanted: set, change: str) -> DataFrame:
             df = self._manifest_df(
@@ -780,14 +786,37 @@ class TableRepo:
             )
             return df.withColumn("_change_type", F.lit(change))
 
-        if not e_set - s_set and not s_set - e_set:
-            empty = self._manifest_df(end if end > 0 else None, file_keep=lambda c, f: False)
-            return empty.withColumn("_change_type", F.lit("insert"))
         parts = []
         if e_set - s_set:
             parts.append(scan(end, e_set - s_set, "insert"))
         if s_set - e_set:
             parts.append(scan(start, s_set - e_set, "delete"))
+        # deletion-vector commits added in the window delete rows OUT of
+        # files that remain live: surface those rows (visible at start,
+        # in kept files, matching a new tombstone key) as row-level
+        # deletes — whole-file removals above already cover the rest.
+        new_dv = fset(e_commits, "dv") - fset(s_commits, "dv")
+        if new_dv and s_set & e_set:
+            spark = self._session()
+            frames = [
+                spark.read.parquet(join_path(base, d, f)) for base, d, f in sorted(new_dv)
+            ]
+            keys = frames[0]
+            for f in frames[1:]:
+                keys = keys.unionByName(f)
+            kept = s_set & e_set
+            visible = self._manifest_df(
+                start if start > 0 else None,
+                file_keep=lambda c, f: (c.get("base", self.main_path), c["dir"], f)
+                in kept,
+            )
+            dv_del = visible.join(
+                keys.distinct(), list(self.index_cols), "left_semi"
+            ).withColumn("_change_type", F.lit("delete"))
+            parts.append(dv_del)
+        if not parts:
+            empty = self._manifest_df(end if end > 0 else None, file_keep=lambda c, f: False)
+            return empty.withColumn("_change_type", F.lit("insert"))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -843,6 +872,64 @@ class TableRepo:
             lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_semi"),
             lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_anti"),
         )
+
+    def delete_records_dv(self, keys: DataFrame) -> None:
+        """Merge-on-read delete via a DELETION VECTOR (the Delta DV /
+        Iceberg position-delete shape, keyed instead of positional): the
+        matched keys are written as a tiny tombstone commit
+        (``kind='dv'``) and ALL data files stay untouched — no partition
+        rewrite, no read-back. Cost is O(deleted keys) however big the
+        table; readers pay one (broadcastable) anti-join against the
+        (key → latest dv position) frame, applied commit-position-aware
+        so rows appended AFTER the delete survive (upsert-after-delete).
+
+        The copy-on-write twin :meth:`delete_records` physically removes
+        bytes (the right-to-erasure guarantee); a DV leaves them on disk
+        until a rewrite. Compaction/``rewrite_to_canonical``/
+        ``replace_all`` materialize the surviving rows, and a full
+        STATIC overwrite drops the dv entries; dv entries accumulated
+        under dynamic-overwrite maintenance stay in the manifest
+        (harmless: every later commit out-positions them) until the next
+        static rewrite. NULL key components never match (SQL equality),
+        same as the DELETE twin. Deletes do not stream: the manifest
+        streaming source skips dv commits.
+
+        Scale shape: the write is one small parquet job + one CAS —
+        composing with concurrent appends like any commit. At 100 TB
+        this turns "delete 1k users from 10k partitions" from a 10k-
+        partition rewrite into a KB-sized commit."""
+        if self.commit_mode != "manifest":
+            raise TypeError("delete_records_dv needs commit_mode='manifest'")
+        if not self.index_cols:
+            raise TypeError("delete_records_dv needs index_cols (the match key)")
+        import uuid
+
+        from .manifest import DATA_DIR
+
+        keyset = keys.select(*self.index_cols).distinct()
+        fs = self._fs()
+        rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
+        cdir = join_path(self.main_path, rel_dir)
+        keyset.write.mode("overwrite").parquet(cdir)
+        files = []
+        for p in fs.list_files(cdir, ".parquet"):
+            norm = "/".join(path_parts(p))
+            marker = rel_dir.split("/")[-1] + "/"
+            pos = norm.rfind("/" + marker)
+            if pos < 0:
+                raise AssertionError(
+                    f"listed file {p!r} is not under commit dir marker {marker!r}"
+                )
+            files.append(norm[pos + len(marker) + 1:])
+        if not files:
+            return
+        entry = {
+            "dir": rel_dir,
+            "files": files,
+            "kind": "dv",
+            "key_cols": list(self.index_cols),
+        }
+        self._publish_entry(entry, "append", dynamic=False)
 
     def delete_where(self, condition) -> None:
         """Delete rows matching a Column predicate; same partition-pruned
@@ -930,7 +1017,16 @@ class TableRepo:
         a running query, and nothing ever lists directories. Each commit
         dir anchors its own partition-column discovery (basePath), and the
         per-commit scans union into one plan (commit count is bounded by
-        compaction, which collapses the table to a single commit)."""
+        compaction, which collapses the table to a single commit).
+
+        Deletion-vector commits (``kind='dv'``, see
+        :meth:`delete_records_dv`) never scan as data: their key files
+        aggregate into one (key → latest dv position) frame, and each
+        data scan anti-joins it with the merge-on-read rule *a row is
+        dead iff some dv BELOW it in the commit list matches its key* —
+        so data appended after a delete (upsert-after-delete) survives.
+        The filter is applied per scan, before the ``project`` hook
+        (the hook may drop key columns)."""
         from .manifest import load_manifest
 
         spark = self._session()
@@ -940,8 +1036,11 @@ class TableRepo:
             raise KeyError(f"no manifest version {version} for {self.name}")
         schema = meta.schema if meta and meta.schema else None
         commits = (mf or {}).get("commits", [])
+        tomb = self._dv_frame(commits)
         scans = []
-        for c in commits:
+        for ci, c in enumerate(commits):
+            if c.get("kind") == "dv":
+                continue
             cfiles = (
                 c["files"]
                 if file_keep is None
@@ -956,6 +1055,11 @@ class TableRepo:
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
             s = r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
+            if tomb is not None:
+                keys = list(self.index_cols)
+                s = s.join(tomb, keys, "left").where(
+                    F.col(_DV_POS).isNull() | (F.col(_DV_POS) <= F.lit(ci))
+                ).drop(_DV_POS)
             if project is not None:
                 # per-scan projection BEFORE the union — the hook for
                 # metadata columns (_metadata does not survive Union)
@@ -967,6 +1071,26 @@ class TableRepo:
         for s in scans[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def _dv_frame(self, commits: list[dict]):
+        """(key → max dv commit position) over every deletion-vector
+        entry, or None when the manifest carries no DVs (the zero-cost
+        common case). The frame is tombstone-keys-sized — bounded by
+        deletes since the last compaction, not by the table."""
+        dvs = [(i, c) for i, c in enumerate(commits) if c.get("kind") == "dv"]
+        if not dvs:
+            return None
+        spark = self._session()
+        frames = []
+        for i, c in dvs:
+            cdir = join_path(c.get("base", self.main_path), c["dir"])
+            f = spark.read.parquet(*[join_path(cdir, x) for x in c["files"]])
+            frames.append(f.withColumn(_DV_POS, F.lit(i)))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        keys = list(self.index_cols)
+        return out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
 
     def get_full_df(
         self, version: int | None = None, ignore_corrupt_files: bool = False

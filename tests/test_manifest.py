@@ -1055,3 +1055,78 @@ def test_wap_requires_manifest_mode(spark, tmp_root):
     t = TableRepo(f"{tmp_root}/wap_files", group_cols="C", spark=spark)
     with pytest.raises(TypeError):
         t.stage_extend(spark.createDataFrame(_frame(0)))
+
+
+def _dv_kinds(t):
+    return [c.get("kind") for c in load_manifest(t._fs(), t.main_path)["commits"]]
+
+
+def test_dv_delete_hides_rows_without_rewrite(spark, tmp_root):
+    """Merge-on-read delete: rows vanish from every read surface but no
+    data file is touched — the tombstone commit is the only change."""
+    t = _repo(spark, f"{tmp_root}/dv")
+    t.extend(spark.createDataFrame(_frame(0)))
+    files_before = set(t.paths)
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k1", "k4"]})))
+    assert set(t.paths) == files_before          # zero data files rewritten
+    assert "dv" in _dv_kinds(t)
+    got = rows(t.get_full_df())
+    assert [r[0] for r in got] == ["k0", "k2", "k3", "k5"]
+    # partition-pruned read applies the DV too
+    part = t.get_partition_df("1")               # k1: 1%3=1, k4: 4%3=1
+    assert part.count() == 0
+    # time travel to before the delete still sees everything
+    assert t.get_full_df(version=t.versions()[0]).count() == 6
+
+
+def test_dv_upsert_after_delete_survives(spark, tmp_root):
+    """A row appended AFTER its key was tombstoned is live (the dv only
+    kills rows below it in the commit list); deleting again kills it."""
+    t = _repo(spark, f"{tmp_root}/dv_seq")
+    t.extend(spark.createDataFrame(_frame(0)))
+    key = pd.DataFrame({"k": ["k2"]})
+    t.delete_records_dv(spark.createDataFrame(key))
+    assert t.get_full_df().where("k = 'k2'").count() == 0
+    t.extend(spark.createDataFrame(pd.DataFrame({"k": ["k2"], "A": [99], "C": ["2"]})))
+    assert t.get_full_df().where("k = 'k2'").collect()[0]["A"] == 99
+    t.delete_records_dv(spark.createDataFrame(key))
+    assert t.get_full_df().where("k = 'k2'").count() == 0
+    assert t.get_full_df().count() == 5
+
+
+def test_dv_static_rewrite_materializes_and_drops_dvs(spark, tmp_root):
+    """rewrite_to_canonical reads through the DVs and publishes a clean
+    static overwrite: same visible rows, no dv entries left."""
+    t = _repo(spark, f"{tmp_root}/dv_rw")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k0", "k3"]})))
+    before = rows(t.get_full_df())
+    t.rewrite_to_canonical()
+    assert rows(t.get_full_df()) == before
+    assert "dv" not in _dv_kinds(t)
+
+
+def test_dv_change_feed_emits_row_deletes(spark, tmp_root):
+    """A dv committed in the window surfaces the actually-deleted rows as
+    _change_type='delete' (file set unchanged)."""
+    t = _repo(spark, f"{tmp_root}/dv_cdf")
+    t.extend(spark.createDataFrame(_frame(0)))
+    v1 = t.versions()[-1]
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k1", "k5"]})))
+    ch = t.changes_between(v1)
+    got = sorted((r["k"], r["_change_type"]) for r in ch.collect())
+    assert got == [("k1", "delete"), ("k5", "delete")]
+    # full-window feed nets out: inserts of surviving rows only
+    ch0 = t.changes_between(0)
+    assert sorted(r["k"] for r in ch0.collect() if r["_change_type"] == "insert") == [
+        "k0", "k2", "k3", "k4",
+    ]
+
+
+def test_dv_requires_manifest_and_keys(spark, tmp_root):
+    t = TableRepo(f"{tmp_root}/dv_files", group_cols="C", index_cols="k", spark=spark)
+    with pytest.raises(TypeError):
+        t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["a"]})))
+    t2 = TableRepo(f"{tmp_root}/dv_nokeys", commit_mode="manifest", spark=spark)
+    with pytest.raises(TypeError):
+        t2.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["a"]})))
