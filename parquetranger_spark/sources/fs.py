@@ -149,6 +149,23 @@ class LocalFS:
                 out.append((p, os.path.getmtime(p)))
         return sorted(out)
 
+    def list_files_mtimes(self, root: str, suffix: str) -> list[tuple[str, float]]:
+        """Immediate files matching ``suffix`` with mtime (epoch seconds) —
+        the input to age-windowed file sweeps (spilled manifest lists).
+        Vanished-mid-listing entries are skipped, same contract as
+        list_names."""
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if name.endswith(suffix) and os.path.isfile(p):
+                try:
+                    out.append((p, os.path.getmtime(p)))
+                except OSError:
+                    pass
+        return sorted(out)
+
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
 
@@ -332,6 +349,20 @@ class HadoopFS:
         for st in self._fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith(prefix):
+                out.append((st.getPath().toString(), st.getModificationTime() / 1000.0))
+        return sorted(out)
+
+    def list_files_mtimes(self, root: str, suffix: str) -> list[tuple[str, float]]:
+        """Immediate files matching ``suffix`` with mtime (epoch seconds);
+        non-recursive single listStatus, vanished entries tolerated by the
+        same contract as list_names."""
+        p = self._jPath(root)
+        if not self._fs.exists(p):
+            return []
+        out = []
+        for st in self._fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(suffix):
                 out.append((st.getPath().toString(), st.getModificationTime() / 1000.0))
         return sorted(out)
 

@@ -23,11 +23,17 @@ publication is a single create-if-absent of ``_pqrs_manifest/v<N>.json``
   O(files) driver RPC object stores punish); the manifest IS the file
   index.
 
-This is the Iceberg/Delta commit shape reduced to its core: one manifest
-level (the table's live file list is rewritten per commit, fine for the
-file counts ``maxRecordsPerFile``/compaction keep; Iceberg's
-manifest-of-manifests tier is the known extension when a single list
-outgrows one JSON object). No counterpart exists in the reference — its
+This is the Iceberg/Delta commit shape reduced to its core, plus the
+manifest-of-manifests tier for scale: a commit listing more files than
+``TableRepo(manifest_inline_files_max=…)`` spills its list to an
+immutable side object under ``_pqrs_manifest/lists/`` and the version
+JSON carries only the ref — list objects are written once and shared by
+reference across every later version, so the CAS object stays KB-sized
+on tables with millions of files and the per-commit write amplification
+of the version chain is O(commits), not O(files). Mutating an entry's
+files (partition prune, fence tombstoning) drops its ref (re-inlines);
+vacuum sweeps list objects no retained version references. No
+counterpart exists in the reference — its
 per-path locks (core.py:97,111) solve single-machine concurrency; this
 solves the same contract on a shared object store.
 
@@ -75,7 +81,9 @@ def list_versions(fs, root: str) -> list[int]:
 
 def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] | None:
     """The manifest at ``version`` (default: latest), or None if the table
-    has no committed version (or ``version`` was vacuumed/never existed)."""
+    has no committed version (or ``version`` was vacuumed/never existed).
+    Entries whose file list was spilled (``files_ref``) come back with
+    ``files`` resolved inline — consumers never see the indirection."""
     if version is None:
         vs = list_versions(fs, root)
         if not vs:
@@ -84,15 +92,45 @@ def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] |
     path = _mpath(root, version)
     if not fs.exists(path):
         return None
-    return json.loads(fs.read_text(path))
+    mf = json.loads(fs.read_text(path))
+    for c in mf.get("commits", []):
+        if "files_ref" in c and not c.get("files"):
+            c["files"] = json.loads(
+                fs.read_text(join_path(c.get("base", root), c["files_ref"]))
+            )
+    return mf
 
 
 def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
     """CAS-publish ``manifest`` at its own version. False = lost the race
-    (caller reloads the latest manifest, reapplies its delta, retries)."""
+    (caller reloads the latest manifest, reapplies its delta, retries).
+
+    Entries carrying a ``files_ref`` serialize WITHOUT their inline file
+    list — the version JSON stays KB-sized however many files the table
+    holds (the manifest-of-manifests tier: list objects are written once
+    under ``_pqrs_manifest/lists/`` and shared by reference across every
+    subsequent version; only the pointer is rewritten per commit). Any
+    operation that MUTATES an entry's files must drop its ``files_ref``
+    (``prune_partitions`` and the fence-tombstone path do) — serializing
+    a stale ref over modified files would silently undo the mutation."""
+    out = {**manifest, "commits": []}
+    for c in manifest["commits"]:
+        if "files_ref" in c:
+            c = {k: v for k, v in c.items() if k != "files"}
+        out["commits"].append(c)
     return fs.create_exclusive(
-        _mpath(root, int(manifest["version"])), json.dumps(manifest, indent=1)
+        _mpath(root, int(manifest["version"])), json.dumps(out, indent=1)
     )
+
+
+def spill_file_list(fs, root: str, files: list[str]) -> str:
+    """Write a commit's file list as an immutable side object and return
+    its root-relative ref (``_pqrs_manifest/lists/<uuid>.json``)."""
+    from uuid import uuid4
+
+    ref = f"{MANIFEST_DIR}/lists/{uuid4().hex[:16]}.json"
+    fs.write_text_atomic(join_path(root, ref), json.dumps(files))
+    return ref
 
 
 def live_files(manifest: dict[str, Any] | None, root: str) -> list[str]:
@@ -146,7 +184,12 @@ def prune_partitions(
             # empty tombstone: dropping it would erase the fence, and a
             # crashed stream replaying that epoch would re-append rows a
             # later overwrite/delete deliberately removed.
-            out.append({**c, "files": kept})
+            nc = {**c, "files": kept}
+            if len(kept) != len(c["files"]):
+                # the entry's files changed: a spilled-list ref would
+                # serialize stale content over this prune — inline again
+                nc.pop("files_ref", None)
+            out.append(nc)
     return out
 
 

@@ -117,7 +117,16 @@ def manifest_stream_source():
                     "manifests at least as long as stream checkpoints"
                 )
             with open(p) as fh:
-                return json.load(fh)
+                mf = json.load(fh)
+            for c in mf.get("commits", []):
+                # spilled file lists (manifest-of-manifests tier): resolve
+                # the ref like manifest.load_manifest does — anchored at
+                # the entry's base for shallow-cloned commits
+                if "files_ref" in c and not c.get("files"):
+                    base = self._localize(c.get("base", self.root))
+                    with open(os.path.join(base, *c["files_ref"].split("/"))) as fh:
+                        c["files"] = json.load(fh)
+            return mf
 
         def _file_set(self, version: int):
             if version <= 0:

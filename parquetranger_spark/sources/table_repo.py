@@ -122,6 +122,7 @@ class TableRepo:
         constraints: dict[str, str] | None = None,
         constraint_mode: str = "fail",
         bloom_cols: str | list[str] | None = None,
+        manifest_inline_files_max: int = 2000,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -169,6 +170,11 @@ class TableRepo:
         # string/integral columns only — position hashing is over the
         # canonical string form, identical in Spark SQL and Python
         self.bloom_cols = [bloom_cols] if isinstance(bloom_cols, str) else list(bloom_cols or [])
+        # commits listing more files than this spill their file list to an
+        # immutable side object (_pqrs_manifest/lists/) and the version
+        # JSON carries only the ref — the manifest-of-manifests tier that
+        # keeps the CAS object KB-sized on tables with millions of files
+        self.manifest_inline_files_max = int(manifest_inline_files_max)
         if self.bloom_cols and commit_mode != "manifest":
             raise ValueError("bloom_cols requires commit_mode='manifest' (blooms live in the manifest)")
         # named CHECK constraints (SQL boolean expressions over the batch's
@@ -929,6 +935,7 @@ class TableRepo:
             "kind": "dv",
             "key_cols": list(self.index_cols),
         }
+        self._maybe_spill_files(entry)
         self._publish_entry(entry, "append", dynamic=False)
 
     def delete_where(self, condition) -> None:
@@ -1666,7 +1673,18 @@ class TableRepo:
             entry["blooms"], entry["bloom_types"] = self._collect_file_blooms(
                 cdir, files, meta=meta
             )
+        self._maybe_spill_files(entry)
         return entry
+
+    def _maybe_spill_files(self, entry: dict) -> None:
+        """Spill an oversized file list to an immutable side object so the
+        version JSON stays pointer-sized (see manifest_inline_files_max)."""
+        from .manifest import spill_file_list
+
+        if len(entry["files"]) > self.manifest_inline_files_max:
+            entry["files_ref"] = spill_file_list(
+                self._fs(), self.main_path, entry["files"]
+            )
 
     def _publish_entry(
         self, entry: dict, mode: str, dynamic: bool, fkey: list[str] | None = None
@@ -1703,7 +1721,11 @@ class TableRepo:
                 # deliberately reloaded table (same invariant
                 # prune_partitions keeps on the dynamic path)
                 tombs = [
-                    {**c, "files": []} for c in commits if "fence" in c
+                    # files emptied → a spilled-list ref would serialize
+                    # the old list back over the tombstone; drop it
+                    {k: v for k, v in c.items() if k != "files_ref"} | {"files": []}
+                    for c in commits
+                    if "fence" in c
                 ]
                 commits = tombs + ([entry] if files else [])
             if mode == "append" and cur and cur.get("spec") is not None:
@@ -2068,6 +2090,23 @@ class TableRepo:
             p = join_path(self.main_path, MANIFEST_DIR, f"v{v:020d}.json")
             fs.delete(p)
             deleted.append(p)
+        # spilled file-list objects (manifest-of-manifests tier) referenced
+        # by NO retained version: shared-by-ref across versions, so only
+        # sweep once every referencing version is gone; the age cutoff
+        # protects a list spilled by an in-flight commit that has not CAS'd
+        # yet (same contract as stranded data dirs)
+        live_refs = set()
+        for v in retained:
+            mf = load_manifest(fs, self.main_path, v)
+            for c in (mf or {}).get("commits", []):
+                if "files_ref" in c:
+                    live_refs.add(c["files_ref"].rsplit("/", 1)[-1])
+        for path, mtime in fs.list_files_mtimes(
+            join_path(self.main_path, MANIFEST_DIR, "lists"), ".json"
+        ):
+            if _bn(path) not in live_refs and 0 < mtime < cutoff:
+                fs.delete(path)
+                deleted.append(path)
         return deleted
 
     def _delete_partition_dir(self, group_values: tuple) -> None:

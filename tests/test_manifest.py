@@ -1130,3 +1130,114 @@ def test_dv_requires_manifest_and_keys(spark, tmp_root):
     t2 = TableRepo(f"{tmp_root}/dv_nokeys", commit_mode="manifest", spark=spark)
     with pytest.raises(TypeError):
         t2.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["a"]})))
+
+
+def _spill_repo(spark, root):
+    # manifest_inline_files_max=0: every commit spills its file list —
+    # the manifest-of-manifests tier exercised at toy scale
+    return TableRepo(
+        root, group_cols="C", index_cols="k", commit_mode="manifest",
+        manifest_inline_files_max=0, spark=spark,
+    )
+
+
+def test_spilled_file_lists_roundtrip(spark, tmp_root):
+    """Commits above the inline threshold write their file list to an
+    immutable side object; the version JSON carries only the ref, and
+    every read surface resolves it transparently."""
+    t = _spill_repo(spark, f"{tmp_root}/spill")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    assert t.get_full_df().count() == 12
+    assert len(t.paths) > 0                      # paths resolve through refs
+    # the raw version JSON must NOT inline the file lists
+    vs = t.versions()
+    raw = json.loads(
+        open(os.path.join(t.main_path, MANIFEST_DIR, f"v{vs[-1]:020d}.json")).read()
+    )
+    for c in raw["commits"]:
+        assert "files" not in c and c["files_ref"].startswith("_pqrs_manifest/lists/")
+    # time travel resolves refs of older versions too
+    assert t.get_full_df(version=vs[0]).count() == 6
+    # upsert (read-modify-write through prune) keeps working
+    upd = pd.DataFrame({"k": ["k1"], "A": [999], "C": ["1"]})
+    t.replace_records(spark.createDataFrame(upd))
+    got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
+    assert got["k1"] == 999 and len(got) == 12
+
+
+def test_spilled_lists_prune_drops_stale_ref(spark, tmp_root):
+    """A dynamic overwrite that prunes files out of a spilled-list entry
+    re-inlines that entry — serializing the stale ref would resurrect
+    the pruned files."""
+    t = _spill_repo(spark, f"{tmp_root}/spill_prune")
+    t.extend(spark.createDataFrame(_frame(0)))       # C groups 0,1,2
+    t.replace_groups(spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "A": [1], "C": ["0"]})
+    ))
+    assert sorted(r["k"] for r in t.get_full_df().where("C = '0'").collect()) == ["x"]
+    # total row set is consistent after the prune
+    assert t.get_full_df().count() == 1 + sum(1 for i in range(6) if i % 3 != 0)
+
+
+def test_spilled_lists_vacuum_keeps_referenced(spark, tmp_root):
+    """Vacuum sweeps list objects referenced by no retained version but
+    never one a retained manifest still points at."""
+    t = _spill_repo(spark, f"{tmp_root}/spill_vac")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.replace_all(spark.createDataFrame(_frame(20)))
+    lists_dir = os.path.join(t.main_path, MANIFEST_DIR, "lists")
+    n_before = len(os.listdir(lists_dir))
+    assert n_before >= 2
+    # age out everything, retain only the newest version
+    deleted = t.vacuum(max_age_seconds=-1, keep_versions=1)
+    left = {n for n in os.listdir(lists_dir) if n.endswith(".json")}
+    raw = json.loads(open(os.path.join(
+        t.main_path, MANIFEST_DIR, f"v{t.versions()[-1]:020d}.json")).read())
+    live = {c["files_ref"].rsplit("/", 1)[-1] for c in raw["commits"]}
+    assert live <= left                      # referenced lists survive
+    assert left == live                      # orphans are gone
+    assert t.get_full_df().count() == 6      # table still reads fine
+    assert any("lists" in d for d in deleted)
+
+
+def test_stream_manifest_resolves_spilled_lists(spark, tmp_root, tmp_path):
+    """The streaming source resolves files_ref commits like the batch
+    loader — a table under the manifest-of-manifests tier streams
+    identically."""
+    t = _spill_repo(spark, f"{tmp_root}/spill_stream")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    q = (
+        t.stream_manifest()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert rows(spark.read.parquet(out)) == rows(spark.createDataFrame(_frame(0, 12)))
+
+
+def test_spilled_lists_concurrent_appends_compose(spark, tmp_root):
+    """CAS retries re-serialize manifests whose entries are spilled refs:
+    the loser must republish resolved entries WITHOUT re-inlining them."""
+    root = f"{tmp_root}/spill_cc"
+    seed = _spill_repo(spark, root)
+    seed.extend(spark.createDataFrame(_frame(0, 1)))
+
+    def worker(i):
+        r = _spill_repo(spark, root)
+        r.extend(spark.createDataFrame(_frame(10 * (i + 1), 5)))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(worker, range(4)))
+    t = _spill_repo(spark, root)
+    assert t.get_full_df().count() == 1 + 4 * 5
+    assert t.versions()[-1] == 5
+    raw = json.loads(open(os.path.join(
+        t.main_path, MANIFEST_DIR, f"v{5:020d}.json")).read())
+    assert all("files" not in c and "files_ref" in c for c in raw["commits"])
