@@ -1570,3 +1570,92 @@ def dedup_clusters_star(spark, sf_dir):
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
     )
+
+
+@query(
+    "corpus_overlap_minhash",
+    oracle=f"""
+WITH a AS (
+  SELECT DISTINCT unnest(sh) AS s FROM (
+    SELECT {_shingle_set_sql()} AS sh FROM documents WHERE doc_id % 2 = 0)
+),
+b AS (
+  SELECT DISTINCT unnest(sh) AS s FROM (
+    SELECT {_shingle_set_sql()} AS sh FROM documents WHERE doc_id % 3 = 0)
+),
+u AS (
+  SELECT COALESCE(a.s, b.s) AS s,
+         CASE WHEN a.s IS NULL THEN 0 ELSE 1 END AS ia,
+         CASE WHEN b.s IS NULL THEN 0 ELSE 1 END AS ib
+  FROM a FULL OUTER JOIN b ON a.s = b.s
+)
+SELECT CAST(SUM(ia) AS BIGINT) AS n_shingles_a,
+       CAST(SUM(ib) AS BIGINT) AS n_shingles_b,
+       CAST(SUM(ia * ib) AS BIGINT) AS n_common,
+       CAST(SUM(ia * ib) AS DOUBLE) /
+         CAST(SUM(ia) + SUM(ib) - SUM(ia * ib) AS DOUBLE) AS jaccard
+FROM u
+""",
+)
+def corpus_overlap_minhash(spark, sf_dir):
+    """X2/X14: corpus-level overlap between two snapshots ("how much of
+    crawl B is already in crawl A") as shingle-set Jaccard — the
+    promote-or-drop signal for a recrawl. The emitted surface is EXACT
+    (distinct-shingle counts folded in one pass: union with membership
+    flags → per-shingle max → one aggregate; single division at the
+    end). A 128-permutation corpus-level MinHash sketch — the O(1)-size
+    structure two clusters would actually exchange instead of shipping
+    shingle sets — is computed alongside and its estimate asserted
+    in-query against the exact answer (|est − J| ≤ 0.15, the 3σ bound
+    for K=128), so the gate catches sketch drift without putting
+    engine-specific hash values in the oracle surface.
+
+    Scale shape: shingles md5-narrowed before the distinct (16-byte
+    shuffle keys); the sketch is K·|distinct shingles| narrow rows into
+    a 128-group aggregate — both corpora one pass each, no pairwise
+    anything."""
+    from ..functions.text import shingles, tokens
+
+    d = load(spark, sf_dir, "documents")
+
+    def sh(pred):
+        base = d.where(pred).select(tokens("text").alias("__t"))
+        return base.select(
+            F.explode(shingles(F.col("__t"))).alias("s")
+        ).distinct()
+
+    sa = sh(F.col("doc_id") % 2 == 0).withColumn("ia", F.lit(1)).withColumn("ib", F.lit(0))
+    sb = sh(F.col("doc_id") % 3 == 0).withColumn("ia", F.lit(0)).withColumn("ib", F.lit(1))
+    g = (
+        sa.unionByName(sb)
+        .groupBy("s")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .cache()
+    )
+    K = 128
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("seed")
+    mins = (
+        g.select("s", "ia", "ib", seeds)
+        .groupBy("seed")
+        .agg(
+            F.min(F.when(F.col("ia") == 1, F.xxhash64("s", "seed"))).alias("ma"),
+            F.min(F.when(F.col("ib") == 1, F.xxhash64("s", "seed"))).alias("mb"),
+        )
+        .agg(F.sum((F.col("ma") == F.col("mb")).cast("int")).alias("m"))
+    )
+    est = mins.collect()[0]["m"] / K
+    out = g.agg(
+        F.sum("ia").alias("n_shingles_a"),
+        F.sum("ib").alias("n_shingles_b"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
+        (
+            F.sum(F.col("ia") * F.col("ib")).cast("double")
+            / (F.sum("ia") + F.sum("ib") - F.sum(F.col("ia") * F.col("ib"))).cast("double")
+        ).alias("jaccard"),
+    )
+    exact = out.collect()[0]["jaccard"]
+    if abs(est - exact) > 0.15:
+        raise AssertionError(
+            f"corpus_overlap_minhash: sketch estimate {est:.3f} drifted from exact {exact:.3f}"
+        )
+    return out

@@ -983,6 +983,70 @@ class TableRepo:
 
         return list_versions(self._fs(), self.main_path)
 
+    def tag(self, name: str, version: int | None = None) -> None:
+        """Pin a snapshot under a NAME (Iceberg tag shape): ``tag('v-prod')``
+        records the current (or given) version in
+        ``_pqrs_manifest/tags/<name>.json``. A tagged version — its
+        manifest, its spilled file lists, and every data dir it
+        references — is RETAINED by vacuum regardless of
+        ``keep_versions``, so a tag is the durable reproducibility pin
+        ("the exact corpus snapshot run X trained on") that plain time
+        travel loses at the vacuum horizon. Re-tagging a name moves it
+        (last-write-wins; tags are refs, not commits)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("tag() requires commit_mode='manifest'")
+        if not name or "/" in name or name.startswith((".", "_")):
+            # dot/underscore prefixes are hidden from the fs shim's
+            # listings (the staging/metadata namespace) — a tag named that
+            # way would write fine and then never list
+            raise ValueError(f"bad tag name: {name!r}")
+        if version is None:
+            vs = self.versions()
+            if not vs:
+                raise ValueError("cannot tag an empty table (no committed version)")
+            version = vs[-1]
+        elif version not in self.versions():
+            raise KeyError(f"no manifest version {version} for {self.name}")
+        import json as _json
+
+        from .manifest import MANIFEST_DIR
+
+        self._fs().write_text_atomic(
+            join_path(self.main_path, MANIFEST_DIR, "tags", f"{name}.json"),
+            _json.dumps({"version": int(version)}),
+        )
+
+    def tags(self) -> dict[str, int]:
+        """name → pinned version for every tag on the table."""
+        if self.commit_mode != "manifest":
+            raise TypeError("tags() requires commit_mode='manifest'")
+        import json as _json
+
+        from .manifest import MANIFEST_DIR
+
+        fs = self._fs()
+        tdir = join_path(self.main_path, MANIFEST_DIR, "tags")
+        out = {}
+        for p in fs.list_names(tdir, ".json"):
+            name = p.rsplit("/", 1)[-1][: -len(".json")]
+            out[name] = int(_json.loads(fs.read_text(join_path(tdir, f"{name}.json")))["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        """Remove a tag; the pinned version becomes vacuumable again."""
+        if self.commit_mode != "manifest":
+            raise TypeError("delete_tag() requires commit_mode='manifest'")
+        from .manifest import MANIFEST_DIR
+
+        self._fs().delete(join_path(self.main_path, MANIFEST_DIR, "tags", f"{name}.json"))
+
+    def get_tagged_df(self, name: str) -> DataFrame:
+        """The snapshot a tag pins — ``get_full_df(version=tags()[name])``."""
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"no tag {name!r} on {self.name}")
+        return self.get_full_df(version=t[name])
+
     def history(self) -> list[dict]:
         """The table's operation log (manifest mode only) — one entry per
         committed version: operation kind, partition spec, live commit /
@@ -2076,7 +2140,12 @@ class TableRepo:
                 fs.delete(path)
                 deleted.append(path)
         versions = list_versions(fs, self.main_path)
-        retained = versions[-keep_versions:] if versions else []
+        window = set(versions[-keep_versions:]) if versions else set()
+        # tags pin snapshots OUTSIDE the retention window: a tagged
+        # version keeps its manifest, its spilled lists, and its data
+        # dirs alive until the tag is deleted
+        tagged = {v for v in self.tags().values() if v in versions}
+        retained = sorted(window | tagged)
         live_dirs = set()
         for v in retained:
             mf = load_manifest(fs, self.main_path, v)
@@ -2086,7 +2155,9 @@ class TableRepo:
             if _bn(path) not in live_dirs and 0 < mtime < cutoff:
                 fs.delete(path)
                 deleted.append(path)
-        for v in versions[: max(0, len(versions) - keep_versions)]:
+        for v in versions:
+            if v in retained:
+                continue
             p = join_path(self.main_path, MANIFEST_DIR, f"v{v:020d}.json")
             fs.delete(p)
             deleted.append(p)

@@ -1241,3 +1241,30 @@ def test_spilled_lists_concurrent_appends_compose(spark, tmp_root):
     raw = json.loads(open(os.path.join(
         t.main_path, MANIFEST_DIR, f"v{5:020d}.json")).read())
     assert all("files" not in c and "files_ref" in c for c in raw["commits"])
+
+
+def test_tags_pin_snapshots_against_vacuum(spark, tmp_root):
+    """A tag retains its version (manifest + data dirs) through a vacuum
+    that would otherwise sweep it; deleting the tag releases it."""
+    t = _repo(spark, f"{tmp_root}/tags")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.tag("baseline")
+    t.replace_all(spark.createDataFrame(_frame(20, 3)))
+    t.replace_all(spark.createDataFrame(_frame(40, 2)))
+    assert t.tags() == {"baseline": 1}
+    # vacuum keeps only the newest version + the tagged one
+    t.vacuum(max_age_seconds=-1, keep_versions=1)
+    assert t.versions() == [1, 3]
+    assert t.get_tagged_df("baseline").count() == 6     # pinned data intact
+    assert t.get_full_df().count() == 2
+    # re-tagging moves the pin; deleting releases it
+    t.tag("baseline")                                    # now -> version 3
+    assert t.tags()["baseline"] == 3
+    t.delete_tag("baseline")
+    assert t.tags() == {}
+    t.vacuum(max_age_seconds=-1, keep_versions=1)
+    assert t.versions() == [3]
+    with pytest.raises(ValueError):
+        t.tag(".hidden")
+    with pytest.raises(KeyError):
+        t.tag("nope", version=99)
