@@ -1659,3 +1659,83 @@ def corpus_overlap_minhash(spark, sf_dir):
             f"corpus_overlap_minhash: sketch estimate {est:.3f} drifted from exact {exact:.3f}"
         )
     return out
+
+
+def _lsh_planes():
+    from ..operators.similarity import default_planes
+
+    return default_planes(64, 8)
+
+
+def _lsh_bucket_sql() -> str:
+    """The 8 seeded hyperplanes as explicit literals, dot product written
+    as an explicit left-associative chain — the fold order Spark's Column
+    arithmetic (below) and SQL's left-assoc ``+`` share, so the doubles
+    (and their signs) are bitwise identical and the bucket ids cannot
+    diverge on a borderline vector."""
+    dots = []
+    for p in _lsh_planes():
+        sql = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) * {v!r})" for i, v in enumerate(p)
+        )
+        dots.append(f"({sql})")
+    return " + ".join(
+        f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)" for i, d in enumerate(dots)
+    )
+
+
+def _lsh_bucket_col():
+    """Column twin of _lsh_bucket_sql (built lazily — Columns need an
+    active SparkContext, SQL strings don't)."""
+    bucket = None
+    for i, p in enumerate(_lsh_planes()):
+        c = None
+        for j, v in enumerate(p):
+            term = F.element_at("embedding", j + 1).cast("double") * F.lit(v)
+            c = term if c is None else c + term
+        b = F.when(c >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    return bucket
+
+
+@query(
+    "diversity_sample_lsh",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, ({_lsh_bucket_sql()}) AS bucket FROM embeddings
+),
+r AS (
+  SELECT vec_id, bucket, row_number() OVER (
+    PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM b
+)
+SELECT bucket, vec_id FROM r WHERE rn <= 2
+""",
+)
+def diversity_sample_lsh(spark, sf_dir):
+    """X3/X7: embedding-space DIVERSITY sampling — the cheap stand-in for
+    k-center selection when curating "cover the space, don't oversample
+    the dense blob": 8 fixed random hyperplanes carve the space into 256
+    sign buckets, and an exact-2-per-bucket hash-ordered pick keeps the
+    sample spread across regions however skewed the density. Everything
+    is deterministic: the planes are seeded literals baked into BOTH
+    engines, the dot products fold in the same left-associative order
+    (bitwise-identical doubles, identical signs), and the per-bucket
+    pick is md5-ordered — so the sample is stable across engines,
+    reruns, and corpus growth within a bucket's unchanged head.
+
+    Scale shape: bucketing is one codegen'd projection (no shuffle, no
+    model); the exact-k pick is a WindowGroupLimit per bucket — the
+    per-group top-k pattern that never sorts the corpus globally."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", _lsh_bucket_col().alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 2)
+        .select("bucket", "vec_id")
+    )
