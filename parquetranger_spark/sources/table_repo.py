@@ -936,7 +936,7 @@ class TableRepo:
             "key_cols": list(self.index_cols),
         }
         self._maybe_spill_files(entry)
-        self._publish_entry(entry, "append", dynamic=False)
+        self._publish_entry(entry, "append", dynamic=False, op="delete-dv")
 
     def delete_where(self, condition) -> None:
         """Delete rows matching a Column predicate; same partition-pruned
@@ -1564,7 +1564,14 @@ class TableRepo:
             # count scan splits
             df = df.coalesce(max(1, self.n_files // 8))
         df = df.localCheckpoint(eager=True)
-        self._write(df, mode="overwrite", dynamic=bool(self.group_cols))
+        # full-table compaction commits STATIC (partition-selective stays
+        # dynamic): the read above already materialized the whole visible
+        # table, and the static path additionally clears partitions whose
+        # rows were all deletion-vector'd away and drops the dv entries
+        # themselves (a dynamic prune would carry spent tombstones in the
+        # manifest forever). Fence tombstones survive either path.
+        dynamic = bool(self.group_cols) and partition_values is not None
+        self._write(df, mode="overwrite", dynamic=dynamic)
 
     def rewrite_to_canonical(self) -> None:
         """Explicit maintenance rewrite: materialize every file at the
@@ -1751,7 +1758,12 @@ class TableRepo:
             )
 
     def _publish_entry(
-        self, entry: dict, mode: str, dynamic: bool, fkey: list[str] | None = None
+        self,
+        entry: dict,
+        mode: str,
+        dynamic: bool,
+        fkey: list[str] | None = None,
+        op: str | None = None,
     ) -> None:
         """Second half of a manifest commit: CAS-publish a staged entry as
         the next manifest version, retrying against concurrent committers.
@@ -1804,7 +1816,8 @@ class TableRepo:
                 "version": (cur["version"] if cur else 0) + 1,
                 "commits": commits,
                 "spec": nxt_spec,
-                "op": (
+                "op": op
+                or (
                     "append"
                     if mode == "append"
                     else ("overwrite-dynamic" if (dynamic and self.group_cols) else "overwrite")
@@ -2318,11 +2331,11 @@ class StagedCommit:
         self._check("publish")
         repo = self._repo
         if mode == "append":
-            repo._publish_entry(self._entry, "append", dynamic=False)
+            repo._publish_entry(self._entry, "append", dynamic=False, op="wap-append")
         elif mode == "replace_groups":
             if not repo.group_cols:
                 raise TypeError("not a grouped table")
-            repo._publish_entry(self._entry, "overwrite", dynamic=True)
+            repo._publish_entry(self._entry, "overwrite", dynamic=True, op="wap-replace-groups")
         else:
             raise ValueError(f"mode must be append|replace_groups: {mode!r}")
         self._state = "published"

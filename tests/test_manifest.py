@@ -1268,3 +1268,18 @@ def test_tags_pin_snapshots_against_vacuum(spark, tmp_root):
         t.tag(".hidden")
     with pytest.raises(KeyError):
         t.tag("nope", version=99)
+
+
+def test_full_compact_materializes_dvs_and_drops_entries(spark, tmp_root):
+    """Full-table compact clears spent deletion vectors: same visible
+    rows, no dv entries, and a partition whose rows were all dv'd away
+    does not resurrect."""
+    t = _repo(spark, f"{tmp_root}/dv_compact")
+    t.extend(spark.createDataFrame(_frame(0)))
+    # kill ALL of group C='0' (k0, k3) plus one other row
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k0", "k3", "k1"]})))
+    before = rows(t.get_full_df())
+    t.compact()
+    assert rows(t.get_full_df()) == before
+    assert "dv" not in _dv_kinds(t)
+    assert t.get_full_df().where("C = '0'").count() == 0

@@ -427,3 +427,26 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_dv_read_broadcasts_tombstones(spark, tmp_path):
+    """A deletion-vector read must be the base scan + ONE broadcast
+    left-outer against the tiny tombstone frame — no shuffle join, no
+    extra exchange on the data side."""
+    import pandas as pd
+
+    from parquetranger_spark import TableRepo
+
+    t = TableRepo(
+        str(tmp_path) + "/t", group_cols="C", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t.extend(spark.createDataFrame(pd.DataFrame({
+        "k": [f"k{i}" for i in range(1000)],
+        "A": list(range(1000)),
+        "C": [str(i % 3) for i in range(1000)],
+    })))
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k1", "k2"]})))
+    p = t.get_full_df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    assert "SortMergeJoin" not in p, "tombstone join fell back to a shuffle join"

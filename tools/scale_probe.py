@@ -177,6 +177,48 @@ def probe(spark):
             threshold=0.6,
         ).count(),
     }
+    # round-4 wave 3: merge-on-read deletion vectors. The tombstone write
+    # is O(deleted keys) — fixed here — and the DV-filtered read is one
+    # broadcast anti-join over the scan, so the pair should probe ≈
+    # linear in table size with a constant delete component. Tables are
+    # PRE-WRITTEN outside the timed lambda (the probe times delete+read,
+    # not ingest).
+    import tempfile
+
+    from parquetranger_spark.sources.table_repo import TableRepo
+
+    dv_root = tempfile.mkdtemp(prefix="pqrs_scale_dv_")
+    dv_repos = {}
+    for f in FACTORS:
+        r = TableRepo(
+            f"{dv_root}/t{f}",
+            group_cols="l_returnflag",
+            index_cols=["l_orderkey", "l_linenumber"],
+            commit_mode="manifest",
+            spark=spark,
+        )
+        r.extend(
+            replicate(
+                load(spark, SF_DIR, "lineitem").select(
+                    "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+                ),
+                "l_orderkey",
+                f,
+            )
+        )
+        dv_repos[f] = r
+    dv_keys = (
+        load(spark, SF_DIR, "lineitem")
+        .where(F.col("l_orderkey") % 97 == 0)
+        .select("l_orderkey", "l_linenumber")
+        .localCheckpoint(eager=True)
+    )
+
+    def dv_delete_and_read(f):
+        dv_repos[f].delete_records_dv(dv_keys)
+        dv_repos[f].get_full_df().count()
+
+    ops["dv_delete_and_read"] = dv_delete_and_read
     prebuilt_idx = {
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS
