@@ -1265,3 +1265,55 @@ def delete_dv_roundtrip(spark, sf_dir):
     return t.get_full_df().groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
     )
+
+
+@query(
+    "branch_merge_roundtrip",
+    oracle="""
+WITH branched AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 4 != 1
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.5 AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+FROM branched GROUP BY o_orderstatus
+""",
+)
+def branch_merge_roundtrip(spark, sf_dir):
+    """S28: writable branches (table_repo.py::create_branch /
+    merge_branch — the Iceberg branch shape, multi-commit WAP): fork a
+    branch off the seeded table, run a keyed upsert ON THE BRANCH
+    (main provably untouched — asserted in-query), then fast-forward
+    main by metadata-only merge. The oracle states the end state:
+    every key once, the branched keys at 1.5x price.
+
+    Scale shape: branching is one manifest publish (zero data copied —
+    shallow base refs), the merge is one CAS; only the branch's own
+    upsert pays data jobs, partition-pruned as on main."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TableRepo(
+        scratch_dir("branch") + "/orders",
+        group_cols="o_orderstatus",
+        index_cols="o_orderkey",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(o)
+    before = t.get_full_df().count()
+    b = t.create_branch("reprice")
+    b.replace_records(
+        o.where(F.col("o_orderkey") % 4 == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.5
+        )
+    )
+    if t.get_full_df().count() != before:
+        raise AssertionError("branch write leaked into main before merge")
+    t.merge_branch("reprice")
+    return t.get_full_df().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )

@@ -729,6 +729,10 @@ class TableRepo:
             "spec": list(self.group_cols),
             "op": f"clone({self.main_path})",
         }
+        return self._finish_clone(clone, nxt, dest_root)
+
+    def _finish_clone(self, clone: "TableRepo", nxt: dict, dest_root: str) -> "TableRepo":
+        from .manifest import try_commit
         if not try_commit(clone._fs(), clone.main_path, nxt):
             raise RuntimeError(f"clone target {dest_root} already has a manifest")
         # sidecar only AFTER the CAS: a refused clone onto an existing
@@ -737,6 +741,120 @@ class TableRepo:
         if meta is not None:
             save_meta(clone.main_path, meta, spark=self._spark)
         return clone
+
+    # ------------------------------------------------------------- branches
+
+    def _branch_root(self, name: str) -> str:
+        if not name or "/" in name or name.startswith((".", "_")):
+            raise ValueError(f"bad branch name: {name!r}")
+        return join_path(self.main_path, "_pqrs_branches", name)
+
+    def create_branch(self, name: str) -> "TableRepo":
+        """Writable BRANCH (Iceberg branch shape): a shallow clone of the
+        current snapshot living under ``_pqrs_branches/<name>`` inside
+        the table root — zero data copied, its own manifest chain, fully
+        writable through every TableRepo op. The multi-commit audit
+        flavor of WAP: run a whole pipeline of staged changes on the
+        branch, validate the end state, then :meth:`merge_branch` to
+        fast-forward main; or walk away and :meth:`delete_branch`. The
+        fork version is recorded so merge can detect concurrent main
+        commits (no rebase — the branch holder re-branches)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("create_branch() requires commit_mode='manifest'")
+        import json as _json
+
+        from .manifest import load_manifest
+
+        broot = self._branch_root(name)
+        fs = self._fs()
+        cur = load_manifest(fs, self.main_path)
+        forked_at = cur["version"] if cur else 0
+        b = self.clone_to(broot)
+        fs.write_text_atomic(
+            join_path(broot, "_pqrs_branch.json"),
+            _json.dumps({"source": self.main_path, "forked_at": forked_at}),
+        )
+        return b
+
+    def branch(self, name: str) -> "TableRepo":
+        """Handle on an existing branch — a TableRepo rooted at its dir."""
+        broot = self._branch_root(name)
+        if not self._fs().exists(join_path(broot, "_pqrs_branch.json")):
+            raise KeyError(f"no branch {name!r} on {self.name}")
+        return TableRepo(
+            broot,
+            group_cols=list(self.group_cols) or None,
+            index_cols=list(self.index_cols) or None,
+            commit_mode="manifest",
+            compression=self.compression,
+            spark=self._spark,
+        )
+
+    def branches(self) -> list[str]:
+        """Names of the table's branches."""
+        out = []
+        for path, _ in self._fs().list_dirs(join_path(self.main_path, "_pqrs_branches")):
+            out.append(path.rstrip("/").rsplit("/", 1)[-1])
+        return sorted(out)
+
+    def merge_branch(self, name: str) -> None:
+        """Fast-forward main to the branch's current state. Allowed only
+        while main still sits at the branch's fork version — a concurrent
+        main commit makes the branch's end state unmergeable as-is
+        (conflict surfaces as an error; re-branch and replay). The merge
+        is metadata-only: main's next version adopts the branch's commit
+        list wholesale, branch-written entries anchored at the branch
+        root by ``base`` (same shallow-reference mechanics as clones —
+        the branch dir remains those files' physical home until a
+        rewrite; :meth:`delete_branch` refuses while main references
+        it)."""
+        import json as _json
+
+        from .manifest import load_manifest, try_commit
+
+        broot = self._branch_root(name)
+        fs = self._fs()
+        info = _json.loads(fs.read_text(join_path(broot, "_pqrs_branch.json")))
+        bmf = load_manifest(fs, broot)
+        if bmf is None:
+            raise RuntimeError(f"branch {name!r} has no committed version")
+        merged = [{**c, "base": c.get("base", broot)} for c in bmf["commits"]]
+        cur = load_manifest(fs, self.main_path)
+        cur_v = cur["version"] if cur else 0
+        if cur_v != info["forked_at"]:
+            raise RuntimeError(
+                f"merge_branch({name!r}): main moved {info['forked_at']} -> "
+                f"{cur_v} since the fork; re-branch and replay"
+            )
+        nxt = {
+            "version": cur_v + 1,
+            "commits": merged,
+            "spec": bmf.get("spec", list(self.group_cols)),
+            "op": f"merge-branch({name})",
+        }
+        if not try_commit(fs, self.main_path, nxt):
+            raise RuntimeError(
+                f"merge_branch({name!r}): lost the CAS to a concurrent main "
+                "commit; re-branch and replay"
+            )
+
+    def delete_branch(self, name: str, force: bool = False) -> None:
+        """Drop a branch dir. Refuses (without ``force``) while any
+        retained MAIN version still references the branch's data by
+        ``base`` — deleting then would corrupt merged history."""
+        from .manifest import load_manifest
+
+        broot = self._branch_root(name)
+        fs = self._fs()
+        if not force:
+            for v in self.versions():
+                mf = load_manifest(fs, self.main_path, v)
+                if any(c.get("base") == broot for c in (mf or {}).get("commits", [])):
+                    raise RuntimeError(
+                        f"main version {v} references branch {name!r} data; "
+                        "rewrite main (compact/replace_all) or pass force=True"
+                    )
+        fs.delete(broot)
 
     def changes_between(self, start: int, end: int | None = None) -> DataFrame:
         """Row-level CHANGE FEED between two committed versions (manifest
@@ -2160,10 +2278,21 @@ class TableRepo:
         tagged = {v for v in self.tags().values() if v in versions}
         retained = sorted(window | tagged)
         live_dirs = set()
+        branch_refs = set()
         for v in retained:
             mf = load_manifest(fs, self.main_path, v)
             for c in (mf or {}).get("commits", []):
                 live_dirs.add(c["dir"].split("/")[-1])
+        # branch heads shallow-reference MAIN data dirs (base ==
+        # main_path on their inherited entries): protect those dirs and
+        # their spilled lists for as long as the branch exists
+        for bname in self.branches():
+            bmf = load_manifest(fs, self._branch_root(bname))
+            for c in (bmf or {}).get("commits", []):
+                if c.get("base") == self.main_path:
+                    live_dirs.add(c["dir"].split("/")[-1])
+                    if "files_ref" in c:
+                        branch_refs.add(c["files_ref"].rsplit("/", 1)[-1])
         for path, mtime in fs.list_dirs(join_path(self.main_path, DATA_DIR)):
             if _bn(path) not in live_dirs and 0 < mtime < cutoff:
                 fs.delete(path)
@@ -2179,7 +2308,7 @@ class TableRepo:
         # sweep once every referencing version is gone; the age cutoff
         # protects a list spilled by an in-flight commit that has not CAS'd
         # yet (same contract as stranded data dirs)
-        live_refs = set()
+        live_refs = set(branch_refs)
         for v in retained:
             mf = load_manifest(fs, self.main_path, v)
             for c in (mf or {}).get("commits", []):

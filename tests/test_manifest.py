@@ -1283,3 +1283,59 @@ def test_full_compact_materializes_dvs_and_drops_entries(spark, tmp_root):
     assert rows(t.get_full_df()) == before
     assert "dv" not in _dv_kinds(t)
     assert t.get_full_df().where("C = '0'").count() == 0
+
+
+def test_branch_write_merge_fastforward(spark, tmp_root):
+    """Writable branch: fork, mutate the branch through normal ops (main
+    unaffected), merge fast-forwards main to the branch state by
+    metadata only; a concurrent main commit makes the merge refuse."""
+    t = _repo(spark, f"{tmp_root}/br")
+    t.extend(spark.createDataFrame(_frame(0)))
+    b = t.create_branch("audit")
+    assert t.branches() == ["audit"]
+    # branch mutations: append + keyed upsert; main must not move
+    b.extend(spark.createDataFrame(_frame(6)))
+    b.replace_records(spark.createDataFrame(
+        pd.DataFrame({"k": ["k0"], "A": [100], "C": ["0"]})
+    ))
+    assert t.get_full_df().count() == 6
+    assert b.get_full_df().count() == 12
+    t.merge_branch("audit")
+    got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
+    assert len(got) == 12 and got["k0"] == 100
+    # merged main references branch data: delete_branch must refuse
+    with pytest.raises(RuntimeError, match="references branch"):
+        t.delete_branch("audit")
+    # a rewrite of main releases the reference — but only once the older
+    # versions still pointing at branch data fall out of retention
+    t.compact()
+    with pytest.raises(RuntimeError, match="references branch"):
+        t.delete_branch("audit")                 # v2 still time-travelable
+    t.vacuum(max_age_seconds=-1, keep_versions=1)
+    t.delete_branch("audit")
+    assert t.branches() == []
+    assert t.get_full_df().count() == 12
+
+
+def test_branch_merge_conflict_on_main_commit(spark, tmp_root):
+    t = _repo(spark, f"{tmp_root}/br_conflict")
+    t.extend(spark.createDataFrame(_frame(0)))
+    b = t.create_branch("x")
+    b.extend(spark.createDataFrame(_frame(6)))
+    t.extend(spark.createDataFrame(_frame(20, 2)))      # main moves on
+    with pytest.raises(RuntimeError, match="re-branch"):
+        t.merge_branch("x")
+    t.delete_branch("x")                                 # unmerged: no refs
+
+
+def test_branch_protects_main_dirs_from_vacuum(spark, tmp_root):
+    """Main data superseded on MAIN but still referenced by a live
+    branch head survives main's vacuum."""
+    t = _repo(spark, f"{tmp_root}/br_vac")
+    t.extend(spark.createDataFrame(_frame(0)))
+    b = t.create_branch("pin")
+    t.replace_all(spark.createDataFrame(_frame(20, 2)))  # supersedes v1 data
+    t.vacuum(max_age_seconds=-1, keep_versions=1)
+    # the branch still reads the forked snapshot in full
+    assert b.get_full_df().count() == 6
+    t.delete_branch("pin")
