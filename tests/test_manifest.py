@@ -1339,3 +1339,18 @@ def test_branch_protects_main_dirs_from_vacuum(spark, tmp_root):
     # the branch still reads the forked snapshot in full
     assert b.get_full_df().count() == 6
     t.delete_branch("pin")
+
+
+def test_dv_composes_with_stats_skipping(spark, tmp_root):
+    """A skipping read over a dv'd table prunes files by stats AND hides
+    tombstoned rows — the filters compose inside _manifest_df."""
+    t = TableRepo(
+        f"{tmp_root}/dv_skip", group_cols="C", index_cols="k",
+        commit_mode="manifest", stats_cols=["A"], spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0, 12)))
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k2", "k7"]})))
+    got = sorted(
+        r["k"] for r in t.get_full_df_skipping([("A", "between", 0, 7)]).collect()
+    )
+    assert got == ["k0", "k1", "k3", "k4", "k5", "k6"]
