@@ -1101,6 +1101,30 @@ class TableRepo:
 
         return list_versions(self._fs(), self.main_path)
 
+    def count_rows(self) -> int:
+        """Table row count, METADATA-ONLY when possible: stats-collecting
+        manifest tables record per-file rowcounts at commit time (free —
+        the same grouped aggregate that collects [min,max]), so the count
+        is a driver-side sum over the manifest, zero files opened — the
+        O(1)-jobs answer a 100 TB "how many rows" deserves. Falls back
+        to a real count when any commit predates rowcounts, a deletion
+        vector is live (tombstones subtract data-dependently), or the
+        table is not in manifest mode."""
+        if self.commit_mode == "manifest":
+            from .manifest import load_manifest
+
+            mf = load_manifest(self._fs(), self.main_path)
+            commits = (mf or {}).get("commits", [])
+            data = [c for c in commits if c.get("kind") != "dv"]
+            if not any(c.get("kind") == "dv" for c in commits) and all(
+                not c["files"] or set(c.get("rows", {})) >= set(c["files"])
+                for c in data
+            ):
+                return sum(
+                    c["rows"][f] for c in data for f in c["files"] if c.get("rows")
+                )
+        return self.get_full_df().count()
+
     def tag(self, name: str, version: int | None = None) -> None:
         """Pin a snapshot under a NAME (Iceberg tag shape): ``tag('v-prod')``
         records the current (or given) version in
@@ -1691,6 +1715,34 @@ class TableRepo:
         dynamic = bool(self.group_cols) and partition_values is not None
         self._write(df, mode="overwrite", dynamic=dynamic)
 
+    def maintain(self, max_files_per_partition: int = 8) -> list:
+        """One-call maintenance sweep: compact exactly the partitions
+        whose file count exceeds the threshold (decided from
+        :meth:`stats` — the distributed ``_metadata`` rollup, no driver
+        footer walking) and leave healthy partitions untouched. The
+        nightly job a 100 TB table under streaming append pressure runs:
+        cost is O(unhealthy partitions), not O(table). Returns the
+        partition values compacted. Ungrouped tables compact whole when
+        over the threshold. Like compact, not safe concurrent with
+        writers to the same partitions."""
+        if not self.group_cols:
+            if self.n_files > max_files_per_partition:
+                self.compact()
+                return ["<all>"]
+            return []
+        pc = self.group_cols[0]
+        bad = [
+            r[pc]
+            for r in self.stats()
+            .where(F.col("n_files") > max_files_per_partition)
+            .select(pc)
+            .distinct()
+            .collect()
+        ]
+        if bad:
+            self.compact(partition_values=bad, partition_col=pc)
+        return bad
+
     def rewrite_to_canonical(self) -> None:
         """Explicit maintenance rewrite: materialize every file at the
         current canonical schema (the reference's widening rewrite,
@@ -1857,7 +1909,11 @@ class TableRepo:
             files.append(norm[pos + len(marker) + 1:])
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if self.stats_cols and files:
-            entry["stats"] = self._collect_file_stats(cdir, files, meta=meta)
+            entry["stats"], nr = self._collect_file_stats(cdir, files, meta=meta)
+            if len(nr) == len(files):
+                # per-file rowcounts ride along free in the same stats agg
+                # — the metadata-only count_rows() fast path reads them
+                entry["rows"] = nr
         if self.bloom_cols and files:
             entry["blooms"], entry["bloom_types"] = self._collect_file_blooms(
                 cdir, files, meta=meta
@@ -1944,7 +2000,7 @@ class TableRepo:
             if try_commit(fs, self.main_path, nxt):
                 return
 
-    def _collect_file_stats(self, cdir: str, files: list[str], meta=None) -> dict:
+    def _collect_file_stats(self, cdir: str, files: list[str], meta=None) -> tuple[dict, dict]:
         """Per-file [min, max] for ``stats_cols`` over a just-written
         commit dir — ONE column-pruned aggregate grouped on
         ``input_file_name()`` (distributed, any filesystem, and the data
@@ -1974,8 +2030,8 @@ class TableRepo:
             if c in scan.columns and isinstance(scan.schema[c].dataType, ok)
         ]
         if not cols:
-            return {}
-        aggs = []
+            return {}, {}
+        aggs = [F.count(F.lit(1)).alias("__nr")]
         for c in cols:
             aggs.append(F.min(c).alias(f"__mn_{c}"))
             aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -1992,6 +2048,7 @@ class TableRepo:
         fileset = set(files)
         marker = "/" + cdir.rstrip("/").split("/")[-1] + "/"
         stats: dict = {}
+        counts: dict = {}
         for r in rows:
             uri = unquote(r["__f"])
             pos = uri.rfind(marker)
@@ -2001,6 +2058,7 @@ class TableRepo:
             if rel is None:
                 continue
             stats[rel] = {c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols}
+            counts[rel] = int(r["__nr"])
         if len(stats) == len(rows):
             # every data-bearing file mapped cleanly → the remainder are
             # ZERO-ROW part files; [None, None] marks them provably
@@ -2010,7 +2068,8 @@ class TableRepo:
             for f in files:
                 if f not in stats:
                     stats[f] = {c: [None, None] for c in cols}
-        return stats
+                    counts[f] = 0
+        return stats, counts
 
     def _collect_file_blooms(self, cdir: str, files: list[str], meta=None) -> dict:
         """Per-file Bloom bitmaps for ``bloom_cols`` over a just-written

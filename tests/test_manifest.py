@@ -1354,3 +1354,43 @@ def test_dv_composes_with_stats_skipping(spark, tmp_root):
         r["k"] for r in t.get_full_df_skipping([("A", "between", 0, 7)]).collect()
     )
     assert got == ["k0", "k1", "k3", "k4", "k5", "k6"]
+
+
+def test_count_rows_metadata_only_and_fallbacks(spark, tmp_root):
+    """Stats-collecting tables answer count_rows from the manifest alone;
+    deletion vectors or stats-less commits fall back to a real count."""
+    t = TableRepo(
+        f"{tmp_root}/cnt", group_cols="C", index_cols="k",
+        commit_mode="manifest", stats_cols=["A"], spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    mf = load_manifest(t._fs(), t.main_path)
+    assert all("rows" in c for c in mf["commits"])    # counts recorded
+    assert t.count_rows() == 12
+    # a dv makes the metadata sum wrong -> must fall back, stay correct
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k0"]})))
+    assert t.count_rows() == 11
+    # stats-less table: no rows recorded, fallback path
+    t2 = _repo(spark, f"{tmp_root}/cnt2")
+    t2.extend(spark.createDataFrame(_frame(0)))
+    assert t2.count_rows() == 6
+
+
+def test_maintain_compacts_only_unhealthy_partitions(spark, tmp_root):
+    """maintain() targets partitions over the file-count threshold and
+    leaves healthy ones' files untouched."""
+    t = _repo(spark, f"{tmp_root}/maint")
+    # partition C='0' gets 5 commits of small files; C='1'/'2' get one
+    t.extend(spark.createDataFrame(_frame(0)))          # all three groups
+    for i in range(4):
+        only0 = pd.DataFrame({"k": [f"z{i}"], "A": [100 + i], "C": ["0"]})
+        t.extend(spark.createDataFrame(only0))
+    healthy_before = {p for p in t.paths if "/C=1/" in p or "/C=2/" in p}
+    before = rows(t.get_full_df())
+    compacted = t.maintain(max_files_per_partition=3)
+    assert compacted == ["0"]
+    assert rows(t.get_full_df()) == before
+    assert {p for p in t.paths if "/C=1/" in p or "/C=2/" in p} == healthy_before
+    n0 = sum(1 for p in t.paths if "/C=0/" in p)
+    assert n0 <= 3
