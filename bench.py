@@ -85,6 +85,16 @@ HEADLINE = [
     "bloom_skipping_read",
     "constraints_drop_audit",
     "ab_test_lift",
+    # round-6 additions: write-audit-publish, merge-on-read deletion
+    # vectors, writable branches, SCD2, corpus overlap, diversity
+    # sampling — new to the headline set (no earlier baseline; the
+    # r1/r2 subset totals below stay comparable regardless)
+    "wap_audited_append",
+    "delete_dv_roundtrip",
+    "branch_merge_roundtrip",
+    "scd2_track_changes",
+    "corpus_overlap_minhash",
+    "diversity_sample_lsh",
 ]
 
 

@@ -1473,3 +1473,71 @@ def per_group_sample(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
     )
+
+
+@query(
+    "e2e_release_snapshot",
+    oracle=f"""
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars
+  FROM documents d JOIN dedup USING (doc_id)
+  WHERE d.n_chars >= 40
+),
+split AS (
+  SELECT *, {md5_mod_sql("source", 10)} AS bucket FROM kept
+)
+SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM split WHERE bucket < 8
+GROUP BY lang
+""",
+)
+def e2e_release_snapshot(spark, sf_dir):
+    """X14/S21/S29 integration: the full TRAIN-DATA RELEASE flow in one
+    query — exact dedup (keep lowest doc_id per content hash) → length
+    floor → leakage-safe train split by md5(source) → WRITE the release
+    to a stats-collecting manifest table partitioned by lang → TAG it
+    ('release', the durable reproducibility pin vacuum honors) → read
+    back THROUGH THE TAG and aggregate. The oracle re-derives the same
+    selection relationally, so a fault anywhere in the chain — dedup
+    semantics, split hashing, the write path, tag resolution — breaks
+    the hash match. The metadata-only count_rows fast path is asserted
+    against the tagged read in-query.
+
+    Scale shape: every stage is the already-audited scale form (16-byte
+    hash shuffles, pure-Column split, one partitioned write, manifest
+    reads); composing them adds no new shuffle."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_mod
+    from ..sources.table_repo import TableRepo
+    from .common import scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("n_chars") >= 40))
+        .drop("__rn")
+    )
+    train = dedup.where(md5_mod(F.col("source"), 10) < 8).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = TableRepo(
+        scratch_dir("release") + "/train_docs",
+        group_cols="lang",
+        index_cols="doc_id",
+        commit_mode="manifest",
+        stats_cols=["doc_id"],
+        spark=spark,
+    )
+    t.extend(train)
+    t.tag("release")
+    back = t.get_tagged_df("release")
+    if t.count_rows() != back.count():
+        raise AssertionError("metadata count_rows disagrees with the tagged read")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
