@@ -1394,3 +1394,17 @@ def test_maintain_compacts_only_unhealthy_partitions(spark, tmp_root):
     assert {p for p in t.paths if "/C=1/" in p or "/C=2/" in p} == healthy_before
     n0 = sum(1 for p in t.paths if "/C=0/" in p)
     assert n0 <= 3
+
+
+def test_dv_with_spilled_lists(spark, tmp_root):
+    """Deletion vectors on a manifest-of-manifests table: the dv entry's
+    own file list spills too, and the read resolves both refs."""
+    t = _spill_repo(spark, f"{tmp_root}/dv_spill")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k1", "k4"]})))
+    assert sorted(r["k"] for r in t.get_full_df().collect()) == [
+        "k0", "k2", "k3", "k5",
+    ]
+    raw = json.loads(open(os.path.join(
+        t.main_path, MANIFEST_DIR, f"v{t.versions()[-1]:020d}.json")).read())
+    assert all("files" not in c and "files_ref" in c for c in raw["commits"])
