@@ -116,6 +116,32 @@ def frame_sample(df: DataFrame, every_n: int = 10, id_col: str = "item_id") -> D
     return df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(every_n)) == 0)
 
 
+def frame_sample_ordered(
+    df: DataFrame,
+    every_n: int,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Every n-th frame PER stream in presentation order (frames 0, n,
+    2n, … of each video) — the uniform-stride subsampling video
+    pipelines actually want, vs :func:`frame_sample`'s hash thinning
+    (which is stream-position-blind). One window per stream key. Pass
+    ``tiebreak_cols`` (e.g. the frame id) whenever ``order_col`` can
+    repeat within a stream — row_number over a non-total order is
+    free to differ between runs and engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col), *[F.col(c) for c in (tiebreak_cols or [])]
+    )
+    return (
+        df.withColumn("__fr", F.row_number().over(w))
+        .where((F.col("__fr") - 1) % every_n == 0)
+        .drop("__fr")
+    )
+
+
 from ..serde import pickle_module_by_value as _pmv  # noqa: E402
 
 _pmv(__name__)

@@ -1739,3 +1739,42 @@ def diversity_sample_lsh(spark, sf_dir):
         .where(F.col("__rn") <= 2)
         .select("bucket", "vec_id")
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH fr AS (
+  SELECT user_id, event_id, ts, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS fn
+  FROM events
+)
+SELECT user_id, count(*) AS n_frames,
+       CAST(SUM(event_id) AS BIGINT) AS sum_frame_ids
+FROM fr WHERE (fn - 1) % 10 = 0
+GROUP BY user_id
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """X5: uniform-stride frame subsampling
+    (operators/multimodal.py::frame_sample_ordered) — every 10th frame
+    of each stream in presentation order (events stand in as frames:
+    user_id = stream, ts+event_id = total presentation order). The
+    per-stream surface (count + selected-id sum) pins exactly WHICH
+    frames were kept, not just how many — an off-by-one stride or an
+    unstable tie-break shifts the selection and breaks the hash.
+
+    Scale shape: one window per stream key (single shuffle+sort), then
+    a map-side-combined aggregate; payload columns never enter the
+    shuffle in a real pipeline (sample ids first, semi-join payloads
+    after)."""
+    from ..operators.multimodal import frame_sample_ordered
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    kept = frame_sample_ordered(
+        ev, 10, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("event_id").alias("sum_frame_ids"),
+    )
