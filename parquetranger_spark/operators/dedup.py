@@ -797,7 +797,7 @@ def semantic_dedup(
 
 
 def _qgram_prefix_candidates(
-    base: DataFrame, q: int, k: int, id_col: str, band_width: int
+    base: DataFrame, q: int, k: int, id_col: str
 ) -> DataFrame:
     """Positional-order-free q-gram PREFIX FILTER candidates for an edit-
     distance-≤k self-join (Chaudhuri et al. SSJoin / Gravano et al.): one
@@ -917,7 +917,7 @@ def fuzzy_pairs(
         F.col(id_col), F.col(str_col).alias("__s"), F.length(str_col).alias("__len")
     ).withColumn("__band", F.expr(f"__len div {band_width}"))
     if qgram is not None:
-        cand = _qgram_prefix_candidates(base, qgram, max_dist, id_col, band_width)
+        cand = _qgram_prefix_candidates(base, qgram, max_dist, id_col)
         sa0 = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
         sb0 = base.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
         return (

@@ -276,7 +276,28 @@ def dedup_simhash_pairs(spark, sf_dir):
         F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
     )
     corpus = nonempty.unionByName(reversed_copies)
-    cand = near_dedup_simhash(corpus, max_hamming=0, bucket_cap=5000).select(
+    # bucket_cap salting trades recall for safety on viral same-signature
+    # clusters — fine for the near-dup flavor, NOT for this exact-oracle
+    # query: a cluster above the cap would silently lose cross-salt pairs
+    # and hash-mismatch. Assert the fixture stays under the cap so a
+    # corpus change that crosses it fails LOUDLY here instead of as an
+    # inscrutable oracle diff.
+    cap = 5000
+    biggest = (
+        corpus.groupBy(
+            F.md5(F.concat_ws("\x1f", F.array_sort(F.split("text", " "))))
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    if biggest and biggest > cap:
+        raise AssertionError(
+            f"dedup_simhash_pairs: a signature cluster of {biggest} docs "
+            f"exceeds bucket_cap={cap}; salting would drop pairs the exact "
+            "oracle expects — raise the cap for this query"
+        )
+    cand = near_dedup_simhash(corpus, max_hamming=0, bucket_cap=cap).select(
         "id_a", "id_b"
     )
     key = F.md5(

@@ -95,9 +95,13 @@ def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] |
     mf = json.loads(fs.read_text(path))
     for c in mf.get("commits", []):
         if "files_ref" in c and not c.get("files"):
-            c["files"] = json.loads(
+            payload = json.loads(
                 fs.read_text(join_path(c.get("base", root), c["files_ref"]))
             )
+            if isinstance(payload, list):  # earliest spill format: bare list
+                payload = {"files": payload}
+            for k, v in payload.items():
+                c.setdefault(k, v)
     return mf
 
 
@@ -116,20 +120,28 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
     out = {**manifest, "commits": []}
     for c in manifest["commits"]:
         if "files_ref" in c:
-            c = {k: v for k, v in c.items() if k != "files"}
+            c = {k: v for k, v in c.items() if k not in SPILL_KEYS}
         out["commits"].append(c)
     return fs.create_exclusive(
         _mpath(root, int(manifest["version"])), json.dumps(out, indent=1)
     )
 
 
-def spill_file_list(fs, root: str, files: list[str]) -> str:
-    """Write a commit's file list as an immutable side object and return
-    its root-relative ref (``_pqrs_manifest/lists/<uuid>.json``)."""
+# every per-FILE map an entry can carry — all of it must move to the
+# side object together, or a stats/bloom table's version JSON stays
+# O(files) despite the spilled list (the whole point of the tier)
+SPILL_KEYS = ("files", "stats", "rows", "blooms", "bloom_types")
+
+
+def spill_entry_payload(fs, root: str, entry: dict) -> str:
+    """Write a commit's per-file payload (file list + stats + rowcounts +
+    blooms) as one immutable side object and return its root-relative
+    ref (``_pqrs_manifest/lists/<uuid>.json``)."""
     from uuid import uuid4
 
     ref = f"{MANIFEST_DIR}/lists/{uuid4().hex[:16]}.json"
-    fs.write_text_atomic(join_path(root, ref), json.dumps(files))
+    payload = {k: entry[k] for k in SPILL_KEYS if k in entry}
+    fs.write_text_atomic(join_path(root, ref), json.dumps(payload))
     return ref
 
 

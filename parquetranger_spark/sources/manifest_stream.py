@@ -125,7 +125,10 @@ def manifest_stream_source():
                 if "files_ref" in c and not c.get("files"):
                     base = self._localize(c.get("base", self.root))
                     with open(os.path.join(base, *c["files_ref"].split("/"))) as fh:
-                        c["files"] = json.load(fh)
+                        payload = json.load(fh)
+                    c["files"] = (
+                        payload if isinstance(payload, list) else payload.get("files", [])
+                    )
             return mf
 
         def _file_set(self, version: int):

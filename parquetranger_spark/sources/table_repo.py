@@ -1249,7 +1249,7 @@ class TableRepo:
             raise KeyError(f"no manifest version {version} for {self.name}")
         schema = meta.schema if meta and meta.schema else None
         commits = (mf or {}).get("commits", [])
-        tomb = self._dv_frame(commits)
+        dv = self._dv_frame(commits)
         scans = []
         for ci, c in enumerate(commits):
             if c.get("kind") == "dv":
@@ -1268,8 +1268,13 @@ class TableRepo:
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
             s = r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
-            if tomb is not None:
-                keys = list(self.index_cols)
+            if dv is not None:
+                keys, tomb = dv
+                if project is not None:
+                    # metadata columns resolve only directly on a scan —
+                    # materialize the struct as a regular column so the
+                    # project hook still sees _metadata after the join
+                    s = s.withColumn("_metadata", F.col("_metadata"))
                 s = s.join(tomb, keys, "left").where(
                     F.col(_DV_POS).isNull() | (F.col(_DV_POS) <= F.lit(ci))
                 ).drop(_DV_POS)
@@ -1293,6 +1298,17 @@ class TableRepo:
         dvs = [(i, c) for i, c in enumerate(commits) if c.get("kind") == "dv"]
         if not dvs:
             return None
+        # join on the key columns RECORDED in the dv entries, not this
+        # handle's index_cols: a read-only handle opened without (or with
+        # different) index_cols must still apply the tombstones the
+        # writer committed
+        keysets = {tuple(c.get("key_cols") or ()) for _, c in dvs}
+        if len(keysets) != 1 or keysets == {()}:
+            raise RuntimeError(
+                f"table {self.name!r} carries dv commits with inconsistent or "
+                f"missing key_cols: {sorted(keysets)}"
+            )
+        keys = list(keysets.pop())
         spark = self._session()
         frames = []
         for i, c in dvs:
@@ -1302,8 +1318,7 @@ class TableRepo:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        keys = list(self.index_cols)
-        return out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
+        return keys, out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
 
     def get_full_df(
         self, version: int | None = None, ignore_corrupt_files: bool = False
@@ -1924,11 +1939,11 @@ class TableRepo:
     def _maybe_spill_files(self, entry: dict) -> None:
         """Spill an oversized file list to an immutable side object so the
         version JSON stays pointer-sized (see manifest_inline_files_max)."""
-        from .manifest import spill_file_list
+        from .manifest import spill_entry_payload
 
         if len(entry["files"]) > self.manifest_inline_files_max:
-            entry["files_ref"] = spill_file_list(
-                self._fs(), self.main_path, entry["files"]
+            entry["files_ref"] = spill_entry_payload(
+                self._fs(), self.main_path, entry
             )
 
     def _publish_entry(
@@ -2319,16 +2334,23 @@ class TableRepo:
 
         fs = self._fs()
         deleted = []
-        # stranded CAS tmps (writer crashed between staging and rename)
-        # live in _pqrs_manifest/.staging — the dir's mtime advances on
+        # stranded CAS/atomic-write tmps (writer crashed between staging
+        # and rename) live in a .staging dir under the DESTINATION's
+        # parent — which is not just the manifest dir: spilled lists land
+        # in lists/.staging, tags in tags/.staging, sidecar/branch
+        # markers in the root's own .staging. The dir's mtime advances on
         # every create/rename in it, so an old mtime means no in-flight
-        # publish; sweep the whole dir (mkdirs recreates it on next write)
-        for path, mtime in fs.list_dirs(
-            join_path(self.main_path, MANIFEST_DIR), prefix=STAGING_DIR
+        # write; sweep each whole dir (recreated on next write).
+        for parent in (
+            join_path(self.main_path, MANIFEST_DIR),
+            join_path(self.main_path, MANIFEST_DIR, "lists"),
+            join_path(self.main_path, MANIFEST_DIR, "tags"),
+            self.main_path,
         ):
-            if 0 < mtime < cutoff:
-                fs.delete(path)
-                deleted.append(path)
+            for path, mtime in fs.list_dirs(parent, prefix=STAGING_DIR):
+                if 0 < mtime < cutoff:
+                    fs.delete(path)
+                    deleted.append(path)
         versions = list_versions(fs, self.main_path)
         window = set(versions[-keep_versions:]) if versions else set()
         # tags pin snapshots OUTSIDE the retention window: a tagged
@@ -2337,11 +2359,13 @@ class TableRepo:
         tagged = {v for v in self.tags().values() if v in versions}
         retained = sorted(window | tagged)
         live_dirs = set()
-        branch_refs = set()
+        live_refs = set()
         for v in retained:
             mf = load_manifest(fs, self.main_path, v)
             for c in (mf or {}).get("commits", []):
                 live_dirs.add(c["dir"].split("/")[-1])
+                if "files_ref" in c:
+                    live_refs.add(c["files_ref"].rsplit("/", 1)[-1])
         # branch heads shallow-reference MAIN data dirs (base ==
         # main_path on their inherited entries): protect those dirs and
         # their spilled lists for as long as the branch exists
@@ -2351,7 +2375,7 @@ class TableRepo:
                 if c.get("base") == self.main_path:
                     live_dirs.add(c["dir"].split("/")[-1])
                     if "files_ref" in c:
-                        branch_refs.add(c["files_ref"].rsplit("/", 1)[-1])
+                        live_refs.add(c["files_ref"].rsplit("/", 1)[-1])
         for path, mtime in fs.list_dirs(join_path(self.main_path, DATA_DIR)):
             if _bn(path) not in live_dirs and 0 < mtime < cutoff:
                 fs.delete(path)
@@ -2362,17 +2386,12 @@ class TableRepo:
             p = join_path(self.main_path, MANIFEST_DIR, f"v{v:020d}.json")
             fs.delete(p)
             deleted.append(p)
-        # spilled file-list objects (manifest-of-manifests tier) referenced
-        # by NO retained version: shared-by-ref across versions, so only
-        # sweep once every referencing version is gone; the age cutoff
-        # protects a list spilled by an in-flight commit that has not CAS'd
-        # yet (same contract as stranded data dirs)
-        live_refs = set(branch_refs)
-        for v in retained:
-            mf = load_manifest(fs, self.main_path, v)
-            for c in (mf or {}).get("commits", []):
-                if "files_ref" in c:
-                    live_refs.add(c["files_ref"].rsplit("/", 1)[-1])
+        # spilled payload objects (manifest-of-manifests tier) referenced
+        # by NO retained version (live_refs was collected in the single
+        # retained-version walk above): shared-by-ref across versions, so
+        # only sweep once every referencing version is gone; the age
+        # cutoff protects a payload spilled by an in-flight commit that
+        # has not CAS'd yet (same contract as stranded data dirs)
         for path, mtime in fs.list_files_mtimes(
             join_path(self.main_path, MANIFEST_DIR, "lists"), ".json"
         ):

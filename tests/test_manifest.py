@@ -1408,3 +1408,42 @@ def test_dv_with_spilled_lists(spark, tmp_root):
     raw = json.loads(open(os.path.join(
         t.main_path, MANIFEST_DIR, f"v{t.versions()[-1]:020d}.json")).read())
     assert all("files" not in c and "files_ref" in c for c in raw["commits"])
+
+
+def test_dv_stats_and_maintain_and_keyless_reader(spark, tmp_root):
+    """Regressions from review: (a) stats()/maintain() must work on a
+    table with live DVs (the _metadata project survives the tombstone
+    join); (b) a read-only handle opened WITHOUT index_cols still
+    applies the writer's tombstones (key_cols come from the dv entry)."""
+    t = _repo(spark, f"{tmp_root}/dv_meta")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": ["k1"]})))
+    st = {r["C"]: r["n_rows"] for r in t.stats().collect()}
+    assert sum(st.values()) == 5                      # dv applied in stats
+    assert t.maintain(max_files_per_partition=1000) == []
+    # keyless reader handle
+    ro = TableRepo(t.main_path, group_cols="C", commit_mode="manifest", spark=spark)
+    assert sorted(r["k"] for r in ro.get_full_df().collect()) == [
+        "k0", "k2", "k3", "k4", "k5",
+    ]
+
+
+def test_spilled_payload_includes_stats_and_rows(spark, tmp_root):
+    """The side object carries the WHOLE per-file payload: a stats table
+    over the inline threshold keeps its version JSON free of stats/rows
+    maps, and skipping + metadata count still work through the ref."""
+    t = TableRepo(
+        f"{tmp_root}/spill_stats", group_cols="C", index_cols="k",
+        commit_mode="manifest", stats_cols=["A"],
+        manifest_inline_files_max=0, spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0, 12)))
+    raw = json.loads(open(os.path.join(
+        t.main_path, MANIFEST_DIR, f"v{t.versions()[-1]:020d}.json")).read())
+    for c in raw["commits"]:
+        assert "files_ref" in c
+        for k in ("files", "stats", "rows", "blooms"):
+            assert k not in c, f"{k} leaked inline past the spill"
+    assert t.count_rows() == 12                        # rows via the ref
+    got = sorted(r["k"] for r in t.get_full_df_skipping([("A", "<=", 3)]).collect())
+    assert got == ["k0", "k1", "k2", "k3"]             # stats via the ref

@@ -431,7 +431,7 @@ def test_qgram_prefix_cuts_candidates_in_same_length_blocks(spark):
     ).withColumn("__band", F.expr("__len div 3"))
     n = len(words)
     band_pairs = n * (n - 1) // 2  # one 12-char band: the full cross set
-    qg_pairs = _qgram_prefix_candidates(base, 2, 2, "id", 3).count()
+    qg_pairs = _qgram_prefix_candidates(base, 2, 2, "id").count()
     assert qg_pairs < band_pairs / 10, (qg_pairs, band_pairs)
 
     # and the verified result is still the exact distance-<=2 pair set
