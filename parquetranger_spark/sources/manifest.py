@@ -199,8 +199,15 @@ def prune_partitions(
             nc = {**c, "files": kept}
             if len(kept) != len(c["files"]):
                 # the entry's files changed: a spilled-list ref would
-                # serialize stale content over this prune — inline again
+                # serialize stale content over this prune — inline again,
+                # and shed the pruned files' per-file maps (stats/rows/
+                # blooms), or every later version JSON carries dead
+                # O(files) entries forever
                 nc.pop("files_ref", None)
+                keep = set(kept)
+                for mkey in ("stats", "rows", "blooms"):
+                    if mkey in nc:
+                        nc[mkey] = {f: v for f, v in nc[mkey].items() if f in keep}
             out.append(nc)
     return out
 
@@ -269,20 +276,28 @@ def stats_may_match(stats: dict | None, preds: list[tuple]) -> bool:
             # interval logic is unsound here — never skip such a file
             continue
         op = p[1]
-        if op == "==" and not (mn <= p[2] <= mx):
-            return False
-        if op == ">=" and not (mx >= p[2]):
-            return False
-        if op == ">" and not (mx > p[2]):
-            return False
-        if op == "<=" and not (mn <= p[2]):
-            return False
-        if op == "<" and not (mn < p[2]):
-            return False
-        if op == "between" and not (mx >= p[2] and mn <= p[3]):
-            return False
-        if op == "in" and not any(mn <= v <= mx for v in p[2]):
-            return False
+        try:
+            if op == "==" and not (mn <= p[2] <= mx):
+                return False
+            if op == ">=" and not (mx >= p[2]):
+                return False
+            if op == ">" and not (mx > p[2]):
+                return False
+            if op == "<=" and not (mn <= p[2]):
+                return False
+            if op == "<" and not (mn < p[2]):
+                return False
+            if op == "between" and not (mx >= p[2] and mn <= p[3]):
+                return False
+            if op == "in" and not any(mn <= v <= mx for v in p[2]):
+                return False
+        except TypeError:
+            # predicate value's Python type is incomparable with the
+            # recorded stat type (e.g. int predicate vs string-statted
+            # hive partition column): the contract everywhere is "never
+            # skip what can't be proven" — keep the file; the scan-side
+            # row filter stays exact regardless
+            continue
     return True
 
 

@@ -72,6 +72,12 @@ _SEQ_COL = "__pqr_seq"
 _DV_POS = "__pqr_dv_pos"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A read-modify-write publish detected a commit that landed since
+    its read snapshot and would be silently erased/resurrected by the
+    rewrite. Rerun the operation against the current table state."""
+
+
 class TableRepo:
     """A logical table = one root directory of partitioned parquet.
 
@@ -255,6 +261,25 @@ class TableRepo:
         )
         if rewrite:
             df = self.get_full_df().localCheckpoint(eager=True)
+            # _prepare drops rows whose group key is NULL (the write-path
+            # convention for NEW data) — but this rewrite feeds EXISTING
+            # rows back through it, and silently losing previously-visible
+            # data is never acceptable. Refuse loudly; the caller decides
+            # (fill the column, or delete the rows explicitly).
+            null_pred = None
+            for c in new_spec:
+                if c in df.columns:
+                    p = F.col(c).isNull()
+                    null_pred = p if null_pred is None else null_pred | p
+            if null_pred is not None:
+                n_null = df.where(null_pred).count()
+                if n_null:
+                    raise ValueError(
+                        f"evolve_partitioning(rewrite=True): {n_null} existing "
+                        f"rows have NULL in the new partition columns "
+                        f"{new_spec} and would be silently dropped by the "
+                        "rewrite; fill or delete them first"
+                    )
             self.group_cols = new_spec
             self._write(self._prepare(df), mode="overwrite", dynamic=False)
             return
@@ -326,21 +351,36 @@ class TableRepo:
                 F.col("_metadata.file_size").alias("__sz"),
             )
 
-        if self.commit_mode == "manifest":
-            if not self.paths:
-                df = (
-                    self.get_full_df()
-                    .select(*self.group_cols)
-                    .withColumn("__f", F.lit(None).cast("string"))
-                    .withColumn("__sz", F.lit(None).cast("long"))
-                    .where(F.lit(False))
-                )
-            else:
-                # _metadata must be selected INSIDE each per-commit scan:
-                # Spark does not propagate metadata columns through Union,
-                # so projecting after the multi-commit unionByName raises
-                # UNRESOLVED_COLUMN
-                df = self._manifest_df(None, project=proj)
+        if not self.paths:
+            # EITHER mode: an empty table's scan is an in-memory relation
+            # with no _metadata pseudo-column — proj would raise
+            # UNRESOLVED_COLUMN; surface an empty stats frame instead so
+            # maintenance jobs see "nothing to do", not a crash. Built
+            # from scratch (not the empty scan): a never-written table
+            # has no sidecar schema to resolve the group columns against.
+            meta = load_meta(self.main_path, spark=self._spark)
+            gtypes = {}
+            if meta and meta.schema:
+                gtypes = {f.name: f.dataType for f in meta.schema.fields}
+            df = self._session().createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField(c, gtypes.get(c, T.StringType()))
+                        for c in self.group_cols
+                    ]
+                    + [
+                        T.StructField("__f", T.StringType()),
+                        T.StructField("__sz", T.LongType()),
+                    ]
+                ),
+            )
+        elif self.commit_mode == "manifest":
+            # _metadata must be selected INSIDE each per-commit scan:
+            # Spark does not propagate metadata columns through Union,
+            # so projecting after the multi-commit unionByName raises
+            # UNRESOLVED_COLUMN
+            df = self._manifest_df(None, project=proj)
         else:
             df = proj(self.get_full_df())
         per_file = df.groupBy(*(self.group_cols + ["__f"])).agg(
@@ -515,6 +555,7 @@ class TableRepo:
         # per (group, key) there — match that scoping
         dedup_keys = self.index_cols + (self.group_cols if by_groups else [])
         new = self._dedup_keep_first(self._prepare(df), keys=dedup_keys)
+        rmw = self._rmw_baseline()
         old = self.get_full_df()
         if old.isEmpty():
             self._write(new, mode="append")
@@ -551,13 +592,12 @@ class TableRepo:
             # empty; dynamic overwrite can't express "now empty" — clear those
             # partition dirs explicitly
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
-            self._write(out, mode="overwrite", dynamic=True)
-            for gv in touched_vals - kept_vals:
-                self._delete_partition_dir(gv)
+            self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
+            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
         else:
             out = old.join(new, join_keys, "left_anti").unionByName(new)
             out = out.localCheckpoint(eager=True)
-            self._write(out, mode="overwrite", dynamic=False)
+            self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
 
     def merge(
         self,
@@ -601,9 +641,17 @@ class TableRepo:
             bad = protected & set(update)
             if bad:
                 raise ValueError(f"merge cannot update key/group columns: {sorted(bad)}")
+            tgt_cols = set(self.get_full_df().columns)
+            unknown = set(update) - tgt_cols
+            if unknown and tgt_cols:
+                # a typo'd column would otherwise make the merge a silent
+                # no-op update (the clause is only consulted per target
+                # column) — fail loudly instead
+                raise ValueError(f"merge update targets unknown columns: {sorted(unknown)}")
         elif update not in ("all", None):
             raise ValueError(f"update must be 'all', None, or a dict: {update!r}")
         src = self._dedup_keep_first(self._prepare(source), keys=self.index_cols)
+        rmw = self._rmw_baseline()
         old = self.get_full_df()
         keys = self.index_cols
         if old.isEmpty():
@@ -616,9 +664,14 @@ class TableRepo:
         def _merged(old_side: DataFrame) -> DataFrame:
             t = old_side.withColumn("__tp", F.lit(True)).alias("tgt")
             s = src.withColumn("__sp", F.lit(True)).alias("src")
+            # SQL equality, NOT eqNullSafe: a NULL key component never
+            # matches — the same convention as replace_records /
+            # delete_records / delete_records_dv, so the same logical
+            # upsert produces the same row set whichever API runs it
+            # (NULL-keyed source rows fall to the unmatched-insert path)
             cond = reduce(
                 lambda a, b: a & b,
-                [F.col(f"tgt.{k}").eqNullSafe(F.col(f"src.{k}")) for k in keys],
+                [F.col(f"tgt.{k}") == F.col(f"src.{k}") for k in keys],
             )
             j = t.join(s, cond, "full_outer")
             matched = F.col("tgt.__tp").isNotNull() & F.col("src.__sp").isNotNull()
@@ -670,12 +723,11 @@ class TableRepo:
             out = _merged(old_touched).localCheckpoint(eager=True)
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
             if kept_vals:
-                self._write(out, mode="overwrite", dynamic=True)
-            for gv in touched_vals - kept_vals:
-                self._delete_partition_dir(gv)
+                self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
+            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
         else:
             out = _merged(old).localCheckpoint(eager=True)
-            self._write(out, mode="overwrite", dynamic=False)
+            self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
 
     def purge(self) -> None:
         """Drop the table (reference core.py:162-167)."""
@@ -928,6 +980,19 @@ class TableRepo:
             keys = frames[0]
             for f in frames[1:]:
                 keys = keys.unionByName(f)
+            # join on the key columns RECORDED in the dv entries — this
+            # handle may be a read-only one opened without index_cols
+            # (same contract as _dv_frame)
+            keysets = {
+                tuple(c.get("key_cols") or ())
+                for c in e_commits
+                if c.get("kind") == "dv"
+            }
+            if len(keysets) != 1 or keysets == {()}:
+                raise RuntimeError(
+                    f"table {self.name!r} carries dv commits with inconsistent "
+                    f"or missing key_cols: {sorted(keysets)}"
+                )
             kept = s_set & e_set
             visible = self._manifest_df(
                 start if start > 0 else None,
@@ -935,7 +1000,7 @@ class TableRepo:
                 in kept,
             )
             dv_del = visible.join(
-                keys.distinct(), list(self.index_cols), "left_semi"
+                keys.distinct(), list(keysets.pop()), "left_semi"
             ).withColumn("_change_type", F.lit("delete"))
             parts.append(dv_del)
         if not parts:
@@ -1035,16 +1100,7 @@ class TableRepo:
         rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
         cdir = join_path(self.main_path, rel_dir)
         keyset.write.mode("overwrite").parquet(cdir)
-        files = []
-        for p in fs.list_files(cdir, ".parquet"):
-            norm = "/".join(path_parts(p))
-            marker = rel_dir.split("/")[-1] + "/"
-            pos = norm.rfind("/" + marker)
-            if pos < 0:
-                raise AssertionError(
-                    f"listed file {p!r} is not under commit dir marker {marker!r}"
-                )
-            files.append(norm[pos + len(marker) + 1:])
+        files = self._list_commit_rel_files(fs, cdir, rel_dir)
         if not files:
             return
         entry = {
@@ -1067,6 +1123,7 @@ class TableRepo:
         )
 
     def _delete_matching(self, match, keep) -> None:
+        rmw = self._rmw_baseline()
         old = self.get_full_df()
         if old.isEmpty():
             return
@@ -1083,12 +1140,11 @@ class TableRepo:
                 tuple(r) for r in out.select(*self.group_cols).distinct().collect()
             }
             if kept_vals:
-                self._write(out, mode="overwrite", dynamic=True)
-            for gv in touched_vals - kept_vals:
-                self._delete_partition_dir(gv)
+                self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
+            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
         else:
             out = keep(old).localCheckpoint(eager=True)
-            self._write(out, mode="overwrite", dynamic=False)
+            self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
 
     # ------------------------------------------------------------- read paths
 
@@ -1857,6 +1913,7 @@ class TableRepo:
         dynamic: bool,
         fence: tuple | None = None,
         meta=None,
+        rmw_baseline: dict | None = None,
     ) -> None:
         """Manifest-mode commit (sources/manifest.py): write the batch ONCE
         into a fresh ``_pqrs_data/<uuid>`` dir (hive-partitioned inside, so
@@ -1880,7 +1937,7 @@ class TableRepo:
         entry = self._stage_entry(df, meta=meta)
         if fkey is not None:
             entry["fence"] = fkey
-        self._publish_entry(entry, mode, dynamic, fkey)
+        self._publish_entry(entry, mode, dynamic, fkey, rmw_baseline=rmw_baseline)
 
     def _stage_entry(self, df: DataFrame, meta=None) -> dict:
         """First half of a manifest commit: write the batch once into a
@@ -1904,24 +1961,7 @@ class TableRepo:
         if self.compression:
             w = w.option("compression", self.compression)
         w.parquet(cdir)
-        # split on the unique uuid commit-dir segment, never a component
-        # count: HadoopFS lists FULLY-QUALIFIED URIs (authority included),
-        # so an authority-less root ('hdfs:///w/t') would shift a count-
-        # based slice and corrupt every rel path in the manifest (same
-        # normalization hazard _two_phase_append documents)
-        marker = rel_dir.split("/")[-1] + "/"
-        files = []
-        for p in fs.list_files(cdir, ".parquet"):
-            norm = "/".join(path_parts(p))
-            pos = norm.rfind("/" + marker)
-            if pos < 0:
-                # silently slicing at rfind's -1 would record a corrupt
-                # rel path in the manifest — fail loudly instead, matching
-                # the commit path's conventions
-                raise AssertionError(
-                    f"listed file {p!r} is not under commit dir marker {marker!r}"
-                )
-            files.append(norm[pos + len(marker) + 1:])
+        files = self._list_commit_rel_files(fs, cdir, rel_dir)
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
         if self.stats_cols and files:
             entry["stats"], nr = self._collect_file_stats(cdir, files, meta=meta)
@@ -1935,6 +1975,28 @@ class TableRepo:
             )
         self._maybe_spill_files(entry)
         return entry
+
+    def _list_commit_rel_files(self, fs, cdir: str, rel_dir: str) -> list[str]:
+        """Relative paths of a freshly-written commit dir's parquet files.
+        Splits each listed URI on the unique uuid commit-dir segment,
+        never a component count: HadoopFS lists FULLY-QUALIFIED URIs
+        (authority included), so an authority-less root ('hdfs:///w/t')
+        would shift a count-based slice and corrupt every rel path in
+        the manifest (the normalization hazard _two_phase_append
+        documents). A URI not containing the marker fails loudly —
+        silently slicing at rfind's -1 would record a corrupt rel
+        path."""
+        marker = rel_dir.split("/")[-1] + "/"
+        files = []
+        for p in fs.list_files(cdir, ".parquet"):
+            norm = "/".join(path_parts(p))
+            pos = norm.rfind("/" + marker)
+            if pos < 0:
+                raise AssertionError(
+                    f"listed file {p!r} is not under commit dir marker {marker!r}"
+                )
+            files.append(norm[pos + len(marker) + 1:])
+        return files
 
     def _maybe_spill_files(self, entry: dict) -> None:
         """Spill an oversized file list to an immutable side object so the
@@ -1953,6 +2015,7 @@ class TableRepo:
         dynamic: bool,
         fkey: list[str] | None = None,
         op: str | None = None,
+        rmw_baseline: dict | None = None,
     ) -> None:
         """Second half of a manifest commit: CAS-publish a staged entry as
         the next manifest version, retrying against concurrent committers.
@@ -1972,6 +2035,8 @@ class TableRepo:
             commits = list(cur["commits"]) if cur else []
             if fkey is not None and any(c.get("fence") == fkey for c in commits):
                 return  # lost a race to our own replay — already in
+            if rmw_baseline is not None:
+                self._check_rmw_conflict(rmw_baseline, commits, dynamic, touched)
             if mode == "append":
                 commits = commits + ([entry] if files else [])
             elif dynamic and self.group_cols:
@@ -1986,9 +2051,16 @@ class TableRepo:
                 # deliberately reloaded table (same invariant
                 # prune_partitions keeps on the dynamic path)
                 tombs = [
-                    # files emptied → a spilled-list ref would serialize
-                    # the old list back over the tombstone; drop it
-                    {k: v for k, v in c.items() if k != "files_ref"} | {"files": []}
+                    # files emptied → drop the spilled-payload ref (it
+                    # would serialize the old list back) AND the per-file
+                    # maps (a truncated fenced commit otherwise carries
+                    # its dead stats/rows/blooms in every later version)
+                    {
+                        k: v
+                        for k, v in c.items()
+                        if k not in ("files_ref", "stats", "rows", "blooms", "bloom_types")
+                    }
+                    | {"files": []}
                     for c in commits
                     if "fence" in c
                 ]
@@ -2014,6 +2086,51 @@ class TableRepo:
             }
             if try_commit(fs, self.main_path, nxt):
                 return
+
+    def _check_rmw_conflict(
+        self, baseline: dict, commits: list[dict], dynamic: bool, touched: set
+    ) -> None:
+        """Optimistic-concurrency gate for read-MODIFY-write publishes
+        (keyed upsert / merge / keyed+predicate delete): the rewrite was
+        computed from the baseline snapshot, so a commit that landed
+        since and whose rows the rewrite would silently erase or
+        resurrect is a CONFLICT, raised loudly for the caller to rerun —
+        never last-writer-wins data loss (the Delta/Iceberg
+        ConcurrentAppend/ConcurrentDelete contract). Conflicting:
+
+        - any new deletion-vector commit (the rewrite re-publishes rows
+          read before the tombstone — landing after it would resurrect
+          them);
+        - dynamic overwrite: a new commit with files in the partitions
+          this rewrite replaces (its rows would be pruned away);
+        - static truncate-and-load: ANY new commit (truncation erases
+          everything the baseline read missed).
+
+        Plain appends/overwrites never pass a baseline: replace_groups /
+        replace_all are DECLARED whole-partition/table replacement, where
+        last-writer-wins is the semantics, not a hazard."""
+        from .manifest import partition_values_of
+
+        new_cs = [c for c in commits if c["dir"] not in baseline["dirs"]]
+        for c in new_cs:
+            if c.get("kind") == "dv":
+                raise ConcurrentWriteError(
+                    f"concurrent deletion-vector commit {c['dir']!r} landed "
+                    f"since this rewrite's snapshot (v{baseline['version']}) "
+                    "— rerun the operation on the current state"
+                )
+            if dynamic and self.group_cols:
+                hit = any(
+                    partition_values_of(f, self.group_cols) in touched
+                    for f in c["files"]
+                )
+                if not hit:
+                    continue
+            raise ConcurrentWriteError(
+                f"concurrent commit {c['dir']!r} touches rows this rewrite "
+                f"(snapshot v{baseline['version']}) would erase — rerun the "
+                "operation on the current state"
+            )
 
     def _collect_file_stats(self, cdir: str, files: list[str], meta=None) -> tuple[dict, dict]:
         """Per-file [min, max] for ``stats_cols`` over a just-written
@@ -2258,7 +2375,9 @@ class TableRepo:
                     kept += 1
         return kept, total
 
-    def _drop_partitions_from_manifest(self, group_value_tuples: set[tuple]) -> None:
+    def _drop_partitions_from_manifest(
+        self, group_value_tuples: set[tuple], rmw_baseline: dict | None = None
+    ) -> None:
         """Manifest-mode partition delete: publish a version whose file
         list excludes the partitions — data files stay until vacuum."""
         from .manifest import load_manifest, prune_partitions, try_commit
@@ -2271,6 +2390,11 @@ class TableRepo:
             cur = load_manifest(fs, self.main_path)
             if cur is None:
                 return
+            if rmw_baseline is not None:
+                # our rewrite computed these partitions EMPTY from its
+                # snapshot — a commit landed since with rows in one of
+                # them would be silently erased by this drop
+                self._check_rmw_conflict(rmw_baseline, cur["commits"], True, touched)
             self._assert_uniform_spec(cur["commits"])
             nxt = {
                 "version": cur["version"] + 1,
@@ -2400,6 +2524,24 @@ class TableRepo:
                 deleted.append(path)
         return deleted
 
+    def _drop_emptied_partitions(self, gone: set, rmw_baseline: dict | None = None) -> None:
+        """Clear partitions a keyed rewrite left empty — ONE manifest
+        commit for the whole set (a per-partition loop would publish N
+        versions: N CAS round trips, N retention-window slots, and N
+        intermediate states readers can observe); files mode deletes the
+        dirs directly. The rewrite's RMW baseline rides along so a
+        concurrent append into a to-be-dropped partition conflicts
+        instead of being erased."""
+        if not gone:
+            return
+        if self.commit_mode == "manifest":
+            self._drop_partitions_from_manifest(
+                {tuple(g) for g in gone}, rmw_baseline=rmw_baseline
+            )
+            return
+        for gv in gone:
+            self._delete_partition_dir(gv)
+
     def _delete_partition_dir(self, group_values: tuple) -> None:
         if self.commit_mode == "manifest":
             self._drop_partitions_from_manifest({tuple(group_values)})
@@ -2409,13 +2551,31 @@ class TableRepo:
         parts = [f"{c}={hive_value(v)}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
 
-    def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None) -> None:
+    def _rmw_baseline(self) -> dict | None:
+        """Snapshot (version, commit-dir set) BEFORE a read-modify-write
+        op reads the table — the optimistic-concurrency baseline its
+        publish checks against (see ConcurrentWriteError). None in files
+        mode (no snapshot to anchor on; documented unprotected)."""
+        if self.commit_mode != "manifest":
+            return None
+        from .manifest import load_manifest
+
+        mf = load_manifest(self._fs(), self.main_path)
+        return {
+            "version": mf["version"] if mf else 0,
+            "dirs": {c["dir"] for c in (mf or {}).get("commits", [])},
+        }
+
+    def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None, rmw_baseline: dict | None = None) -> None:
         if fence is not None and self.commit_mode != "manifest":
             raise TypeError("fenced (exactly-once) writes need commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
         df = self._apply_clustering(df)
         if self.commit_mode == "manifest":
-            self._write_manifest(df, mode=mode, dynamic=dynamic, fence=fence, meta=meta)
+            self._write_manifest(
+                df, mode=mode, dynamic=dynamic, fence=fence, meta=meta,
+                rmw_baseline=rmw_baseline,
+            )
             return
         if mode == "append" and not self.single_writer:
             # two-phase append: concurrent direct appends to one root are

@@ -1447,3 +1447,64 @@ def test_spilled_payload_includes_stats_and_rows(spark, tmp_root):
     assert t.count_rows() == 12                        # rows via the ref
     got = sorted(r["k"] for r in t.get_full_df_skipping([("A", "<=", 3)]).collect())
     assert got == ["k0", "k1", "k2", "k3"]             # stats via the ref
+
+
+def test_review_round2_regressions(spark, tmp_root):
+    """Second review round: (a) evolve(rewrite=True) refuses to silently
+    drop rows with NULL in the new partition columns; (b) merge rejects
+    update dicts naming unknown columns; (c) a type-incomparable
+    skipping predicate keeps the file (exact result, no TypeError);
+    (d) stats()/maintain() on an EMPTY files-mode table return empty,
+    not UNRESOLVED_COLUMN."""
+    # (a) NULL-new-key rows must not vanish in a spec rewrite
+    t = _repo(spark, f"{tmp_root}/rv_evolve")
+    df = pd.DataFrame({"k": ["a", "b"], "A": [1, 2], "C": ["0", "1"],
+                       "tenant": ["x", None]})
+    t.extend(spark.createDataFrame(df))
+    with pytest.raises(ValueError, match="NULL in the new partition"):
+        t.evolve_partitioning(["C", "tenant"], rewrite=True)
+    # (b) typo'd update column fails loudly instead of no-op'ing
+    t2 = _repo(spark, f"{tmp_root}/rv_merge")
+    t2.extend(spark.createDataFrame(_frame(0)))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t2.merge(spark.createDataFrame(_frame(0)), update={"Ax": "src.A"})
+    # (c) int predicate against a string-statted column: keep + exact
+    t3 = TableRepo(
+        f"{tmp_root}/rv_skip", group_cols="C", index_cols="k",
+        commit_mode="manifest", stats_cols=["C"], spark=spark,
+    )
+    t3.extend(spark.createDataFrame(_frame(0)))
+    got = t3.get_full_df_skipping([("C", ">=", 1)]).count()
+    assert got == 4  # C in {'1','2'}: string >= int filters row-side
+    # (d) empty files-mode stats
+    t4 = TableRepo(f"{tmp_root}/rv_empty", group_cols="C", spark=spark)
+    assert t4.stats().count() == 0
+    assert t4.maintain() == []
+
+
+def test_rmw_conflict_detection(spark, tmp_root):
+    """Optimistic concurrency for read-modify-write: a commit landing
+    between an upsert's read snapshot and its publish raises
+    ConcurrentWriteError instead of silently erasing the other writer's
+    rows (simulated by staging the interleaving append between baseline
+    capture and publish)."""
+    from parquetranger_spark.sources.table_repo import ConcurrentWriteError
+
+    t = _repo(spark, f"{tmp_root}/rmw")
+    t.extend(spark.createDataFrame(_frame(0)))
+    stale = t._rmw_baseline()
+    # "concurrent" append into group C='0' lands after the snapshot
+    t.extend(spark.createDataFrame(pd.DataFrame(
+        {"k": ["zz"], "A": [99], "C": ["0"]})))
+    # a rewrite of C='0' computed from the stale snapshot must refuse
+    upd = spark.createDataFrame(pd.DataFrame({"k": ["k0"], "A": [7], "C": ["0"]}))
+    with pytest.raises(ConcurrentWriteError, match="rerun"):
+        t._write(upd, mode="overwrite", dynamic=True, rmw_baseline=stale)
+    # untouched partitions do not conflict
+    upd1 = spark.createDataFrame(pd.DataFrame({"k": ["k1"], "A": [7], "C": ["1"]}))
+    t._write(upd1, mode="overwrite", dynamic=True, rmw_baseline=stale)
+    # the real public path still works serially (fresh baseline inside)
+    t.replace_records(spark.createDataFrame(pd.DataFrame(
+        {"k": ["k2"], "A": [5], "C": ["2"]})))
+    got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
+    assert got["zz"] == 99 and got["k2"] == 5
