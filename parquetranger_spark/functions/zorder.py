@@ -42,7 +42,13 @@ def zorder_value(scaled_cols: list[Column], bits: int = 16) -> Column:
     shift/and/or expressions that codegen folds into straight-line JVM
     code."""
     n = len(scaled_cols)
-    assert n * bits <= 63, "zorder value must fit a signed long"
+    if n * bits > 63:
+        # not an assert: under python -O it would vanish and bit
+        # positions past 63 silently wrap into the sign bit, clustering
+        # files on garbage keys with no error
+        raise ValueError(
+            f"zorder: {n} cols x {bits} bits = {n * bits} exceeds a signed long (63)"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(scaled_cols):

@@ -697,7 +697,15 @@ def connected_components_star(
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Dimensionality probe robust to NULL vectors: a NULL first row
+    would yield size NULL/-1 → dim 0/-1 → degenerate (empty) hyperplanes
+    → every vector in ONE bucket → the O(n²) self-join the bucketing
+    exists to prevent. Scan to the first non-null vector instead."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col("d").isNotNull() & (F.col("d") > 0))
+        .first()
+    )
     return int(row["d"]) if row else 0
 
 
@@ -797,7 +805,7 @@ def semantic_dedup(
 
 
 def _qgram_prefix_candidates(
-    base: DataFrame, q: int, k: int, id_col: str
+    base: DataFrame, q: int, k: int, id_col: str, bucket_cap: int | None = None
 ) -> DataFrame:
     """Positional-order-free q-gram PREFIX FILTER candidates for an edit-
     distance-≤k self-join (Chaudhuri et al. SSJoin / Gravano et al.): one
@@ -813,20 +821,34 @@ def _qgram_prefix_candidates(
     that (short, or highly repetitive like 'ababab…') route through the
     length-band channel instead — asymmetrically joined against EVERY
     string in their own/adjacent bands, so low-gram × high-gram pairs
-    are never lost between channels. Recall is exact."""
+    are never lost between channels. Recall is exact with
+    ``bucket_cap=None``; a cap salts gram posting lists above it (a gram
+    shared by a viral block of identical strings would otherwise
+    self-join quadratically — rare-first prefixes cannot shrink a block
+    that shares EVERY gram), trading cross-salt recall inside those
+    degenerate lists, same contract as every other capped operator."""
     from pyspark.sql import Window
 
     plen = k * q + 1
+    # grams via a MATERIALIZED char array + slice, NOT substr-per-index:
+    # each substr(s, i, q) walks the string from 0 (char-position seek),
+    # so the sequence/substr form is O(len²) per string — the char-level
+    # twin of the shingles()/doc_fingerprint materialization trap
+    # documented in functions/text.py (measured 5×)
+    csrc = base.select(
+        F.col(id_col), "__len", "__band", "__s",
+        F.split(F.col("__s"), "").alias("__cs"),
+    )
     grams = F.when(
         F.col("__len") >= q,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.col("__len") - q + 1),
-                lambda i: F.substr(F.col("__s"), i, F.lit(q)),
+                lambda i: F.concat_ws("", F.slice(F.col("__cs"), i, q)),
             )
         ),
     ).otherwise(F.array(F.col("__s")))
-    gb = base.select(F.col(id_col), "__len", "__band", grams.alias("__gs")).withColumn(
+    gb = csrc.select(F.col(id_col), "__len", "__band", grams.alias("__gs")).withColumn(
         "__ng", F.size("__gs")
     )
     high = gb.where(F.col("__ng") >= plen)
@@ -842,10 +864,11 @@ def _qgram_prefix_candidates(
         .where(F.col("__rn") <= plen)
         .select(id_col, "__g", "__len")
     )
-    pa = prefix.select(F.col(id_col).alias("id_a"), "__g", F.col("__len").alias("__la"))
-    pb = prefix.select(F.col(id_col).alias("id_b"), "__g", F.col("__len").alias("__lb"))
+    prefix, gkeys = _salt_oversized(prefix, ["__g"], id_col, bucket_cap)
+    pa = prefix.select(F.col(id_col).alias("id_a"), *gkeys, F.col("__len").alias("__la"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), *gkeys, F.col("__len").alias("__lb"))
     hh = (
-        pa.join(pb, "__g")
+        pa.join(pb, gkeys)
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= k)
@@ -917,7 +940,7 @@ def fuzzy_pairs(
         F.col(id_col), F.col(str_col).alias("__s"), F.length(str_col).alias("__len")
     ).withColumn("__band", F.expr(f"__len div {band_width}"))
     if qgram is not None:
-        cand = _qgram_prefix_candidates(base, qgram, max_dist, id_col)
+        cand = _qgram_prefix_candidates(base, qgram, max_dist, id_col, bucket_cap)
         sa0 = base.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
         sb0 = base.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
         return (
@@ -1058,7 +1081,11 @@ def incremental_near_dedup(
         keys = ["band", "bucket", "__salt"]
     else:
         keys = ["band", "bucket"]
-    cand = nb.join(hb, keys).select("id_a", "id_b").distinct()
+    # cand feeds two semi-join id projections plus the verify join —
+    # unpersisted, each action re-signs the batch and re-runs the index
+    # probe (~3x candidate-generation per epoch); same reason the batch
+    # twin persists its cands
+    cand = nb.join(hb, keys).select("id_a", "id_b").distinct().localCheckpoint(eager=True)
     docs = history_df.join(
         cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
     ).unionByName(

@@ -60,6 +60,10 @@ def extract_features(df: DataFrame, payload_col: str = "payload", id_col: str = 
         # happens to be importable would mark fake dimensions as real
         decoder = "fake-md5"
         for pdf in batches:
+            # NULL payloads (pack_binary of NULL text produces them) —
+            # bytes(None) would TypeError and fail the whole job on one
+            # bad row; skip them like the dedup operators skip null text
+            pdf = pdf[pdf[payload_col].notna()]
             payloads = pdf[payload_col]
             dims = [_fake_decode(bytes(p)) for p in payloads]
             yield pd.DataFrame(
@@ -94,6 +98,8 @@ def embed_binary(
         import pandas as _pd
 
         for pdf in batches:
+            # same null-payload guard as extract_features
+            pdf = pdf[pdf[payload_col].notna()]
             vecs = []
             for p in pdf[payload_col]:
                 raw = b""

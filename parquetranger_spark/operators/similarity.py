@@ -186,12 +186,18 @@ def train_pq_codebooks(
     import numpy as np
 
     sample = corpus.select(F.col(vec_col)).limit(train_limit).collect()
+    if not sample:
+        raise ValueError("train_pq_codebooks: empty corpus (nothing to train on)")
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # a sample smaller than n_codes would make choice(replace=False)
+    # raise a cryptic numpy error; fewer centroids than requested is the
+    # standard small-corpus degradation (every vector still encodes)
+    n_codes = min(n_codes, len(X))
     rng = np.random.RandomState(seed)
     books = []
     for j in range(m):
@@ -247,7 +253,6 @@ def topk_cosine_pq(
     books = codebooks or train_pq_codebooks(
         corpus, vec_col=vec_col, m=m, n_codes=n_codes, seed=seed
     )
-    sub = len(books[0][0])
 
     def _encode(vs):
         import numpy as np

@@ -28,6 +28,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.events import NS_PER_SEC
@@ -56,10 +57,11 @@ def streaming_session_stats(
     ) -> Iterator[pd.DataFrame]:
         ts_chunks = [pdf[ts_ns_col] for pdf in pdfs]
         ts = pd.concat(ts_chunks).sort_values() if ts_chunks else pd.Series([], dtype="int64")
-        # a NULL ts arrives as NaN (the long column widens to float64) —
-        # int(NaN) would wedge the stream permanently on one bad record;
-        # drop them, matching the batch operator's null-last window order
-        # where a null ts never opens or extends a session
+        # defense in depth: nulls are filtered STREAM-SIDE before this
+        # operator (one NaN widens the whole pandas chunk to float64,
+        # rounding epoch-nanos above 2^53 by up to ~256 ns — enough to
+        # split/merge a borderline session differently from the batch
+        # twin); this dropna only covers a caller bypassing the filter
         ts = ts.dropna()
         if state.exists:
             last_ts, n_sessions, n_events = state.get
@@ -76,6 +78,10 @@ def streaming_session_stats(
             {user_col: [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
 
+    # null-ts filter BEFORE the stateful op: one NULL widens a pandas
+    # chunk to float64 and silently rounds every epoch-nano in it (see
+    # the in-UDF note); a null ts never opens or extends a session anyway
+    stream_df = stream_df.where(F.col(ts_ns_col).isNotNull())
     return stream_df.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=f"{user_col} {key_t}, n_sessions long, n_events long",
@@ -111,10 +117,15 @@ def streaming_running_agg(
         else:
             cur_max, cur_n = None, 0
         for pdf in pdfs:
-            if len(pdf):
-                m = float(pdf[val_col].max())
+            # an all-NULL chunk's .max() is NaN, and max(NaN, x) is NaN in
+            # Python (NaN comparisons are False) — one bad chunk would
+            # poison the key's running_max FOREVER; count every row but
+            # only fold non-null values into the max
+            vals = pdf[val_col].dropna()
+            if len(vals):
+                m = float(vals.max())
                 cur_max = m if cur_max is None else max(cur_max, m)
-                cur_n += int(len(pdf))
+            cur_n += int(len(pdf))
         state.update((cur_max, cur_n))
         yield pd.DataFrame(
             {key_col: [key[0]], "running_max": [cur_max], "running_n": [cur_n]}
