@@ -95,6 +95,11 @@ HEADLINE = [
     "scd2_track_changes",
     "corpus_overlap_minhash",
     "diversity_sample_lsh",
+    # round-6 wave 2: quality-argmax cluster resolution and snapshot
+    # drift monitoring — new to the headline set
+    "dedup_best_of_cluster",
+    "snapshot_drift_psi",
+    "boilerplate_strip",
 ]
 
 

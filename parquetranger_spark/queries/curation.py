@@ -1541,3 +1541,168 @@ def e2e_release_snapshot(spark, sf_dir):
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+_PSI_BINS = 10
+_PSI_SQL_P = (
+    "(CAST({n} AS DOUBLE) + 1.0) / (CAST({tot} AS DOUBLE) + 10.0)"
+)
+
+
+@query(
+    "snapshot_drift_psi",
+    oracle=f"""
+WITH binned AS (
+  SELECT least(CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT), 9) AS bin,
+         doc_id % 2 AS snap
+  FROM documents
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT bin, n_old, n_new,
+         SUM(n_old) OVER () AS tot_old, SUM(n_new) OVER () AS tot_new
+  FROM counts
+)
+SELECT bin, n_old, n_new,
+       round((({_PSI_SQL_P.format(n='n_new', tot='tot_new')}) -
+              ({_PSI_SQL_P.format(n='n_old', tot='tot_old')})) *
+             ln(({_PSI_SQL_P.format(n='n_new', tot='tot_new')}) /
+                ({_PSI_SQL_P.format(n='n_old', tot='tot_old')})), 6) AS psi_term
+FROM tot
+""",
+)
+def snapshot_drift_psi(spark, sf_dir):
+    """X7 pipeline monitoring: population-stability-index drift between
+    two corpus snapshots (halves by doc_id parity stand in for
+    old/new crawls), over a fixed 10-bin document-length histogram.
+    PSI_b = (p_new - p_old) · ln(p_new / p_old) with add-one smoothing
+    so empty bins stay finite; bins with |PSI| summing past ~0.2 are the
+    classic retrain/investigate trigger.
+
+    Everything except the final per-bin double is exact integers: bin
+    counts come from one map-side-combined conditional aggregate (a
+    single scan covers both snapshots — no self-join), snapshot totals
+    from a window over the 10-row post-aggregation frame. The one
+    ln/multiply per bin is written in the identical operand shape in
+    both engines and rounded to 6 decimals (the `neardup_pagerank`
+    cross-engine convention). Scale: the shuffle carries 10 rows; the
+    scan reads two columns."""
+    d = load(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(
+            F.floor(F.col("n_chars").cast("double") / F.lit(100.0)).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        (F.col("doc_id") % 2).alias("snap"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("n_new"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    tot = counts.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.sum("n_old").over(w).alias("tot_old"),
+        F.sum("n_new").over(w).alias("tot_new"),
+    )
+
+    def _p(n, t):
+        return (F.col(n).cast("double") + F.lit(1.0)) / (
+            F.col(t).cast("double") + F.lit(10.0)
+        )
+
+    p_new, p_old = _p("n_new", "tot_new"), _p("n_old", "tot_old")
+    return tot.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_term"),
+    )
+
+
+_BANNER = "terms of service apply all rights reserved contact us today"
+
+
+@query(
+    "boilerplate_strip",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 4 = 0 THEN '{_BANNER} ' || text ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus),
+segs AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, CAST(ceil(CAST(len(t) AS DOUBLE) / 10.0) AS BIGINT)),
+           i -> md5(array_to_string(
+                  list_slice(t, (i - 1) * 10 + 1, least(i * 10, len(t))), ' '))
+         )) AS chunk_hash
+  FROM toks
+),
+boiler AS (
+  SELECT chunk_hash FROM segs GROUP BY chunk_hash
+  HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT s.lang, count(*) AS n_segs,
+       CAST(SUM(CASE WHEN b.chunk_hash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       count(DISTINCT s.doc_id) AS n_docs
+FROM segs s LEFT JOIN boiler b ON s.chunk_hash = b.chunk_hash
+GROUP BY s.lang
+""",
+)
+def boilerplate_strip(spark, sf_dir):
+    """X7/X13 corpus-level boilerplate removal (the C4 recipe, segment
+    flavor): split every document into consecutive 10-token segments,
+    flag any segment appearing in ≥3 DISTINCT documents as boilerplate
+    (a deterministic banner is injected onto every 4th doc so the
+    fixture actually contains some), and strip flagged segments — the
+    per-language audit (segments seen / kept / docs touched) is the
+    promotion surface. Near-dedup can't catch this: the banner is a tiny
+    fraction of each host document, so pairwise Jaccard stays ~0 while
+    the exact same bytes still leak into training millions of times.
+
+    Plan shape at 100 TB: segmentation reuses the X10 chunker
+    (split→sequence→posexplode→slice, zero shuffle, whole-stage
+    codegen); detection is one groupBy on 16-byte segment hashes with a
+    map-side-combined distinct-doc count; application is one equi-join
+    of the exploded segments against the (small) flagged set — no
+    all-pairs anything, no driver-side state."""
+    from ..operators.packing import chunk_documents
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit(_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    segs = chunk_documents(corpus, chunk_size=10, stride=10, extra_cols=["lang"])
+    boiler = (
+        segs.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 3)
+        .select("chunk_hash")
+    )
+    flagged = segs.join(
+        boiler.withColumn("__b", F.lit(1)), "chunk_hash", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

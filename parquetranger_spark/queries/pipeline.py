@@ -1799,3 +1799,85 @@ def multimodal_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("event_id").alias("sum_frame_ids"),
     )
+
+
+_BEST_OF_CLUSTER_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
+sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+closure AS (
+  SELECT src, dst FROM reach
+  UNION SELECT DISTINCT src, src FROM edges
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM closure GROUP BY src),
+members AS (
+  SELECT c.component, d.doc_id, {_QUALITY_SQL} AS q
+  FROM comp c JOIN corpus d ON c.id = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id,
+         count(*) OVER (PARTITION BY component) AS cluster_size,
+         row_number() OVER (
+           PARTITION BY component ORDER BY q DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT component, doc_id AS keep_id, cluster_size FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_best_of_cluster", oracle=_BEST_OF_CLUSTER_ORACLE)
+def dedup_best_of_cluster(spark, sf_dir):
+    """X2/X12 quality-aware cluster resolution: near-dup pairs →
+    connected components → keep each cluster's HIGHEST-QUALITY member
+    (deterministic doc_id tie-break), not its min id. This is the policy
+    production dedup actually wants — when a boilerplate-stuffed scrape
+    and a clean original collide, min-id keeps whichever crawled first;
+    argmax-quality keeps the better training document. One quality pass
+    over cluster members only (never the full corpus), one
+    WindowGroupLimit-shaped pick per component.
+
+    The quality heuristic is the shared X4 score (functions/text.py::
+    quality_score) whose double arithmetic is bit-identical to the
+    oracle's ``_QUALITY_SQL`` fold, so the argmax — including its
+    tie-break — is engine-stable. Scale: components and members shuffle
+    on component id (clusters are near-dup-sized, no skew beyond the
+    salted pair generation already upstream); the window touches only
+    clustered docs, a vanishing fraction of a real corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components, near_dedup_minhash
+
+    corpus = _injected_docs(spark, sf_dir)
+    pairs = near_dedup_minhash(corpus, threshold=0.6, bucket_cap=5000).select(
+        "id_a", "id_b"
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(pairs)
+    members = cc.join(corpus, cc["id"] == corpus["doc_id"]).select(
+        "component", "doc_id", quality_score("text").alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keep_id"), "cluster_size")
+    )

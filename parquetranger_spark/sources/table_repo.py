@@ -908,7 +908,9 @@ class TableRepo:
                     )
         fs.delete(broot)
 
-    def changes_between(self, start: int, end: int | None = None) -> DataFrame:
+    def changes_between(
+        self, start: int, end: int | None = None, row_level: bool = False
+    ) -> DataFrame:
         """Row-level CHANGE FEED between two committed versions (manifest
         mode) — the batch CDF face of the commit protocol: rows of files
         present at ``end`` but not ``start`` surface with
@@ -920,7 +922,21 @@ class TableRepo:
         deletes and its new files as inserts, a downstream sync replays
         deletes-then-inserts and converges. ``start=0`` is the empty
         table; ``end=None`` means the latest version. Both manifests
-        must still be retained (same caveat as time travel)."""
+        must still be retained (same caveat as time travel).
+
+        ``row_level=True`` upgrades rewritten-file noise into true row
+        deltas (the Delta CDF ``update_preimage``/``update_postimage``
+        contract): removed-file rows and added-file rows are keyed on
+        ``index_cols`` — keys present only after surface as ``insert``,
+        only before as ``delete``, and keys on both sides emit a
+        pre/post image pair ONLY when some non-key column actually
+        changed (null-safe comparison); untouched rows that merely rode
+        along in a partition rewrite disappear from the feed. Cost is
+        three equi-joins over only the files the window touched — never
+        the table — so a 1-row upsert into a 10k-file table diffs one
+        partition's files. Requires unique keys within the diffed
+        snapshots (the upsert discipline guarantees it); columns added
+        by schema widening compare only where both sides carry them."""
         if self.commit_mode != "manifest":
             raise TypeError("changes_between() requires commit_mode='manifest'")
         from .manifest import load_manifest
@@ -963,10 +979,61 @@ class TableRepo:
             return df.withColumn("_change_type", F.lit(change))
 
         parts = []
-        if e_set - s_set:
-            parts.append(scan(end, e_set - s_set, "insert"))
-        if s_set - e_set:
-            parts.append(scan(start, s_set - e_set, "delete"))
+        added, removed = e_set - s_set, s_set - e_set
+        if row_level and added and removed:
+            if not self.index_cols:
+                raise TypeError("row_level change feed needs index_cols")
+            keys = list(self.index_cols)
+            new = self._manifest_df(
+                end if end > 0 else None,
+                file_keep=lambda c, f: (c.get("base", self.main_path), c["dir"], f)
+                in added,
+            )
+            old = self._manifest_df(
+                start if start > 0 else None,
+                file_keep=lambda c, f: (c.get("base", self.main_path), c["dir"], f)
+                in removed,
+            )
+            common = [c for c in new.columns if c in set(old.columns) and c not in keys]
+            new_k = new.select(*keys).distinct()
+            old_k = old.select(*keys).distinct()
+            parts.append(
+                new.join(old_k, keys, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+            parts.append(
+                old.join(new_k, keys, "left_anti").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+            # keys on both sides: emit a pre/post pair only where some
+            # non-key column differs null-safely — rows that merely rode
+            # along in the partition rewrite drop out of the feed here
+            old_t = old.select(
+                *keys, *[F.col(c).alias(f"__pre_{c}") for c in common]
+            )
+            diff = F.lit(False)
+            for c in common:
+                diff = diff | ~F.col(c).eqNullSafe(F.col(f"__pre_{c}"))
+            changed = (
+                new.join(old_t, keys, "inner").where(diff).select(*keys).distinct()
+            )
+            parts.append(
+                old.join(changed, keys, "left_semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            parts.append(
+                new.join(changed, keys, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        else:
+            if added:
+                parts.append(scan(end, added, "insert"))
+            if removed:
+                parts.append(scan(start, removed, "delete"))
         # deletion-vector commits added in the window delete rows OUT of
         # files that remain live: surface those rows (visible at start,
         # in kept files, matching a new tombstone key) as row-level
@@ -1111,6 +1178,28 @@ class TableRepo:
         }
         self._maybe_spill_files(entry)
         self._publish_entry(entry, "append", dynamic=False, op="delete-dv")
+
+    def delete_where_dv(self, condition) -> None:
+        """Merge-on-read PREDICATE delete: resolve the predicate against
+        the current snapshot (one scan — stats/bloom skipping and
+        partition pruning apply), project the matched keys, and commit
+        them as a deletion vector exactly like :meth:`delete_records_dv`
+        — zero data files rewritten. Rows where the predicate is NULL
+        are kept (SQL DELETE semantics). The keyset is fixed at the
+        snapshot the scan saw: rows appended concurrently under the same
+        keys before this dv lands are tombstoned with it (keyed-dv
+        semantics); genuinely new keys are untouched. At 100 TB this is
+        "DELETE WHERE ts < retention_horizon" as one pruned scan plus a
+        KB-sized commit, instead of a full-table rewrite."""
+        if self.commit_mode != "manifest":
+            raise TypeError("delete_where_dv needs commit_mode='manifest'")
+        if not self.index_cols:
+            raise TypeError("delete_where_dv needs index_cols (the match key)")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        matched = self.get_full_df().where(cond).select(*self.index_cols)
+        if matched.isEmpty():
+            return
+        self.delete_records_dv(matched)
 
     def delete_where(self, condition) -> None:
         """Delete rows matching a Column predicate; same partition-pruned

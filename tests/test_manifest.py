@@ -1508,3 +1508,80 @@ def test_rmw_conflict_detection(spark, tmp_root):
         {"k": ["k2"], "A": [5], "C": ["2"]})))
     got = {r["k"]: r["A"] for r in t.get_full_df().collect()}
     assert got["zz"] == 99 and got["k2"] == 5
+
+
+def test_changes_between_row_level_upsert_images(spark, tmp_root):
+    """row_level=True turns a partition rewrite into true row deltas:
+    the changed key emits an update_preimage/update_postimage pair, a
+    genuinely new key emits insert, and the rows that merely rode along
+    in the rewritten files vanish from the feed entirely."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0, 9)))          # v1: C 0/1/2 × 3
+    upd = pd.DataFrame(
+        {"k": ["k1", "x1"], "A": [100, 200], "C": ["1", "1"]}
+    )
+    t.replace_records(spark.createDataFrame(upd))          # v2: rewrites C=1
+
+    feed = t.changes_between(1, 2, row_level=True)
+    got = sorted((r["k"], r["_change_type"], r["A"]) for r in feed.collect())
+    assert got == [
+        ("k1", "update_postimage", 100),
+        ("k1", "update_preimage", 1),
+        ("x1", "insert", 200),
+    ]
+    # file-granular view of the same window still shows the ride-alongs
+    coarse = {(r["k"], r["_change_type"]) for r in t.changes_between(1, 2).collect()}
+    assert ("k4", "delete") in coarse and ("k4", "insert") in coarse
+
+    # append-only window degrades to plain inserts (no removed side)
+    t.extend(spark.createDataFrame(_frame(9, 3)))          # v3
+    ins = t.changes_between(2, 3, row_level=True)
+    assert {r["_change_type"] for r in ins.collect()} == {"insert"}
+
+    with pytest.raises(TypeError, match="index_cols"):
+        tk = TableRepo(
+            f"{tmp_root}/nk", group_cols="C", commit_mode="manifest", spark=spark
+        )
+        tk.extend(spark.createDataFrame(_frame(0, 6)))
+        tk.replace_groups(
+            spark.createDataFrame(pd.DataFrame({"k": ["z"], "A": [0], "C": ["0"]}))
+        )
+        tk.changes_between(1, 2, row_level=True)
+
+
+def test_delete_where_dv_tombstones_without_rewrite(spark, tmp_root):
+    """Predicate delete as a deletion vector: matched rows disappear
+    from reads, NULL-predicate rows are kept, zero data files are
+    rewritten (the new version only adds the dv commit), and an empty
+    match commits nothing."""
+    t = _repo(spark, f"{tmp_root}/t")
+    pdf = _frame(0, 9)
+    pdf.loc[2, "A"] = None                                  # NULL predicate row
+    t.extend(spark.createDataFrame(pdf))
+    v1_files = {
+        (c["dir"], f)
+        for c in load_manifest(t._fs(), t.main_path, 1)["commits"]
+        for f in c["files"]
+    }
+
+    t.delete_where_dv("A >= 5")
+    kept = sorted(r["k"] for r in t.get_full_df().collect())
+    assert kept == ["k0", "k1", "k2", "k3", "k4"]           # k2 has NULL A → kept
+
+    mf = load_manifest(t._fs(), t.main_path, 2)
+    data_files = {
+        (c["dir"], f)
+        for c in mf["commits"]
+        if c.get("kind") != "dv"
+        for f in c["files"]
+    }
+    assert data_files == v1_files                           # no data rewrite
+    assert any(c.get("kind") == "dv" for c in mf["commits"])
+
+    t.delete_where_dv("A > 1000")                           # matches nothing
+    assert t.versions()[-1] == 2                            # no new version
+
+    with pytest.raises(TypeError, match="manifest"):
+        TableRepo(f"{tmp_root}/plain", index_cols="k", spark=spark).delete_where_dv(
+            "A > 0"
+        )
