@@ -553,6 +553,53 @@ def manifest_time_travel(spark, sf_dir):
 
 
 @query(
+    "time_travel_as_of",
+    oracle=f"""
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+SELECT o_orderstatus,
+       (SELECT count(*) FROM v1 b WHERE b.o_orderstatus = a.o_orderstatus) AS n_then,
+       count(*) AS n_now,
+       {dsum_sql('o_totalprice', 'sum_price_now')}
+FROM orders a GROUP BY o_orderstatus
+""",
+)
+def time_travel_as_of(spark, sf_dir):
+    """S21 (round 4, timestamp face): AS-OF TIMESTAMP travel. Every
+    manifest publish stamps epoch seconds at CAS time
+    (sources/manifest.py try_commit); ``get_full_df(as_of=t)`` resolves
+    ``t`` to the snapshot live then via ``version_at`` — the Delta
+    ``timestampAsOf`` / Iceberg AS OF surface, O(versions) driver-side
+    KB reads, no data files touched by resolution. The query captures a
+    wall-clock instant between two appends and reads both "then" and
+    "now", proving the stamp orders the snapshots correctly."""
+    import time as _time
+
+    od = load(spark, sf_dir, "orders")
+    t = TableRepo(
+        scratch_dir("asof") + "/orders",
+        group_cols="o_orderstatus",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(od.where(F.col("o_orderkey") % 2 == 0))
+    between = _time.time()
+    _time.sleep(0.05)  # separate the publish stamps
+    t.extend(od.where(F.col("o_orderkey") % 2 == 1))
+    then = (
+        t.get_full_df(as_of=between)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_then"))
+    )
+    now = t.get_full_df(as_of=_time.time()).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_now"),
+        dsum("o_totalprice", "sum_price_now"),
+    )
+    return now.join(F.broadcast(then), "o_orderstatus").select(
+        "o_orderstatus", "n_then", "n_now", "sum_price_now"
+    )
+
+
+@query(
     "delete_records_roundtrip",
     oracle="""
 WITH victims AS (

@@ -51,6 +51,7 @@ partition-column discovery per commit (``basePath``).
 from __future__ import annotations
 
 import json
+import time
 from typing import Any
 
 from .fs import join_path
@@ -118,6 +119,11 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
     (``prune_partitions`` and the fence-tombstone path do) — serializing
     a stale ref over modified files would silently undo the mutation."""
     out = {**manifest, "commits": []}
+    # stamp publish time (epoch seconds) for AS-OF timestamp travel; the
+    # stamp is taken at CAS time, not manifest-build time, so a retry
+    # loop's eventual winner carries the moment it actually became
+    # visible — the only ordering a reader's "as of 12:00" can mean
+    out["ts"] = time.time()
     for c in manifest["commits"]:
         if "files_ref" in c:
             c = {k: v for k, v in c.items() if k not in SPILL_KEYS}
@@ -125,6 +131,26 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
     return fs.create_exclusive(
         _mpath(root, int(manifest["version"])), json.dumps(out, indent=1)
     )
+
+
+def version_at(fs, root: str, ts: float) -> int | None:
+    """Latest committed version whose publish stamp is ≤ ``ts`` — the
+    AS-OF resolver (Delta's ``timestampAsOf`` / Iceberg's
+    ``snapshot_id_as_of(timestamp)`` shape). Versions predating the
+    stamp (written by older engine builds) count as ts=0: always
+    eligible, so old tables stay readable. None when every retained
+    version is newer than ``ts`` (the caller decides whether that is an
+    error or an empty table). Driver-side O(versions) reads of KB-sized
+    JSONs — no data files touched."""
+    best = None
+    for v in list_versions(fs, root):
+        path = _mpath(root, v)
+        if not fs.exists(path):
+            continue  # vacuumed between listing and read
+        mf = json.loads(fs.read_text(path))
+        if float(mf.get("ts", 0.0)) <= ts:
+            best = v  # versions are sorted ascending; keep the last match
+    return best
 
 
 # every per-FILE map an entry can carry — all of it must move to the

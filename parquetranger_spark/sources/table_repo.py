@@ -72,6 +72,24 @@ _SEQ_COL = "__pqr_seq"
 _DV_POS = "__pqr_dv_pos"
 
 
+def _to_epoch(ts) -> float:
+    """Epoch seconds from any reasonable AS-OF spelling: a number passes
+    through; datetime/ISO-8601 strings convert, with NAIVE values read as
+    UTC (the lakehouse AS OF convention — a table shared across regions
+    cannot mean "the driver's local zone")."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)) and not isinstance(ts, bool):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"cannot interpret {ts!r} as a timestamp")
+
+
 class ConcurrentWriteError(RuntimeError):
     """A read-modify-write publish detected a commit that landed since
     its read snapshot and would be silently erased/resurrected by the
@@ -1246,6 +1264,25 @@ class TableRepo:
 
         return list_versions(self._fs(), self.main_path)
 
+    def version_at(self, ts) -> int:
+        """Resolve a wall-clock instant to the manifest version that was
+        live then — Delta's ``timestampAsOf`` / Iceberg's AS OF TIMESTAMP
+        resolver. ``ts`` is epoch seconds, a ``datetime``, or an ISO-8601
+        string (naive strings/datetimes are taken as UTC, the convention
+        of every lakehouse AS OF). Raises when the table has no version
+        that old (reading "before the table existed" is a caller bug, not
+        an empty table)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("version_at() requires commit_mode='manifest'")
+        from .manifest import version_at as _version_at
+
+        v = _version_at(self._fs(), self.main_path, _to_epoch(ts))
+        if v is None:
+            raise ValueError(
+                f"no committed version of {self.name} at or before {ts!r}"
+            )
+        return v
+
     def count_rows(self) -> int:
         """Table row count, METADATA-ONLY when possible: stats-collecting
         manifest tables record per-file rowcounts at commit time (free —
@@ -1356,6 +1393,7 @@ class TableRepo:
                 {
                     "version": v,
                     "op": mf.get("op", "?"),
+                    "ts": mf.get("ts"),
                     "spec": mf.get("spec"),
                     "n_commits": len(mf["commits"]),
                     "n_files": sum(len(c["files"]) for c in mf["commits"]),
@@ -1466,7 +1504,10 @@ class TableRepo:
         return keys, out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
 
     def get_full_df(
-        self, version: int | None = None, ignore_corrupt_files: bool = False
+        self,
+        version: int | None = None,
+        ignore_corrupt_files: bool = False,
+        as_of=None,
     ) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
         canonical-schema frame when no files exist (core.py:175).
@@ -1484,7 +1525,16 @@ class TableRepo:
         conf mutation for partition-type inference (the explicit schema
         types the partition columns), and files predating a widening simply
         surface typed nulls for the newer columns — the standard parquet
-        schema-evolution read path."""
+        schema-evolution read path.
+
+        ``as_of`` (manifest mode; epoch seconds, datetime, or ISO-8601
+        string) time-travels by TIMESTAMP instead of version number —
+        resolved through :meth:`version_at` against each manifest's
+        publish stamp. Mutually exclusive with ``version``."""
+        if as_of is not None:
+            if version is not None:
+                raise TypeError("pass version= or as_of=, not both")
+            version = self.version_at(as_of)
         if self.commit_mode == "manifest":
             return self._manifest_df(version, ignore_corrupt_files)
         if version is not None:

@@ -47,6 +47,38 @@ def test_append_roundtrip_and_versions(spark, tmp_root):
         t.get_full_df(version=99)
 
 
+def test_as_of_timestamp_travel(spark, tmp_root):
+    """AS-OF timestamp resolution: each CAS publish stamps epoch seconds
+    into the manifest; ``version_at``/``get_full_df(as_of=)`` resolve an
+    instant to the snapshot live then (Delta timestampAsOf shape)."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    between = time.time()
+    time.sleep(0.05)  # strictly separate the two publish stamps
+    t.extend(spark.createDataFrame(_frame(6)))
+
+    assert t.version_at(between) == 1
+    assert rows(t.get_full_df(as_of=between)) == rows(spark.createDataFrame(_frame(0)))
+    assert rows(t.get_full_df(as_of=time.time())) == rows(
+        spark.createDataFrame(_frame(0, 12))
+    )
+    # datetime / ISO-8601 spellings resolve identically (naive = UTC)
+    import datetime as dt
+
+    when = dt.datetime.fromtimestamp(between, dt.timezone.utc)
+    assert t.version_at(when) == 1
+    assert t.version_at(when.isoformat()) == 1
+    # before the table existed: loud error, not an empty frame
+    with pytest.raises(ValueError):
+        t.version_at(between - 3600)
+    with pytest.raises(TypeError):
+        t.get_full_df(version=1, as_of=between)
+    # the audit log carries the stamps, monotone non-decreasing
+    stamps = [h["ts"] for h in t.history()]
+    assert all(isinstance(s, float) for s in stamps)
+    assert stamps == sorted(stamps)
+
+
 def test_no_directory_visibility_and_no_renames(spark, tmp_root):
     """Visibility is manifest-only: a naive reader listing the root sees
     nothing (data lives under underscore-hidden _pqrs_data), and the
