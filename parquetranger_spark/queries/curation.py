@@ -627,6 +627,67 @@ def decontaminate_ngrams(spark, sf_dir):
 
 
 @query(
+    "decontaminate_bloom",
+    oracle=r"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, lang, toks, len(toks) AS n FROM t WHERE len(toks) >= 6),
+ngrams AS (
+  SELECT doc_id, lang, md5(array_to_string(list_slice(toks, u.g, u.g + 5), ' ')) AS h
+  FROM s, UNNEST(generate_series(CAST(1 AS BIGINT), n - 5)) AS u(g)
+),
+bench AS (SELECT DISTINCT h FROM ngrams WHERE doc_id % 40 = 0),
+flagged AS (
+  SELECT DISTINCT c.doc_id FROM ngrams c JOIN bench USING (h)
+  WHERE c.doc_id % 40 <> 0
+)
+SELECT d.lang, count(*) AS n_docs,
+       COUNT(CASE WHEN f.doc_id IS NOT NULL THEN 1 END) AS n_flagged
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE d.doc_id % 40 <> 0
+GROUP BY d.lang
+""",
+)
+def decontaminate_bloom(spark, sf_dir):
+    """X7/X13 (round 4): decontamination with a BLOOM prefilter
+    (functions/bloom.py) — the variant for when the benchmark n-gram set
+    is too large to broadcast as a hash-join table. The bench spans fold
+    into a fixed-size bitset (build = one bit_or aggregation whose
+    driver collect is bounded by m/64 words, a config constant); the
+    corpus side drops non-matching n-grams with a pure-Column k-probe
+    INSIDE the scan stage — the pre-shuffle data reduction a 100 TB
+    corpus needs. Bloom false positives are then eliminated by the exact
+    semi-join on the (much smaller) survivor set, so the flagged result
+    is exact — the oracle is the plain n-gram join, no bloom in sight."""
+    from ..functions.bloom import bloom_build, bloom_probe
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("__t")).where(
+        F.size("__t") >= 6
+    )
+    ngrams = base.select("doc_id", F.explode(_ngram_md5s(6)).alias("h"))
+    bench = ngrams.where(F.col("doc_id") % 40 == 0).select("h").distinct()
+    # m sized to the fixture's bench-span count (~thousands): 2^18 bits
+    # keeps the FPR sub-1e-3 while the build collect stays at 32 KiB; at
+    # a real 100 TB run m scales with the eval suite, never the corpus
+    m_bits = 1 << 18
+    bits = bloom_build(bench, "h", m_bits=m_bits)
+    candidates = ngrams.where(F.col("doc_id") % 40 != 0).where(
+        bloom_probe(bits, F.col("h"), m_bits=m_bits)
+    )
+    flagged = (
+        candidates.join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") % 40 != 0).join(
+        flagged.withColumn("__f", F.lit(1)), "doc_id", "left"
+    )
+    return corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.count("__f").alias("n_flagged")
+    )
+
+
+@query(
     "events_asof_forward",
     oracle="""
 SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,

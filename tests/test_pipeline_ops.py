@@ -446,3 +446,35 @@ def test_qgram_prefix_cuts_candidates_in_same_length_blocks(spark):
         for r in fuzzy_pairs(sdf, "s", "id", max_dist=2).collect()
     }
     assert got == banded
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """functions/bloom.py contract: every inserted value probes True
+    (false negatives impossible — same double-hash positions on both
+    sides), and the false-positive rate on disjoint values stays near
+    the (m, k, n) design point. The probe must stay a pure JVM Column
+    (no Python eval node in the plan)."""
+    from parquetranger_spark.functions.bloom import bloom_build, bloom_probe
+
+    vals = spark.range(2000).select(F.concat(F.lit("in"), F.col("id")).alias("s"))
+    bits = bloom_build(vals, "s", m_bits=1 << 16, k=5)
+    assert len(bits) == (1 << 16) // 8  # packed bytes
+    assert vals.where(bloom_probe(bits, F.col("s"), m_bits=1 << 16, k=5)).count() == 2000
+
+    other = spark.range(50_000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("s")
+    )
+    fp = other.where(bloom_probe(bits, F.col("s"), m_bits=1 << 16, k=5)).count()
+    # design FPR at n=2000, m=65536, k=5 is ~0.1%; allow 10x slack
+    assert fp < 500, fp
+
+    plan = (
+        other.where(bloom_probe(bits, F.col("s"), m_bits=1 << 16, k=5))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    with pytest.raises(ValueError):
+        bloom_probe(bits, F.col("s"), m_bits=1 << 20, k=5)
