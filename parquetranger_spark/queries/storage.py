@@ -600,6 +600,43 @@ def time_travel_as_of(spark, sf_dir):
 
 
 @query(
+    "manifest_files_inventory",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_orderkey % 2) AS n_files,
+       count(*) AS n_rows
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def manifest_files_inventory(spark, sf_dir):
+    """S21/S24 observability (round 4): the Iceberg-``table.files``
+    metadata table. Two appends land one file per status each
+    (extend's repartition-by-group guarantees a single writer task per
+    partition value); ``files_df()`` then reproduces the whole physical
+    inventory — per-file partition values and recorded rowcounts — from
+    the manifest JSON alone, zero data files opened. The oracle derives
+    the same inventory logically: files per status = parity classes
+    present, rows per status = group count."""
+    od = load(spark, sf_dir, "orders")
+    t = TableRepo(
+        scratch_dir("finv") + "/orders",
+        group_cols="o_orderstatus",
+        commit_mode="manifest",
+        stats_cols="o_orderkey",  # turns on per-file rowcount recording
+        spark=spark,
+    )
+    t.extend(od.where(F.col("o_orderkey") % 2 == 0))
+    t.extend(od.where(F.col("o_orderkey") % 2 == 1))
+    inv = t.files_df()
+    return inv.groupBy(
+        F.col("partition")["o_orderstatus"].alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+@query(
     "delete_records_roundtrip",
     oracle="""
 WITH victims AS (

@@ -2493,6 +2493,45 @@ class TableRepo:
             "file string, column string, min_value string, max_value string, has_bloom boolean",
         )
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The Iceberg-``table.files`` / Delta-``DESCRIBE DETAIL`` shape:
+        one row per LIVE data file of a snapshot, straight from the
+        manifest JSON — file path, owning commit dir, commit kind,
+        hive-parsed partition values, and the recorded per-file rowcount
+        (null for commits predating stats collection). No data files are
+        touched: on a million-file table this is still a driver-side read
+        of KB-sized JSON (plus spilled list objects), making it the cheap
+        join target for maintenance planning, audit dashboards, and
+        "which files hold partition X" questions that would otherwise
+        cost an O(files) listing."""
+        if self.commit_mode != "manifest":
+            raise TypeError("files_df() requires commit_mode='manifest'")
+        from .manifest import load_manifest, partition_values_of
+
+        mf = load_manifest(self._fs(), self.main_path, version)
+        if version is not None and mf is None:
+            raise KeyError(f"no manifest version {version} for {self.name}")
+        gcols = list(self.group_cols)
+        rows = []
+        for c in (mf or {}).get("commits", []):
+            nr = c.get("rows") or {}
+            for f in c["files"]:
+                pv = partition_values_of(f, gcols) if gcols else None
+                rows.append(
+                    (
+                        f,
+                        c["dir"],
+                        c.get("kind", "data"),
+                        dict(zip(gcols, pv)) if pv is not None else {},
+                        nr.get(f),
+                    )
+                )
+        return self._session().createDataFrame(
+            rows,
+            "file string, commit_dir string, kind string, "
+            "partition map<string,string>, n_rows long",
+        )
+
     def skip_plan(self, predicates, version: int | None = None) -> tuple[int, int]:
         """(files kept, files total) for ``predicates`` under the current
         stats — the observability hook for how selective a skipping scan

@@ -79,6 +79,29 @@ def test_as_of_timestamp_travel(spark, tmp_root):
     assert stamps == sorted(stamps)
 
 
+def test_files_df_metadata_table(spark, tmp_root):
+    """files_df(): one row per live file with hive-parsed partition
+    values, straight from the manifest — and version= reproduces an
+    older snapshot's inventory."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    inv = t.files_df().collect()
+    assert len(inv) == t.n_files
+    assert all(r["kind"] == "data" for r in inv)
+    assert all(r["partition"]["C"] in {"0", "1", "2"} for r in inv)
+    assert all(f"C={r['partition']['C']}/" in r["file"] for r in inv)
+    # rowcounts only recorded with stats_cols on — null here, not 0
+    assert all(r["n_rows"] is None for r in inv)
+    old = t.files_df(version=1).collect()
+    assert len(old) < len(inv)
+    with pytest.raises(KeyError):
+        t.files_df(version=99)
+    plain = TableRepo(f"{tmp_root}/p", group_cols="C", spark=spark)
+    with pytest.raises(TypeError):
+        plain.files_df()
+
+
 def test_no_directory_visibility_and_no_renames(spark, tmp_root):
     """Visibility is manifest-only: a naive reader listing the root sees
     nothing (data lives under underscore-hidden _pqrs_data), and the
