@@ -211,6 +211,13 @@ def main() -> None:
                 "r1_subset_total": r1_subtotal,
                 "r2_subset_total": r2_subtotal,
                 "sf": sf_of(SF_DIR),
+                # ANN timings (topk_cosine_ivf/_pq, dedup_simhash_pairs)
+                # grew ~1.5x over BENCH_r03: those queries now ALSO run
+                # the exact brute-force surface and assert index recall
+                # in-query (the verified-exact oracle pattern that ended
+                # their no_oracle driver exposure) — deliberate
+                # correctness-coverage cost, not an index regression
+                "notes": "ann queries include exact-verify surface since r4",
             }
         )
     )
