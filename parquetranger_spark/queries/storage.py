@@ -637,6 +637,42 @@ def manifest_files_inventory(spark, sf_dir):
 
 
 @query(
+    "metadata_minmax_agg",
+    oracle="""
+SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       count(*) AS n_rows
+FROM orders
+""",
+)
+def metadata_minmax_agg(spark, sf_dir):
+    """S24 (round 4): scan-free aggregates from the manifest. A
+    stats-collecting table answers min/max (``column_minmax`` — fold of
+    per-file [min,max] over the manifest JSON) and count
+    (``count_rows`` — sum of recorded per-file rowcounts) with ZERO data
+    files opened — the Iceberg metadata-aggregate shape that turns a
+    100 TB "what's the range" into a driver-side KB read. The oracle
+    computes the same three numbers the hard way; the proof that no scan
+    happens is pytest test_column_minmax_metadata_only, which deletes
+    the data files and reads the numbers anyway."""
+    od = load(spark, sf_dir, "orders")
+    t = TableRepo(
+        scratch_dir("mmx") + "/orders",
+        group_cols="o_orderstatus",
+        commit_mode="manifest",
+        stats_cols="o_totalprice",
+        spark=spark,
+    )
+    t.extend(od.where(F.col("o_orderkey") % 2 == 0))
+    t.extend(od.where(F.col("o_orderkey") % 2 == 1))
+    lo, hi = t.column_minmax("o_totalprice")
+    n = t.count_rows()
+    return spark.createDataFrame(
+        [(float(lo), float(hi), int(n))],
+        "min_price double, max_price double, n_rows long",
+    )
+
+
+@query(
     "delete_records_roundtrip",
     oracle="""
 WITH victims AS (

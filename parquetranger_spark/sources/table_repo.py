@@ -1307,6 +1307,42 @@ class TableRepo:
                 )
         return self.get_full_df().count()
 
+    def column_minmax(self, col: str) -> tuple:
+        """(min, max) of ``col``, METADATA-ONLY when the manifest can
+        prove them: stats-collecting tables record per-file [min, max] at
+        commit time, so the table-level extremes are a driver-side fold
+        over the manifest — zero files opened, the Iceberg
+        scan-free-aggregate shape. Falls back to a real scan when any
+        live data file lacks recorded stats for ``col`` or a deletion
+        vector is live (tombstoned rows could BE the extremes — the
+        recorded file stats can no longer prove table-level bounds)."""
+        if self.commit_mode == "manifest" and col in self.stats_cols:
+            from .manifest import load_manifest
+
+            mf = load_manifest(self._fs(), self.main_path)
+            commits = (mf or {}).get("commits", [])
+            data = [c for c in commits if c.get("kind") != "dv"]
+            no_dv = not any(c.get("kind") == "dv" for c in commits)
+            covered = all(
+                col in ((c.get("stats") or {}).get(f) or {})
+                for c in data
+                for f in c["files"]
+            )
+            if no_dv and covered:
+                lo = hi = None
+                for c in data:
+                    for f in c["files"]:
+                        mn, mx = c["stats"][f][col]
+                        if mn is None:  # zero-row file: no contribution
+                            continue
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                return (lo, hi)
+        r = self.get_full_df().agg(
+            F.min(F.col(col)).alias("mn"), F.max(F.col(col)).alias("mx")
+        ).collect()[0]
+        return (r["mn"], r["mx"])
+
     def tag(self, name: str, version: int | None = None) -> None:
         """Pin a snapshot under a NAME (Iceberg tag shape): ``tag('v-prod')``
         records the current (or given) version in

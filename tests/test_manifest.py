@@ -102,6 +102,35 @@ def test_files_df_metadata_table(spark, tmp_root):
         plain.files_df()
 
 
+def test_column_minmax_metadata_only(spark, tmp_root):
+    """column_minmax()/count_rows() answer from the manifest alone: after
+    deleting every data file on disk, the numbers still come back —
+    proof the fast path opens zero files. Columns without recorded
+    stats fall back to a real scan."""
+    import glob
+    import os
+
+    t = TableRepo(
+        f"{tmp_root}/t",
+        group_cols="C",
+        commit_mode="manifest",
+        stats_cols="A",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    assert t.column_minmax("A") == (0, 11)
+    # fallback path: k is not a stats column — real scan, same answer
+    assert t.column_minmax("k") == ("k0", "k9")
+
+    for p in glob.glob(f"{tmp_root}/t/_pqrs_data/*/*/*.parquet"):
+        os.remove(p)
+    assert t.column_minmax("A") == (0, 11)  # metadata-only: survives
+    assert t.count_rows() == 12
+    with pytest.raises(Exception):
+        t.column_minmax("k")  # scan fallback now fails loudly
+
+
 def test_no_directory_visibility_and_no_renames(spark, tmp_root):
     """Visibility is manifest-only: a naive reader listing the root sees
     nothing (data lives under underscore-hidden _pqrs_data), and the
