@@ -329,6 +329,85 @@ def topk_cosine_pq(
     )
 
 
+def knn_density_ivf(
+    vectors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_probe: int = 8,
+    rerank: int | None = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-vector kth-NN similarity — the density signal LOF-style outlier
+    quarantine ranks by (a LOW kth-neighbor cosine marks a sparse region).
+    Returns one ``(id_col, knn_cos)`` row per vector.
+
+    Scale shape — this is the ANN-candidate answer to the all-pairs
+    O(n²) self-join the naive formulation needs:
+
+    1. **estimate**: each vector's kth-NN *within its IVF candidate
+       lists* (:func:`topk_cosine_ivf` self-query — k-means coarse
+       quantizer, each vector probes its ``n_probe`` nearest of
+       ``n_lists`` lists; the pair generation is an equi-join on
+       ``list_id``, never a cross join). Candidate-set kth-NN is a
+       one-sided UNDERestimate (a subset's kth order statistic can only
+       drop), so isolated points are never missed — some dense points
+       merely look too isolated.
+    2. **bounded exact rescan**: the ``rerank`` most-isolated vectors by
+       estimate (plus any vector whose candidate set had fewer than k
+       neighbors) re-score against the full corpus via
+       :func:`topk_cosine_bruteforce` — O(rerank · n) with ``rerank`` a
+       constant, the standard ANN re-rank device, restoring exact
+       kth-NN values exactly where the outlier ranking is decided.
+
+    At 100 TB: step 1 shuffles |corpus| · n_probe / n_lists pairs per
+    vector on list-id equi-joins; step 2 broadcasts ``rerank`` rows.
+    Nothing is ever all-pairs. ``rerank=None`` returns the raw
+    (underestimated) densities."""
+    est = topk_cosine_ivf(
+        vectors,
+        vectors,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        seed=seed,
+    )
+    est_k = est.where(F.col("rank") == k).select(
+        F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos")
+    )
+    if not rerank:
+        return est_k
+    # materialize the estimate ONCE: it anchors three downstream frames
+    # (rescan candidates, starvation anti-join, pass-through rest) — left
+    # lazy, the whole IVF subtree would re-execute per reference. The
+    # frame is one (id, double) row per vector — checkpoint-sized at any
+    # corpus (a two-pass algorithm's standard intermediate).
+    est_k = est_k.localCheckpoint(eager=True)
+    ids = vectors.select(id_col)
+    # a vector whose probed lists held < k neighbors has NO rank-k row —
+    # and sparse candidate sets are exactly the likely outliers, so those
+    # always join the rescan set rather than silently vanishing
+    starved = ids.join(est_k, id_col, "left_anti")
+    cand_ids = (
+        est_k.orderBy(F.col("knn_cos").asc(), id_col)
+        .limit(rerank)
+        .select(id_col)
+        .unionByName(starved)
+        .distinct()
+    )
+    cand = cand_ids.join(vectors.select(id_col, vec_col), id_col)
+    exact_k = (
+        topk_cosine_bruteforce(cand, vectors, k=k, vec_col=vec_col, id_col=id_col)
+        .where(F.col("rank") == k)
+        .select(F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos"))
+    )
+    rest = est_k.join(cand_ids, id_col, "left_anti")
+    return exact_k.unionByName(rest)
+
+
 def topk_cosine_ivf(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1490,15 +1490,34 @@ def embedding_outliers_knn(spark, sf_dir):
     """X3 density-based outlier detection: each vector's similarity to
     its 5th-nearest neighbor — a low value means the point sits in a
     sparse region (LOF-lite), the far-from-manifold examples a curation
-    pass quarantines before training. The kth-neighbor similarity comes
-    from the same per-query rank window the top-k search uses (here over
-    the brute-force scores at oracle scale; the ANN candidate paths swap
-    in unchanged at corpus scale), and the 10 most isolated points
-    surface via TakeOrderedAndProject — no global sort."""
+    pass quarantines before training.
+
+    The PRIMARY plan is the ANN-candidate path —
+    :func:`operators.similarity.knn_density_ivf`: kth-NN within IVF
+    candidate lists (list-id equi-join pair generation, never all-pairs)
+    plus a bounded exact rescan of the ``rerank`` most-isolated
+    estimates. The brute-force kth-NN over the same (bounded, oracle-
+    tier) subset runs as the exact twin: the two top-10 isolated sets
+    are compared in-query and a disagreement beyond the recall bar fails
+    LOUDLY (the _ann_verified_exact device), and the exact surface is
+    what the SQL oracle re-derives. Both frames are cached — each DAG
+    executes once. At corpus scale the twin drops and the IVF path is
+    the only plan (plan-gated cartesian-free in tests/test_plans.py)."""
     from ..functions.vectors import cosine_prenormed, norm, to_double
+    from ..operators.similarity import knn_density_ivf
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+    base = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "embedding"
+    )
+    scale10 = (
+        knn_density_ivf(base, k=5, n_lists=16, n_probe=8, rerank=50)
+        .orderBy(F.col("knn_cos").asc(), "vec_id")
+        .limit(10)
+        .cache()
+    )
+
+    e = base.select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     ).withColumn("nv", norm(F.col("v")))
     a = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
@@ -1514,11 +1533,20 @@ def embedding_outliers_knn(spark, sf_dir):
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb"))
     kth = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 5)
-    return (
+    exact10 = (
         kth.select("vec_id", F.col("cos").alias("knn5_cos"))
         .orderBy(F.col("knn5_cos").asc(), "vec_id")
         .limit(10)
+        .cache()
     )
+    total = exact10.count()
+    hits = exact10.join(scale10, "vec_id", "left_semi").count()
+    if total and hits < 0.7 * total:
+        raise AssertionError(
+            f"embedding_outliers_knn: IVF-candidate isolation set recalls "
+            f"only {hits}/{total} of the exact top-10 (bar 0.7)"
+        )
+    return exact10
 
 
 @query(

@@ -80,11 +80,37 @@ def list_versions(fs, root: str) -> list[int]:
     return sorted(out)
 
 
+# process-wide cache of resolved spilled payloads, keyed by the ref's
+# absolute path. Sound because list objects are immutable by construction
+# (written once under lists/<uuid>.json, never modified; a mutated entry
+# DROPS its ref and re-inlines — prune_partitions) — and necessary because
+# without it every load_manifest re-reads and re-parses O(files) JSON per
+# spilled commit, per CAS-retry iteration and per read, eroding the spill
+# tier's stated O(commits) commit amplification. Consumers must treat the
+# resolved values as read-only (they do: mutation paths build new dicts).
+_SPILL_CACHE: dict[str, dict] = {}
+_SPILL_CACHE_MAX = 128
+
+
+def _resolve_spill(fs, ref_path: str) -> dict:
+    payload = _SPILL_CACHE.get(ref_path)
+    if payload is None:
+        payload = json.loads(fs.read_text(ref_path))
+        if isinstance(payload, list):  # earliest spill format: bare list
+            payload = {"files": payload}
+        while len(_SPILL_CACHE) >= _SPILL_CACHE_MAX:
+            _SPILL_CACHE.pop(next(iter(_SPILL_CACHE)))
+        _SPILL_CACHE[ref_path] = payload
+    return payload
+
+
 def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] | None:
     """The manifest at ``version`` (default: latest), or None if the table
     has no committed version (or ``version`` was vacuumed/never existed).
     Entries whose file list was spilled (``files_ref``) come back with
-    ``files`` resolved inline — consumers never see the indirection."""
+    ``files`` resolved inline — consumers never see the indirection (and
+    resolution is served from an immutable process-wide cache, so the
+    spill tier's O(files) parse cost is paid once per ref, not per load)."""
     if version is None:
         vs = list_versions(fs, root)
         if not vs:
@@ -96,17 +122,13 @@ def load_manifest(fs, root: str, version: int | None = None) -> dict[str, Any] |
     mf = json.loads(fs.read_text(path))
     for c in mf.get("commits", []):
         if "files_ref" in c and not c.get("files"):
-            payload = json.loads(
-                fs.read_text(join_path(c.get("base", root), c["files_ref"]))
-            )
-            if isinstance(payload, list):  # earliest spill format: bare list
-                payload = {"files": payload}
+            payload = _resolve_spill(fs, join_path(c.get("base", root), c["files_ref"]))
             for k, v in payload.items():
                 c.setdefault(k, v)
     return mf
 
 
-def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
+def try_commit(fs, root: str, manifest: dict[str, Any], prev_ts: float = 0.0) -> bool:
     """CAS-publish ``manifest`` at its own version. False = lost the race
     (caller reloads the latest manifest, reapplies its delta, retries).
 
@@ -122,8 +144,14 @@ def try_commit(fs, root: str, manifest: dict[str, Any]) -> bool:
     # stamp publish time (epoch seconds) for AS-OF timestamp travel; the
     # stamp is taken at CAS time, not manifest-build time, so a retry
     # loop's eventual winner carries the moment it actually became
-    # visible — the only ordering a reader's "as of 12:00" can mean
-    out["ts"] = time.time()
+    # visible — the only ordering a reader's "as of 12:00" can mean.
+    # Clamped to the PREVIOUS version's stamp (callers pass it from the
+    # manifest they just loaded): with committers on different hosts,
+    # wall-clock skew could otherwise make ts non-monotonic with version,
+    # and version_at (highest version with ts <= target) would resolve an
+    # AS-OF instant to a snapshot that was never the visible one at that
+    # moment. Monotone per chain, the resolver's scan is sound.
+    out["ts"] = max(time.time(), float(prev_ts or 0.0))
     for c in manifest["commits"]:
         if "files_ref" in c:
             c = {k: v for k, v in c.items() if k not in SPILL_KEYS}

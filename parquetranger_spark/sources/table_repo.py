@@ -316,7 +316,7 @@ class TableRepo:
                 "spec": new_spec,
                 "op": "evolve-partitioning",
             }
-            if try_commit(fs, self.main_path, nxt):
+            if try_commit(fs, self.main_path, nxt, prev_ts=(cur or {}).get("ts", 0.0)):
                 return
 
     # ------------------------------------------------------------------ paths
@@ -589,9 +589,14 @@ class TableRepo:
                 # a key may live in any partition: one full semi-join scan
                 # locates the groups holding matched keys (inherent cost;
                 # the read-back below is still pruned to those groups)
+                # no broadcast hint: the incoming key set is usually
+                # batch-sized (AQE auto-broadcasts it under the
+                # threshold), but a table-sized upsert source must be
+                # allowed to degrade to a shuffle join instead of
+                # forcing a driver-OOM broadcast
                 touched = (
                     old.join(
-                        F.broadcast(new.select(*join_keys).distinct()), join_keys, "left_semi"
+                        new.select(*join_keys).distinct(), join_keys, "left_semi"
                     )
                     .select(*self.group_cols)
                     .unionByName(new.select(*self.group_cols))
@@ -611,7 +616,9 @@ class TableRepo:
             # partition dirs explicitly
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
             self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
+            self._drop_emptied_partitions(
+                touched_vals - kept_vals, rmw, check_removed=False
+            )
         else:
             out = old.join(new, join_keys, "left_anti").unionByName(new)
             out = out.localCheckpoint(eager=True)
@@ -699,8 +706,11 @@ class TableRepo:
                 if delete_condition
                 else F.lit(False)
             )
+            # NULL-evaluating conditions are NOT taken (row kept
+            # unchanged) — SQL MERGE's unknown-is-false rule, and the
+            # same coalesce the delete clause above applies
             updc = (
-                F.coalesce(F.expr(update_condition), F.lit(True))
+                F.coalesce(F.expr(update_condition), F.lit(False))
                 if update_condition
                 else F.lit(True)
             )
@@ -727,9 +737,12 @@ class TableRepo:
         if self.group_cols:
             # matched keys may live in any partition: one semi-join scan
             # locates their groups; inserts land in the source's groups
+            # unhinted: AQE broadcasts a batch-sized source's keys by its
+            # own size estimate; a table-sized merge source degrades to a
+            # shuffle join instead of OOM (Delta's file-location shape)
             touched = (
                 old.join(
-                    F.broadcast(src.select(*keys).distinct()), keys, "left_semi"
+                    src.select(*keys).distinct(), keys, "left_semi"
                 ).select(*self.group_cols)
             )
             if insert:
@@ -742,7 +755,9 @@ class TableRepo:
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
             if kept_vals:
                 self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
+            self._drop_emptied_partitions(
+                touched_vals - kept_vals, rmw, check_removed=not kept_vals
+            )
         else:
             out = _merged(old).localCheckpoint(eager=True)
             self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
@@ -902,7 +917,7 @@ class TableRepo:
             "spec": bmf.get("spec", list(self.group_cols)),
             "op": f"merge-branch({name})",
         }
-        if not try_commit(fs, self.main_path, nxt):
+        if not try_commit(fs, self.main_path, nxt, prev_ts=(cur or {}).get("ts", 0.0)):
             raise RuntimeError(
                 f"merge_branch({name!r}): lost the CAS to a concurrent main "
                 "commit; re-branch and replay"
@@ -1127,7 +1142,7 @@ class TableRepo:
                 "spec": restored_spec,
                 "op": f"restore({version})",
             }
-            if try_commit(fs, self.main_path, nxt):
+            if try_commit(fs, self.main_path, nxt, prev_ts=(cur or {}).get("ts", 0.0)):
                 self.group_cols = list(restored_spec)
                 return
 
@@ -1141,10 +1156,13 @@ class TableRepo:
         their directories cleared."""
         if not self.index_cols:
             raise TypeError("delete_records needs index_cols (the reified pandas index)")
+        # unhinted joins: a normal erasure batch broadcasts via AQE's own
+        # size estimate; a table-sized key set degrades to a shuffle join
+        # instead of forcing a broadcast that OOMs the driver
         keyset = keys.select(*self.index_cols).distinct()
         self._delete_matching(
-            lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_semi"),
-            lambda df: df.join(F.broadcast(keyset), self.index_cols, "left_anti"),
+            lambda df: df.join(keyset, self.index_cols, "left_semi"),
+            lambda df: df.join(keyset, self.index_cols, "left_anti"),
         )
 
     def delete_records_dv(self, keys: DataFrame) -> None:
@@ -1248,7 +1266,9 @@ class TableRepo:
             }
             if kept_vals:
                 self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(touched_vals - kept_vals, rmw)
+            self._drop_emptied_partitions(
+                touched_vals - kept_vals, rmw, check_removed=not kept_vals
+            )
         else:
             out = keep(old).localCheckpoint(eager=True)
             self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
@@ -1537,7 +1557,14 @@ class TableRepo:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return keys, out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
+        folded = out.groupBy(*keys).agg(F.max(_DV_POS).alias(_DV_POS))
+        # materialize ONCE: _manifest_df joins this frame into EVERY
+        # per-commit scan branch of its union — without the checkpoint
+        # the dv union+groupBy subtree re-executes O(live commits) times
+        # per read (invisible at test scale, 50× on a 50-commit table).
+        # localCheckpoint is tombstone-keys-sized (bounded by deletes
+        # since the last compaction), so the eager job is tiny.
+        return keys, folded.localCheckpoint(eager=True)
 
     def get_full_df(
         self,
@@ -2259,11 +2286,16 @@ class TableRepo:
                     else ("overwrite-dynamic" if (dynamic and self.group_cols) else "overwrite")
                 ),
             }
-            if try_commit(fs, self.main_path, nxt):
+            if try_commit(fs, self.main_path, nxt, prev_ts=(cur or {}).get("ts", 0.0)):
                 return
 
     def _check_rmw_conflict(
-        self, baseline: dict, commits: list[dict], dynamic: bool, touched: set
+        self,
+        baseline: dict,
+        commits: list[dict],
+        dynamic: bool,
+        touched: set,
+        check_removed: bool = True,
     ) -> None:
         """Optimistic-concurrency gate for read-MODIFY-write publishes
         (keyed upsert / merge / keyed+predicate delete): the rewrite was
@@ -2283,9 +2315,19 @@ class TableRepo:
 
         Plain appends/overwrites never pass a baseline: replace_groups /
         replace_all are DECLARED whole-partition/table replacement, where
-        last-writer-wins is the semantics, not a hazard."""
+        last-writer-wins is the semantics, not a hazard.
+
+        Detection is symmetric — ADDED rows and REMOVED rows both
+        conflict. A concurrent delete/merge that only removes files
+        publishes a prune-only commit (dirs unchanged, files shrunk, or
+        the dir vanishes entirely); this rewrite's output was computed
+        from the pre-delete snapshot, so publishing it would RESURRECT
+        the deleted rows. The baseline therefore carries per-dir file
+        sets and any baseline file now missing (in a touched partition,
+        for dynamic rewrites; anywhere, for static) is a conflict too."""
         from .manifest import partition_values_of
 
+        cur_files = {c["dir"]: c["files"] for c in commits}
         new_cs = [c for c in commits if c["dir"] not in baseline["dirs"]]
         for c in new_cs:
             if c.get("kind") == "dv":
@@ -2305,6 +2347,32 @@ class TableRepo:
                 f"concurrent commit {c['dir']!r} touches rows this rewrite "
                 f"(snapshot v{baseline['version']}) would erase — rerun the "
                 "operation on the current state"
+            )
+        if not check_removed:
+            # drop-after-publish path: this rewrite's OWN dynamic
+            # overwrite already pruned the touched partitions (and its
+            # publish ran the full check against the same baseline), so
+            # baseline removals here are expected — only ADDITIONS that
+            # landed since the publish can still conflict (checked above)
+            return
+        for bdir, bfiles in baseline["dirs"].items():
+            removed = bfiles - set(cur_files.get(bdir, ()))
+            if not removed:
+                continue
+            if dynamic and self.group_cols:
+                # removals in partitions this rewrite does NOT touch are a
+                # concurrent writer's own business — the rewrite never
+                # re-publishes those rows, so nothing is resurrected
+                hit = any(
+                    partition_values_of(f, self.group_cols) in touched
+                    for f in removed
+                )
+                if not hit:
+                    continue
+            raise ConcurrentWriteError(
+                f"concurrent commit removed files from {bdir!r} since this "
+                f"rewrite's snapshot (v{baseline['version']}) — publishing "
+                "would resurrect the deleted rows; rerun on the current state"
             )
 
     def _collect_file_stats(self, cdir: str, files: list[str], meta=None) -> tuple[dict, dict]:
@@ -2590,7 +2658,10 @@ class TableRepo:
         return kept, total
 
     def _drop_partitions_from_manifest(
-        self, group_value_tuples: set[tuple], rmw_baseline: dict | None = None
+        self,
+        group_value_tuples: set[tuple],
+        rmw_baseline: dict | None = None,
+        check_removed: bool = True,
     ) -> None:
         """Manifest-mode partition delete: publish a version whose file
         list excludes the partitions — data files stay until vacuum."""
@@ -2608,7 +2679,10 @@ class TableRepo:
                 # our rewrite computed these partitions EMPTY from its
                 # snapshot — a commit landed since with rows in one of
                 # them would be silently erased by this drop
-                self._check_rmw_conflict(rmw_baseline, cur["commits"], True, touched)
+                self._check_rmw_conflict(
+                    rmw_baseline, cur["commits"], True, touched,
+                    check_removed=check_removed,
+                )
             self._assert_uniform_spec(cur["commits"])
             nxt = {
                 "version": cur["version"] + 1,
@@ -2616,7 +2690,7 @@ class TableRepo:
                 "spec": list(self.group_cols),
                 "op": "drop-partitions",
             }
-            if try_commit(fs, self.main_path, nxt):
+            if try_commit(fs, self.main_path, nxt, prev_ts=cur.get("ts", 0.0)):
                 return
 
     def vacuum(self, max_age_seconds: float = 24 * 3600, keep_versions: int = 1) -> list[str]:
@@ -2738,7 +2812,9 @@ class TableRepo:
                 deleted.append(path)
         return deleted
 
-    def _drop_emptied_partitions(self, gone: set, rmw_baseline: dict | None = None) -> None:
+    def _drop_emptied_partitions(
+        self, gone: set, rmw_baseline: dict | None = None, check_removed: bool = True
+    ) -> None:
         """Clear partitions a keyed rewrite left empty — ONE manifest
         commit for the whole set (a per-partition loop would publish N
         versions: N CAS round trips, N retention-window slots, and N
@@ -2750,7 +2826,9 @@ class TableRepo:
             return
         if self.commit_mode == "manifest":
             self._drop_partitions_from_manifest(
-                {tuple(g) for g in gone}, rmw_baseline=rmw_baseline
+                {tuple(g) for g in gone},
+                rmw_baseline=rmw_baseline,
+                check_removed=check_removed,
             )
             return
         for gv in gone:
@@ -2777,7 +2855,15 @@ class TableRepo:
         mf = load_manifest(self._fs(), self.main_path)
         return {
             "version": mf["version"] if mf else 0,
-            "dirs": {c["dir"] for c in (mf or {}).get("commits", [])},
+            # per-dir FILE SETS, not just the dir set: a concurrent
+            # operation that only REMOVES files (a delete/merge emptying a
+            # partition publishes a prune-only commit — dirs unchanged or
+            # merely vanished) must be detectable, or this rewrite would
+            # silently resurrect the deleted rows (see _check_rmw_conflict)
+            "dirs": {
+                c["dir"]: frozenset(c["files"])
+                for c in (mf or {}).get("commits", [])
+            },
         }
 
     def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None, rmw_baseline: dict | None = None) -> None:

@@ -450,3 +450,29 @@ def test_dv_read_broadcasts_tombstones(spark, tmp_path):
     p = t.get_full_df()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p and "LeftOuter" in p
     assert "SortMergeJoin" not in p, "tombstone join fell back to a shuffle join"
+
+
+def test_knn_density_ivf_no_cartesian(spark, sf_dir):
+    """The outlier-density scale path must never be all-pairs: the IVF
+    estimate stage is pure equi-join (no cartesian, no nested-loop), and
+    the full operator's only nested-loop join is the BOUNDED exact
+    rescan (broadcast side = a limit(rerank) id list + vectors)."""
+    from parquetranger_spark.operators.similarity import knn_density_ivf
+
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # estimate-only plan: candidate generation is a list_id equi-join;
+    # the only nested-loop joins are the n_lists-row (16) centroid
+    # probe-assignment broadcasts — constant-bounded, never corpus-sized
+    p_est = plan(knn_density_ivf(vecs, k=5, rerank=None))
+    assert "CartesianProduct" not in p_est
+    assert p_est.count("BroadcastNestedLoopJoin") <= 2
+    # full operator: the estimate is checkpointed (one IVF subtree per
+    # plan), so the only remaining nested-loop join is the bounded exact
+    # rescan (broadcast side = limit(rerank) candidates); cartesian never
+    p_full = plan(knn_density_ivf(vecs, k=5, rerank=50))
+    assert "CartesianProduct" not in p_full
+    # the bounded rescan's broadcast-NL join (formatted mode may print
+    # it once per adaptive subtree) — never a corpus×corpus pair source
+    assert p_full.count("BroadcastNestedLoopJoin") <= 2
+    # and the bounded side is visibly bounded: a limit feeds it
+    assert "GlobalLimit" in p_full or "TakeOrderedAndProject" in p_full

@@ -100,12 +100,21 @@ def probe(spark):
             .count()
         )
 
+    from parquetranger_spark.operators.similarity import knn_density_ivf  # noqa: E402
+
     ops = {
         # near-dedup: bucketed LSH; candidate count grows with injected
         # replicas (every replica set is mutually near-dup), so expect
         # slightly superlinear on this adversarial corpus
         "near_dedup_minhash": lambda f: near_dedup_minhash(
             replicate(docs, "doc_id", f)
+        ).count(),
+        # round 5: ANN-candidate kth-NN density (the outlier path). IVF
+        # pair count is |corpus|·n_probe/n_lists per vector and the exact
+        # rescan is a fixed rerank×|corpus| broadcast — expect ≈ linear,
+        # never the all-pairs quadratic this replaced
+        "knn_density_ivf": lambda f: knn_density_ivf(
+            replicate(emb, "vec_id", f), k=5, n_lists=16, n_probe=8, rerank=50
         ).count(),
         "exact_dedup": lambda f: exact_dedup(replicate(docs, "doc_id", f)).count(),
         "repetition_stats": lambda f: replicate(docs, "doc_id", f)
