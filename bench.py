@@ -100,6 +100,22 @@ HEADLINE = [
     "dedup_best_of_cluster",
     "snapshot_drift_psi",
     "boilerplate_strip",
+    # round-7 additions: ANN-candidate kth-NN outlier density (replaced
+    # the all-pairs plan) and the streaming change-data-feed — new to
+    # the headline set
+    "embedding_outliers_knn",
+    "stream_changes_feed",
+]
+
+# queries whose gate form deliberately runs BOTH the index path and an
+# exact-verify surface (the verified-exact oracle pattern): benched a
+# second time with PQRS_BENCH_APPROX_ONLY=1 so a regression is
+# attributable to the index itself vs the verify surface
+ANN_SPLIT = [
+    "topk_cosine_ivf",
+    "topk_cosine_pq",
+    "dedup_simhash_pairs",
+    "embedding_outliers_knn",
 ]
 
 
@@ -129,7 +145,15 @@ def run_one(spark, name: str) -> float:
 
 def main() -> None:
     load_all()
-    if "--all" in sys.argv:
+    if "--queries" in sys.argv:
+        # explicit subset (comma-separated) — e.g. re-timing a prior
+        # round's common set in a fresh JVM for like-for-like comparison
+        req = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        missing = [n for n in req if n not in QUERIES]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        names = req
+    elif "--all" in sys.argv:
         names = list(QUERIES)
     else:
         missing = [n for n in HEADLINE if n not in QUERIES]
@@ -169,7 +193,9 @@ def main() -> None:
 
     scratch_glob = os.path.join(_tempfile.gettempdir(), "pqrs_*")
     timings: dict[str, float] = {}
-    for name in names:
+    approx_only: dict[str, float] = {}
+
+    def timed(name: str) -> float:
         best = None
         for _ in range(repeat):
             pre = set(_glob.glob(scratch_glob))
@@ -180,8 +206,34 @@ def main() -> None:
             # can exhaust it mid-bench
             for d in set(_glob.glob(scratch_glob)) - pre:
                 _shutil.rmtree(d, ignore_errors=True)
-        timings[name] = best
-        print(f"# {name}: {best}s", file=sys.stderr)
+        return best
+
+    # the headline set has grown every round, and a long single-session
+    # sweep AGES the JVM (codegen class accumulation, old-gen fragments
+    # the per-query gc cannot fully reclaim) — measured ~10% uniform
+    # inflation on a 57-query session vs a fresh one. Recycling the
+    # session every RECYCLE_EVERY queries bounds that, keeping per-query
+    # numbers comparable across rounds regardless of headline size.
+    RECYCLE_EVERY = 15
+    for qi, name in enumerate(names):
+        if qi and qi % RECYCLE_EVERY == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            spark.sql("select count(*) c from range(100000)").collect()
+        timings[name] = timed(name)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        if name in ANN_SPLIT:
+            # verified-exact family: re-time ADJACENT to the full run
+            # (same session age) with the exact twin + recall assert
+            # disabled, so a regression is attributable to the index
+            # path vs the deliberately-added verify surface. Gate
+            # semantics are unchanged — the flag lives only here.
+            os.environ["PQRS_BENCH_APPROX_ONLY"] = "1"
+            try:
+                approx_only[name] = timed(name)
+            finally:
+                os.environ.pop("PQRS_BENCH_APPROX_ONLY", None)
+            print(f"# {name} (approx only): {approx_only[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # the headline set GROWS each round (new tiers join it), so the grand
@@ -210,6 +262,9 @@ def main() -> None:
                 "queries": timings,
                 "r1_subset_total": r1_subtotal,
                 "r2_subset_total": r2_subtotal,
+                # index-path-only timings for the verified-exact family
+                # (full-query time minus these = the verify surface)
+                "ann_approx_only": approx_only,
                 "sf": sf_of(SF_DIR),
                 # ANN timings (topk_cosine_ivf/_pq, dedup_simhash_pairs)
                 # grew ~1.5x over BENCH_r03: those queries now ALSO run

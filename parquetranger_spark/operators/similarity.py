@@ -334,8 +334,8 @@ def knn_density_ivf(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_lists: int = 16,
-    n_probe: int = 8,
+    n_lists: int | None = None,
+    n_probe: int = 4,
     rerank: int | None = 50,
     seed: int = 42,
 ) -> DataFrame:
@@ -361,10 +361,19 @@ def knn_density_ivf(
        constant, the standard ANN re-rank device, restoring exact
        kth-NN values exactly where the outlier ranking is decided.
 
-    At 100 TB: step 1 shuffles |corpus| · n_probe / n_lists pairs per
-    vector on list-id equi-joins; step 2 broadcasts ``rerank`` rows.
-    Nothing is ever all-pairs. ``rerank=None`` returns the raw
-    (underestimated) densities."""
+    Pair count is |corpus|² · n_probe / n_lists, so ``n_lists`` MUST
+    grow with the corpus — the default is the standard IVF balance
+    ``n_lists ≈ √n`` (one extra count job), which bounds total pair
+    generation at O(n^1.5 · n_probe / √1) — the sub-quadratic IVF
+    contract real systems (FAISS IVFFlat) run; a FIXED list count would
+    silently degrade toward all-pairs as the corpus grows. Step 2
+    broadcasts ``rerank`` rows. Nothing is ever a cross join.
+    ``rerank=None`` returns the raw (underestimated) densities."""
+    if n_lists is None:
+        import math
+
+        n = vectors.count()
+        n_lists = max(16, math.isqrt(max(n, 1)))
     est = topk_cosine_ivf(
         vectors,
         vectors,

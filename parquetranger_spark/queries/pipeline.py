@@ -283,20 +283,25 @@ def dedup_simhash_pairs(spark, sf_dir):
     # corpus change that crosses it fails LOUDLY here instead of as an
     # inscrutable oracle diff.
     cap = 5000
-    biggest = (
-        corpus.groupBy(
-            F.md5(F.concat_ws("\x1f", F.array_sort(F.split("text", " "))))
+    import os as _os
+
+    if not _os.environ.get("PQRS_BENCH_APPROX_ONLY"):
+        # fixture-safety pre-check (one extra corpus agg) — skippable only
+        # in the bench's attribution mode; every gate run pays it
+        biggest = (
+            corpus.groupBy(
+                F.md5(F.concat_ws("\x1f", F.array_sort(F.split("text", " "))))
+            )
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
         )
-        .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
-    )
-    if biggest and biggest > cap:
-        raise AssertionError(
-            f"dedup_simhash_pairs: a signature cluster of {biggest} docs "
-            f"exceeds bucket_cap={cap}; salting would drop pairs the exact "
-            "oracle expects — raise the cap for this query"
-        )
+        if biggest and biggest > cap:
+            raise AssertionError(
+                f"dedup_simhash_pairs: a signature cluster of {biggest} docs "
+                f"exceeds bucket_cap={cap}; salting would drop pairs the exact "
+                "oracle expects — raise the cap for this query"
+            )
     cand = near_dedup_simhash(corpus, max_hamming=0, bucket_cap=cap).select(
         "id_a", "id_b"
     )
@@ -399,7 +404,17 @@ def _ann_verified_exact(spark, approx, exact, min_recall: float, name: str):
     count, the recall semi-join, the returned surface) and the index
     path twice — the whole ANN DAG re-executed per action. The cached
     frames are n_queries × k rows (KBs); bench/gate clearCache between
-    queries."""
+    queries.
+
+    ``PQRS_BENCH_APPROX_ONLY=1`` (bench-only, default off) returns the
+    raw index path without the exact twin or the recall assert — so the
+    bench can attribute a regression to the index itself vs the
+    deliberately-added verify surface. The correctness gate never sets
+    it: every gate/driver run pays the full verified-exact pattern."""
+    import os as _os
+
+    if _os.environ.get("PQRS_BENCH_APPROX_ONLY"):
+        return approx.withColumn("rank", F.col("rank").cast("long"))
     exact = exact.cache()
     approx = approx.cache()
     total = exact.count()
@@ -1516,6 +1531,12 @@ def embedding_outliers_knn(spark, sf_dir):
         .limit(10)
         .cache()
     )
+    import os as _os
+
+    if _os.environ.get("PQRS_BENCH_APPROX_ONLY"):
+        # bench-only attribution mode (see _ann_verified_exact): the IVF
+        # scale path alone, no exact twin
+        return scale10.select("vec_id", F.col("knn_cos").alias("knn5_cos"))
 
     e = base.select(
         "vec_id", to_double(F.col("embedding")).alias("v")

@@ -1142,6 +1142,62 @@ def manifest_changes_feed(spark, sf_dir):
 
 
 @query(
+    "stream_changes_feed",
+    oracle=f"""
+SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+       event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type = 'click' GROUP BY event_type
+UNION ALL
+SELECT 'insert', CAST(2 AS BIGINT), event_type, count(*), {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type = 'view' GROUP BY event_type
+UNION ALL
+SELECT 'delete', CAST(3 AS BIGINT), event_type, count(*), {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+UNION ALL
+SELECT 'insert', CAST(3 AS BIGINT), event_type, count(*), {dsum_sql('value', 'sum_value')}
+FROM events WHERE event_type = 'purchase' GROUP BY event_type
+""",
+)
+def stream_changes_feed(spark, sf_dir):
+    """S21 STREAMING change-data-feed (TableRepo.stream_changes — the
+    Delta readChangeFeed shape on the manifest log): two appends then a
+    truncate-and-load; an availableNow drain of the feed attributes
+    every row to the exact commit version that caused it — the appends
+    as per-version inserts, the truncation as version-3 deletes of
+    everything prior plus inserts of the reload. The subscription twin
+    of the batch changes_between: a downstream sync reads this stream
+    instead of polling version pairs, and deletes-then-inserts replay
+    keeps it convergent. Exactly-once: a replayed offset range
+    re-derives the identical diff from the immutable manifests."""
+    import uuid
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    t = TableRepo(
+        scratch_dir("scdf") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(ev.where(F.col("event_type") == "click"))
+    t.extend(ev.where(F.col("event_type") == "view"))
+    t.replace_all(ev.where(F.col("event_type") == "purchase"))
+    name = f"scdf_{uuid.uuid4().hex[:8]}"
+    q = (
+        t.stream_changes()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("scdf_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).groupBy(
+        "_change_type", "_commit_version", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+
+
+@query(
     "constraints_drop_audit",
     oracle=f"""
 SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}

@@ -25,9 +25,12 @@ Scale/retention notes, honestly stated:
   manifests below a live stream's checkpoint horizon breaks recovery
   (same caveat as Delta vacuum vs. streaming) — a clear error is raised
   rather than silently re-reading the world.
-- Reads use pyarrow on the repo's paths — local/NFS in this container;
-  an object-store deployment swaps in the corresponding pyarrow
-  filesystem.
+- All listing/JSON/parquet access resolves through ``pyarrow.fs`` (driver
+  AND executors — no JVM dependence), so any URI TableRepo can write is
+  streamable: plain paths, ``file://``, and every object-store scheme
+  pyarrow reaches in the deployment (s3://, hdfs://, gcs://…). A scheme
+  pyarrow cannot build a filesystem for fails loudly at construction,
+  never as a silently-empty stream.
 """
 
 from __future__ import annotations
@@ -50,13 +53,14 @@ def manifest_stream_source():
             import json
             import re
 
-            root = options["root"]
-            # the reader walks the manifest dir with os.path — a file://
-            # URI root (supported by TableRepo, listed via HadoopFS)
-            # would make os.path.isdir('file:///…') False and the stream
-            # silently emit zero rows forever. Strip the local scheme;
-            # refuse anything genuinely remote LOUDLY.
-            self.root = self._localize(root)
+            # paths resolve through pyarrow.fs (works on executors —
+            # no JVM needed — and speaks every URI scheme pyarrow
+            # supports: file://, s3://, hdfs://, gcs://…), so the stream
+            # reads any root TableRepo can write. The ORIGINAL uri is
+            # kept for per-commit base resolution (shallow clones record
+            # donor roots verbatim, possibly on a different store).
+            self.root_uri = options["root"]
+            self.fs, self.root = self._resolve(self.root_uri)
             self.cols = options["cols"].split(",")
             self.types = options["col_types"].split(",")
             # optional stats-pruned SUBSCRIPTION: files whose recorded
@@ -65,39 +69,51 @@ def manifest_stream_source():
             # stay with the caller)
             sp = options.get("skip_preds")
             self.skip_preds = [tuple(p) for p in json.loads(sp)] if sp else None
+            # CDF mode (TableRepo.stream_changes): per-version file
+            # diffs stream as insert/delete rows with _change_type and
+            # _commit_version pseudo-columns filled reader-side
+            self.cdf = options.get("cdf") == "1"
 
         @staticmethod
-        def _localize(p: str) -> str:
-            """The reader walks the manifest dir and data files with
-            os.path/pyarrow-local — a ``file://`` URI (supported by
-            TableRepo, listed via HadoopFS) would make
-            ``os.path.isdir('file:///…')`` False and the stream silently
-            emit zero rows forever. Strip the local scheme; refuse
-            anything genuinely remote LOUDLY. Applied to the root AND to
-            every per-commit ``base`` (shallow clones record the donor's
-            root verbatim, which may be a URI)."""
+        def _resolve(p: str):
+            """``(pyarrow filesystem, within-fs path)`` for a root/base —
+            plain paths map to LocalFileSystem, URIs go through
+            ``pyarrow.fs.FileSystem.from_uri`` (file:// strips to a local
+            path; object-store schemes get their real client). Only a
+            scheme pyarrow cannot construct a filesystem for is refused —
+            LOUDLY, never as a silently-empty stream."""
             import re
+
+            from pyarrow.fs import FileSystem, LocalFileSystem
 
             m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):/+", p)
             if not m:
-                return p
-            if m.group(1).lower() != "file":
+                return LocalFileSystem(), p
+            try:
+                return FileSystem.from_uri(p)
+            except Exception as e:
                 raise NotImplementedError(
-                    f"stream_manifest: unsupported path scheme {m.group(1)!r} "
-                    "(local paths and file:// only — the reader walks the "
-                    "manifest with os.path/pyarrow-local)"
+                    f"stream_manifest: unreachable path scheme "
+                    f"{m.group(1)!r} ({e}) — pyarrow.fs has no filesystem "
+                    "for this URI in the current environment"
                 )
-            return "/" + p[m.end():].lstrip("/")
 
         # -- manifest plumbing (self-contained: no package imports) ----
         def _versions(self):
-            import os
+            import posixpath
 
-            mdir = os.path.join(self.root, "_pqrs_manifest")
-            if not os.path.isdir(mdir):
+            from pyarrow.fs import FileSelector
+
+            mdir = posixpath.join(self.root, "_pqrs_manifest")
+            try:
+                infos = self.fs.get_file_info(
+                    FileSelector(mdir, allow_not_found=True)
+                )
+            except (FileNotFoundError, OSError):
                 return []
             out = []
-            for name in os.listdir(mdir):
+            for info in infos:
+                name = info.path.rsplit("/", 1)[-1]
                 if name.startswith("v") and name.endswith(".json"):
                     try:
                         out.append(int(name[1:-5]))
@@ -105,27 +121,34 @@ def manifest_stream_source():
                         pass
             return sorted(out)
 
-        def _manifest(self, version: int):
+        def _read_json(self, fs, path):
             import json
-            import os
 
-            p = os.path.join(self.root, "_pqrs_manifest", f"v{version:020d}.json")
-            if not os.path.exists(p):
+            with fs.open_input_stream(path) as fh:
+                return json.loads(fh.read().decode("utf-8"))
+
+        def _manifest(self, version: int):
+            import posixpath
+
+            from pyarrow.fs import FileType
+
+            p = posixpath.join(self.root, "_pqrs_manifest", f"v{version:020d}.json")
+            if self.fs.get_file_info(p).type == FileType.NotFound:
                 raise RuntimeError(
-                    f"manifest v{version} of {self.root} is gone (vacuumed?) — "
+                    f"manifest v{version} of {self.root_uri} is gone (vacuumed?) — "
                     "a streaming offset needs its manifest retained; keep "
                     "manifests at least as long as stream checkpoints"
                 )
-            with open(p) as fh:
-                mf = json.load(fh)
+            mf = self._read_json(self.fs, p)
             for c in mf.get("commits", []):
                 # spilled file lists (manifest-of-manifests tier): resolve
                 # the ref like manifest.load_manifest does — anchored at
                 # the entry's base for shallow-cloned commits
                 if "files_ref" in c and not c.get("files"):
-                    base = self._localize(c.get("base", self.root))
-                    with open(os.path.join(base, *c["files_ref"].split("/"))) as fh:
-                        payload = json.load(fh)
+                    bfs, base = self._resolve(c.get("base", self.root_uri))
+                    payload = self._read_json(
+                        bfs, posixpath.join(base, *c["files_ref"].split("/"))
+                    )
                     c["files"] = (
                         payload if isinstance(payload, list) else payload.get("files", [])
                     )
@@ -141,7 +164,9 @@ def manifest_stream_source():
                     # rows — deletes do not stream (same contract as the
                     # docstring: this source surfaces appended data only)
                     continue
-                base = self._localize(c.get("base", self.root))
+                # carry the base URI verbatim — each read re-resolves it,
+                # so a shallow clone's donor may live on a different store
+                base = c.get("base", self.root_uri)
                 for f in c["files"]:
                     out.add((base, c["dir"], f))
             return out
@@ -184,7 +209,7 @@ def manifest_stream_source():
 
             owner = {}
             for c in self._manifest(hi)["commits"]:
-                base = self._localize(c.get("base", self.root))
+                base = c.get("base", self.root_uri)
                 for f in c["files"]:
                     owner[(base, c["dir"], f)] = (c, f)
             return [
@@ -193,14 +218,17 @@ def manifest_stream_source():
                 if k not in owner or file_may_match(owner[k][0], owner[k][1], self.skip_preds)
             ]
 
-        def _rows_between(self, lo: int, hi: int):
-            import os
+        def _file_rows(self, triples, extras):
+            """Rows of the given (base, dir, rel) files in manifest
+            order; ``extras`` fills pseudo-columns (CDF's _change_type /
+            _commit_version) that exist in the output schema but not in
+            the files."""
+            import posixpath
 
             import pyarrow.parquet as pq
 
-            new = self._new_files(lo, hi)
             rows = []
-            for base, cdir, rel in new:
+            for base, cdir, rel in triples:
                 # hive col=value dirs inside the commit carry the
                 # partition columns the file itself omits
                 parts = {}
@@ -208,17 +236,57 @@ def manifest_stream_source():
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         parts[k] = v
-                tbl = pq.read_table(os.path.join(base, cdir, rel))
+                bfs, bpath = self._resolve(base)
+                tbl = pq.read_table(
+                    posixpath.join(bpath, cdir, rel), filesystem=bfs
+                )
                 n = tbl.num_rows
                 colvals = []
                 for name, typ in zip(self.cols, self.types):
-                    if name in tbl.column_names:
+                    if name in extras:
+                        colvals.append([extras[name]] * n)
+                    elif name in tbl.column_names:
                         colvals.append(tbl.column(name).to_pylist())
                     elif name in parts:
                         colvals.append([self._cast_part(parts[name], typ)] * n)
                     else:
                         colvals.append([None] * n)
                 rows.extend(zip(*colvals))
+            return rows
+
+        def _rows_between(self, lo: int, hi: int):
+            if self.cdf:
+                return self._cdf_rows_between(lo, hi)
+            return self._file_rows(self._new_files(lo, hi), {})
+
+        def _cdf_rows_between(self, lo: int, hi: int):
+            """Change-data-feed batch: walk each version step in (lo, hi]
+            and emit its file diff as rows — removed files as deletes
+            FIRST, then added files as inserts (the replay order that
+            keeps a downstream sync convergent), each stamped with the
+            commit version that caused it. File-granular, like
+            changes_between: a rewritten file emits delete+insert pairs
+            for its ride-along rows too; deletion-vector commits do not
+            stream (same contract as the append feed). Driver-side
+            O(versions x files) manifest walking — the control-plane
+            cost the simple reader already accepts."""
+            rows = []
+            prev = self._file_set(lo)
+            for v in range(lo + 1, hi + 1):
+                cur = self._file_set(v)
+                removed = sorted(prev - cur)
+                added = sorted(cur - prev)
+                rows.extend(
+                    self._file_rows(
+                        removed, {"_change_type": "delete", "_commit_version": v}
+                    )
+                )
+                rows.extend(
+                    self._file_rows(
+                        added, {"_change_type": "insert", "_commit_version": v}
+                    )
+                )
+                prev = cur
             return rows
 
         # -- streaming contract ----------------------------------------
@@ -242,8 +310,11 @@ def manifest_stream_source():
             pass
 
     class _FilePartition(InputPartition):
-        def __init__(self, base: str, cdir: str, rel: str):
+        def __init__(self, base: str, cdir: str, rel: str, extras=None):
             self.base, self.cdir, self.rel = base, cdir, rel
+            # CDF pseudo-column values (_change_type/_commit_version)
+            # planned driver-side, applied task-side
+            self.extras = extras or {}
 
     class _PartitionedReader(DataSourceStreamReader):
         """Executor-side flavor: one InputPartition per file added between
@@ -272,12 +343,34 @@ def manifest_stream_source():
             return {"v": vs[-1] if vs else 0}
 
         def partitions(self, start, end):
-            new = self._mf._new_files(int(start["v"]), int(end["v"]))
+            lo, hi = int(start["v"]), int(end["v"])
+            if self._mf.cdf:
+                # one task per changed file, change-kind planned here:
+                # deletes of a version before its inserts (list order is
+                # the task order only loosely — consumers needing strict
+                # replay order sort on _commit_version, _change_type)
+                out = []
+                prev = self._mf._file_set(lo)
+                for v in range(lo + 1, hi + 1):
+                    cur = self._mf._file_set(v)
+                    for b, d, r in sorted(prev - cur):
+                        out.append(_FilePartition(
+                            b, d, r,
+                            {"_change_type": "delete", "_commit_version": v},
+                        ))
+                    for b, d, r in sorted(cur - prev):
+                        out.append(_FilePartition(
+                            b, d, r,
+                            {"_change_type": "insert", "_commit_version": v},
+                        ))
+                    prev = cur
+                return out
+            new = self._mf._new_files(lo, hi)
             return [_FilePartition(b, d, r) for b, d, r in new] or []
 
         def read(self, partition):
             import json
-            import os
+            import posixpath
 
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -290,15 +383,22 @@ def manifest_stream_source():
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     parts[k] = v
+            # executor-side: pyarrow.fs resolution again — no JVM, no
+            # package import, any URI scheme pyarrow reaches
+            bfs, bpath = _Reader._resolve(partition.base)
             tbl = pq.read_table(
-                os.path.join(partition.base, partition.cdir, partition.rel)
+                posixpath.join(bpath, partition.cdir, partition.rel),
+                filesystem=bfs,
             )
             n = tbl.num_rows
             arrays, fields = [], []
+            extras = getattr(partition, "extras", {}) or {}
             for field, typ in zip(st.fields, self.types):
                 name = field.name
                 patype = to_arrow_type(field.dataType)
-                if name in tbl.column_names:
+                if name in extras:
+                    arrays.append(pa.array([extras[name]] * n).cast(patype))
+                elif name in tbl.column_names:
                     arrays.append(tbl.column(name).combine_chunks().cast(patype))
                 elif name in parts:
                     val = _Reader._cast_part(self._mf, parts[name], typ)

