@@ -110,7 +110,11 @@ HEADLINE = [
 # queries whose gate form deliberately runs BOTH the index path and an
 # exact-verify surface (the verified-exact oracle pattern): benched a
 # second time with PQRS_BENCH_APPROX_ONLY=1 so a regression is
-# attributable to the index itself vs the verify surface
+# attributable to the index itself vs the verify surface. NOTE on
+# dedup_simhash_pairs: there the flag removes only the fixture-safety
+# pre-check aggregation (its r4 timing growth) — the md5-multiset verify
+# join is the query's SEMANTIC output, not a removable surface, so
+# full-minus-approx for that one measures the pre-check alone.
 ANN_SPLIT = [
     "topk_cosine_ivf",
     "topk_cosine_pq",

@@ -387,15 +387,23 @@ def knn_density_ivf(
     est_k = est.where(F.col("rank") == k).select(
         F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos")
     )
+    ids = vectors.select(id_col)
     if not rerank:
-        return est_k
+        # contract: one row per vector, even without the rescan tier — a
+        # vector whose probed lists held < k neighbors has no estimate,
+        # so it surfaces with knn_cos NULL (nulls sort FIRST ascending:
+        # an unmeasurable density reads as maximally isolated, which is
+        # what a starved candidate set means)
+        starved = ids.join(est_k, id_col, "left_anti").withColumn(
+            "knn_cos", F.lit(None).cast("double")
+        )
+        return est_k.unionByName(starved)
     # materialize the estimate ONCE: it anchors three downstream frames
     # (rescan candidates, starvation anti-join, pass-through rest) — left
     # lazy, the whole IVF subtree would re-execute per reference. The
     # frame is one (id, double) row per vector — checkpoint-sized at any
     # corpus (a two-pass algorithm's standard intermediate).
     est_k = est_k.localCheckpoint(eager=True)
-    ids = vectors.select(id_col)
     # a vector whose probed lists held < k neighbors has NO rank-k row —
     # and sparse candidate sets are exactly the likely outliers, so those
     # always join the rescan set rather than silently vanishing
@@ -412,9 +420,18 @@ def knn_density_ivf(
         topk_cosine_bruteforce(cand, vectors, k=k, vec_col=vec_col, id_col=id_col)
         .where(F.col("rank") == k)
         .select(F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos"))
+        # rerank-rows tiny; materialized once so the starved-vector
+        # anti-join below does not re-execute the whole rescan subtree
+        .localCheckpoint(eager=True)
+    )
+    # a rescanned vector with < k neighbors in the WHOLE corpus (n <= k)
+    # has no exact kth neighbor either: emit it with knn_cos NULL rather
+    # than dropping it — the one-row-per-vector contract holds at any n
+    no_kth = cand_ids.join(exact_k, id_col, "left_anti").withColumn(
+        "knn_cos", F.lit(None).cast("double")
     )
     rest = est_k.join(cand_ids, id_col, "left_anti")
-    return exact_k.unionByName(rest)
+    return exact_k.unionByName(no_kth).unionByName(rest)
 
 
 def topk_cosine_ivf(

@@ -73,30 +73,49 @@ def manifest_stream_source():
             # diffs stream as insert/delete rows with _change_type and
             # _commit_version pseudo-columns filled reader-side
             self.cdf = options.get("cdf") == "1"
+            # first version whose changes stream (resolved by
+            # stream_changes from starting_version=); the version BEFORE
+            # it is the initial offset, and if that manifest is vacuumed
+            # the start version replays as a FULL-snapshot bootstrap
+            self.cdf_start = int(options.get("cdf_start", "1"))
+            # per-version file sets memoized for the CDF walk — manifests
+            # are immutable, and without this every micro-batch re-reads
+            # O(versions) manifest JSONs plus their spilled payloads
+            self._fset_cache = {}
 
-        @staticmethod
-        def _resolve(p: str):
+        _FS_CACHE: dict = {}
+
+        @classmethod
+        def _resolve(cls, p: str):
             """``(pyarrow filesystem, within-fs path)`` for a root/base —
             plain paths map to LocalFileSystem, URIs go through
             ``pyarrow.fs.FileSystem.from_uri`` (file:// strips to a local
             path; object-store schemes get their real client). Only a
             scheme pyarrow cannot construct a filesystem for is refused —
-            LOUDLY, never as a silently-empty stream."""
+            LOUDLY, never as a silently-empty stream. Resolutions are
+            memoized per URI (class-level, so per-file loops and per-task
+            reads never rebuild an object-store client per file)."""
             import re
 
             from pyarrow.fs import FileSystem, LocalFileSystem
 
+            hit = cls._FS_CACHE.get(p)
+            if hit is not None:
+                return hit
             m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):/+", p)
             if not m:
-                return LocalFileSystem(), p
-            try:
-                return FileSystem.from_uri(p)
-            except Exception as e:
-                raise NotImplementedError(
-                    f"stream_manifest: unreachable path scheme "
-                    f"{m.group(1)!r} ({e}) — pyarrow.fs has no filesystem "
-                    "for this URI in the current environment"
-                )
+                out = (LocalFileSystem(), p)
+            else:
+                try:
+                    out = FileSystem.from_uri(p)
+                except Exception as e:
+                    raise NotImplementedError(
+                        f"stream_manifest: unreachable path scheme "
+                        f"{m.group(1)!r} ({e}) — pyarrow.fs has no filesystem "
+                        "for this URI in the current environment"
+                    )
+            cls._FS_CACHE[p] = out
+            return out
 
         # -- manifest plumbing (self-contained: no package imports) ----
         def _versions(self):
@@ -157,6 +176,9 @@ def manifest_stream_source():
         def _file_set(self, version: int):
             if version <= 0:
                 return set()
+            hit = self._fset_cache.get(version)
+            if hit is not None:
+                return hit
             out = set()
             for c in self._manifest(version)["commits"]:
                 if c.get("kind") == "dv":
@@ -169,6 +191,7 @@ def manifest_stream_source():
                 base = c.get("base", self.root_uri)
                 for f in c["files"]:
                     out.add((base, c["dir"], f))
+            self._fset_cache[version] = out
             return out
 
         def _cast_part(self, v: str, typ: str):
@@ -271,7 +294,18 @@ def manifest_stream_source():
             O(versions x files) manifest walking — the control-plane
             cost the simple reader already accepts."""
             rows = []
-            prev = self._file_set(lo)
+            try:
+                prev = self._file_set(lo)
+            except RuntimeError:
+                if lo == self.cdf_start - 1 and lo > 0:
+                    # snapshot bootstrap: starting_version='earliest' on a
+                    # vacuumed table — the predecessor manifest no longer
+                    # exists, so the start version replays WHOLE as
+                    # inserts (the state a new subscriber must absorb
+                    # anyway); later steps are true deltas
+                    prev = set()
+                else:
+                    raise
             for v in range(lo + 1, hi + 1):
                 cur = self._file_set(v)
                 removed = sorted(prev - cur)
@@ -291,7 +325,7 @@ def manifest_stream_source():
 
         # -- streaming contract ----------------------------------------
         def initialOffset(self):
-            return {"v": 0}
+            return {"v": self.cdf_start - 1 if self.cdf else 0}
 
         def read(self, start):
             lo = int(start["v"])
@@ -304,7 +338,11 @@ def manifest_stream_source():
             return self._rows_between(lo, hi), {"v": hi}
 
         def readBetweenOffsets(self, start, end):
-            return self._rows_between(int(start["v"]), int(end["v"]))
+            # ITERATOR, not list: this replay path runs through the
+            # worker-side data_source_read_func (a fresh reader resuming
+            # an existing checkpoint has no prefetch cache), which
+            # rejects bare lists
+            return iter(self._rows_between(int(start["v"]), int(end["v"])))
 
         def commit(self, end):
             pass
@@ -336,7 +374,7 @@ def manifest_stream_source():
             self.schema_json = options["schema_json"]
 
         def initialOffset(self):
-            return {"v": 0}
+            return {"v": self._mf.cdf_start - 1 if self._mf.cdf else 0}
 
         def latestOffset(self):
             vs = self._mf._versions()
@@ -350,7 +388,13 @@ def manifest_stream_source():
                 # the task order only loosely — consumers needing strict
                 # replay order sort on _commit_version, _change_type)
                 out = []
-                prev = self._mf._file_set(lo)
+                try:
+                    prev = self._mf._file_set(lo)
+                except RuntimeError:
+                    if lo == self._mf.cdf_start - 1 and lo > 0:
+                        prev = set()  # snapshot bootstrap (see _Reader)
+                    else:
+                        raise
                 for v in range(lo + 1, hi + 1):
                     cur = self._mf._file_set(v)
                     for b, d, r in sorted(prev - cur):

@@ -1841,7 +1841,9 @@ class TableRepo:
             .load()
         )
 
-    def stream_changes(self, partitioned: bool = False) -> DataFrame:
+    def stream_changes(
+        self, partitioned: bool = False, starting_version: int | str = 1
+    ) -> DataFrame:
         """The table's CHANGE-DATA-FEED as a streaming source (Delta's
         ``readChangeFeed`` shape on the manifest log; no reference
         counterpart): offsets are manifest versions, and each micro-batch
@@ -1857,9 +1859,31 @@ class TableRepo:
         Exactly-once by construction: a replayed offset range re-derives
         the identical diff from the identical immutable manifests.
         ``partitioned=True`` fans the changed files out one-per-task
-        (Arrow batches executor-side) for fat commits."""
+        (Arrow batches executor-side) for fat commits.
+
+        ``starting_version`` picks where the feed begins (the Delta
+        ``startingVersion`` shape): an int N streams changes from
+        version N on (N's predecessor manifest must be retained — the
+        vacuum-vs-checkpoint caveat); ``'earliest'`` starts at the
+        oldest RETAINED version, replaying it as a full-snapshot
+        bootstrap (all rows as inserts) when its predecessor was
+        vacuumed — the state a new subscriber must absorb anyway;
+        ``'latest'`` streams only versions committed after now."""
         if self.commit_mode != "manifest":
             raise TypeError("stream_changes() requires commit_mode='manifest'")
+        if starting_version == "earliest":
+            vs = self.versions()
+            start = vs[0] if vs else 1
+        elif starting_version == "latest":
+            vs = self.versions()
+            start = (vs[-1] if vs else 0) + 1
+        elif isinstance(starting_version, int) and starting_version >= 1:
+            start = starting_version
+        else:
+            raise ValueError(
+                f"starting_version must be an int >= 1, 'earliest' or "
+                f"'latest': {starting_version!r}"
+            )
         meta = load_meta(self.main_path, spark=self._spark)
         schema = meta.schema if meta and meta.schema else self.get_full_df().schema
         if not schema.fields:
@@ -1881,6 +1905,7 @@ class TableRepo:
             )
             .option("root", self.main_path)
             .option("cdf", "1")
+            .option("cdf_start", str(start))
             .option(
                 "schema_ddl",
                 ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_schema.fields),

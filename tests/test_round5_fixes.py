@@ -269,3 +269,90 @@ def test_stream_manifest_uri_root(spark, tmp_root, tmp_path):
             "cols": "k", "col_types": "string", "schema_ddl": "k string",
         })
         ds.simpleStreamReader("k string")
+
+
+def test_knn_density_one_row_per_vector(spark):
+    """knn_density_ivf's contract — one (id, knn_cos) row per input
+    vector — holds at every corpus size and in both tiers: a corpus of
+    n <= k vectors has no kth neighbor, so every row surfaces with a
+    NULL density (reads as maximally isolated) instead of vanishing;
+    rerank=None likewise emits starved vectors with NULL."""
+    from parquetranger_spark.operators.similarity import knn_density_ivf
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    got = knn_density_ivf(tiny, k=5, n_lists=16, n_probe=2, rerank=10).collect()
+    assert sorted(r["vec_id"] for r in got) == [0, 1, 2, 3]
+    assert all(r["knn_cos"] is None for r in got)
+
+    est_only = knn_density_ivf(tiny, k=5, n_lists=16, n_probe=2, rerank=None).collect()
+    assert sorted(r["vec_id"] for r in est_only) == [0, 1, 2, 3]
+
+
+def test_stream_changes_starting_version(spark, tmp_root, tmp_path):
+    """starting_version semantics of the CDF stream: 'latest' emits only
+    versions committed after stream creation; 'earliest' on a vacuumed
+    table bootstraps the oldest retained version as a full snapshot of
+    inserts (its predecessor manifest is gone) and then streams true
+    deltas."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(spark.createDataFrame(_frame(0, 3)))   # v1
+    t.extend(spark.createDataFrame(_frame(3, 3)))   # v2
+
+    def drain(df, out, ckpt):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # latest: the two existing versions do NOT stream...
+    lat = t.stream_changes(starting_version="latest")
+    drain(lat, f"{tmp_path}/lat", f"{tmp_path}/lat_ck")
+    import os as _os
+
+    n0 = (
+        spark.read.parquet(f"{tmp_path}/lat").count()
+        if _os.path.exists(f"{tmp_path}/lat/_SUCCESS") or _os.listdir(f"{tmp_path}/lat")
+        else 0
+    )
+    assert n0 == 0
+    # ...but a commit made afterwards does
+    t.extend(spark.createDataFrame(_frame(6, 2)))   # v3
+    drain(
+        t.stream_changes(starting_version="latest"),
+        f"{tmp_path}/lat",
+        f"{tmp_path}/lat_ck",
+    )
+    got = {(r["k"], r["_change_type"], r["_commit_version"])
+           for r in spark.read.parquet(f"{tmp_path}/lat").collect()}
+    assert got == {("k6", "insert", 3), ("k7", "insert", 3)}
+
+    # earliest after vacuum: v1/v2 manifests pruned; the feed bootstraps
+    # the oldest retained version as inserts, then streams new deltas
+    t.vacuum(max_age_seconds=0, keep_versions=1)
+    assert t.versions() == [3]
+    ear = t.stream_changes(starting_version="earliest")
+    drain(ear, f"{tmp_path}/ear", f"{tmp_path}/ear_ck")
+    got2 = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(f"{tmp_path}/ear").collect()
+    )
+    # v3's manifest carries the FULL live file set (k0..k7): bootstrap
+    # replays all of it as version-3 inserts
+    assert got2 == [(f"k{i}", "insert", 3) for i in range(8)]
+    # default (from version 1) on the vacuumed table refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="vacuumed|gone"):
+        drain(
+            t.stream_changes(),
+            f"{tmp_path}/def",
+            f"{tmp_path}/def_ck",
+        )
