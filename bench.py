@@ -105,6 +105,7 @@ HEADLINE = [
     # the headline set
     "embedding_outliers_knn",
     "stream_changes_feed",
+    "cdc_replica_sync",
 ]
 
 # queries whose gate form deliberately runs BOTH the index path and an
@@ -147,6 +148,38 @@ def run_one(spark, name: str) -> float:
     return dt
 
 
+CHUNK = int(os.environ.get("PQRS_BENCH_CHUNK", "15"))
+
+
+def _fan_out(names: list[str], repeat: int) -> None:
+    """Fork the bench into fresh subprocesses (see main) and merge their
+    one-line JSONs into the final emission."""
+    import subprocess
+
+    merged: dict[str, float] = {}
+    approx: dict[str, float] = {}
+    chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)]
+    for ci, chunk in enumerate(chunks):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--queries",
+            ",".join(chunk),
+            "--repeat",
+            str(repeat),
+        ]
+        print(f"# chunk {ci + 1}/{len(chunks)}: {len(chunk)} queries", file=sys.stderr)
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        sys.stderr.write(r.stderr[-4000:])
+        if r.returncode != 0:
+            raise SystemExit(f"bench chunk {ci + 1} failed:\n{r.stdout[-2000:]}")
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+        part = json.loads(line)
+        merged.update(part["queries"])
+        approx.update(part.get("ann_approx_only") or {})
+    _emit_json(merged, approx)
+
+
 def main() -> None:
     load_all()
     if "--queries" in sys.argv:
@@ -174,6 +207,18 @@ def main() -> None:
             repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
         except (IndexError, ValueError):
             raise SystemExit("usage: bench.py [--all] [--repeat N]")
+    if "--queries" not in sys.argv and len(names) > CHUNK:
+        # default/--all invocations fan out into FRESH SUBPROCESSES of
+        # CHUNK queries each: a long single-JVM sweep ages the process
+        # (codegen/metaspace accumulation survives even SparkContext
+        # restarts — measured ~10% uniform timing inflation on a
+        # ~60-query session vs a fresh one, and an in-process session
+        # recycle does NOT undo it), so cross-round per-query
+        # comparability needs each chunk to start clean. Startup/warm
+        # cost is per-process and never charged to query timings. An
+        # explicit --queries run IS the child (or a user subset).
+        _fan_out(names, repeat)
+        return
     spark = get_spark("bench")
     # warm the JVM once so q1 doesn't pay session startup: codegen compile,
     # parquet reader + committer, shuffle, and the Arrow/python-udf bridge
@@ -212,18 +257,7 @@ def main() -> None:
                 _shutil.rmtree(d, ignore_errors=True)
         return best
 
-    # the headline set has grown every round, and a long single-session
-    # sweep AGES the JVM (codegen class accumulation, old-gen fragments
-    # the per-query gc cannot fully reclaim) — measured ~10% uniform
-    # inflation on a 57-query session vs a fresh one. Recycling the
-    # session every RECYCLE_EVERY queries bounds that, keeping per-query
-    # numbers comparable across rounds regardless of headline size.
-    RECYCLE_EVERY = 15
-    for qi, name in enumerate(names):
-        if qi and qi % RECYCLE_EVERY == 0:
-            spark.stop()
-            spark = get_spark("bench")
-            spark.sql("select count(*) c from range(100000)").collect()
+    for name in names:
         timings[name] = timed(name)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
         if name in ANN_SPLIT:
@@ -239,6 +273,10 @@ def main() -> None:
                 os.environ.pop("PQRS_BENCH_APPROX_ONLY", None)
             print(f"# {name} (approx only): {approx_only[name]}s", file=sys.stderr)
 
+    _emit_json(timings, approx_only)
+
+
+def _emit_json(timings: dict[str, float], approx_only: dict[str, float]) -> None:
     total = round(sum(timings.values()), 3)
     # the headline set GROWS each round (new tiers join it), so the grand
     # total is not comparable across rounds; the r1/r2-era 17-query subset
@@ -276,7 +314,7 @@ def main() -> None:
                 # in-query (the verified-exact oracle pattern that ended
                 # their no_oracle driver exposure) — deliberate
                 # correctness-coverage cost, not an index regression
-                "notes": "ann queries include exact-verify surface since r4",
+                "notes": "ann queries include exact-verify surface since r4; benched in fresh subprocesses per 15-query chunk since r5",
             }
         )
     )

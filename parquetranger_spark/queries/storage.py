@@ -1198,6 +1198,62 @@ def stream_changes_feed(spark, sf_dir):
 
 
 @query(
+    "cdc_replica_sync",
+    oracle=f"""
+WITH final AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type = 'click' AND value >= 5.0
+  UNION ALL
+  SELECT event_id, event_type, value * 2 FROM events
+  WHERE event_type = 'view'
+)
+SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}
+FROM final GROUP BY event_type
+""",
+)
+def cdc_replica_sync(spark, sf_dir):
+    """S30 end-to-end CDC replication: a source table mutated through
+    four commits (two appends, a keyed delete, a keyed upsert) is
+    replicated by draining its change-data-feed once —
+    ``replica.sync_from(source)`` applies each version's deletes before
+    its inserts, every version fenced ``(source, version)`` so replays
+    are exactly-once even for delete-only versions. The replica's final
+    content must equal the source's — which the oracle derives
+    independently from the base table. The cross-region/downstream-sync
+    shape at 100 TB: each refresh moves O(changed files), never a
+    full-table diff."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    src = TableRepo(
+        scratch_dir("cdcsrc") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    src.extend(ev.where(F.col("event_type") == "click"))            # v1
+    src.extend(ev.where(F.col("event_type") == "view"))             # v2
+    src.delete_records(                                             # v3
+        ev.where((F.col("event_type") == "click") & (F.col("value") < 5.0)).select(
+            "event_id"
+        )
+    )
+    src.replace_records(                                            # v4+
+        ev.where(F.col("event_type") == "view").withColumn(
+            "value", F.col("value") * 2
+        )
+    )
+    repl = TableRepo(
+        scratch_dir("cdcrepl") + "/events",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    repl.sync_from(src, checkpoint=scratch_dir("cdc_ck"))
+    return repl.get_full_df().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
+
+
+@query(
     "constraints_drop_audit",
     oracle=f"""
 SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}

@@ -82,6 +82,7 @@ def manifest_stream_source():
             # are immutable, and without this every micro-batch re-reads
             # O(versions) manifest JSONs plus their spilled payloads
             self._fset_cache = {}
+            self._dv_cache = {}
 
         _FS_CACHE: dict = {}
 
@@ -182,9 +183,10 @@ def manifest_stream_source():
             out = set()
             for c in self._manifest(version)["commits"]:
                 if c.get("kind") == "dv":
-                    # deletion-vector commits carry tombstone keys, not
-                    # rows — deletes do not stream (same contract as the
-                    # docstring: this source surfaces appended data only)
+                    # dv commits carry tombstone keys, not table rows:
+                    # the APPEND feed skips them (it surfaces appended
+                    # data only); the CDF walk streams them separately
+                    # as key-only delete rows (_dv_entries)
                     continue
                 # carry the base URI verbatim — each read re-resolves it,
                 # so a shallow clone's donor may live on a different store
@@ -192,6 +194,30 @@ def manifest_stream_source():
                 for f in c["files"]:
                     out.add((base, c["dir"], f))
             self._fset_cache[version] = out
+            return out
+
+        def _dv_entries(self, version: int):
+            """[(commit_index, key_cols, [triples])] for the deletion-
+            vector commits live at ``version`` — the CDF face of
+            merge-on-read deletes (the append feed still skips them)."""
+            if version <= 0:
+                return []
+            hit = self._dv_cache.get(version)
+            if hit is not None:
+                return hit
+            out = []
+            for ci, c in enumerate(self._manifest(version)["commits"]):
+                if c.get("kind") != "dv":
+                    continue
+                base = c.get("base", self.root_uri)
+                out.append(
+                    (
+                        ci,
+                        tuple(c.get("key_cols") or ()),
+                        [(base, c["dir"], f) for f in c["files"]],
+                    )
+                )
+            self._dv_cache[version] = out
             return out
 
         def _cast_part(self, v: str, typ: str):
@@ -241,11 +267,12 @@ def manifest_stream_source():
                 if k not in owner or file_may_match(owner[k][0], owner[k][1], self.skip_preds)
             ]
 
-        def _file_rows(self, triples, extras):
+        def _file_rows(self, triples, extras, drop_row=None):
             """Rows of the given (base, dir, rel) files in manifest
             order; ``extras`` fills pseudo-columns (CDF's _change_type /
             _commit_version) that exist in the output schema but not in
-            the files."""
+            the files; ``drop_row(row_tuple)`` filters (the bootstrap's
+            deletion-vector mask)."""
             import posixpath
 
             import pyarrow.parquet as pq
@@ -274,7 +301,10 @@ def manifest_stream_source():
                         colvals.append([self._cast_part(parts[name], typ)] * n)
                     else:
                         colvals.append([None] * n)
-                rows.extend(zip(*colvals))
+                emitted = zip(*colvals)
+                if drop_row is not None:
+                    emitted = (r for r in emitted if not drop_row(r))
+                rows.extend(emitted)
             return rows
 
         def _rows_between(self, lo: int, hi: int):
@@ -289,39 +319,120 @@ def manifest_stream_source():
             keeps a downstream sync convergent), each stamped with the
             commit version that caused it. File-granular, like
             changes_between: a rewritten file emits delete+insert pairs
-            for its ride-along rows too; deletion-vector commits do not
-            stream (same contract as the append feed). Driver-side
-            O(versions x files) manifest walking — the control-plane
-            cost the simple reader already accepts."""
+            for its ride-along rows too. DELETION-VECTOR commits stream
+            as key-only delete rows (key columns filled, the rest NULL)
+            — a dv tombstones every matching key below it, so a replica
+            applying the keys converges; the bootstrap snapshot instead
+            ships dv-EFFECTIVE rows (position-aware mask: a row is dead
+            iff some dv above its file's commit matches its key), since
+            file rows and their tombstones would otherwise race inside
+            one emitted version. Driver-side O(versions x files)
+            manifest walking — the control-plane cost the simple reader
+            already accepts."""
             rows = []
+            bootstrap_v = None
             try:
                 prev = self._file_set(lo)
+                prev_dv = self._dv_entries(lo)
             except RuntimeError:
                 if lo == self.cdf_start - 1 and lo > 0:
                     # snapshot bootstrap: starting_version='earliest' on a
                     # vacuumed table — the predecessor manifest no longer
-                    # exists, so the start version replays WHOLE as
-                    # inserts (the state a new subscriber must absorb
-                    # anyway); later steps are true deltas
+                    # exists, so the start version replays WHOLE (dv-
+                    # effective) as inserts; later steps are true deltas
                     prev = set()
+                    prev_dv = []
+                    bootstrap_v = lo + 1
                 else:
                     raise
             for v in range(lo + 1, hi + 1):
                 cur = self._file_set(v)
+                cur_dv = self._dv_entries(v)
                 removed = sorted(prev - cur)
                 added = sorted(cur - prev)
-                rows.extend(
-                    self._file_rows(
-                        removed, {"_change_type": "delete", "_commit_version": v}
+                if v == bootstrap_v:
+                    rows.extend(self._bootstrap_rows(v, added, cur_dv))
+                else:
+                    rows.extend(
+                        self._file_rows(
+                            removed, {"_change_type": "delete", "_commit_version": v}
+                        )
                     )
-                )
-                rows.extend(
-                    self._file_rows(
-                        added, {"_change_type": "insert", "_commit_version": v}
+                    # dv commits added in this step: their key files ARE
+                    # delete rows (key cols present, others NULL)
+                    seen = {(ci, kc) for ci, kc, _ in prev_dv}
+                    for ci, kc, triples in cur_dv:
+                        if (ci, kc) in seen:
+                            continue
+                        rows.extend(
+                            self._file_rows(
+                                triples,
+                                {"_change_type": "delete", "_commit_version": v},
+                            )
+                        )
+                    rows.extend(
+                        self._file_rows(
+                            added, {"_change_type": "insert", "_commit_version": v}
+                        )
                     )
-                )
-                prev = cur
+                prev, prev_dv = cur, cur_dv
             return rows
+
+        def _dv_dead_map(self, dv_entries):
+            """key-tuple -> max dv commit index, read from the tombstone
+            key files (tombstone-sized)."""
+            import posixpath
+
+            import pyarrow.parquet as pq
+
+            dead = {}
+            key_cols = None
+            for ci, kc, triples in dv_entries:
+                key_cols = kc
+                for base, cdir, rel in triples:
+                    bfs, bpath = self._resolve(base)
+                    tbl = pq.read_table(
+                        posixpath.join(bpath, cdir, rel), filesystem=bfs
+                    )
+                    cols = [tbl.column(k).to_pylist() for k in kc]
+                    for key in zip(*cols):
+                        if dead.get(key, -1) < ci:
+                            dead[key] = ci
+            return key_cols, dead
+
+        def _bootstrap_rows(self, v, added, dv_entries):
+            """The start version's full snapshot as inserts, with
+            deletion-vector-dead rows masked out position-aware (dead iff
+            a dv ABOVE the row's commit matches its key)."""
+            if not dv_entries:
+                return self._file_rows(
+                    added, {"_change_type": "insert", "_commit_version": v}
+                )
+            key_cols, dead = self._dv_dead_map(dv_entries)
+            kpos = [self.cols.index(k) for k in key_cols]
+            # commit index per triple, from the manifest walk
+            ci_of = {}
+            for ci, c in enumerate(self._manifest(v)["commits"]):
+                if c.get("kind") == "dv":
+                    continue
+                base = c.get("base", self.root_uri)
+                for f in c["files"]:
+                    ci_of[(base, c["dir"], f)] = ci
+            out = []
+            for triple in added:
+                ci = ci_of.get(triple, -1)
+
+                def dead_row(row, _ci=ci):
+                    return dead.get(tuple(row[i] for i in kpos), -1) > _ci
+
+                out.extend(
+                    self._file_rows(
+                        [triple],
+                        {"_change_type": "insert", "_commit_version": v},
+                        drop_row=dead_row,
+                    )
+                )
+            return out
 
         # -- streaming contract ----------------------------------------
         def initialOffset(self):
@@ -386,28 +497,70 @@ def manifest_stream_source():
                 # one task per changed file, change-kind planned here:
                 # deletes of a version before its inserts (list order is
                 # the task order only loosely — consumers needing strict
-                # replay order sort on _commit_version, _change_type)
+                # replay order sort on _commit_version, _change_type).
+                # Deletion-vector commits plan as delete partitions of
+                # their key files; a dv-bearing bootstrap passes the
+                # (tiny) dead-key map to each snapshot task (see _Reader)
                 out = []
+                bootstrap_v = None
                 try:
                     prev = self._mf._file_set(lo)
+                    prev_dv = self._mf._dv_entries(lo)
                 except RuntimeError:
                     if lo == self._mf.cdf_start - 1 and lo > 0:
-                        prev = set()  # snapshot bootstrap (see _Reader)
+                        prev, prev_dv = set(), []
+                        bootstrap_v = lo + 1
                     else:
                         raise
                 for v in range(lo + 1, hi + 1):
                     cur = self._mf._file_set(v)
+                    cur_dv = self._mf._dv_entries(v)
+                    if v == bootstrap_v and cur_dv:
+                        key_cols, dead = self._mf._dv_dead_map(cur_dv)
+                        kpos = [self._mf.cols.index(k) for k in key_cols]
+                        ci_of = {}
+                        for ci, c in enumerate(self._mf._manifest(v)["commits"]):
+                            if c.get("kind") == "dv":
+                                continue
+                            base = c.get("base", self._mf.root_uri)
+                            for f in c["files"]:
+                                ci_of[(base, c["dir"], f)] = ci
+                        dead_list = [list(k) + [mx] for k, mx in dead.items()]
+                        for b, d, r in sorted(cur - prev):
+                            out.append(_FilePartition(
+                                b, d, r,
+                                {
+                                    "_change_type": "insert",
+                                    "_commit_version": v,
+                                    "__dv_mask": {
+                                        "kpos": kpos,
+                                        "dead": dead_list,
+                                        "ci": ci_of.get((b, d, r), -1),
+                                    },
+                                },
+                            ))
+                        prev, prev_dv = cur, cur_dv
+                        continue
                     for b, d, r in sorted(prev - cur):
                         out.append(_FilePartition(
                             b, d, r,
                             {"_change_type": "delete", "_commit_version": v},
                         ))
+                    seen = {(ci, kc) for ci, kc, _ in prev_dv}
+                    for ci, kc, triples in cur_dv:
+                        if (ci, kc) in seen:
+                            continue
+                        for b, d, r in triples:
+                            out.append(_FilePartition(
+                                b, d, r,
+                                {"_change_type": "delete", "_commit_version": v},
+                            ))
                     for b, d, r in sorted(cur - prev):
                         out.append(_FilePartition(
                             b, d, r,
                             {"_change_type": "insert", "_commit_version": v},
                         ))
-                    prev = cur
+                    prev, prev_dv = cur, cur_dv
                 return out
             new = self._mf._new_files(lo, hi)
             return [_FilePartition(b, d, r) for b, d, r in new] or []
@@ -435,8 +588,23 @@ def manifest_stream_source():
                 filesystem=bfs,
             )
             n = tbl.num_rows
+            extras = dict(getattr(partition, "extras", {}) or {})
+            mask_spec = extras.pop("__dv_mask", None)
+            if mask_spec is not None and mask_spec["dead"]:
+                # bootstrap dv mask: drop rows whose key maps to a dv
+                # above this file's commit (position-aware, same rule as
+                # the batch read path)
+                kpos = mask_spec["kpos"]
+                ci = mask_spec["ci"]
+                dead = {tuple(e[:-1]): e[-1] for e in mask_spec["dead"]}
+                names = [self.cols[i] for i in kpos]
+                keycols = [tbl.column(nm).to_pylist() for nm in names]
+                keep = [
+                    dead.get(key, -1) <= ci for key in zip(*keycols)
+                ]
+                tbl = tbl.filter(pa.array(keep, type=pa.bool_()))
+                n = tbl.num_rows
             arrays, fields = [], []
-            extras = getattr(partition, "extras", {}) or {}
             for field, typ in zip(st.fields, self.types):
                 name = field.name
                 patype = to_arrow_type(field.dataType)

@@ -1185,8 +1185,9 @@ class TableRepo:
         under dynamic-overwrite maintenance stay in the manifest
         (harmless: every later commit out-positions them) until the next
         static rewrite. NULL key components never match (SQL equality),
-        same as the DELETE twin. Deletes do not stream: the manifest
-        streaming source skips dv commits.
+        same as the DELETE twin. The append streaming source skips dv
+        commits (it surfaces appended data only); the change-data-feed
+        (:meth:`stream_changes`) streams them as key-only delete rows.
 
         Scale shape: the write is one small parquet job + one CAS —
         composing with concurrent appends like any commit. At 100 TB
@@ -1852,8 +1853,11 @@ class TableRepo:
         added files emit theirs as ``'insert'``, each stamped with the
         ``_commit_version`` that caused the change. The streaming twin
         of :meth:`changes_between` (same file-granular contract: a
-        rewritten file emits delete+insert pairs for its ride-along rows;
-        deletion-vector commits do not stream), so a downstream sync can
+        rewritten file emits delete+insert pairs for its ride-along
+        rows). Deletion-vector commits stream as KEY-ONLY delete rows
+        (key columns filled, the rest NULL) — merge-on-read deletes
+        reach subscribers too; a dv-bearing bootstrap snapshot ships
+        dv-effective rows instead. A downstream sync can therefore
         subscribe instead of polling version pairs — the
         deletes-then-inserts replay order keeps it convergent.
         Exactly-once by construction: a replayed offset range re-derives
@@ -1917,6 +1921,177 @@ class TableRepo:
             )
             .load()
         )
+
+    def sync_from(
+        self,
+        source: "TableRepo",
+        checkpoint: str,
+        starting_version: int | str = 1,
+        timeout_sec: float = 600,
+    ) -> None:
+        """Incrementally replicate ``source`` into this table by draining
+        its change-data-feed once (``availableNow``) — the CONSUMER side
+        of :meth:`stream_changes` (SURVEY §2 S30), closing the sync loop
+        the feed exists for. Each version in each micro-batch applies as
+        ONE fenced read-modify-write commit: the replica's touched rows
+        anti-join the version's delete keys, union its inserts, and
+        publish under fence ``(source-root, version)`` —
+
+        - exactly-once, atomically: the fence is checked inside the
+          publish CAS, so a crash replay (or a concurrent ``sync_from``
+          on the same replica) no-ops BEFORE any write job; the
+          delete+insert pair can never be torn (the non-atomic
+          apply-deletes-then-fenced-insert design this replaced could
+          re-delete a fenced version's rows on replay);
+        - delete-only versions publish a fence-carrying empty entry
+          (the marker still lands);
+        - concurrent non-sync writes to the replica are caught by the
+          normal RMW conflict gate (``ConcurrentWriteError``).
+
+        Repeated calls are the incremental refresh: the stream checkpoint
+        remembers the last consumed version, so each call pays only new
+        commits. The replica must share the source's ``index_cols``
+        (enforced — a mismatched key projection would silently
+        over-delete). At 100 TB this is the cross-region/table
+        replication shape: O(changed files) per refresh, never a
+        full-table diff."""
+        if self.commit_mode != "manifest":
+            raise TypeError("sync_from() requires commit_mode='manifest' on the replica")
+        if not self.index_cols:
+            raise TypeError("sync_from() needs index_cols (keyed deletes)")
+        if list(self.index_cols) != list(source.index_cols):
+            raise TypeError(
+                f"sync_from(): replica index_cols {self.index_cols} must equal "
+                f"the source's {source.index_cols} — a mismatched key "
+                "projection would silently over-delete"
+            )
+        src_id = source.main_path
+        repl = self
+
+        def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = batch_df.persist()
+            try:
+                # one pass over the batch tells us every version and
+                # which change kinds it carries — no per-version
+                # isEmpty() probe jobs
+                kinds = {}
+                for r in (
+                    rows.groupBy("_commit_version", "_change_type").count().collect()
+                ):
+                    kinds.setdefault(int(r["_commit_version"]), set()).add(
+                        r["_change_type"]
+                    )
+                for v in sorted(kinds):
+                    vr = rows.where(F.col("_commit_version") == v)
+                    dels = (
+                        vr.where(F.col("_change_type") == "delete").select(
+                            *repl.index_cols
+                        )
+                        if "delete" in kinds[v]
+                        else None
+                    )
+                    ins = (
+                        vr.where(F.col("_change_type") == "insert").drop(
+                            "_change_type", "_commit_version"
+                        )
+                        if "insert" in kinds[v]
+                        else None
+                    )
+                    repl._apply_keyed_changes(dels, ins, fence=(src_id, int(v)))
+            finally:
+                rows.unpersist()
+
+        q = (
+            source.stream_changes(starting_version=starting_version)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            # timing out is NOT success: the replica is part-synced and
+            # the query would keep mutating it behind the caller's back
+            q.stop()
+            raise TimeoutError(
+                f"sync_from: feed not drained within {timeout_sec}s "
+                "(raise timeout_sec, or narrow starting_version)"
+            )
+
+    def _apply_keyed_changes(
+        self, dels: DataFrame | None, ins: DataFrame | None, fence: tuple
+    ) -> None:
+        """Apply one CDF version — delete keys out, insert rows in — as a
+        single fenced overwrite commit (the sync_from unit of work).
+        Partition-pruned like replace_records: only partitions holding a
+        deleted key or receiving an insert are read back and rewritten.
+        The fence makes the whole version idempotent ATOMICALLY: a replay
+        (or concurrent sync) finds it in the manifest and no-ops before
+        any write job."""
+        from .manifest import load_manifest
+
+        fkey = list(map(str, fence))
+        mf0 = load_manifest(self._fs(), self.main_path)
+        if mf0 and any(c.get("fence") == fkey for c in mf0["commits"]):
+            return  # version already fully applied
+        rmw = self._rmw_baseline()
+        old = self._snapshot_df(rmw)
+        keys = self.index_cols
+        if ins is not None:
+            ins = self._prepare(ins)
+        if not old.columns:
+            # brand-new replica (no committed schema yet): deletes have
+            # nothing to touch — the version reduces to a fenced append
+            # (empty, keys-schema, when the version was delete-only; the
+            # canonical schema widens on the first real insert)
+            self._write(
+                ins if ins is not None else dels.limit(0),
+                mode="append",
+                fence=fence,
+            )
+            return
+        if self.group_cols:
+            touched = None
+            if dels is not None:
+                touched = (
+                    old.join(dels.select(*keys).distinct(), keys, "left_semi")
+                    .select(*self.group_cols)
+                )
+            if ins is not None:
+                ig = ins.select(*self.group_cols)
+                touched = ig if touched is None else touched.unionByName(ig)
+            touched_vals = {tuple(r) for r in touched.distinct().collect()}
+            if not touched_vals:
+                # nothing to rewrite, but the fence must still land
+                self._write(
+                    old.limit(0) if ins is None else ins.limit(0),
+                    mode="append",
+                    fence=fence,
+                )
+                return
+            out = old.where(self._group_filter(touched_vals))
+            if dels is not None:
+                out = out.join(dels.select(*keys).distinct(), keys, "left_anti")
+            if ins is not None:
+                out = out.unionByName(ins)
+            out = out.localCheckpoint(eager=True)
+            kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
+            self._write(
+                out, mode="overwrite", dynamic=True, fence=fence, rmw_baseline=rmw,
+                prune=touched_vals - kept_vals,
+            )
+        else:
+            out = old
+            if dels is not None:
+                out = out.join(dels.select(*keys).distinct(), keys, "left_anti")
+            if ins is not None:
+                out = out.unionByName(ins)
+            out = out.localCheckpoint(eager=True)
+            self._write(
+                out, mode="overwrite", dynamic=False, fence=fence, rmw_baseline=rmw
+            )
 
     def as_view(self, name: str | None = None) -> str:
         """Register the table as a temp view (default name: the table's
@@ -2204,6 +2379,7 @@ class TableRepo:
         fence: tuple | None = None,
         meta=None,
         rmw_baseline: dict | None = None,
+        prune: set | None = None,
     ) -> None:
         """Manifest-mode commit (sources/manifest.py): write the batch ONCE
         into a fresh ``_pqrs_data/<uuid>`` dir (hive-partitioned inside, so
@@ -2227,6 +2403,18 @@ class TableRepo:
         entry = self._stage_entry(df, meta=meta)
         if fkey is not None:
             entry["fence"] = fkey
+        if prune:
+            # partitions this commit DECLARES empty (a keyed rewrite that
+            # removed every row of them) — pruned in the SAME CAS as the
+            # new files + fence, so a fenced version-apply is atomic: no
+            # crash window between "rows written" and "emptied dirs
+            # dropped" (the separate _drop_emptied_partitions commit
+            # would be skipped forever once the fence exists)
+            from .manifest import hive_value
+
+            entry["prune"] = sorted(
+                [hive_value(v) for v in gv] for gv in prune
+            )
         self._publish_entry(entry, mode, dynamic, fkey, rmw_baseline=rmw_baseline)
 
     def _stage_entry(self, df: DataFrame, meta=None) -> dict:
@@ -2317,6 +2505,7 @@ class TableRepo:
         files = entry["files"]
         touched = (
             {partition_values_of(f, self.group_cols) for f in files}
+            | {tuple(t) for t in entry.get("prune", [])}
             if (dynamic and self.group_cols)
             else set()
         )
@@ -2328,11 +2517,21 @@ class TableRepo:
             if rmw_baseline is not None:
                 self._check_rmw_conflict(rmw_baseline, commits, dynamic, touched)
             if mode == "append":
-                commits = commits + ([entry] if files else [])
+                # a fenced entry publishes even with ZERO files: the fence
+                # is the exactly-once marker, and consumers (sync_from)
+                # rely on it to know a version's effects — which may be
+                # deletes only — are fully applied; an unfenced empty
+                # entry stays dropped
+                commits = commits + (
+                    [entry] if (files or entry.get("fence")) else []
+                )
             elif dynamic and self.group_cols:
                 self._assert_uniform_spec(commits)
+                # fenced empty entries publish here too (same rule as the
+                # append branch): a CDF-applied version that only DELETED
+                # rows still needs its exactly-once marker
                 commits = prune_partitions(commits, self.group_cols, touched) + (
-                    [entry] if files else []
+                    [entry] if (files or entry.get("fence")) else []
                 )
             else:  # static truncate-and-load
                 # fence tombstones outlive even a full truncation: a
@@ -2354,7 +2553,9 @@ class TableRepo:
                     for c in commits
                     if "fence" in c
                 ]
-                commits = tombs + ([entry] if files else [])
+                commits = tombs + (
+                    [entry] if (files or entry.get("fence")) else []
+                )
             if mode == "append" and cur and cur.get("spec") is not None:
                 # an append must not revert a concurrent evolution: the
                 # manifest's spec is authoritative; this writer's entry
@@ -2967,7 +3168,7 @@ class TableRepo:
             },
         }
 
-    def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None, rmw_baseline: dict | None = None) -> None:
+    def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None, rmw_baseline: dict | None = None, prune: set | None = None) -> None:
         if fence is not None and self.commit_mode != "manifest":
             raise TypeError("fenced (exactly-once) writes need commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
@@ -2975,7 +3176,7 @@ class TableRepo:
         if self.commit_mode == "manifest":
             self._write_manifest(
                 df, mode=mode, dynamic=dynamic, fence=fence, meta=meta,
-                rmw_baseline=rmw_baseline,
+                rmw_baseline=rmw_baseline, prune=prune,
             )
             return
         if mode == "append" and not self.single_writer:

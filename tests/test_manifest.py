@@ -1719,3 +1719,96 @@ def test_stream_changes_cdf_feed(spark, tmp_root, tmp_path, partitioned):
         for r in spark.read.parquet(out).collect()
     )
     assert ("k6", "insert", 3) in got2 and len(got2) == len(got) + 1
+
+
+def test_sync_from_replication(spark, tmp_root, tmp_path):
+    """CDC replica sync: sync_from drains the source's change feed and
+    converges the replica to the source's exact content; a re-drain is a
+    no-op (per-version fences, recorded even for delete-only versions);
+    a later incremental refresh applies only new commits."""
+    src = _repo(spark, f"{tmp_root}/src")
+    src.extend(spark.createDataFrame(_frame(0, 6)))                 # v1
+    src.replace_records(                                            # v2(+)
+        spark.createDataFrame(pd.DataFrame({"k": ["k1"], "A": [100], "C": ["1"]}))
+    )
+    # delete BOTH C=2 keys: the partition empties, so the source commit
+    # is prune-only and the CDF version carries ONLY deletes — the case
+    # whose fence marker (a fence-only commit) the assertions below pin
+    src.delete_records(                                             # v3(+)
+        spark.createDataFrame(pd.DataFrame({"k": ["k2", "k5"]}))
+    )
+    repl = _repo(spark, f"{tmp_root}/repl")
+    repl.sync_from(src, checkpoint=f"{tmp_path}/ck")
+    assert rows(repl.get_full_df()) == rows(src.get_full_df())
+
+    # delete-only versions leave a fence-only commit (the exactly-once
+    # marker sync replay depends on)
+    mf = load_manifest(repl._fs(), repl.main_path)
+    assert any(
+        "fence" in c and not c["files"] for c in mf["commits"]
+    ), "delete-only version left no fence marker"
+
+    # re-drain: no duplicates, no resurrections
+    repl.sync_from(src, checkpoint=f"{tmp_path}/ck")
+    assert rows(repl.get_full_df()) == rows(src.get_full_df())
+
+    # incremental refresh picks up only the new commit
+    src.extend(spark.createDataFrame(_frame(6, 2)))
+    repl.sync_from(src, checkpoint=f"{tmp_path}/ck")
+    assert rows(repl.get_full_df()) == rows(src.get_full_df())
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_stream_changes_dv_deletes(spark, tmp_root, tmp_path, partitioned):
+    """Merge-on-read deletes reach CDF subscribers: a deletion-vector
+    commit streams as key-only delete rows (key columns filled, others
+    NULL), and a dv-bearing bootstrap ships the dv-EFFECTIVE snapshot —
+    in both reader flavors."""
+    t = _repo(spark, f"{tmp_root}/t{int(partitioned)}")
+    t.extend(spark.createDataFrame(_frame(0, 6)))               # v1
+    t.delete_records_dv(
+        spark.createDataFrame(pd.DataFrame({"k": ["k1", "k4"]}))
+    )                                                           # v2 (dv)
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def drain(df, o, c):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", o)
+            .outputMode("append")
+            .option("checkpointLocation", c)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain(t.stream_changes(partitioned=partitioned), out, ckpt)
+    got = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"], r["A"] is None)
+        for r in spark.read.parquet(out).collect()
+    )
+    # v1: six inserts with values; v2: two key-only deletes (A NULL)
+    assert (("k1", "delete", 2, True) in got) and (("k4", "delete", 2, True) in got)
+    assert sum(1 for g in got if g[1] == "insert") == 6
+    assert sum(1 for g in got if g[1] == "delete") == 2
+
+    # and sync_from converges a dv-using source
+    repl = _repo(spark, f"{tmp_root}/repl{int(partitioned)}")
+    repl.sync_from(t, checkpoint=f"{tmp_path}/sck")
+    assert rows(repl.get_full_df()) == rows(t.get_full_df())
+
+    # dv-bearing BOOTSTRAP: vacuum away v1, start 'earliest' — the
+    # snapshot must arrive dv-effective (no k1/k4, no delete rows)
+    t.vacuum(max_age_seconds=0, keep_versions=1)
+    assert t.versions() == [2]
+    drain(
+        t.stream_changes(partitioned=partitioned, starting_version="earliest"),
+        f"{tmp_path}/boot",
+        f"{tmp_path}/boot_ck",
+    )
+    boot = sorted(
+        (r["k"], r["_change_type"]) for r in spark.read.parquet(f"{tmp_path}/boot").collect()
+    )
+    assert boot == [
+        (k, "insert") for k in ["k0", "k2", "k3", "k5"]
+    ], f"bootstrap not dv-effective: {boot}"
