@@ -615,9 +615,16 @@ class TableRepo:
             # empty; dynamic overwrite can't express "now empty" — clear those
             # partition dirs explicitly
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
-            self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(
-                touched_vals - kept_vals, rmw, check_removed=False
+            # ONE commit: the rewrite's new files AND the partitions it
+            # emptied publish in the same CAS. Besides saving a manifest
+            # round trip, this is a CDC invariant — a logical upsert must
+            # be ONE feed version, or a key-applied consumer replaying
+            # "overwrite then drop-emptied" as two versions would let the
+            # second version's (old-image) deletes erase rows the first
+            # inserted under the same keys.
+            self._write(
+                out, mode="overwrite", dynamic=True, rmw_baseline=rmw,
+                prune=touched_vals - kept_vals,
             )
         else:
             out = old.join(new, join_keys, "left_anti").unionByName(new)
@@ -755,10 +762,13 @@ class TableRepo:
             old_touched = old.where(self._group_filter(touched_vals))
             out = _merged(old_touched).localCheckpoint(eager=True)
             kept_vals = {tuple(r) for r in out.select(*self.group_cols).distinct().collect()}
-            if kept_vals:
-                self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(
-                touched_vals - kept_vals, rmw, check_removed=not kept_vals
+            # single-commit publish, files + emptied-partition prune in
+            # one CAS (see replace_records — also the one-version-per-
+            # logical-op CDC invariant). kept_vals empty → the entry has
+            # no files and only the prune applies.
+            self._write(
+                out, mode="overwrite", dynamic=True, rmw_baseline=rmw,
+                prune=touched_vals - kept_vals,
             )
         else:
             out = _merged(old).localCheckpoint(eager=True)
@@ -1267,10 +1277,13 @@ class TableRepo:
             kept_vals = {
                 tuple(r) for r in out.select(*self.group_cols).distinct().collect()
             }
-            if kept_vals:
-                self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
-            self._drop_emptied_partitions(
-                touched_vals - kept_vals, rmw, check_removed=not kept_vals
+            # single-commit publish, files + emptied-partition prune in
+            # one CAS (see replace_records — also the one-version-per-
+            # logical-op CDC invariant). kept_vals empty → the entry has
+            # no files and only the prune applies.
+            self._write(
+                out, mode="overwrite", dynamic=True, rmw_baseline=rmw,
+                prune=touched_vals - kept_vals,
             )
         else:
             out = keep(old).localCheckpoint(eager=True)
@@ -2579,12 +2592,7 @@ class TableRepo:
                 return
 
     def _check_rmw_conflict(
-        self,
-        baseline: dict,
-        commits: list[dict],
-        dynamic: bool,
-        touched: set,
-        check_removed: bool = True,
+        self, baseline: dict, commits: list[dict], dynamic: bool, touched: set
     ) -> None:
         """Optimistic-concurrency gate for read-MODIFY-write publishes
         (keyed upsert / merge / keyed+predicate delete): the rewrite was
@@ -2637,13 +2645,6 @@ class TableRepo:
                 f"(snapshot v{baseline['version']}) would erase — rerun the "
                 "operation on the current state"
             )
-        if not check_removed:
-            # drop-after-publish path: this rewrite's OWN dynamic
-            # overwrite already pruned the touched partitions (and its
-            # publish ran the full check against the same baseline), so
-            # baseline removals here are expected — only ADDITIONS that
-            # landed since the publish can still conflict (checked above)
-            return
         for bdir, bfiles in baseline["dirs"].items():
             removed = bfiles - set(cur_files.get(bdir, ()))
             if not removed:
@@ -2947,10 +2948,7 @@ class TableRepo:
         return kept, total
 
     def _drop_partitions_from_manifest(
-        self,
-        group_value_tuples: set[tuple],
-        rmw_baseline: dict | None = None,
-        check_removed: bool = True,
+        self, group_value_tuples: set[tuple], rmw_baseline: dict | None = None
     ) -> None:
         """Manifest-mode partition delete: publish a version whose file
         list excludes the partitions — data files stay until vacuum."""
@@ -2968,10 +2966,7 @@ class TableRepo:
                 # our rewrite computed these partitions EMPTY from its
                 # snapshot — a commit landed since with rows in one of
                 # them would be silently erased by this drop
-                self._check_rmw_conflict(
-                    rmw_baseline, cur["commits"], True, touched,
-                    check_removed=check_removed,
-                )
+                self._check_rmw_conflict(rmw_baseline, cur["commits"], True, touched)
             self._assert_uniform_spec(cur["commits"])
             nxt = {
                 "version": cur["version"] + 1,
@@ -3101,28 +3096,6 @@ class TableRepo:
                 deleted.append(path)
         return deleted
 
-    def _drop_emptied_partitions(
-        self, gone: set, rmw_baseline: dict | None = None, check_removed: bool = True
-    ) -> None:
-        """Clear partitions a keyed rewrite left empty — ONE manifest
-        commit for the whole set (a per-partition loop would publish N
-        versions: N CAS round trips, N retention-window slots, and N
-        intermediate states readers can observe); files mode deletes the
-        dirs directly. The rewrite's RMW baseline rides along so a
-        concurrent append into a to-be-dropped partition conflicts
-        instead of being erased."""
-        if not gone:
-            return
-        if self.commit_mode == "manifest":
-            self._drop_partitions_from_manifest(
-                {tuple(g) for g in gone},
-                rmw_baseline=rmw_baseline,
-                check_removed=check_removed,
-            )
-            return
-        for gv in gone:
-            self._delete_partition_dir(gv)
-
     def _delete_partition_dir(self, group_values: tuple) -> None:
         if self.commit_mode == "manifest":
             self._drop_partitions_from_manifest({tuple(group_values)})
@@ -3206,6 +3179,11 @@ class TableRepo:
         # a static overwrite wipes the table root, sidecar included — restore
         if meta is not None and load_meta(self.main_path, spark=self._spark) is None:
             save_meta(self.main_path, meta, spark=self._spark)
+        if prune:
+            # partitions the rewrite left empty (dynamic overwrite cannot
+            # express "now empty") — files mode clears the dirs directly
+            for gv in prune:
+                self._delete_partition_dir(tuple(gv))
 
     def _apply_clustering(self, df: DataFrame) -> DataFrame:
         if self.cluster_by:

@@ -1812,3 +1812,56 @@ def test_stream_changes_dv_deletes(spark, tmp_root, tmp_path, partitioned):
     assert boot == [
         (k, "insert") for k in ["k0", "k2", "k3", "k5"]
     ], f"bootstrap not dv-effective: {boot}"
+
+
+def test_sync_from_random_op_sequences(spark, tmp_root, tmp_path):
+    """Randomized convergence: several seeded random sequences of source
+    mutations (append / keyed upsert / copy-on-write delete /
+    merge-on-read dv delete / partition overwrite), each followed by an
+    incremental sync — after every refresh the replica equals the
+    source exactly. Catches interaction bugs no single-shape test pins
+    (dv after upsert, overwrite after dv, emptied partitions, …)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        src = _repo(spark, f"{tmp_root}/src{seed}")
+        repl = _repo(spark, f"{tmp_root}/repl{seed}")
+        ck = f"{tmp_path}/ck{seed}"
+        nxt = [0]
+
+        def fresh(n):
+            lo = nxt[0]
+            nxt[0] += n
+            return _frame(lo, n)
+
+        src.extend(spark.createDataFrame(fresh(6)))
+        ops = ["append", "upsert", "delete", "dv", "overwrite"]
+        for step in range(6):
+            op = rng.choice(ops)
+            live = [r["k"] for r in src.get_full_df().select("k").collect()]
+            if op == "append":
+                src.extend(spark.createDataFrame(fresh(rng.randint(1, 4))))
+            elif op == "upsert" and live:
+                pick = rng.sample(live, min(2, len(live)))
+                src.replace_records(spark.createDataFrame(pd.DataFrame({
+                    "k": pick,
+                    "A": [1000 + step] * len(pick),
+                    "C": [str(rng.randint(0, 2)) for _ in pick],
+                })))
+            elif op == "delete" and live:
+                pick = rng.sample(live, min(2, len(live)))
+                src.delete_records(spark.createDataFrame(pd.DataFrame({"k": pick})))
+            elif op == "dv" and live:
+                pick = rng.sample(live, min(2, len(live)))
+                src.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": pick})))
+            elif op == "overwrite":
+                g = str(rng.randint(0, 2))
+                src.replace_groups(spark.createDataFrame(pd.DataFrame({
+                    "k": [f"ow{step}"], "A": [step], "C": [g],
+                })))
+            # incremental refresh after every mutation batch
+            repl.sync_from(src, checkpoint=ck)
+            assert rows(repl.get_full_df()) == rows(src.get_full_df()), (
+                f"seed {seed} diverged after step {step} ({op})"
+            )
