@@ -1945,19 +1945,25 @@ class TableRepo:
         """Incrementally replicate ``source`` into this table by draining
         its change-data-feed once (``availableNow``) — the CONSUMER side
         of :meth:`stream_changes` (SURVEY §2 S30), closing the sync loop
-        the feed exists for. Each version in each micro-batch applies as
-        ONE fenced read-modify-write commit: the replica's touched rows
-        anti-join the version's delete keys, union its inserts, and
-        publish under fence ``(source-root, version)`` —
+        the feed exists for. Each micro-batch COLLAPSES to the latest
+        change per key (version order; within a version an insert
+        outranks the old-image delete of the same file-granular upsert —
+        the Delta APPLY CHANGES shape) and applies as ONE fenced
+        read-modify-write commit: touched replica rows anti-join the
+        delete keys, union the surviving inserts, publish under fence
+        ``(source-root, max version)`` —
 
+        - O(1) commits per refresh, however many source versions the
+          batch spans (never O(versions) rewrites);
         - exactly-once, atomically: the fence is checked inside the
           publish CAS, so a crash replay (or a concurrent ``sync_from``
-          on the same replica) no-ops BEFORE any write job; the
-          delete+insert pair can never be torn (the non-atomic
-          apply-deletes-then-fenced-insert design this replaced could
-          re-delete a fenced version's rows on replay);
-        - delete-only versions publish a fence-carrying empty entry
-          (the marker still lands);
+          on the same replica) no-ops BEFORE any write job; emptied
+          partitions prune in the SAME commit; delete-only batches
+          publish a fence-carrying empty entry;
+        - re-batching with a fresh checkpoint stays convergent even
+          though fences differ: collapsed upserts and keyed deletes
+          re-apply to the same end state (transiently stale mid-replay,
+          exact after the drain);
         - concurrent non-sync writes to the replica are caught by the
           normal RMW conflict gate (``ConcurrentWriteError``).
 
@@ -1982,35 +1988,54 @@ class TableRepo:
         repl = self
 
         def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            from pyspark.sql import Window
+
             rows = batch_df.persist()
             try:
-                # one pass over the batch tells us every version and
-                # which change kinds it carries — no per-version
-                # isEmpty() probe jobs
-                kinds = {}
-                for r in (
-                    rows.groupBy("_commit_version", "_change_type").count().collect()
-                ):
-                    kinds.setdefault(int(r["_commit_version"]), set()).add(
-                        r["_change_type"]
+                # collapse the batch to the LATEST change per key (the
+                # Delta APPLY CHANGES shape): within a version, inserts
+                # outrank deletes — a file-granular upsert emits the old
+                # image as delete and the new one as insert in the same
+                # version, and the insert is the surviving fact. One
+                # fenced rewrite applies the whole batch, however many
+                # source versions it spans — O(1) commits per refresh,
+                # not O(versions), and naturally idempotent (upserts and
+                # keyed deletes re-apply to the same end state even if a
+                # fresh checkpoint re-batches with different fences).
+                w = Window.partitionBy(*repl.index_cols).orderBy(
+                    F.col("_commit_version").desc(),
+                    (F.col("_change_type") == "insert").cast("int").desc(),
+                )
+                latest = (
+                    rows.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1)
+                    .drop("__rn")
+                    .persist()
+                )
+                agg = latest.groupBy("_change_type").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("_commit_version").alias("hi"),
+                ).collect()
+                if not agg:
+                    return
+                kinds = {r["_change_type"]: r for r in agg}
+                hi = max(int(r["hi"]) for r in agg)
+                dels = (
+                    latest.where(F.col("_change_type") == "delete").select(
+                        *repl.index_cols
                     )
-                for v in sorted(kinds):
-                    vr = rows.where(F.col("_commit_version") == v)
-                    dels = (
-                        vr.where(F.col("_change_type") == "delete").select(
-                            *repl.index_cols
-                        )
-                        if "delete" in kinds[v]
-                        else None
+                    if "delete" in kinds
+                    else None
+                )
+                ins = (
+                    latest.where(F.col("_change_type") == "insert").drop(
+                        "_change_type", "_commit_version"
                     )
-                    ins = (
-                        vr.where(F.col("_change_type") == "insert").drop(
-                            "_change_type", "_commit_version"
-                        )
-                        if "insert" in kinds[v]
-                        else None
-                    )
-                    repl._apply_keyed_changes(dels, ins, fence=(src_id, int(v)))
+                    if "insert" in kinds
+                    else None
+                )
+                repl._apply_keyed_changes(dels, ins, fence=(src_id, hi))
+                latest.unpersist()
             finally:
                 rows.unpersist()
 

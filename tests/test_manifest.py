@@ -1741,12 +1741,10 @@ def test_sync_from_replication(spark, tmp_root, tmp_path):
     repl.sync_from(src, checkpoint=f"{tmp_path}/ck")
     assert rows(repl.get_full_df()) == rows(src.get_full_df())
 
-    # delete-only versions leave a fence-only commit (the exactly-once
-    # marker sync replay depends on)
+    # every applied batch leaves its (source, hi-version) fence in the
+    # replica manifest — the exactly-once marker replays check
     mf = load_manifest(repl._fs(), repl.main_path)
-    assert any(
-        "fence" in c and not c["files"] for c in mf["commits"]
-    ), "delete-only version left no fence marker"
+    assert any("fence" in c for c in mf["commits"]), "no sync fence recorded"
 
     # re-drain: no duplicates, no resurrections
     repl.sync_from(src, checkpoint=f"{tmp_path}/ck")
