@@ -2012,7 +2012,12 @@ class TableRepo:
                     .drop("__rn")
                     .persist()
                 )
-                agg = latest.groupBy("_change_type").agg(
+                # kinds from the RAW batch, not the collapsed frame: a
+                # delete collapsed away by a later same-key insert must
+                # still force the upsert path — sync's fenced-append
+                # shortcut is only sound when the source batch removed
+                # NOTHING anywhere
+                agg = rows.groupBy("_change_type").agg(
                     F.count(F.lit(1)).alias("n"),
                     F.max("_commit_version").alias("hi"),
                 ).collect()
@@ -2074,6 +2079,14 @@ class TableRepo:
         mf0 = load_manifest(self._fs(), self.main_path)
         if mf0 and any(c.get("fence") == fkey for c in mf0["commits"]):
             return  # version already fully applied
+        if dels is None and ins is not None:
+            # insert-only batch (a collapsed batch carries deletes
+            # whenever ANY source file was removed, so none here means
+            # pure appends at the source): a fenced append suffices —
+            # O(batch), no table read-back. The common streaming-ingest
+            # replication case never pays a rewrite.
+            self.extend_fenced(ins, fence=fence)
+            return
         rmw = self._rmw_baseline()
         old = self._snapshot_df(rmw)
         keys = self.index_cols
@@ -2090,16 +2103,24 @@ class TableRepo:
                 fence=fence,
             )
             return
+        # rows are DISPLACED by a delete key OR by an insert of the same
+        # key (upsert semantics): the batch collapse keeps only the
+        # latest change per key, so a key re-inserted after a delete
+        # carries no delete row — the insert itself must supersede
+        # whatever the replica holds
+        gone_keys = None
+        if dels is not None:
+            gone_keys = dels.select(*keys)
+        if ins is not None:
+            ik = ins.select(*keys)
+            gone_keys = ik if gone_keys is None else gone_keys.unionByName(ik)
+        gone_keys = gone_keys.distinct()
         if self.group_cols:
-            touched = None
-            if dels is not None:
-                touched = (
-                    old.join(dels.select(*keys).distinct(), keys, "left_semi")
-                    .select(*self.group_cols)
-                )
+            touched = (
+                old.join(gone_keys, keys, "left_semi").select(*self.group_cols)
+            )
             if ins is not None:
-                ig = ins.select(*self.group_cols)
-                touched = ig if touched is None else touched.unionByName(ig)
+                touched = touched.unionByName(ins.select(*self.group_cols))
             touched_vals = {tuple(r) for r in touched.distinct().collect()}
             if not touched_vals:
                 # nothing to rewrite, but the fence must still land
@@ -2109,9 +2130,9 @@ class TableRepo:
                     fence=fence,
                 )
                 return
-            out = old.where(self._group_filter(touched_vals))
-            if dels is not None:
-                out = out.join(dels.select(*keys).distinct(), keys, "left_anti")
+            out = old.where(self._group_filter(touched_vals)).join(
+                gone_keys, keys, "left_anti"
+            )
             if ins is not None:
                 out = out.unionByName(ins)
             out = out.localCheckpoint(eager=True)
@@ -2121,9 +2142,7 @@ class TableRepo:
                 prune=touched_vals - kept_vals,
             )
         else:
-            out = old
-            if dels is not None:
-                out = out.join(dels.select(*keys).distinct(), keys, "left_anti")
+            out = old.join(gone_keys, keys, "left_anti")
             if ins is not None:
                 out = out.unionByName(ins)
             out = out.localCheckpoint(eager=True)

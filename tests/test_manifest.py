@@ -1837,7 +1837,7 @@ def test_sync_from_random_op_sequences(spark, tmp_root, tmp_path):
         ops = ["append", "upsert", "delete", "dv", "overwrite"]
         for step in range(6):
             op = rng.choice(ops)
-            live = [r["k"] for r in src.get_full_df().select("k").collect()]
+            live = sorted(r["k"] for r in src.get_full_df().select("k").collect())
             if op == "append":
                 src.extend(spark.createDataFrame(fresh(rng.randint(1, 4))))
             elif op == "upsert" and live:
