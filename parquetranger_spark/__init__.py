@@ -13,6 +13,7 @@ from .session import get_spark
 from .sources.bucketed import BucketedRepo
 from .sources.ingestor import ObjIngestor, shred_json_df
 from .sources.table_repo import TableRepo
+from .sources.txn import Transaction, TransactionError
 from .sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
 
 __version__ = "0.3.0"
@@ -22,6 +23,8 @@ __version__ = "0.3.0"
 # BucketedRepo / shred_json_df are engine extensions (SURVEY §2.4)
 __all__ = [
     "TableRepo",
+    "Transaction",
+    "TransactionError",
     "BucketedRepo",
     "HashPartitioner",
     "RecordWriter",

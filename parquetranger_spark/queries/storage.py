@@ -1254,6 +1254,94 @@ def cdc_replica_sync(spark, sf_dir):
 
 
 @query(
+    "txn_multi_table_atomic",
+    oracle=f"""
+WITH facts AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type IN ('click', 'view')
+), summary AS (
+  SELECT event_type, count(*) AS n_src, {dsum_sql('value', 'sum_value')}
+  FROM facts GROUP BY event_type
+)
+SELECT f.event_type, count(*) AS n_rows, max(s.n_src) AS n_summary,
+       max(s.sum_value) AS sum_value
+FROM facts f JOIN summary s USING (event_type)
+GROUP BY f.event_type
+""",
+)
+def txn_multi_table_atomic(spark, sf_dir):
+    """S31: MULTI-TABLE ACID transaction (sources/txn.py — the lakehouse
+    catalog-commit shape; no reference counterpart, core.py locks are
+    per-path). Two tables evolve together: ``facts`` receives event
+    batches, ``summary`` holds per-type rollups, and each refresh must
+    keep them CONSISTENT — a reader may never see a batch in facts
+    without its rollup in summary. Txn 1 (click batch + its rollup)
+    commits; mid-flight invisibility on BOTH tables is asserted
+    in-query before the marker CAS. Txn 2 (view batch + rollup) also
+    commits. Txn 3 (purchase batch + rollups) ABORTS — none of its
+    entries may ever surface, on either table, and
+    ``sweep_aborted_txns`` + the final read prove it. The oracle derives
+    the same join from the base table: only click+view survive, and
+    summary matches facts exactly (the consistency invariant). Scale
+    shape: a txn adds zero data movement — entries publish through the
+    normal CAS and one KB-sized marker flips visibility for every
+    table at once."""
+    from ..sources.txn import Transaction
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    facts = TableRepo(
+        scratch_dir("txnf") + "/facts",
+        group_cols="event_type",
+        index_cols="event_id",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    summary = TableRepo(
+        scratch_dir("txns") + "/summary",
+        index_cols="event_type",
+        commit_mode="manifest",
+        spark=spark,
+    )
+    cat = scratch_dir("txncat")
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_src"), dsum("value", "sum_value")
+        )
+
+    def refresh(kind):
+        batch = ev.where(F.col("event_type") == kind)
+        t = Transaction(cat)
+        t.extend(facts, batch)
+        t.replace_records(summary, rollup(batch))
+        return t
+
+    t1 = refresh("click")
+    # mid-flight: NOTHING visible on either table until the marker CAS
+    if facts.get_full_df().count() != 0 or summary.get_full_df().count() != 0:
+        raise AssertionError("pending txn leaked into a read")
+    t1.commit()
+    t2 = refresh("view")
+    t2.commit()
+    t3 = refresh("purchase")
+    t3.abort()
+    if facts.sweep_aborted_txns() == 0:
+        raise AssertionError("aborted txn left nothing to sweep")
+    summary.sweep_aborted_txns()
+    f = facts.get_full_df()
+    s = summary.get_full_df()
+    return (
+        f.join(s, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_src").alias("n_summary"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+
+
+@query(
     "constraints_drop_audit",
     oracle=f"""
 SELECT event_type, count(*) AS n, {dsum_sql('value', 'sum_value')}

@@ -91,6 +91,53 @@ def list_versions(fs, root: str) -> list[int]:
 _SPILL_CACHE: dict[str, dict] = {}
 _SPILL_CACHE_MAX = 128
 
+# process-wide cache of RESOLVED transaction outcomes (marker file →
+# "committed" | "aborted"). Sound because a marker is written exactly once
+# via create_exclusive and never modified — only the *absence* of a marker
+# ("pending") must be re-checked per call. Bounded like the spill cache.
+_TXN_CACHE: dict[str, str] = {}
+_TXN_CACHE_MAX = 4096
+
+
+def txn_state(marker: str) -> str:
+    """Outcome of the multi-table transaction whose decision marker lives
+    at ``marker``: ``"committed"`` / ``"aborted"`` once the single
+    create-exclusive of the marker file has landed, ``"pending"`` before.
+    The marker may sit on a different filesystem than the table (the
+    transaction catalog root is caller-chosen), so the shim is resolved
+    per marker path, not inherited from the table."""
+    st = _TXN_CACHE.get(marker)
+    if st is not None:
+        return st
+    from .fs import fs_for
+
+    fs = fs_for(marker)
+    if not fs.exists(marker):
+        return "pending"
+    st = json.loads(fs.read_text(marker)).get("state", "committed")
+    while len(_TXN_CACHE) >= _TXN_CACHE_MAX:
+        _TXN_CACHE.pop(next(iter(_TXN_CACHE)))
+    _TXN_CACHE[marker] = st
+    return st
+
+
+def visible_commits(commits: list[dict]) -> list[dict]:
+    """Read-side visibility gate for multi-table transactions: commits
+    published under a transaction (``entry["txn"] = marker path``) are
+    invisible until the transaction's single decision marker says
+    committed — and stay invisible forever if it says aborted. Everything
+    the table's read surface exposes (scans, counts, file listings, stats
+    skipping, the change feed) filters through here, so flipping ONE
+    marker file makes every gated entry across every participating table
+    visible atomically. Writers (CAS loops, vacuum keep-sets) must NOT
+    use this — a pending entry is still part of the chain and its files
+    are still referenced."""
+    if not any("txn" in c for c in commits):
+        return commits
+    return [
+        c for c in commits if "txn" not in c or txn_state(c["txn"]) == "committed"
+    ]
+
 
 def _resolve_spill(fs, ref_path: str) -> dict:
     payload = _SPILL_CACHE.get(ref_path)

@@ -83,8 +83,15 @@ def manifest_stream_source():
             # O(versions) manifest JSONs plus their spilled payloads
             self._fset_cache = {}
             self._dv_cache = {}
+            # per-version list of txn markers (immutable: the version
+            # JSON never changes) — makes the per-poll frontier scan a
+            # dict lookup except for still-pending markers
+            self._txn_marker_cache = {}
 
         _FS_CACHE: dict = {}
+        # marker path → resolved outcome; markers are written exactly once
+        # (create_exclusive) so resolved states are immutable, like _FS_CACHE
+        _TXN_CACHE: dict = {}
 
         @classmethod
         def _resolve(cls, p: str):
@@ -174,6 +181,55 @@ def manifest_stream_source():
                     )
             return mf
 
+        # -- multi-table-txn gate --------------------------------------
+        def _txn_state(self, marker: str) -> str:
+            st = self._TXN_CACHE.get(marker)
+            if st is not None:
+                return st
+            import json
+
+            from pyarrow.fs import FileType
+
+            fs, path = self._resolve(marker)
+            if fs.get_file_info(path).type == FileType.NotFound:
+                return "pending"
+            with fs.open_input_stream(path) as fh:
+                st = json.loads(fh.read().decode("utf-8")).get("state", "committed")
+            self._TXN_CACHE[marker] = st
+            return st
+
+        def _txn_visible(self, c: dict) -> bool:
+            t = c.get("txn")
+            return t is None or self._txn_state(t) == "committed"
+
+        def _txn_markers(self, version: int):
+            hit = self._txn_marker_cache.get(version)
+            if hit is None:
+                hit = sorted(
+                    {c["txn"] for c in self._manifest(version)["commits"] if "txn" in c}
+                )
+                self._txn_marker_cache[version] = hit
+            return hit
+
+        def _txn_frontier(self, hi: int, lo: int | None = None) -> int:
+            """Highest offset the stream may advance to: one below the
+            earliest version whose manifest still carries an UNDECIDED
+            txn entry. The stream must not pass an undecided version —
+            its content is not yet fixed (commit would add rows a
+            replayed offset range must then reproduce deterministically);
+            once every marker in a version is decided, the version's
+            visible content is immutable and the frontier moves. Cost per
+            poll: memoized marker lists + one exists() per still-pending
+            marker."""
+            for v in self._versions():
+                if v > hi:
+                    break
+                if lo is not None and v <= lo:
+                    continue
+                if any(self._txn_state(m) == "pending" for m in self._txn_markers(v)):
+                    return v - 1
+            return hi
+
         def _file_set(self, version: int):
             if version <= 0:
                 return set()
@@ -182,6 +238,11 @@ def manifest_stream_source():
                 return hit
             out = set()
             for c in self._manifest(version)["commits"]:
+                if not self._txn_visible(c):
+                    # aborted-txn entries never surface; pending ones
+                    # cannot occur here (the frontier holds the stream
+                    # below any undecided version)
+                    continue
                 if c.get("kind") == "dv":
                     # dv commits carry tombstone keys, not table rows:
                     # the APPEND feed skips them (it surfaces appended
@@ -207,7 +268,11 @@ def manifest_stream_source():
                 return hit
             out = []
             for ci, c in enumerate(self._manifest(version)["commits"]):
-                if c.get("kind") != "dv":
+                # enumerate position is the commit index the dead-map
+                # positions key on — skipping gated entries must not
+                # renumber the rest, so the gate is a continue inside
+                # the SAME enumeration
+                if c.get("kind") != "dv" or not self._txn_visible(c):
                     continue
                 base = c.get("base", self.root_uri)
                 out.append(
@@ -441,7 +506,7 @@ def manifest_stream_source():
         def read(self, start):
             lo = int(start["v"])
             vs = self._versions()
-            hi = vs[-1] if vs else 0
+            hi = self._txn_frontier(vs[-1] if vs else 0, lo=lo)
             if hi <= lo:
                 # ITERATOR, not list: on a no-progress poll the harness
                 # probes next(it) to verify emptiness (a list TypeErrors)
@@ -489,7 +554,7 @@ def manifest_stream_source():
 
         def latestOffset(self):
             vs = self._mf._versions()
-            return {"v": vs[-1] if vs else 0}
+            return {"v": self._mf._txn_frontier(vs[-1] if vs else 0)}
 
         def partitions(self, start, end):
             lo, hi = int(start["v"]), int(end["v"])

@@ -339,9 +339,12 @@ class TableRepo:
         In manifest mode the manifest IS the file index — no directory
         listing, and files awaiting vacuum never surface."""
         if self.commit_mode == "manifest":
-            from .manifest import live_files, load_manifest
+            from .manifest import live_files, load_manifest, visible_commits
 
-            return live_files(load_manifest(self._fs(), self.main_path), self.main_path)
+            mf = load_manifest(self._fs(), self.main_path)
+            if mf is not None:
+                mf = {**mf, "commits": visible_commits(mf["commits"])}
+            return live_files(mf, self.main_path)
         return self._fs().list_files(self.main_path, ".parquet")
 
     @property
@@ -1002,7 +1005,13 @@ class TableRepo:
             mf = load_manifest(fs, self.main_path, version)
             if mf is None:
                 raise KeyError(f"no manifest version {version} for {self.name}")
-            return mf["commits"]
+            from .manifest import visible_commits
+
+            # txn gate: a still-pending entry is not part of either diff
+            # endpoint; once its marker commits it contributes to every
+            # version that carries it (same retroactive-visibility rule
+            # as the read path)
+            return visible_commits(mf["commits"])
 
         def fset(commits: list[dict], kind) -> set:
             return {
@@ -1177,7 +1186,7 @@ class TableRepo:
             lambda df: df.join(keyset, self.index_cols, "left_anti"),
         )
 
-    def delete_records_dv(self, keys: DataFrame) -> None:
+    def delete_records_dv(self, keys: DataFrame, _txn: str | None = None) -> None:
         """Merge-on-read delete via a DELETION VECTOR (the Delta DV /
         Iceberg position-delete shape, keyed instead of positional): the
         matched keys are written as a tiny tombstone commit
@@ -1225,8 +1234,14 @@ class TableRepo:
             "kind": "dv",
             "key_cols": list(self.index_cols),
         }
+        if _txn is not None:
+            # published under a multi-table transaction: the tombstones
+            # take effect only when the txn's decision marker commits
+            entry["txn"] = _txn
         self._maybe_spill_files(entry)
-        self._publish_entry(entry, "append", dynamic=False, op="delete-dv")
+        self._publish_entry(
+            entry, "append", dynamic=False, op="txn-delete-dv" if _txn else "delete-dv"
+        )
 
     def delete_where_dv(self, condition) -> None:
         """Merge-on-read PREDICATE delete: resolve the predicate against
@@ -1329,10 +1344,10 @@ class TableRepo:
         vector is live (tombstones subtract data-dependently), or the
         table is not in manifest mode."""
         if self.commit_mode == "manifest":
-            from .manifest import load_manifest
+            from .manifest import load_manifest, visible_commits
 
             mf = load_manifest(self._fs(), self.main_path)
-            commits = (mf or {}).get("commits", [])
+            commits = visible_commits((mf or {}).get("commits", []))
             data = [c for c in commits if c.get("kind") != "dv"]
             if not any(c.get("kind") == "dv" for c in commits) and all(
                 not c["files"] or set(c.get("rows", {})) >= set(c["files"])
@@ -1353,10 +1368,10 @@ class TableRepo:
         vector is live (tombstoned rows could BE the extremes — the
         recorded file stats can no longer prove table-level bounds)."""
         if self.commit_mode == "manifest" and col in self.stats_cols:
-            from .manifest import load_manifest
+            from .manifest import load_manifest, visible_commits
 
             mf = load_manifest(self._fs(), self.main_path)
-            commits = (mf or {}).get("commits", [])
+            commits = visible_commits((mf or {}).get("commits", []))
             data = [c for c in commits if c.get("kind") != "dv"]
             no_dv = not any(c.get("kind") == "dv" for c in commits)
             covered = all(
@@ -1512,7 +1527,13 @@ class TableRepo:
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         schema = meta.schema if meta and meta.schema else None
-        commits = (mf or {}).get("commits", [])
+        from .manifest import visible_commits
+
+        # multi-table-txn gate: entries published under a still-pending
+        # (or aborted) transaction are not part of any read snapshot —
+        # filtering whole entries keeps the dv position arithmetic below
+        # intact (relative order of the survivors is unchanged)
+        commits = visible_commits((mf or {}).get("commits", []))
         dv = self._dv_frame(commits)
         scans = []
         for ci, c in enumerate(commits):
@@ -2284,6 +2305,7 @@ class TableRepo:
         writers to the same partitions."""
         if not self.paths:
             return
+        self._refuse_pending_txns("compact")
         if partition_values is not None:
             pc = partition_col or (self.group_cols[0] if self.group_cols else None)
             if pc is None:
@@ -2345,8 +2367,30 @@ class TableRepo:
         writers (it is a full static overwrite)."""
         if not self.paths:
             return
+        self._refuse_pending_txns("rewrite_to_canonical")
         old = self.get_full_df().localCheckpoint(eager=True)
         self._write(old, mode="overwrite", dynamic=False)
+
+    def _refuse_pending_txns(self, op: str) -> None:
+        """Maintenance rewrites (compact / rewrite_to_canonical) replace
+        the table from its VISIBLE rows — publishing one would silently
+        drop any entry gated on a still-undecided multi-table txn. Unlike
+        ``replace_all`` (user-declared truncation, last-writer-wins by
+        contract), maintenance has no mandate to destroy in-flight
+        transactions: refuse loudly, run again after the txn decides
+        (and after :meth:`sweep_aborted_txns` for aborts)."""
+        if self.commit_mode != "manifest":
+            return
+        from .manifest import load_manifest, txn_state
+
+        mf = load_manifest(self._fs(), self.main_path)
+        for c in (mf or {}).get("commits", []):
+            if "txn" in c and txn_state(c["txn"]) == "pending":
+                raise ConcurrentWriteError(
+                    f"{op}: entry {c['dir']!r} belongs to undecided "
+                    f"transaction {c['txn']!r} — a maintenance rewrite would "
+                    "destroy it; decide the txn first"
+                )
 
     def _dedup_keep_first(self, df: DataFrame, keys: list[str] | None = None) -> DataFrame:
         """Keep the first row per key in incoming order (reference
@@ -2668,9 +2712,19 @@ class TableRepo:
         for dynamic rewrites; anywhere, for static) is a conflict too."""
         from .manifest import partition_values_of
 
+        from .manifest import txn_state
+
         cur_files = {c["dir"]: c["files"] for c in commits}
         new_cs = [c for c in commits if c["dir"] not in baseline["dirs"]]
         for c in new_cs:
+            if "txn" in c and txn_state(c["txn"]) == "aborted":
+                # a dead entry: its rows will never become visible, so the
+                # rewrite neither erases nor resurrects anything by
+                # ignoring it (the sweep that physically drops it is a
+                # no-data change). Pending entries deliberately fall
+                # through — pruning a partition that holds an undecided
+                # txn's files would destroy data the txn may yet commit.
+                continue
             if c.get("kind") == "dv":
                 raise ConcurrentWriteError(
                     f"concurrent deletion-vector commit {c['dir']!r} landed "
@@ -2904,13 +2958,13 @@ class TableRepo:
         a predicate be able to prune, per file."""
         if self.commit_mode != "manifest":
             raise TypeError("index_stats() requires commit_mode='manifest'")
-        from .manifest import load_manifest
+        from .manifest import load_manifest, visible_commits
 
         mf = load_manifest(self._fs(), self.main_path, version)
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         rows = []
-        for c in (mf or {}).get("commits", []):
+        for c in visible_commits((mf or {}).get("commits", [])):
             blooms = c.get("blooms") or {}
             for f in c["files"]:
                 st = (c.get("stats") or {}).get(f) or {}
@@ -2944,14 +2998,14 @@ class TableRepo:
         cost an O(files) listing."""
         if self.commit_mode != "manifest":
             raise TypeError("files_df() requires commit_mode='manifest'")
-        from .manifest import load_manifest, partition_values_of
+        from .manifest import load_manifest, partition_values_of, visible_commits
 
         mf = load_manifest(self._fs(), self.main_path, version)
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         gcols = list(self.group_cols)
         rows = []
-        for c in (mf or {}).get("commits", []):
+        for c in visible_commits((mf or {}).get("commits", [])):
             nr = c.get("rows") or {}
             for f in c["files"]:
                 pv = partition_values_of(f, gcols) if gcols else None
@@ -2974,7 +3028,7 @@ class TableRepo:
         """(files kept, files total) for ``predicates`` under the current
         stats — the observability hook for how selective a skipping scan
         will be, computed from the manifest alone (no data files touched)."""
-        from .manifest import file_may_match, load_manifest, norm_predicates
+        from .manifest import file_may_match, load_manifest, norm_predicates, visible_commits
 
         preds = norm_predicates(predicates)
         mf = load_manifest(self._fs(), self.main_path, version)
@@ -2984,7 +3038,7 @@ class TableRepo:
             # an empty plan
             raise KeyError(f"no manifest version {version} for {self.name}")
         kept = total = 0
-        for c in (mf or {}).get("commits", []):
+        for c in visible_commits((mf or {}).get("commits", [])):
             for f in c["files"]:
                 total += 1
                 if file_may_match(c, f, preds):
@@ -3020,6 +3074,45 @@ class TableRepo:
             }
             if try_commit(fs, self.main_path, nxt, prev_ts=cur.get("ts", 0.0)):
                 return
+
+    def sweep_aborted_txns(self) -> int:
+        """Physically drop manifest entries whose multi-table transaction
+        ABORTED (see :mod:`.txn`). Readers already ignore them (the
+        visibility gate), so this is pure reclamation: once the entries
+        leave the latest manifest their data dirs become unreferenced and
+        :meth:`vacuum` sweeps the bytes at the retention horizon. Entries
+        of PENDING transactions are untouched — only an explicit abort
+        marker (or a commit) decides a txn, never a sweep. Returns the
+        number of entries dropped. One manifest CAS, no data I/O."""
+        if self.commit_mode != "manifest":
+            raise TypeError("sweep_aborted_txns requires commit_mode='manifest'")
+        from .manifest import load_manifest, try_commit, txn_state
+
+        fs = self._fs()
+        while True:
+            cur = load_manifest(fs, self.main_path)
+            if cur is None:
+                return 0
+            keep, dropped = [], 0
+            for c in cur["commits"]:
+                if (
+                    "txn" in c
+                    and "fence" not in c
+                    and txn_state(c["txn"]) == "aborted"
+                ):
+                    dropped += 1
+                    continue
+                keep.append(c)
+            if not dropped:
+                return 0
+            nxt = {
+                "version": cur["version"] + 1,
+                "commits": keep,
+                "spec": cur.get("spec", list(self.group_cols)),
+                "op": "txn-sweep",
+            }
+            if try_commit(fs, self.main_path, nxt, prev_ts=cur.get("ts", 0.0)):
+                return dropped
 
     def vacuum(self, max_age_seconds: float = 24 * 3600, keep_versions: int = 1) -> list[str]:
         """Delete orphaned two-phase-append staging dirs older than
@@ -3165,7 +3258,7 @@ class TableRepo:
         mode (no snapshot to anchor on; documented unprotected)."""
         if self.commit_mode != "manifest":
             return None
-        from .manifest import load_manifest
+        from .manifest import load_manifest, visible_commits
 
         mf = load_manifest(self._fs(), self.main_path)
         return {
@@ -3178,10 +3271,15 @@ class TableRepo:
             # operation that only REMOVES files (a delete/merge emptying a
             # partition publishes a prune-only commit — dirs unchanged or
             # merely vanished) must be detectable, or this rewrite would
-            # silently resurrect the deleted rows (see _check_rmw_conflict)
+            # silently resurrect the deleted rows (see _check_rmw_conflict).
+            # VISIBLE commits only: an entry gated on a pending multi-table
+            # txn contributed no rows to this rewrite's read, so it must
+            # look "new" at publish time — whether it is still pending
+            # (pruning it would destroy the txn's data) or has committed
+            # since (its rows were never read) — and conflict either way.
             "dirs": {
                 c["dir"]: frozenset(c["files"])
-                for c in (mf or {}).get("commits", [])
+                for c in visible_commits((mf or {}).get("commits", []))
             },
         }
 
