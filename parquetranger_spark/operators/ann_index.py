@@ -1,0 +1,226 @@
+"""Persisted IVF vector index over TableRepo storage.
+
+The in-memory ANN operators (:mod:`.similarity`) re-train their coarse
+quantizer per query call — right for one-shot analytics, wrong for the
+production retrieval shape: a 100 TB corpus builds its index ONCE, then
+serves many query batches, absorbs new vectors incrementally, and
+deletes without rebuilding. ``AnnIndex`` is that shape on this engine's
+own storage layer (no reference counterpart — the reference has no
+vector surface at all):
+
+- **layout** — two manifest-mode TableRepos under one root: ``centroids``
+  (n_lists × dim, KB-to-MB-sized — the broadcastable routing table) and
+  ``postings``, hive-PARTITIONED BY ``list_id`` (the FAISS-IVF /
+  Milvus-segment layout): each inverted list is its own partition dir,
+  so a query batch's probed lists prune at the file level — a scan of
+  n_probe/n_lists of the corpus, decided from the manifest without
+  touching data files.
+- **build** — seeded distributed k-means (bounded training prefix, same
+  device as :func:`.similarity.topk_cosine_ivf`) assigns every vector a
+  list; vectors land pre-normalized (norm stored alongside) so query
+  time never recomputes corpus norms. ``n_lists`` defaults to ≈√n, the
+  IVF balance that keeps probe cost sub-quadratic as the corpus grows.
+- **add** — new vectors route to their nearest EXISTING centroid
+  (broadcast argmin — one narrow pass, no re-train, no shuffle of old
+  data) and append through the normal commit path: an index refresh is
+  O(batch), and concurrent adds compose like any TableRepo append.
+- **delete** — deletion-vector tombstones on the postings table
+  (O(deleted keys), no list rewrite).
+- **query** — rank centroids per query (broadcast), probe the top
+  ``n_probe`` lists, equi-join ONLY those partitions, exact cosine +
+  per-query top-k via a rank window (WindowGroupLimit — no global sort).
+
+Periodic ``maintain()`` on the postings repo compacts lists fragmented
+by many small adds — the same maintenance story as any table here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, cosine_prenormed, norm, to_double
+from ..sources.table_repo import TableRepo
+
+
+class AnnIndex:
+    """Handle for a persisted IVF index at ``root`` (see module doc)."""
+
+    def __init__(
+        self,
+        root: str,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        spark=None,
+    ):
+        self.root = str(root)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self._spark = spark
+        self.centroids = TableRepo(
+            self.root + "/centroids",
+            index_cols="list_id",
+            commit_mode="manifest",
+            spark=spark,
+        )
+        self.postings = TableRepo(
+            self.root + "/postings",
+            group_cols="list_id",
+            index_cols=id_col,
+            commit_mode="manifest",
+            spark=spark,
+        )
+
+    # ------------------------------------------------------------- build
+
+    def build(
+        self,
+        corpus: DataFrame,
+        n_lists: int | None = None,
+        seed: int = 42,
+        max_iter: int = 5,
+        train_limit: int | None = 8192,
+    ) -> int:
+        """(Re)build the index from ``corpus``: train the coarse
+        quantizer, assign every vector, replace both tables. Returns the
+        list count used (default ≈√n — see module doc)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = corpus.sparkSession
+        if n_lists is None:
+            n_lists = max(4, math.isqrt(max(corpus.count(), 1)))
+        c = corpus.select(
+            F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv")
+        ).withColumn("cn", norm(F.col("cv")))
+        cv = c.withColumn("__v", array_to_vector(F.col("cv")))
+        if train_limit:
+            par = spark.sparkContext.defaultParallelism
+            train = cv.limit(train_limit).repartition(par)
+        else:
+            train = cv
+        model = KMeans(
+            k=n_lists,
+            seed=seed,
+            maxIter=max_iter,
+            initMode="random",
+            featuresCol="__v",
+            predictionCol="list_id",
+        ).fit(train)
+        assigned = model.transform(cv).select(
+            self.id_col, "cv", "cn", "list_id"
+        )
+        cents = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+        ]
+        self.centroids.replace_all(
+            spark.createDataFrame(cents, "list_id int, centroid array<double>")
+        )
+        self.postings.replace_all(assigned)
+        return n_lists
+
+    def add(self, batch: DataFrame) -> None:
+        """Route ``batch`` to nearest existing centroids (the KMeans
+        assignment rule — squared-euclidean argmin) and append. O(batch):
+        one broadcast join + one commit; existing lists are untouched."""
+        cents = self.centroids.get_full_df()
+        b = batch.select(
+            F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv")
+        ).withColumn("cn", norm(F.col("cv")))
+        # squared euclidean = |v|² − 2·v·c + |c|²; |v|² is constant per
+        # vector so argmin needs only (−2·v·c + |c|²) — both from the
+        # broadcast row
+        dist = (
+            F.aggregate(
+                F.zip_with("cv", "centroid", lambda a, bb: a * bb),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(-2.0)
+            + F.aggregate(
+                F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        w = Window.partitionBy(self.id_col).orderBy(F.col("__d").asc(), F.col("list_id"))
+        assigned = (
+            b.crossJoin(F.broadcast(cents))
+            .withColumn("__d", dist)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(self.id_col, "cv", "cn", "list_id")
+        )
+        self.postings.extend(assigned)
+
+    def delete(self, keys: DataFrame) -> None:
+        """Tombstone vectors by id — a deletion-vector commit on the
+        postings table; no list is rewritten."""
+        self.postings.delete_records_dv(keys.select(self.id_col))
+
+    def maintain(self, max_files_per_partition: int = 8) -> list:
+        """Compact lists fragmented by incremental adds."""
+        return self.postings.maintain(max_files_per_partition)
+
+    # ------------------------------------------------------------- query
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Top-k cosine neighbors per query row, probing ``n_probe``
+        lists. The probed list ids are collected driver-side (≤ n_lists
+        ints — bounded by the index, not the data) and pushed into the
+        postings read as a partition-column filter, so the scan plans
+        over only the probed partition dirs."""
+        cents = self.centroids.get_full_df()
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            to_double(F.col(self.vec_col)).alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("c_cos").desc(), F.col("list_id")
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "query_id",
+                "qv",
+                "qn",
+                "list_id",
+                cosine(F.col("qv"), F.col("centroid")).alias("c_cos"),
+            )
+            .withColumn("__pr", F.row_number().over(wq))
+            .where(F.col("__pr") <= n_probe)
+            .select("query_id", "qv", "qn", "list_id")
+        )
+        # probes anchor two consumers (the id collect + the candidate
+        # join); checkpoint once — the frame is n_queries × n_probe rows
+        probes = probes.localCheckpoint(eager=True)
+        probed_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+        inv = (
+            self.postings.get_full_df()
+            .where(F.col("list_id").isin(probed_ids))
+            .select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn", "list_id")
+        )
+        cand = probes.join(inv, "list_id")
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.select(
+                "query_id",
+                "neighbor_id",
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )

@@ -670,6 +670,60 @@ def topk_cosine_ivf_q(spark, sf_dir):
     return _ann_verified_exact(spark, approx, exact, 0.7, "topk_cosine_ivf")
 
 
+@query(
+    "ann_index_persisted_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id >= 100 AND vec_id < 150 AND vec_id % 50 <> 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 50 <> 0),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+""",
+)
+def ann_index_persisted_topk(spark, sf_dir):
+    """X3 production-retrieval shape: a PERSISTED IVF index
+    (operators/ann_index.py — list-partitioned postings + broadcastable
+    centroid table on TableRepo storage) built once, then mutated the
+    way a live retrieval corpus is: an incremental batch routes to
+    existing lists via ``add()`` (O(batch), no re-train), stale vectors
+    leave via ``delete()`` (deletion-vector tombstones, no list
+    rewrite), and the query batch probes only its n_probe lists —
+    a partition-pruned scan decided from the manifest. In-query
+    asserts: no deleted id may surface as a neighbor (the dv gate holds
+    through the index read), and recall ≥ 0.7 vs brute force over the
+    post-delete corpus; the exact surface is emitted (SQL-reproducible
+    — the _ann_verified_exact device)."""
+    from ..operators.ann_index import AnnIndex
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.where(F.col("vec_id") % 7 != 0)
+    incr = e.where(F.col("vec_id") % 7 == 0)
+    dead = e.where(F.col("vec_id") % 50 == 0).select("vec_id")
+    idx = AnnIndex(scratch_dir("annidx") + "/idx", spark=spark)
+    idx.build(base, seed=42)
+    idx.add(incr)
+    idx.delete(dead)
+    q = e.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 150) & (F.col("vec_id") % 50 != 0)
+    )
+    approx = idx.query(q, k=5, n_probe=8).cache()
+    if approx.join(
+        dead, approx["neighbor_id"] == dead["vec_id"], "left_semi"
+    ).count():
+        raise AssertionError("deleted vector surfaced as a neighbor")
+    corpus = e.where(F.col("vec_id") % 50 != 0)
+    exact = topk_cosine_bruteforce(q, corpus, k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.7, "ann_index_persisted_topk")
+
+
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 

@@ -1,0 +1,98 @@
+"""Persisted IVF index (operators/ann_index.py): build / incremental add
+/ dv-delete / probed query, plus the partition-pruned-scan plan gate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parquetranger_spark.operators.ann_index import AnnIndex
+from parquetranger_spark.operators.similarity import topk_cosine_bruteforce
+
+
+def _vectors(spark, n, dim=8, seed=7, id0=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(id0, id0 + n), "embedding": [list(map(float, r)) for r in v]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture()
+def idx(spark, tmp_root):
+    return AnnIndex(tmp_root + "/idx", spark=spark)
+
+
+def test_build_query_recall(spark, idx):
+    corpus = _vectors(spark, 400).cache()
+    idx.build(corpus, n_lists=16, seed=1)
+    q = corpus.where(F.col("vec_id") < 30)
+    got = idx.query(q, k=3, n_probe=6).cache()
+    exact = topk_cosine_bruteforce(q, corpus, k=3).cache()
+    total = exact.count()
+    hits = exact.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert total == 90
+    assert hits / total >= 0.6  # IVF recall floor at n_probe=6/16
+
+
+def test_add_routes_to_existing_lists(spark, idx):
+    corpus = _vectors(spark, 300).cache()
+    idx.build(corpus, n_lists=8, seed=1)
+    n0 = idx.postings.count_rows()
+    # an identical twin of vector 5 added later MUST land in the same
+    # list (nearest-centroid routing) and come back at rank 1
+    twin = corpus.where(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+    )
+    idx.add(twin)
+    assert idx.postings.count_rows() == n0 + 1
+    lists = {
+        r["list_id"]
+        for r in idx.postings.get_full_df()
+        .where(F.col("vec_id").isin([5, 1005]))
+        .select("list_id")
+        .collect()
+    }
+    assert len(lists) == 1
+    got = idx.query(corpus.where(F.col("vec_id") == 5), k=1, n_probe=2)
+    row = got.collect()[0]
+    assert row["neighbor_id"] == 1005 and row["cos"] > 0.999999
+
+
+def test_delete_tombstones_through_query(spark, idx):
+    corpus = _vectors(spark, 200).cache()
+    idx.build(corpus, n_lists=8, seed=1)
+    twin = corpus.where(F.col("vec_id") == 9).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), F.col("embedding")
+    )
+    idx.add(twin)
+    q = corpus.where(F.col("vec_id") == 9)
+    assert idx.query(q, k=1, n_probe=2).collect()[0]["neighbor_id"] == 1009
+    idx.delete(spark.createDataFrame(pd.DataFrame({"vec_id": [1009]})))
+    got = idx.query(q, k=1, n_probe=2).collect()[0]
+    assert got["neighbor_id"] != 1009
+
+
+def test_query_scan_is_partition_pruned(spark, idx):
+    corpus = _vectors(spark, 300).cache()
+    idx.build(corpus, n_lists=8, seed=1)
+    q = corpus.where(F.col("vec_id") < 3)
+    plan = idx.query(q, k=2, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    # the postings scan must carry the probed list ids as partition
+    # filters — the probe decides the dirs, not a full-corpus scan
+    assert "PartitionFilters: [list_id" in plan or "list_id IN" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maintain_compacts_fragmented_lists(spark, idx):
+    corpus = _vectors(spark, 200).cache()
+    idx.build(corpus, n_lists=4, seed=1)
+    for i in range(10):
+        idx.add(_vectors(spark, 5, seed=100 + i, id0=10_000 + 5 * i))
+    before = idx.postings.n_files
+    compacted = idx.maintain(max_files_per_partition=3)
+    assert compacted  # fragmented lists existed
+    assert idx.postings.n_files < before
+    assert idx.postings.count_rows() == 250

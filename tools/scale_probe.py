@@ -287,6 +287,27 @@ def probe(spark):
         rp.sync_from(sr, checkpoint=f"{cdc_root}/ck{f}")
 
     ops["cdc_sync_refresh"] = cdc_sync_refresh
+
+    # round 5: persisted-IVF query latency. The index is PRE-BUILT per
+    # factor (build is a one-time cost; the serving question is query
+    # latency against a grown corpus). n_lists tracks √n via build's
+    # default, so candidate volume per query is n_probe·n/√n = O(√n) —
+    # expect exponent ≈ 0.5 or below (probe planning + pruned-partition
+    # scan overheads dominate at these sizes).
+    from parquetranger_spark.operators.ann_index import AnnIndex  # noqa: E402
+
+    ann_root = tempfile.mkdtemp(prefix="pqrs_scale_ann_")
+    ann_idx = {}
+    for f in FACTORS:
+        ai = AnnIndex(f"{ann_root}/idx{f}", spark=spark)
+        ai.build(replicate(emb, "vec_id", f), seed=42)
+        ann_idx[f] = ai
+    ann_queries = emb.where(F.col("vec_id") < 50).localCheckpoint(eager=True)
+
+    def ann_index_query(f):
+        ann_idx[f].query(ann_queries, k=5, n_probe=8).count()
+
+    ops["ann_index_query"] = ann_index_query
     prebuilt_idx = {
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS
