@@ -1588,6 +1588,95 @@ def delete_dv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "update_where_roundtrip",
+    oracle="""
+WITH updated AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN l_orderkey % 10 = 3 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 10 = 3 THEN 0.0 ELSE l_discount END AS l_discount
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc
+FROM updated GROUP BY l_returnflag
+""",
+)
+def update_where_roundtrip(spark, sf_dir):
+    """SQL UPDATE, copy-on-write (table_repo.py::update_where; no
+    reference counterpart — core.py:114-133 can only upsert whole rows):
+    double the quantity and zero the discount of every orderkey%10=3
+    row, in place. Rows where the predicate is FALSE (or NULL) are
+    byte-untouched — only partitions holding matched rows rewrite
+    (dynamic overwrite, one commit, RMW-protected).
+
+    Scale shape: one pruned scan finds the touched partitions; the
+    rewrite is O(touched partitions), never O(table); assignments are
+    pure Column expressions (whole-stage codegen, no UDF)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_discount"
+    )
+    t = TableRepo(
+        scratch_dir("updcow") + "/lineitem",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(li)
+    t.update_where(
+        {"l_quantity": "l_quantity * 2", "l_discount": "0.0"},
+        "l_orderkey % 10 = 3",
+    )
+    return t.get_full_df().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_discount", "sum_disc"),
+    )
+
+
+@query(
+    "update_dv_roundtrip",
+    oracle="""
+WITH updated AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN l_orderkey % 7 = 2 THEN l_quantity + 5 ELSE l_quantity END AS l_quantity
+  FROM lineitem
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM updated GROUP BY l_returnflag
+""",
+)
+def update_dv_roundtrip(spark, sf_dir):
+    """Merge-on-read UPDATE (table_repo.py::update_where_dv — the Delta
+    deletion-vector update shape): bump quantity by 5 for every
+    orderkey%7=2 row by tombstoning the matched keys (a dv entry) and
+    appending the updated images, both gated on ONE transaction marker
+    so readers see old rows or new rows, never a torn or doubled state.
+    ZERO pre-existing data files rewritten.
+
+    Scale shape: cost is O(matched rows) however big the table — one
+    pruned scan, one small parquet job, one KB-sized dv commit, one
+    marker CAS. At 100 TB this replaces a 10k-partition rewrite."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    t = TableRepo(
+        scratch_dir("updmor") + "/lineitem",
+        group_cols="l_returnflag",
+        index_cols=["l_orderkey", "l_linenumber"],
+        commit_mode="manifest",
+        spark=spark,
+    )
+    t.extend(li)
+    t.update_where_dv({"l_quantity": "l_quantity + 5"}, "l_orderkey % 7 = 2")
+    return t.get_full_df().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
     "branch_merge_roundtrip",
     oracle="""
 WITH branched AS (

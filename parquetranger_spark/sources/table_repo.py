@@ -1275,6 +1275,157 @@ class TableRepo:
             lambda df: df.where(~F.coalesce(cond, F.lit(False))),
         )
 
+    def _update_exprs(self, assignments: dict, schema) -> dict:
+        """Resolve an UPDATE assignment map (column → SQL expr / Column)
+        against a snapshot schema: unknown targets fail loudly (a typo'd
+        column would otherwise silently no-op), partition group columns
+        are rejected (an update that moves a row between partitions is a
+        delete+insert — replace_records' semantics, not UPDATE's), and
+        every expression is cast to the column's existing type (UPDATE
+        never changes a column's type — widening is the maintenance op's
+        job)."""
+        bad = set(assignments) & set(self.group_cols)
+        if bad:
+            raise ValueError(
+                f"update cannot assign partition group columns: {sorted(bad)}"
+                " (a partition move is replace_records' job)"
+            )
+        known = {f.name: f.dataType for f in schema.fields}
+        unknown = set(assignments) - set(known)
+        if unknown:
+            raise ValueError(f"update targets unknown columns: {sorted(unknown)}")
+        return {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(known[c])
+            for c, e in assignments.items()
+        }
+
+    def update_where(self, assignments: dict, condition) -> None:
+        """SQL UPDATE, copy-on-write: rows where ``condition`` is TRUE get
+        ``assignments`` (column → SQL expr or Column, evaluated against
+        the row's OLD values — ``{"qty": "qty * 2"}`` doubles, not
+        squares); NULL/FALSE rows are kept unchanged (SQL's
+        unknown-is-false rule, matching :meth:`delete_where` and
+        :meth:`merge`). No reference counterpart — core.py can only
+        overwrite whole tables/groups.
+
+        Scale shape, same as the keyed rewrites: one pruned scan locates
+        the partitions holding matched rows, only those are rewritten
+        (dynamic partition overwrite), the publish is ONE commit, and the
+        whole op is RMW-conflict-protected. Assigning key columns is
+        allowed (it cannot create partition moves — group columns are
+        rejected) but the caller owns key uniqueness afterwards.
+
+        For the no-rewrite twin see :meth:`update_where_dv`."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+        rmw = self._rmw_baseline()
+        old = self._snapshot_df(rmw)
+        if old.isEmpty():
+            return
+        sets = self._update_exprs(assignments, old.schema)
+
+        def apply(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
+                    if c in sets
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        if self.group_cols:
+            touched_vals = {
+                tuple(r)
+                for r in old.where(hit).select(*self.group_cols).distinct().collect()
+            }
+            if not touched_vals:
+                return
+            out = apply(old.where(self._group_filter(touched_vals)))
+            # break lineage: the write target is also the read source
+            out = out.localCheckpoint(eager=True)
+            # updates never empty a partition (group columns are not
+            # assignable), so no prune set rides the commit
+            self._write(out, mode="overwrite", dynamic=True, rmw_baseline=rmw)
+        else:
+            if old.where(hit).isEmpty():
+                return
+            out = apply(old).localCheckpoint(eager=True)
+            self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
+
+    def update_where_dv(self, assignments: dict, condition) -> None:
+        """Merge-on-read UPDATE (the Delta deletion-vector update shape):
+        resolve ``condition`` against the current snapshot (one pruned
+        scan), tombstone the matched rows' keys as a deletion-vector
+        entry, and append the updated images — ZERO existing data files
+        rewritten, so cost is O(matched rows) however big the table. At
+        100 TB this turns "UPDATE 1k rows across 10k partitions" from a
+        10k-partition rewrite into one small parquet job plus a KB-sized
+        commit.
+
+        Both entries publish under ONE single-table transaction marker
+        (:class:`~.txn.Transaction`): a reader sees the old rows or the
+        new rows, never neither (torn delete) nor both (double-count).
+        The dv entry sits below the append in commit order, so the fresh
+        images survive their own tombstones by the position rule every
+        dv read applies. Assignments may rewrite key columns (old keys
+        are tombstoned, new images appended under the new keys) — the
+        caller owns key uniqueness. Conflicts: the publish is checked
+        against the snapshot baseline right before the marker CAS —
+        a concurrent commit that added or removed rows this update read
+        aborts the txn and raises :class:`ConcurrentWriteError` (the
+        check-to-CAS window is documented best-effort, same as every
+        optimistic scheme that validates outside the commit point)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("update_where_dv needs commit_mode='manifest'")
+        if not self.index_cols:
+            raise TypeError("update_where_dv needs index_cols (the match key)")
+        from .txn import Transaction
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+        rmw = self._rmw_baseline()
+        old = self._snapshot_df(rmw)
+        if old.isEmpty():
+            return
+        sets = self._update_exprs(assignments, old.schema)
+        matched = old.where(hit).localCheckpoint(eager=True)
+        if matched.isEmpty():
+            return
+        updated = matched.select(
+            *[sets.get(c, F.col(c)).alias(c) for c in matched.columns]
+        )
+        txn = Transaction(join_path(self.main_path, ".txns"))
+        txn.delete_records_dv(self, matched.select(*self.index_cols))
+        txn.extend(self, updated)
+        # optimistic validation against the baseline before the marker
+        # flips both entries visible: any commit that landed since this
+        # update's snapshot either added rows the update never read or
+        # removed rows it would resurrect — abort instead of committing
+        from .manifest import load_manifest, visible_commits
+
+        cur = load_manifest(self._fs(), self.main_path) or {"commits": []}
+        touched = (
+            {
+                tuple(r)
+                for r in matched.select(*self.group_cols).distinct().collect()
+            }
+            if self.group_cols
+            else set()
+        )
+        try:
+            self._check_rmw_conflict(
+                rmw,
+                visible_commits(cur["commits"]),
+                bool(self.group_cols),
+                touched,
+            )
+        except ConcurrentWriteError:
+            txn.abort()
+            self.sweep_aborted_txns()
+            raise
+        txn.commit()
+
     def _delete_matching(self, match, keep) -> None:
         rmw = self._rmw_baseline()
         old = self._snapshot_df(rmw)
