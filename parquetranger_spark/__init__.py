@@ -12,6 +12,7 @@ from .functions.hashing import HashPartitioner, md5_bucket, md5_mod, md5_prefix_
 from .session import get_spark
 from .sources.bucketed import BucketedRepo
 from .sources.ingestor import ObjIngestor, shred_json_df
+from .sources.matview import MaterializedAggView
 from .sources.table_repo import TableRepo
 from .sources.txn import Transaction, TransactionError
 from .sources.writers import DfBatchWriter, FixedRecordWriter, RecordWriter
@@ -24,6 +25,7 @@ __version__ = "0.3.0"
 __all__ = [
     "TableRepo",
     "Transaction",
+    "MaterializedAggView",
     "TransactionError",
     "BucketedRepo",
     "HashPartitioner",

@@ -1677,6 +1677,91 @@ def update_dv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "mv_incremental_agg",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 13 = 6 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 13 != 5
+), extra AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority,
+         o_totalprice * 0.5 AS p
+  FROM orders WHERE o_orderkey % 13 = 7
+), final AS (
+  SELECT * FROM base UNION ALL SELECT * FROM extra
+)
+SELECT o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE)
+         / CAST(COUNT(p) AS DOUBLE) AS mean_price,
+       MIN(p) AS lo, MAX(p) AS hi
+FROM final GROUP BY o_orderpriority
+""",
+)
+def mv_incremental_agg(spark, sf_dir):
+    """Incrementally-maintained MATERIALIZED VIEW (sources/matview.py —
+    the DLT/Materialize shape, batch-refreshed; no reference
+    counterpart): a per-priority aggregate (count / decimal-exact sum /
+    avg / min / max of order totals) kept fresh from the source's
+    row-level change feed. The source takes a dv delete (orderkey%13=5),
+    a copy-on-write UPDATE doubling prices (%13=6), and an append of new
+    half-price orders (%13=7) after the bootstrap refresh; the second
+    refresh folds all three versions as ONE fenced keyed commit into the
+    grouped view table. The oracle recomputes the final aggregate from
+    scratch — the view must equal it bit-exactly (decimal partials,
+    double division only at read time).
+
+    Scale shape: refresh cost is O(changed rows + touched groups) —
+    the feed diffs only the window's touched files, sum/count/avg fold
+    incrementally, and min/max re-aggregate ONLY groups that saw a
+    delete via a semi-join-pruned source scan. Never O(table)."""
+    from ..sources.matview import MaterializedAggView
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    root = scratch_dir("mvagg")
+    src = TableRepo(
+        root + "/orders",
+        group_cols="o_orderstatus",
+        index_cols=["o_orderkey"],
+        commit_mode="manifest",
+        spark=spark,
+    )
+    dest = TableRepo(
+        root + "/mv",
+        group_cols="o_orderpriority",
+        index_cols=["o_orderpriority"],
+        commit_mode="manifest",
+        spark=spark,
+    )
+    mv = MaterializedAggView(
+        src,
+        dest,
+        group_cols=["o_orderpriority"],
+        count_col="n",
+        sums={"total": "o_totalprice"},
+        avgs={"mean_price": "o_totalprice"},
+        mins={"lo": "o_totalprice"},
+        maxs={"hi": "o_totalprice"},
+    )
+    src.extend(o)
+    mv.refresh()
+    src.delete_where_dv("o_orderkey % 13 = 5")
+    src.update_where({"o_totalprice": "o_totalprice * 2"}, "o_orderkey % 13 = 6")
+    src.extend(
+        o.where(F.col("o_orderkey") % 13 == 7).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        )
+    )
+    mv.refresh()
+    return mv.read()
+
+
+@query(
     "branch_merge_roundtrip",
     oracle="""
 WITH branched AS (
