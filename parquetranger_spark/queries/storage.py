@@ -1811,3 +1811,66 @@ def branch_merge_roundtrip(spark, sf_dir):
     return t.get_full_df().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@query(
+    "schema_evolution_ddl",
+    oracle="""
+WITH merged AS (
+  SELECT c_custkey, c_acctbal AS balance, c_mktsegment,
+         CAST(NULL AS VARCHAR) AS tier
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal AS balance, c_mktsegment,
+         CASE WHEN c_acctbal > 5000 THEN 'hi' ELSE 'lo' END AS tier
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c_mktsegment, count(*) AS n,
+       CAST(SUM(CAST(balance AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+       count(tier) AS n_tier
+FROM merged GROUP BY c_mktsegment
+""",
+)
+def schema_evolution_ddl(spark, sf_dir):
+    """Metadata-only schema DDL (table_repo.py::rename_column /
+    add_column / drop_column — Iceberg field-id evolution / Delta column
+    mapping): seed half the customers, then RENAME c_acctbal→balance,
+    ADD tier, DROP c_nationkey — zero files rewritten (asserted
+    in-query: the physical file set is identical across all three DDLs)
+    — then append the other half under the evolved schema. The read maps
+    old files by field id: renamed column aliased, added column typed
+    null, dropped column gone. The oracle states the merged end state.
+
+    Scale shape: each DDL is one tiny CAS-published JSON; the read adds
+    one projection per commit scan (folded by Catalyst into the scan),
+    so a 100 TB table renames a column in milliseconds and never pays a
+    rewrite."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_nationkey"
+    )
+    t = TableRepo(
+        scratch_dir("ddl") + "/customer",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(c.where(F.col("c_custkey") % 2 == 0))
+    files_before = sorted(t.paths)
+    t.rename_column("c_acctbal", "balance")
+    t.add_column("tier", "string")
+    t.drop_column("c_nationkey")
+    if sorted(t.paths) != files_before:
+        raise AssertionError("schema DDL rewrote data files")
+    t.extend(
+        c.where(F.col("c_custkey") % 2 == 1)
+        .withColumnRenamed("c_acctbal", "balance")
+        .withColumn(
+            "tier", F.when(F.col("balance") > 5000, "hi").otherwise("lo")
+        )
+        .drop("c_nationkey")
+    )
+    return t.get_full_df().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("balance", "sum_bal"),
+        F.count("tier").alias("n_tier"),
+    )

@@ -1,0 +1,141 @@
+"""Iceberg-style schema log: metadata-only column DDL for manifest tables.
+
+The reference's only schema-evolution story is ``allow_metadata_extension``
+(core.py:405-421): widening the canonical schema REWRITES every existing
+file — O(table) I/O hidden inside an append, a non-starter at 100 TB. This
+module gives manifest tables the lakehouse answer (Iceberg schema-id
+evolution / Delta column mapping): every canonical field carries a stable
+**field id**, the full schema at each point in time is an immutable,
+CAS-published **epoch** under ``<root>/_pqrs_schema/v%06d.json``, and data
+commits stamp the epoch they were written under (``schema_v`` in the
+manifest entry). ADD / RENAME / DROP / type-widen then touch only metadata:
+
+- **add_column**: new field id; files from older epochs surface typed nulls
+  (the standard parquet missing-column read).
+- **rename_column**: same id, new name; older files are *read with their
+  epoch's name* and aliased to the current one — no rewrite, and no
+  false-null resurrection of the old column.
+- **drop_column**: the field leaves the current epoch; older files simply
+  stop projecting it. Ids are never reused, so a later re-add of the same
+  name is a DIFFERENT column and old data correctly reads as null.
+- **alter_column_type**: safe widenings only (int→long, float→double,
+  decimal precision growth — the Iceberg-compatible set); older files cast
+  on read.
+
+Epochs are published with ``create_exclusive`` (the same CAS primitive the
+manifest uses), so concurrent DDL serializes: the loser reloads and
+re-validates against the winner's schema. Data writers never contend — a
+commit is stamped with whatever epoch its aligned column set matches, so a
+write racing a rename lands with the epoch it actually used and the reader
+maps it by id regardless.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+from .fs import join_path
+
+SCHEMA_DIR = "_pqrs_schema"
+
+# widenings that are exact on every representable value (Iceberg's
+# allowed type promotions) — anything else must go through an explicit
+# add-new-column + backfill, never a silent lossy cast
+_SAFE_WIDENINGS = {
+    ("integer", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("float", "double"),
+}
+
+# immutable once published → cache by file path, process-wide
+_EPOCH_CACHE: dict[str, dict] = {}
+
+
+def _epoch_path(root: str, v: int) -> str:
+    return join_path(root, SCHEMA_DIR, f"v{v:06d}.json")
+
+
+def load_schema_log(fs, root: str) -> list[dict[str, Any]]:
+    """Every published epoch, ordered by version — ``[]`` when the table
+    has never seen DDL (the zero-cost common case: one exists() probe).
+    Epoch payloads are immutable, so they are cached process-wide; only
+    the (tiny) directory listing re-runs per call."""
+    sdir = join_path(root, SCHEMA_DIR)
+    if not fs.exists(sdir):
+        return []
+    from .fs import basename
+
+    out = []
+    for p in fs.list_names(sdir, ".json"):  # full paths, not basenames
+        if not basename(p).startswith("v"):
+            continue
+        e = _EPOCH_CACHE.get(p)
+        if e is None:
+            e = json.loads(fs.read_text(p))
+            _EPOCH_CACHE[p] = e
+        out.append(e)
+    out.sort(key=lambda e: e["v"])
+    return out
+
+
+def publish_schema_version(fs, root: str, fields: list[dict], v: int) -> bool:
+    """CAS-publish epoch ``v``. False = a concurrent DDL won this version
+    number; the caller reloads the log and re-validates its mutation."""
+    fs.mkdirs(join_path(root, SCHEMA_DIR))
+    return fs.create_exclusive(
+        _epoch_path(root, v), json.dumps({"v": v, "fields": fields}, indent=1)
+    )
+
+
+def fields_from_schema(schema: T.StructType) -> list[dict]:
+    """Bootstrap field list: ids assigned in field order, 1-based (the
+    epoch-1 snapshot of a pre-DDL table)."""
+    return [
+        {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+def schema_of_fields(fields: list[dict]) -> T.StructType:
+    """The Spark StructType a field list describes (fully nullable — the
+    same convention the sidecar canonical schema uses)."""
+    return T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": f["name"], "type": f["type"], "nullable": True, "metadata": {}}
+                for f in fields
+            ],
+        }
+    )
+
+
+def next_field_id(log: list[dict]) -> int:
+    """Ids are never reused, even after a drop — scan EVERY epoch, not
+    just the current one, so a dropped-then-readded name gets a fresh id
+    and old files correctly surface null for the new column."""
+    return 1 + max(
+        (f["id"] for e in log for f in e["fields"]), default=0
+    )
+
+
+def is_safe_widening(src_json, dst_json) -> bool:
+    src = T.StructType.fromJson(
+        {"type": "struct", "fields": [{"name": "c", "type": src_json, "nullable": True, "metadata": {}}]}
+    ).fields[0].dataType
+    dst = T.StructType.fromJson(
+        {"type": "struct", "fields": [{"name": "c", "type": dst_json, "nullable": True, "metadata": {}}]}
+    ).fields[0].dataType
+    if (src.typeName(), dst.typeName()) in _SAFE_WIDENINGS:
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        # growing precision with the same scale loses nothing
+        return dst.scale == src.scale and dst.precision >= src.precision
+    return False

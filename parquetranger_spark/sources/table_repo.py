@@ -840,6 +840,12 @@ class TableRepo:
         meta = load_meta(self.main_path, spark=self._spark)
         if meta is not None:
             save_meta(clone.main_path, meta, spark=self._spark)
+        # schema epochs travel with the commits: cloned entries keep their
+        # schema_v stamps, which are unreadable without the epoch log
+        from .schema_log import load_schema_log, publish_schema_version
+
+        for e in load_schema_log(self._fs(), self.main_path):
+            publish_schema_version(clone._fs(), clone.main_path, e["fields"], e["v"])
         return clone
 
     # ------------------------------------------------------------- branches
@@ -918,6 +924,17 @@ class TableRepo:
         bmf = load_manifest(fs, broot)
         if bmf is None:
             raise RuntimeError(f"branch {name!r} has no committed version")
+        from .schema_log import load_schema_log
+
+        if [e["v"] for e in load_schema_log(fs, broot)] != [
+            e["v"] for e in load_schema_log(fs, self.main_path)
+        ]:
+            # branch-local DDL would import commit stamps main's epoch log
+            # can't resolve; schema evolution is a main-branch operation
+            raise RuntimeError(
+                f"merge_branch({name!r}): branch and main schema logs "
+                "diverged — run schema DDL on main, not on branches"
+            )
         merged = [{**c, "base": c.get("base", broot)} for c in bmf["commits"]]
         cur = load_manifest(fs, self.main_path)
         cur_v = cur["version"] if cur else 0
@@ -955,6 +972,162 @@ class TableRepo:
                         "rewrite main (compact/replace_all) or pass force=True"
                     )
         fs.delete(broot)
+
+    # ------------------------------------------------- schema DDL (metadata-only)
+
+    def schema_log(self) -> list[dict]:
+        """Every published schema epoch (empty for a table that has never
+        seen DDL). Observability face of the evolution machinery — each
+        entry is ``{"v": n, "fields": [{"id", "name", "type"}, ...]}``."""
+        from .schema_log import load_schema_log
+
+        return load_schema_log(self._fs(), self.main_path)
+
+    def add_column(self, name: str, dtype) -> None:
+        """Metadata-only ADD COLUMN (manifest mode): the field joins the
+        canonical schema under a fresh field id; no file is touched, and
+        files from older epochs surface typed nulls on read — the
+        lakehouse replacement for the reference's rewrite-every-file
+        widening (core.py:411-421). ``dtype`` is a Spark DataType or DDL
+        string ('bigint', 'array<double>', ...)."""
+        dt = self._parse_dtype(dtype)
+
+        def mutate(fields, log):
+            from .schema_log import next_field_id
+
+            if any(f["name"].lower() == name.lower() for f in fields):
+                raise ValueError(f"add_column: column {name!r} already exists")
+            return fields + [
+                {"id": next_field_id(log), "name": name, "type": dt.jsonValue()}
+            ]
+
+        self._evolve_schema(mutate)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME COLUMN: same field id, new current name.
+        Files written before the rename are read WITH their epoch's name
+        and aliased — no rewrite, no null-out of history (the failure
+        mode of name-based parquet evolution that Iceberg field ids /
+        Delta column mapping exist to prevent)."""
+        self._refuse_structural(old, "rename_column")
+
+        def mutate(fields, log):
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise KeyError(f"rename_column: no column {old!r}")
+            if any(f["name"].lower() == new.lower() for f in fields):
+                raise ValueError(f"rename_column: column {new!r} already exists")
+            return [
+                ({**f, "name": new} if f["name"] == old else f) for f in fields
+            ]
+
+        self._evolve_schema(mutate)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN: the field leaves the current epoch;
+        older files simply stop projecting it. Its id is never reused, so
+        a later ``add_column`` of the same name is a NEW column and old
+        data correctly reads as null rather than resurrecting."""
+        self._refuse_structural(name, "drop_column")
+
+        def mutate(fields, log):
+            kept = [f for f in fields if f["name"] != name]
+            if len(kept) == len(fields):
+                raise KeyError(f"drop_column: no column {name!r}")
+            if not kept:
+                raise ValueError("drop_column: cannot drop the last column")
+            return kept
+
+        self._evolve_schema(mutate)
+
+    def alter_column_type(self, name: str, dtype) -> None:
+        """Metadata-only type WIDENING (int→long, float→double, decimal
+        precision growth — the Iceberg-compatible exact promotions).
+        Older files cast on read; anything lossy is refused (backfill a
+        new column instead)."""
+        self._refuse_structural(name, "alter_column_type")
+        dt = self._parse_dtype(dtype)
+
+        def mutate(fields, log):
+            from .schema_log import is_safe_widening
+
+            for f in fields:
+                if f["name"] == name:
+                    if f["type"] == dt.jsonValue():
+                        raise ValueError(
+                            f"alter_column_type: {name!r} is already {dt.simpleString()}"
+                        )
+                    if not is_safe_widening(f["type"], dt.jsonValue()):
+                        raise ValueError(
+                            f"alter_column_type: {f['type']!r} -> "
+                            f"{dt.simpleString()!r} is not a safe widening"
+                        )
+                    return [
+                        ({**g, "type": dt.jsonValue()} if g["name"] == name else g)
+                        for g in fields
+                    ]
+            raise KeyError(f"alter_column_type: no column {name!r}")
+
+        self._evolve_schema(mutate)
+
+    def _parse_dtype(self, dtype) -> T.DataType:
+        if isinstance(dtype, T.DataType):
+            return dtype
+        return T.StructType.fromDDL(f"`c` {dtype}").fields[0].dataType
+
+    def _refuse_structural(self, name: str, op: str) -> None:
+        """Partition and key columns anchor directory layout, upsert
+        matching, and dv tombstones — renaming/dropping them is a table
+        REBUILD, not a metadata flip; refuse loudly."""
+        if name in self.group_cols:
+            raise ValueError(f"{op}: {name!r} is a partition column")
+        if name in self.index_cols:
+            raise ValueError(f"{op}: {name!r} is a key (index) column")
+
+    def _evolve_schema(self, mutate) -> None:
+        """Shared DDL loop: bootstrap epoch 1 from the canonical sidecar
+        schema if this is the table's first DDL, apply ``mutate`` to the
+        current epoch's field list, CAS-publish the next epoch (losers
+        reload and re-validate), then refresh the sidecar cache so plain
+        writers align to the new shape."""
+        if self.commit_mode != "manifest":
+            raise TypeError("schema DDL requires commit_mode='manifest'")
+        from .schema_log import (
+            fields_from_schema,
+            load_schema_log,
+            publish_schema_version,
+            schema_of_fields,
+        )
+
+        fs = self._fs()
+        while True:
+            log = load_schema_log(fs, self.main_path)
+            if not log:
+                meta = load_meta(self.main_path, spark=self._spark)
+                base = (meta and meta.schema) or self.fixed_schema
+                if base is None:
+                    raise RuntimeError(
+                        f"schema DDL on {self.name!r} needs a canonical schema "
+                        "— write once (or pass fixed_schema) first"
+                    )
+                from ..plans.schema import as_nullable
+
+                fields = fields_from_schema(as_nullable(base))
+                publish_schema_version(fs, self.main_path, fields, 1)
+                continue  # reload: either ours or a concurrent bootstrap won
+            cur = log[-1]
+            new_fields = mutate([dict(f) for f in cur["fields"]], log)
+            if publish_schema_version(fs, self.main_path, new_fields, cur["v"] + 1):
+                break
+        meta = load_meta(self.main_path, spark=self._spark) or TableMeta(
+            group_cols=self.group_cols,
+            index_cols=self.index_cols,
+            extra_metadata=self.extra_metadata,
+        )
+        from ..plans.schema import as_nullable
+
+        meta.schema = as_nullable(schema_of_fields(new_fields))
+        save_meta(self.main_path, meta, spark=self._spark)
 
     def changes_between(
         self, start: int, end: int | None = None, row_level: bool = False
@@ -1678,6 +1851,19 @@ class TableRepo:
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         schema = meta.schema if meta and meta.schema else None
+        from .schema_log import load_schema_log, schema_of_fields
+
+        slog = load_schema_log(self._fs(), self.main_path)
+        epochs = {e["v"]: e for e in slog}
+        cur_epoch = slog[-1] if slog else None
+        if cur_epoch is not None:
+            # the schema LOG is the authority once DDL has happened; the
+            # sidecar is just its cache (a racing writer may have saved a
+            # stale cache after our DDL — the log, being CAS-published,
+            # cannot regress)
+            from ..plans.schema import as_nullable
+
+            schema = as_nullable(schema_of_fields(cur_epoch["fields"]))
         from .manifest import visible_commits
 
         # multi-table-txn gate: entries published under a still-pending
@@ -1698,15 +1884,54 @@ class TableRepo:
             if not cfiles:
                 continue
             cdir = join_path(c.get("base", self.main_path), c["dir"])
+            # unstamped commits predate ALL DDL (stamping ships with the
+            # DDL feature), so they were written under the bootstrap
+            # epoch's names — epoch 1 IS that pre-DDL snapshot
+            cv = c.get("schema_v", 1 if c.get("kind") != "dv" else None)
+            emap = None
+            if cur_epoch is not None and cv is not None and cv != cur_epoch["v"]:
+                if cv not in epochs:
+                    raise RuntimeError(
+                        f"commit {c['dir']!r} of {self.name!r} is stamped with "
+                        f"schema epoch {cv} but the schema log has no such "
+                        "version — was _pqrs_schema/ copied with the data?"
+                    )
+                emap = epochs[cv]
             r = spark.read
-            if schema is not None:
+            if emap is not None:
+                # a commit from an OLDER schema epoch: open it with the
+                # names/types it was WRITTEN under, then map to the
+                # current epoch by field id below (rename → alias,
+                # widen → cast, added-later → typed null) — the Iceberg
+                # field-id / Delta column-mapping read path, per commit
+                from ..plans.schema import as_nullable
+
+                r = r.schema(as_nullable(schema_of_fields(emap["fields"])))
+            elif schema is not None:
                 r = r.schema(schema)
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
             s = r.option("basePath", cdir).parquet(*[join_path(cdir, f) for f in cfiles])
+            if emap is not None:
+                by_id = {f["id"]: f for f in emap["fields"]}
+                cols = []
+                for f in cur_epoch["fields"]:
+                    src = by_id.get(f["id"])
+                    tgt = schema_of_fields([f]).fields[0].dataType
+                    if src is None:
+                        cols.append(F.lit(None).cast(tgt).alias(f["name"]))
+                    elif src["name"] == f["name"] and src["type"] == f["type"]:
+                        cols.append(F.col(f["name"]))
+                    else:
+                        cols.append(F.col(src["name"]).cast(tgt).alias(f["name"]))
+                if project is not None:
+                    # keep the metadata struct reachable for the hook —
+                    # it resolves only directly on the scan
+                    cols.append(F.col("_metadata"))
+                s = s.select(*cols)
             if dv is not None:
                 keys, tomb = dv
-                if project is not None:
+                if project is not None and emap is None:
                     # metadata columns resolve only directly on a scan —
                     # materialize the struct as a regular column so the
                     # project hook still sees _metadata after the join
@@ -2440,7 +2665,33 @@ class TableRepo:
 
                 meta.schema = as_nullable(widened)
                 save_meta(self.main_path, meta, spark=self._spark)
+                self._sync_widening_to_log(meta.schema)
         return align_to_schema(df, meta.schema)
+
+    def _sync_widening_to_log(self, widened: T.StructType) -> None:
+        """allow_schema_extension widening on a table that has a schema
+        log must publish the new columns as a log epoch too (fresh field
+        ids) — otherwise the widened write's column set would match no
+        epoch and the commit stamp would fail loudly."""
+        from .schema_log import load_schema_log, next_field_id, publish_schema_version
+
+        fs = self._fs()
+        while True:
+            log = load_schema_log(fs, self.main_path)
+            if not log:
+                return
+            cur = log[-1]
+            known = {f["name"] for f in cur["fields"]}
+            add = [f for f in widened.fields if f.name not in known]
+            if not add:
+                return
+            nid = next_field_id(log)
+            fields = cur["fields"] + [
+                {"id": nid + i, "name": f.name, "type": f.dataType.jsonValue()}
+                for i, f in enumerate(add)
+            ]
+            if publish_schema_version(fs, self.main_path, fields, cur["v"] + 1):
+                return
 
     def compact(self, partition_values: list | None = None, partition_col: str | None = None) -> None:
         """Small-file compaction — the maintenance job a 100 TB table under
@@ -2693,6 +2944,25 @@ class TableRepo:
         w.parquet(cdir)
         files = self._list_commit_rel_files(fs, cdir, rel_dir)
         entry = {"dir": rel_dir, "files": files, "spec": list(self.group_cols)}
+        from .schema_log import load_schema_log
+
+        slog = load_schema_log(fs, self.main_path)
+        if slog:
+            # stamp the epoch this batch was actually WRITTEN under by
+            # matching its (aligned) column set — not "the latest epoch",
+            # so a write racing a concurrent rename lands with the epoch
+            # whose names it really used and readers map it by field id
+            names = set(df.columns)
+            for e in reversed(slog):
+                if {f["name"] for f in e["fields"]} == names:
+                    entry["schema_v"] = e["v"]
+                    break
+            else:
+                raise RuntimeError(
+                    f"write to {self.name!r} carries columns {sorted(names)} "
+                    "matching no schema epoch — align to the canonical "
+                    "schema (or run the DDL) before writing"
+                )
         if self.stats_cols and files:
             entry["stats"], nr = self._collect_file_stats(cdir, files, meta=meta)
             if len(nr) == len(files):

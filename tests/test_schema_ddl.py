@@ -1,0 +1,179 @@
+"""Metadata-only schema DDL (Iceberg field-id evolution / Delta column
+mapping shape): ADD / RENAME / DROP / widen on manifest tables without
+touching a single data file. The reference's only evolution story rewrites
+every file (core.py:411-421); these tests pin the lakehouse replacement."""
+
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquetranger_spark.sources.table_repo import TableRepo
+
+
+def _repo(spark, root, **kw):
+    kw.setdefault("commit_mode", "manifest")
+    kw.setdefault("single_writer", True)
+    return TableRepo(root + "/t", spark=spark, **kw)
+
+
+def _seed(spark, n=4, base=0):
+    return spark.createDataFrame(
+        [Row(k=base + i, v=float(base + i), s=f"s{base + i}") for i in range(n)]
+    )
+
+
+def test_rename_is_metadata_only_and_maps_old_files(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    files_before = sorted(t.paths)
+    t.rename_column("v", "value")
+    assert sorted(t.paths) == files_before  # no rewrite
+    df = t.get_full_df()
+    assert "value" in df.columns and "v" not in df.columns
+    got = {(r.k, r.value) for r in df.collect()}
+    assert got == {(i, float(i)) for i in range(4)}
+    # writes after the rename land under the new name and read merged
+    t.extend(_seed(spark, base=10).withColumnRenamed("v", "value"))
+    assert t.get_full_df().where(F.col("value") >= 10).count() == 4
+
+
+def test_add_column_nulls_for_old_files(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.add_column("w", "double")
+    t.extend(
+        _seed(spark, base=100).withColumn("w", F.col("v") * 2)
+    )
+    rows = {r.k: r.w for r in t.get_full_df().collect()}
+    assert all(rows[i] is None for i in range(4))
+    assert rows[100] == 200.0
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.drop_column("s")
+    assert "s" not in t.get_full_df().columns
+    t.add_column("s", "string")
+    t.extend(_seed(spark, base=50))
+    rows = {r.k: r.s for r in t.get_full_df().collect()}
+    # old files' physical 's' is a DIFFERENT field id — must read as null
+    assert all(rows[i] is None for i in range(4))
+    assert rows[50] == "s50"
+
+
+def test_widen_type_casts_old_files(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(spark.createDataFrame([Row(k=1, n=7)], "k long, n int"))
+    t.alter_column_type("n", "bigint")
+    df = t.get_full_df()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.where(F.col("n") == 7).count() == 1
+    with pytest.raises(ValueError):
+        t.alter_column_type("n", "int")  # narrowing refused
+
+
+def test_rename_chain_and_upsert_interplay(spark, tmp_root):
+    t = _repo(spark, tmp_root, index_cols="k")
+    t.extend(_seed(spark))
+    t.rename_column("v", "val")
+    t.rename_column("val", "value")
+    t.replace_records(
+        spark.createDataFrame([Row(k=2, value=99.0, s="upd")])
+    )
+    rows = {r.k: (r.value, r.s) for r in t.get_full_df().collect()}
+    assert rows[2] == (99.0, "upd")
+    assert rows[1] == (1.0, "s1")
+
+
+def test_ddl_refuses_structural_and_bad_args(spark, tmp_root):
+    t = _repo(spark, tmp_root, group_cols="s", index_cols="k")
+    t.extend(_seed(spark))
+    with pytest.raises(ValueError):
+        t.rename_column("s", "s2")  # partition col
+    with pytest.raises(ValueError):
+        t.drop_column("k")  # key col
+    with pytest.raises(KeyError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.add_column("V", "double")  # case-colliding with v
+    with pytest.raises(ValueError):
+        t.drop_column("v") or t.drop_column("k")  # v ok; then k refused
+    plain = TableRepo(tmp_root + "/plain", spark=spark)
+    plain.extend(_seed(spark))
+    with pytest.raises(TypeError):
+        plain.rename_column("v", "x")  # manifest mode only
+
+
+def test_time_travel_reads_with_current_schema(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    v1 = t.versions()[-1]
+    t.rename_column("v", "value")
+    t.extend(_seed(spark, base=10).withColumnRenamed("v", "value"))
+    old = t.get_full_df(version=v1)
+    assert "value" in old.columns and old.count() == 4
+    assert {r.value for r in old.collect()} == {0.0, 1.0, 2.0, 3.0}
+
+
+def test_clone_and_branch_carry_epochs(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.rename_column("v", "value")
+    c = t.clone_to(tmp_root + "/clone")
+    assert {r.k for r in c.get_full_df().where(F.col("value") >= 0).collect()} == {0, 1, 2, 3}
+    b = t.create_branch("dev")
+    assert "value" in b.get_full_df().columns
+    # DDL on a branch refuses to merge back
+    b.add_column("extra", "int")
+    with pytest.raises(RuntimeError, match="schema logs"):
+        t.merge_branch("dev")
+
+
+def test_concurrent_ddl_serializes(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    errs, done = [], []
+
+    def run(i):
+        try:
+            h = TableRepo(tmp_root + "/t", spark=spark, commit_mode="manifest")
+            h.add_column(f"c{i}", "int")
+            done.append(i)
+        except Exception as e:  # CAS losers retry internally; none should fail
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    assert not errs and len(done) == 4
+    names = {f["name"] for f in t.schema_log()[-1]["fields"]}
+    assert {"c0", "c1", "c2", "c3"} <= names
+    ids = [f["id"] for e in t.schema_log() for f in e["fields"]]
+    assert len(set(ids)) <= max(ids)  # ids stable, never clash per name
+
+
+def test_widening_syncs_into_log(spark, tmp_root):
+    t = _repo(spark, tmp_root, allow_schema_extension=True)
+    t.extend(_seed(spark))
+    t.rename_column("v", "value")  # bootstraps the log
+    t.extend(
+        _seed(spark, base=20)
+        .withColumnRenamed("v", "value")
+        .withColumn("extra", F.lit(1))
+    )
+    assert "extra" in t.get_full_df().columns
+    last = t.schema_log()[-1]
+    assert any(f["name"] == "extra" for f in last["fields"])
+
+
+def test_dv_delete_survives_rename(spark, tmp_root):
+    t = _repo(spark, tmp_root, index_cols="k")
+    t.extend(_seed(spark))
+    t.delete_records_dv(spark.createDataFrame([Row(k=1)]))
+    t.rename_column("v", "value")
+    rows = {r.k for r in t.get_full_df().collect()}
+    assert rows == {0, 2, 3}
