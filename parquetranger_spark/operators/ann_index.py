@@ -82,18 +82,28 @@ class AnnIndex:
         seed: int = 42,
         max_iter: int = 5,
         train_limit: int | None = 8192,
+        attr_cols: list[str] | None = None,
     ) -> int:
         """(Re)build the index from ``corpus``: train the coarse
         quantizer, assign every vector, replace both tables. Returns the
-        list count used (default ≈√n — see module doc)."""
+        list count used (default ≈√n — see module doc).
+
+        ``attr_cols`` stores metadata columns ALONGSIDE the vectors in
+        the postings table — the filtered-search shape (Milvus/Vespa
+        attribute filtering): :meth:`query` with ``where=`` then pushes
+        the predicate into the probed partitions' parquet scan, so a
+        constrained search reads no more than an unconstrained one."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         spark = corpus.sparkSession
         if n_lists is None:
             n_lists = max(4, math.isqrt(max(corpus.count(), 1)))
+        self_attrs = list(attr_cols or [])
         c = corpus.select(
-            F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv")
+            F.col(self.id_col),
+            to_double(F.col(self.vec_col)).alias("cv"),
+            *self_attrs,
         ).withColumn("cn", norm(F.col("cv")))
         cv = c.withColumn("__v", array_to_vector(F.col("cv")))
         if train_limit:
@@ -110,7 +120,7 @@ class AnnIndex:
             predictionCol="list_id",
         ).fit(train)
         assigned = model.transform(cv).select(
-            self.id_col, "cv", "cn", "list_id"
+            self.id_col, "cv", "cn", "list_id", *self_attrs
         )
         cents = [
             (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
@@ -126,8 +136,9 @@ class AnnIndex:
         assignment rule — squared-euclidean argmin) and append. O(batch):
         one broadcast join + one commit; existing lists are untouched."""
         cents = self.centroids.get_full_df()
+        extra = [c for c in batch.columns if c not in (self.id_col, self.vec_col)]
         b = batch.select(
-            F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv")
+            F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv"), *extra
         ).withColumn("cn", norm(F.col("cv")))
         # squared euclidean = |v|² − 2·v·c + |c|²; |v|² is constant per
         # vector so argmin needs only (−2·v·c + |c|²) — both from the
@@ -149,8 +160,11 @@ class AnnIndex:
             .withColumn("__d", dist)
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
-            .select(self.id_col, "cv", "cn", "list_id")
+            .select(self.id_col, "cv", "cn", "list_id", *extra)
         )
+        # postings' canonical-schema alignment drops attrs the index was
+        # not built with and nulls ones this batch lacks — the batch
+        # never dictates the index's attribute surface
         self.postings.extend(assigned)
 
     def delete(self, keys: DataFrame) -> None:
@@ -170,17 +184,75 @@ class AnnIndex:
         k: int = 5,
         n_probe: int = 4,
         exclude_self: bool = True,
+        where: str | None = None,
+        max_rounds: int = 3,
     ) -> DataFrame:
         """Top-k cosine neighbors per query row, probing ``n_probe``
         lists. The probed list ids are collected driver-side (≤ n_lists
         ints — bounded by the index, not the data) and pushed into the
         postings read as a partition-column filter, so the scan plans
-        over only the probed partition dirs."""
+        over only the probed partition dirs.
+
+        ``where`` constrains neighbors to rows satisfying a SQL
+        predicate over the index's ``attr_cols`` (FILTERED vector
+        search). The predicate is applied INSIDE the probed partitions'
+        scan — pre-filtering, not post-filtering, so selective
+        predicates never silently return fewer than k real matches from
+        an unfiltered candidate pool. Because a selective filter can
+        drain the probed lists, probing ESCALATES adaptively: queries
+        that end a round with fewer than k matches re-probe with 4×
+        the lists (up to ``max_rounds`` rounds, the last one probing
+        everything) — the Milvus/Vespa adaptive-nprobe shape. Driver
+        state per round is one count per unsatisfied query (bounded by
+        the query batch, never the corpus)."""
         cents = self.centroids.get_full_df()
+        n_lists = cents.count()
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
         ).withColumn("qn", norm(F.col("qv")))
+        if where is None:
+            return self._topk_once(q, cents, k, n_probe, exclude_self, None)
+        q = q.localCheckpoint(eager=True)  # re-probed across rounds
+        probe, done = n_probe, []
+        for rnd in range(max_rounds):
+            last = rnd == max_rounds - 1 or probe >= n_lists
+            if last:
+                probe = n_lists
+            res = self._topk_once(q, cents, k, probe, exclude_self, where)
+            if last:
+                done.append(res)
+                break
+            res = res.localCheckpoint(eager=True)  # counted AND emitted
+            short = [
+                r["query_id"]
+                for r in res.groupBy("query_id")
+                .count()
+                .join(q.select("query_id"), "query_id", "right")
+                .where(F.coalesce(F.col("count"), F.lit(0)) < k)
+                .select("query_id")
+                .collect()
+            ]
+            if not short:
+                done.append(res)
+                break
+            q = q.where(F.col("query_id").isin(short))
+            done.append(res.join(q.select("query_id"), "query_id", "left_anti"))
+            probe = min(probe * 4, n_lists)
+        out = done[0]
+        for d in done[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _topk_once(
+        self,
+        q: DataFrame,
+        cents: DataFrame,
+        k: int,
+        n_probe: int,
+        exclude_self: bool,
+        where: str | None,
+    ) -> DataFrame:
         wq = Window.partitionBy("query_id").orderBy(
             F.col("c_cos").desc(), F.col("list_id")
         )
@@ -201,11 +273,12 @@ class AnnIndex:
         # join); checkpoint once — the frame is n_queries × n_probe rows
         probes = probes.localCheckpoint(eager=True)
         probed_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
-        inv = (
-            self.postings.get_full_df()
-            .where(F.col("list_id").isin(probed_ids))
-            .select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn", "list_id")
-        )
+        inv = self.postings.get_full_df().where(F.col("list_id").isin(probed_ids))
+        if where is not None:
+            # attribute pre-filter INSIDE the probed partitions' scan —
+            # Catalyst pushes it to the parquet reader
+            inv = inv.where(F.expr(where))
+        inv = inv.select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn", "list_id")
         cand = probes.join(inv, "list_id")
         if exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))

@@ -724,6 +724,63 @@ def ann_index_persisted_topk(spark, sf_dir):
     return _ann_verified_exact(spark, approx, exact, 0.7, "ann_index_persisted_topk")
 
 
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id >= 100 AND vec_id < 150),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 10 = 3),
+scored AS (
+  SELECT query_id, neighbor_id, {{cos}} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+""".format(cos=_cosine_sql("qv", "cv")),
+)
+def ann_filtered_topk(spark, sf_dir):
+    """X3 filtered vector search (operators/ann_index.py::query with
+    ``where=``): the production retrieval shape most engines bolt on
+    late — top-k neighbors AMONG rows satisfying a metadata predicate.
+    The index stores attribute columns alongside the postings
+    (build(attr_cols=...)), the predicate applies INSIDE the probed
+    partitions' parquet scan (pre-filter, pushed down by Catalyst —
+    never a post-filter of an unfiltered pool that silently under-fills
+    k), and probing escalates adaptively (1 → 4 → all lists) for
+    queries a selective filter leaves short of k matches. Here a 10%
+    filter with a deliberately tiny initial probe exercises the
+    escalation path; recall ≥ 0.7 vs the filtered brute force is
+    asserted in-query and the exact surface is emitted (the
+    _ann_verified_exact device)."""
+    from ..operators.ann_index import AnnIndex
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.withColumn("bucket", (F.col("vec_id") % 10).cast("int"))
+    idx = AnnIndex(scratch_dir("annflt") + "/idx", spark=spark)
+    idx.build(corpus, seed=42, attr_cols=["bucket"])
+    q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    # a filtered search probes MORE lists than an unfiltered one for the
+    # same recall (only ~selectivity of each probed list competes), so
+    # n_probe scales by ~1/selectivity vs the unfiltered query's 8
+    approx = idx.query(q, k=5, n_probe=24, where="bucket = 3").cache()
+    # pre-filter invariant: every neighbor satisfies the predicate
+    leak = approx.join(
+        corpus.where(F.col("bucket") != 3).select(
+            F.col("vec_id").alias("neighbor_id")
+        ),
+        "neighbor_id",
+        "left_semi",
+    ).count()
+    if leak:
+        raise AssertionError("filtered ANN returned a predicate-violating neighbor")
+    exact = topk_cosine_bruteforce(q, corpus.where(F.col("bucket") == 3), k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.7, "ann_filtered_topk")
+
+
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 

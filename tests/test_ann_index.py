@@ -96,3 +96,59 @@ def test_maintain_compacts_fragmented_lists(spark, idx):
     assert compacted  # fragmented lists existed
     assert idx.postings.n_files < before
     assert idx.postings.count_rows() == 250
+
+
+def test_filtered_query_prefilters_and_escalates(spark, idx):
+    corpus = _vectors(spark, 400).withColumn(
+        "bucket", (F.col("vec_id") % 10).cast("int")
+    ).cache()
+    idx.build(corpus, n_lists=16, seed=1, attr_cols=["bucket"])
+    q = corpus.where(F.col("vec_id") < 20)
+    # start with a deliberately tiny probe so the 10%-selective filter
+    # forces at least one escalation round
+    got = idx.query(q, k=3, n_probe=1, where="bucket = 3").cache()
+    # every returned neighbor satisfies the predicate
+    bad = got.join(
+        corpus.where(F.col("bucket") != 3).select(F.col("vec_id").alias("neighbor_id")),
+        "neighbor_id",
+        "left_semi",
+    ).count()
+    assert bad == 0
+    # escalation must fill k for every query (40 matching rows exist)
+    counts = {r.query_id: r["count"] for r in got.groupBy("query_id").count().collect()}
+    assert set(counts) == set(range(20)) and all(c == 3 for c in counts.values())
+    # queries satisfied at probe=1 stay approximate (that's the ANN
+    # contract); escalated ones probed more lists — recall floor only
+    exact = topk_cosine_bruteforce(q, corpus.where(F.col("bucket") == 3), k=3)
+    hits = exact.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.4
+
+
+def test_filtered_query_fewer_matches_than_k(spark, idx):
+    corpus = _vectors(spark, 200).withColumn(
+        "rare", (F.col("vec_id") < 2).cast("boolean")
+    ).cache()
+    idx.build(corpus, n_lists=8, seed=1, attr_cols=["rare"])
+    q = corpus.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 55))
+    got = idx.query(q, k=5, n_probe=1, where="rare").cache()
+    # only 2 matching rows exist in the whole corpus: escalation ends at
+    # probe-everything and returns exactly those two per query
+    counts = {r.query_id: r["count"] for r in got.groupBy("query_id").count().collect()}
+    assert all(c == 2 for c in counts.values()) and len(counts) == 5
+    assert {r.neighbor_id for r in got.collect()} == {0, 1}
+
+
+def test_add_carries_attrs_and_query_filters_them(spark, idx):
+    corpus = _vectors(spark, 200).withColumn(
+        "bucket", (F.col("vec_id") % 4).cast("int")
+    ).cache()
+    idx.build(corpus, n_lists=8, seed=1, attr_cols=["bucket"])
+    twin = corpus.where(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+        F.lit(2).cast("int").alias("bucket"),
+    )
+    idx.add(twin)
+    q = corpus.where(F.col("vec_id") == 7)
+    top = idx.query(q, k=1, n_probe=8, where="bucket = 2").collect()
+    assert top and top[0].neighbor_id == 1007 and top[0].cos > 0.999999
