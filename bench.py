@@ -106,6 +106,17 @@ HEADLINE = [
     "embedding_outliers_knn",
     "stream_changes_feed",
     "cdc_replica_sync",
+    # round-7 wave 2: multi-table txns, SQL UPDATE (CoW + MoR), the
+    # change-feed materialized view, the persisted IVF index, filtered
+    # vector search, and metadata-only schema DDL — new to the headline
+    # set this round
+    "txn_multi_table_atomic",
+    "update_where_roundtrip",
+    "update_dv_roundtrip",
+    "mv_incremental_agg",
+    "ann_index_persisted_topk",
+    "ann_filtered_topk",
+    "schema_evolution_ddl",
 ]
 
 # queries whose gate form deliberately runs BOTH the index path and an
@@ -121,6 +132,8 @@ ANN_SPLIT = [
     "topk_cosine_pq",
     "dedup_simhash_pairs",
     "embedding_outliers_knn",
+    "ann_index_persisted_topk",
+    "ann_filtered_topk",
 ]
 
 

@@ -983,23 +983,36 @@ class TableRepo:
 
         return load_schema_log(self._fs(), self.main_path)
 
-    def add_column(self, name: str, dtype) -> None:
+    def add_column(self, name: str, dtype, default=None) -> None:
         """Metadata-only ADD COLUMN (manifest mode): the field joins the
         canonical schema under a fresh field id; no file is touched, and
         files from older epochs surface typed nulls on read — the
         lakehouse replacement for the reference's rewrite-every-file
         widening (core.py:411-421). ``dtype`` is a Spark DataType or DDL
-        string ('bigint', 'array<double>', ...)."""
+        string ('bigint', 'array<double>', ...).
+
+        ``default`` is the Iceberg-v3 *initial default*: rows written
+        BEFORE the column existed read back as this constant instead of
+        null — a read-time literal folded into each old commit's
+        projection, still zero rewrite. Rows written after (including
+        aligned writes that omit the column) store real values (or real
+        nulls): the default describes history, it does not shadow new
+        data. Scalars only (they live in the epoch JSON)."""
         dt = self._parse_dtype(dtype)
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise TypeError(
+                f"add_column: default must be a JSON scalar, got {type(default).__name__}"
+            )
 
         def mutate(fields, log):
             from .schema_log import next_field_id
 
             if any(f["name"].lower() == name.lower() for f in fields):
                 raise ValueError(f"add_column: column {name!r} already exists")
-            return fields + [
-                {"id": next_field_id(log), "name": name, "type": dt.jsonValue()}
-            ]
+            fld = {"id": next_field_id(log), "name": name, "type": dt.jsonValue()}
+            if default is not None:
+                fld["default"] = default
+            return fields + [fld]
 
         self._evolve_schema(mutate)
 
@@ -1919,7 +1932,10 @@ class TableRepo:
                     src = by_id.get(f["id"])
                     tgt = schema_of_fields([f]).fields[0].dataType
                     if src is None:
-                        cols.append(F.lit(None).cast(tgt).alias(f["name"]))
+                        # rows predating the column: its initial default
+                        # (or null) — a constant per commit scan, folded
+                        # by Catalyst, never materialized in storage
+                        cols.append(F.lit(f.get("default")).cast(tgt).alias(f["name"]))
                     elif src["name"] == f["name"] and src["type"] == f["type"]:
                         cols.append(F.col(f["name"]))
                     else:
@@ -3349,9 +3365,10 @@ class TableRepo:
         from .manifest import file_may_match, norm_predicates
 
         preds = norm_predicates(predicates)
+        tr = self._epoch_pred_translator()
 
         def keep(c: dict, f: str) -> bool:
-            return file_may_match(c, f, preds)
+            return file_may_match(c, f, tr(c, preds))
 
         df = self._manifest_df(version, file_keep=keep)
         for p in preds:
@@ -3458,13 +3475,53 @@ class TableRepo:
             # missing (vacuumed/never-committed) version is an error, not
             # an empty plan
             raise KeyError(f"no manifest version {version} for {self.name}")
+        tr = self._epoch_pred_translator()
         kept = total = 0
         for c in visible_commits((mf or {}).get("commits", [])):
             for f in c["files"]:
                 total += 1
-                if file_may_match(c, f, preds):
+                if file_may_match(c, f, tr(c, preds)):
                     kept += 1
         return kept, total
+
+    def _epoch_pred_translator(self):
+        """Per-commit predicate rewriter for stats skipping across schema
+        epochs: a commit's stats/bloom maps are keyed by the column names
+        CURRENT WHEN IT WAS WRITTEN, so after a rename_column the current
+        predicate name must map back (by field id) to that epoch's name
+        or pruning silently stops for every pre-rename file. Predicates
+        on columns that did not exist in a commit's epoch are dropped for
+        that commit (its stats can prove nothing about them — the other
+        conjuncts still prune); no schema log → identity."""
+        from .schema_log import load_schema_log
+
+        slog = load_schema_log(self._fs(), self.main_path)
+        if not slog:
+            return lambda c, preds: preds
+        cur = slog[-1]
+        epochs = {e["v"]: e for e in slog}
+        maps: dict[int, dict] = {}
+
+        def translate(c: dict, preds: list[tuple]) -> list[tuple]:
+            cv = c.get("schema_v", 1)
+            if cv == cur["v"]:
+                return preds
+            m = maps.get(cv)
+            if m is None:
+                byid = {
+                    f["id"]: f["name"]
+                    for f in (epochs.get(cv) or {}).get("fields", [])
+                }
+                m = {f["name"]: byid.get(f["id"]) for f in cur["fields"]}
+                maps[cv] = m
+            out = []
+            for p in preds:
+                nm = m.get(p[0], p[0])
+                if nm is not None:
+                    out.append((nm,) + tuple(p[1:]))
+            return out
+
+        return translate
 
     def _drop_partitions_from_manifest(
         self, group_value_tuples: set[tuple], rmw_baseline: dict | None = None

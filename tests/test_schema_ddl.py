@@ -177,3 +177,48 @@ def test_dv_delete_survives_rename(spark, tmp_root):
     t.rename_column("v", "value")
     rows = {r.k for r in t.get_full_df().collect()}
     assert rows == {0, 2, 3}
+
+
+def test_add_column_initial_default(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.add_column("score", "double", default=1.5)
+    t.add_column("tag", "string", default="legacy")
+    t.extend(
+        _seed(spark, base=30)
+        .withColumn("score", F.lit(9.9))
+        .withColumn("tag", F.lit("new"))
+    )
+    rows = {r.k: (r.score, r.tag) for r in t.get_full_df().collect()}
+    # pre-DDL rows surface the initial default, post-DDL rows their value
+    assert all(rows[i] == (1.5, "legacy") for i in range(4))
+    assert rows[30] == (9.9, "new")
+    # a post-DDL write that OMITS the column stores a real null — the
+    # default describes history, it does not shadow new data
+    t.extend(_seed(spark, base=60))
+    rows = {r.k: (r.score, r.tag) for r in t.get_full_df().collect()}
+    assert rows[60] == (None, None)
+    with pytest.raises(TypeError):
+        t.add_column("bad", "array<int>", default=[1, 2])
+
+
+def test_stats_skipping_prunes_across_rename(spark, tmp_root):
+    t = _repo(spark, tmp_root, stats_cols="v")
+    t.extend(
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("v"),
+            F.lit("x").alias("s"),
+        )
+        .repartitionByRange(8, "k")
+    )
+    k0, tot0 = t.skip_plan([("v", ">=", 990.0)])
+    assert 0 < k0 < tot0  # range-clustered stats prune pre-rename
+    t.rename_column("v", "value")
+    # pre-rename files' stats are keyed by the OLD name — the id-mapped
+    # translation keeps pruning working under the NEW name
+    k1, tot1 = t.skip_plan([("value", ">=", 990.0)])
+    assert (k1, tot1) == (k0, tot0)
+    got = t.get_full_df_skipping([("value", ">=", 990.0)])
+    assert got.count() == 10 and "value" in got.columns
