@@ -708,13 +708,17 @@ def ann_index_persisted_topk(spark, sf_dir):
     incr = e.where(F.col("vec_id") % 7 == 0)
     dead = e.where(F.col("vec_id") % 50 == 0).select("vec_id")
     idx = AnnIndex(scratch_dir("annidx") + "/idx", spark=spark)
-    idx.build(base, seed=42)
+    n_lists = idx.build(base, seed=42)
     idx.add(incr)
     idx.delete(dead)
     q = e.where(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 150) & (F.col("vec_id") % 50 != 0)
     )
-    approx = idx.query(q, k=5, n_probe=8).cache()
+    # recall at fixed n_probe DECAYS as the corpus grows (n_lists tracks
+    # √n, so 8 probes is an ever-smaller fraction); probe a fixed ~third
+    # of the lists instead — candidate volume stays n/3, recall stays
+    # put across scale factors
+    approx = idx.query(q, k=5, n_probe=max(8, n_lists // 3)).cache()
     if approx.join(
         dead, approx["neighbor_id"] == dead["vec_id"], "left_semi"
     ).count():
@@ -761,12 +765,13 @@ def ann_filtered_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = e.withColumn("bucket", (F.col("vec_id") % 10).cast("int"))
     idx = AnnIndex(scratch_dir("annflt") + "/idx", spark=spark)
-    idx.build(corpus, seed=42, attr_cols=["bucket"])
+    n_lists = idx.build(corpus, seed=42, attr_cols=["bucket"])
     q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
     # a filtered search probes MORE lists than an unfiltered one for the
-    # same recall (only ~selectivity of each probed list competes), so
-    # n_probe scales by ~1/selectivity vs the unfiltered query's 8
-    approx = idx.query(q, k=5, n_probe=24, where="bucket = 3").cache()
+    # same recall (only ~selectivity of each probed list competes): a
+    # fixed ~half of the lists, as a FRACTION so recall holds across
+    # scale factors (n_lists tracks √n)
+    approx = idx.query(q, k=5, n_probe=max(24, n_lists // 2), where="bucket = 3").cache()
     # pre-filter invariant: every neighbor satisfies the predicate
     leak = approx.join(
         corpus.where(F.col("bucket") != 3).select(

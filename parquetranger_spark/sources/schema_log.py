@@ -62,6 +62,16 @@ def _epoch_path(root: str, v: int) -> str:
     return join_path(root, SCHEMA_DIR, f"v{v:06d}.json")
 
 
+def invalidate_cache(root: str) -> None:
+    """Forget cached epochs under ``root`` — purge() is the one
+    in-protocol way an epoch path can be REUSED with different content
+    (epoch files are never rewritten and vacuum never touches the schema
+    dir), and a recreated table must not read its predecessor's log."""
+    prefix = join_path(root, SCHEMA_DIR)
+    for p in [p for p in _EPOCH_CACHE if p.startswith(prefix)]:
+        _EPOCH_CACHE.pop(p, None)
+
+
 def load_schema_log(fs, root: str) -> list[dict[str, Any]]:
     """Every published epoch, ordered by version — ``[]`` when the table
     has never seen DDL (the zero-cost common case: one exists() probe).

@@ -779,7 +779,12 @@ class TableRepo:
 
     def purge(self) -> None:
         """Drop the table (reference core.py:162-167)."""
+        from .schema_log import invalidate_cache
+
         self._fs().delete(self.main_path)
+        # a table recreated at this root must not inherit the purged
+        # table's cached schema epochs (epoch paths are deterministic)
+        invalidate_cache(self.main_path)
 
     def extend_fenced(self, df: DataFrame, fence: tuple) -> None:
         """Idempotent append for streaming sinks (manifest mode only): the

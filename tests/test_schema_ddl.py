@@ -222,3 +222,21 @@ def test_stats_skipping_prunes_across_rename(spark, tmp_root):
     assert (k1, tot1) == (k0, tot0)
     got = t.get_full_df_skipping([("value", ">=", 990.0)])
     assert got.count() == 10 and "value" in got.columns
+
+
+def test_purge_invalidates_epoch_cache(spark, tmp_root):
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.rename_column("v", "value")
+    assert len(t.schema_log()) == 2
+    t.purge()
+    # recreate at the SAME root with a different shape — the new table
+    # must not inherit the purged table's cached epochs
+    t2 = _repo(spark, tmp_root)
+    t2.extend(spark.createDataFrame([Row(a=1, b="x")]))
+    assert t2.schema_log() == []
+    t2.rename_column("b", "bb")
+    log = t2.schema_log()
+    assert [e["v"] for e in log] == [1, 2]
+    assert {f["name"] for f in log[-1]["fields"]} == {"a", "bb"}
+    assert {r.bb for r in t2.get_full_df().collect()} == {"x"}
