@@ -36,12 +36,20 @@ META_FILE_NAME = "_pqr_meta.json"
 
 @dataclass
 class TableMeta:
-    """Everything the reference kept in parquet footers + empty.meta."""
+    """Everything the reference kept in parquet footers + empty.meta.
+
+    ``config`` persists the table-level PROPERTIES the creating handle
+    was configured with (partitioning, keys, clustering, stats/bloom
+    index columns, constraints, codec, commit protocol) so a later
+    process can reopen the table via :meth:`TableRepo.open` without
+    re-stating them — the catalog-table-properties shape. Older
+    sidecars simply lack the key."""
 
     schema: T.StructType | None = None
     group_cols: list[str] = field(default_factory=list)
     index_cols: list[str] = field(default_factory=list)
     extra_metadata: dict[str, Any] = field(default_factory=dict)
+    config: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -50,6 +58,7 @@ class TableMeta:
                 "group_cols": self.group_cols,
                 "index_cols": self.index_cols,
                 "extra_metadata": self.extra_metadata,
+                "config": self.config,
             },
             indent=1,
             sort_keys=True,
@@ -64,6 +73,7 @@ class TableMeta:
             group_cols=list(d.get("group_cols") or []),
             index_cols=list(d.get("index_cols") or []),
             extra_metadata=dict(d.get("extra_metadata") or {}),
+            config=dict(d.get("config") or {}),
         )
 
 

@@ -2658,6 +2658,72 @@ class TableRepo:
             )
         return df
 
+    def _handle_config(self) -> dict:
+        """This handle's table-level properties, persisted into the
+        sidecar at table creation so :meth:`open` can reconstruct an
+        identically-configured handle later. A HashPartitioner serializes
+        as its (col, num_groups) spec."""
+        cfg: dict = {
+            "index_cols": list(self.index_cols),
+            "commit_mode": self.commit_mode,
+        }
+        if self.partitioner is not None:
+            cfg["hash_partitioner"] = {
+                "col": self.partitioner.col,
+                "num_groups": self.partitioner.num_groups,
+            }
+        else:
+            cfg["group_cols"] = list(self.group_cols)
+        for k in (
+            "max_records",
+            "cluster_by",
+            "cluster_algo",
+            "compression",
+            "stats_cols",
+            "bloom_cols",
+            "constraints",
+            "constraint_mode",
+            "manifest_inline_files_max",
+        ):
+            v = getattr(self, k)
+            if v not in (None, [], {}, 0) and not (
+                k == "cluster_algo" and v == "sort"
+            ) and not (k == "constraint_mode" and v == "fail") and not (
+                k == "manifest_inline_files_max" and v == 2000
+            ):
+                cfg[k] = v
+        return cfg
+
+    @classmethod
+    def open(cls, root_path: str, spark: SparkSession | None = None, **overrides) -> "TableRepo":
+        """Reopen an existing table from its persisted configuration —
+        the catalog shape: partitioning, key columns, clustering,
+        stats/bloom index columns, constraints, codec, and commit
+        protocol all come from the sidecar the creating handle wrote,
+        so every process operates the table identically without
+        re-stating (and risking to mis-state) the properties.
+        ``overrides`` replace individual persisted values."""
+        meta = load_meta(str(root_path), spark=spark)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no table sidecar at {root_path!r} — open() needs a table "
+                "created by a TableRepo write (or construct one explicitly)"
+            )
+        cfg = dict(meta.config or {})
+        if not cfg:
+            # pre-config sidecar: fall back to the layout facts it does
+            # carry (partitioning + keys) — commit protocol unknowable,
+            # so default 'files' unless overridden
+            cfg = {
+                "group_cols": meta.group_cols,
+                "index_cols": meta.index_cols,
+            }
+        hp = cfg.pop("hash_partitioner", None)
+        if hp is not None and "group_cols" not in overrides:
+            cfg["group_cols"] = HashPartitioner(hp["col"], hp["num_groups"])
+        cfg.update(overrides)
+        return cls(str(root_path), spark=spark, **cfg)
+
     def _align(self, df: DataFrame) -> DataFrame:
         from ..plans.schema import as_nullable
 
@@ -2669,6 +2735,7 @@ class TableRepo:
                 group_cols=self.group_cols,
                 index_cols=self.index_cols,
                 extra_metadata=self.extra_metadata,
+                config=self._handle_config(),
             )
             save_meta(self.main_path, meta, spark=self._spark)
             return align_to_schema(df, schema)

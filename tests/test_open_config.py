@@ -1,0 +1,65 @@
+"""TableRepo.open(): reopen a table from its persisted configuration —
+the catalog-table-properties shape (no reference counterpart; the
+reference re-states constructor args in every process)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquetranger_spark.functions.hashing import HashPartitioner
+from parquetranger_spark.sources.table_repo import TableRepo
+
+
+def test_open_reconstructs_manifest_table(spark, tmp_root):
+    t = TableRepo(
+        tmp_root + "/t",
+        group_cols="g",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols="v",
+        cluster_by="v",
+        max_records=100,
+        compression="zstd",
+        spark=spark,
+    )
+    t.extend(
+        spark.createDataFrame(
+            [Row(k=i, g=f"g{i % 2}", v=float(i)) for i in range(10)]
+        )
+    )
+    o = TableRepo.open(tmp_root + "/t", spark=spark)
+    assert o.group_cols == ["g"] and o.index_cols == ["k"]
+    assert o.commit_mode == "manifest" and o.stats_cols == ["v"]
+    assert o.cluster_by == ["v"] and o.max_records == 100
+    assert o.compression == "zstd"
+    # the reopened handle operates the table end-to-end
+    o.replace_records(spark.createDataFrame([Row(k=3, g="g1", v=99.0)]))
+    rows = {r.k: r.v for r in o.get_full_df().collect()}
+    assert rows[3] == 99.0 and len(rows) == 10
+    # stats kept riding commits through the reopened handle
+    kept, total = o.skip_plan([("v", ">=", 99.0)])
+    assert kept < total
+
+
+def test_open_hash_partitioner_roundtrip(spark, tmp_root):
+    t = TableRepo(
+        tmp_root + "/h",
+        group_cols=HashPartitioner("k", 8),
+        index_cols="k",
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame([Row(k=str(i), v=i) for i in range(50)]))
+    o = TableRepo.open(tmp_root + "/h", spark=spark)
+    assert o.partitioner is not None and o.partitioner.num_groups == 8
+    n0 = o.get_full_df().count()
+    o.extend(spark.createDataFrame([Row(k="x", v=1)]))
+    assert o.get_full_df().count() == n0 + 1
+
+
+def test_open_overrides_and_missing(spark, tmp_root):
+    t = TableRepo(tmp_root + "/t2", group_cols="g", spark=spark)
+    t.extend(spark.createDataFrame([Row(g="a", v=1)]))
+    o = TableRepo.open(tmp_root + "/t2", spark=spark, single_writer=True)
+    assert o.single_writer and o.group_cols == ["g"]
+    with pytest.raises(FileNotFoundError):
+        TableRepo.open(tmp_root + "/nope", spark=spark)
