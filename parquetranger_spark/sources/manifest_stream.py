@@ -73,6 +73,12 @@ def manifest_stream_source():
             # diffs stream as insert/delete rows with _change_type and
             # _commit_version pseudo-columns filled reader-side
             self.cdf = options.get("cdf") == "1"
+            # versions-meta mode: one row PER COMMITTED VERSION (version,
+            # ts, op, commit/file counts) from the manifest JSONs alone —
+            # no data file is ever opened. The audit feed, and the
+            # metadata-weight trigger MaterializedAggView.refresh_stream
+            # pumps (offsets/frontier rules identical to the data feeds)
+            self.meta_only = options.get("versions_meta") == "1"
             # first version whose changes stream (resolved by
             # stream_changes from starting_version=); the version BEFORE
             # it is the initial offset, and if that manifest is vacuumed
@@ -373,9 +379,27 @@ def manifest_stream_source():
             return rows
 
         def _rows_between(self, lo: int, hi: int):
+            if self.meta_only:
+                return self._meta_rows_between(lo, hi)
             if self.cdf:
                 return self._cdf_rows_between(lo, hi)
             return self._file_rows(self._new_files(lo, hi), {})
+
+        def _meta_rows_between(self, lo: int, hi: int):
+            rows = []
+            for v in range(lo + 1, hi + 1):
+                m = self._manifest(v)
+                cs = [c for c in m["commits"] if self._txn_visible(c)]
+                rows.append(
+                    (
+                        v,
+                        float(m.get("ts") or 0.0),
+                        str(m.get("op") or ""),
+                        len(cs),
+                        sum(len(c.get("files") or ()) for c in cs),
+                    )
+                )
+            return rows
 
         def _cdf_rows_between(self, lo: int, hi: int):
             """Change-data-feed batch: walk each version step in (lo, hi]

@@ -295,6 +295,34 @@ class MaterializedAggView:
             proj.append(F.col(out))
         return df.select(*proj)
 
+    def refresh_stream(self, checkpoint: str, trigger: dict | None = None):
+        """CONTINUOUS maintenance (the Delta Live Tables shape): pump the
+        source's versions-meta feed (:meth:`TableRepo.stream_versions` —
+        one metadata row per committed version, no data I/O) through
+        ``foreachBatch`` and fold each batch of landed versions with
+        :meth:`refresh`. All exactly-once weight stays on refresh()'s
+        fences — the stream only supplies scheduling and catch-up:
+        a replayed micro-batch re-invokes refresh(), which no-ops
+        against the fence it already committed; a crash between stream
+        checkpoint and view commit re-delivers, same answer. Default
+        trigger is ``availableNow`` (catch up, then stop — the
+        cron-shaped deployment); pass ``{"processingTime": "10 seconds"}``
+        for an always-on view. Returns the StreamingQuery."""
+        feed = self.source.stream_versions()
+
+        def fold(batch_df, _epoch):
+            # the rows are the trigger, refresh() re-derives the exact
+            # window from the manifests — nothing here can double-apply
+            if batch_df.take(1):
+                self.refresh()
+
+        return (
+            feed.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )
+
     def full_recompute_df(self) -> DataFrame:
         """One-shot batch aggregate of the CURRENT source in the view's
         public schema — the verification twin refresh() must equal at

@@ -2273,6 +2273,36 @@ class TableRepo:
             .load()
         )
 
+    def stream_versions(self) -> DataFrame:
+        """The manifest LOG itself as a streaming source (manifest mode):
+        one row per committed version — ``_version, _ts, _op,
+        _n_commits, _n_files`` — derived from the version JSONs alone;
+        no data file is ever opened. Offsets, replay, and the
+        undecided-txn frontier follow the same rules as the data feeds
+        (sources/manifest_stream.py). Two consumers: an audit/ops feed
+        (who committed what, when, at what file-count cadence), and the
+        metadata-weight trigger behind
+        :meth:`~parquetranger_spark.sources.matview.MaterializedAggView.refresh_stream`
+        — a view pump that must NOT pay a data-row stream just to learn
+        a version landed."""
+        if self.commit_mode != "manifest":
+            raise TypeError("stream_versions() requires commit_mode='manifest'")
+        from .manifest_stream import register_manifest_stream
+
+        spark = self._session()
+        register_manifest_stream(spark)
+        cols = ["_version", "_ts", "_op", "_n_commits", "_n_files"]
+        types = ["bigint", "double", "string", "int", "int"]
+        return (
+            spark.readStream.format("pqrs_manifest_stream")
+            .option("root", self.main_path)
+            .option("versions_meta", "1")
+            .option("schema_ddl", ", ".join(f"{c} {t}" for c, t in zip(cols, types)))
+            .option("cols", ",".join(cols))
+            .option("col_types", ",".join(types))
+            .load()
+        )
+
     def stream_changes(
         self, partitioned: bool = False, starting_version: int | str = 1
     ) -> DataFrame:

@@ -1863,3 +1863,49 @@ def test_sync_from_random_op_sequences(spark, tmp_root, tmp_path):
             assert rows(repl.get_full_df()) == rows(src.get_full_df()), (
                 f"seed {seed} diverged after step {step} ({op})"
             )
+
+
+def test_stream_versions_metadata_feed(spark, tmp_root, tmp_path):
+    """stream_versions(): one row per committed version from the manifest
+    JSONs alone — the audit feed / matview trigger; exactly-once resume
+    through a checkpoint, no data file ever opened."""
+    import pandas as pd
+
+    src = TableRepo(
+        tmp_root + "/vsrc", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    src.extend(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})))
+    src.replace_records(spark.createDataFrame(pd.DataFrame({"k": [2], "v": [9.0]})))
+    src.delete_records_dv(spark.createDataFrame(pd.DataFrame({"k": [1]})))
+
+    out = str(tmp_path / "vout")
+    ck = str(tmp_path / "vck")
+    q = (
+        src.stream_versions()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r._version: (r._op, r._n_files) for r in spark.read.parquet(out).collect()
+    }
+    vs = src.versions()
+    assert sorted(got) == vs  # every committed version exactly once
+    assert all(n >= 0 for _, n in got.values())
+    assert got[vs[0]][0] == "append"
+    # resume: one more commit -> exactly one more row
+    src.extend(spark.createDataFrame(pd.DataFrame({"k": [3], "v": [3.0]})))
+    q2 = (
+        src.stream_versions()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len(src.versions())

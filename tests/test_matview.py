@@ -205,3 +205,35 @@ def test_guards(spark, tmp_root):
             count_col="n",
             sums={"n": "v"},
         )
+
+
+def test_refresh_stream_versions_feed(spark, tmp_root):
+    from pyspark.sql import Row
+
+    src = TableRepo(
+        tmp_root + "/src", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    src.extend(
+        spark.createDataFrame([Row(k=i, g=f"g{i % 2}", v=float(i)) for i in range(8)])
+    )
+    mv = MaterializedAggView(
+        src,
+        TableRepo(tmp_root + "/mv", index_cols="g", commit_mode="manifest", spark=spark),
+        group_cols="g",
+        sums={"sum_v": "v"},
+    )
+    q = mv.refresh_stream(tmp_root + "/ck")
+    q.awaitTermination(120)
+    assert {r.g: r.sum_v for r in mv.read().collect()} == {"g0": 12.0, "g1": 16.0}
+    # mutate + pump again through the SAME checkpoint: catch-up refresh
+    src.replace_records(spark.createDataFrame([Row(k=1, g="g1", v=100.0)]))
+    src.delete_records_dv(spark.createDataFrame([Row(k=2)]))
+    q2 = mv.refresh_stream(tmp_root + "/ck")
+    q2.awaitTermination(120)
+    got = {r.g: r.sum_v for r in mv.read().collect()}
+    assert got == {"g0": 10.0, "g1": 115.0}
+    # a pump with NO new versions is a clean no-op
+    v = mv.last_refreshed()
+    q3 = mv.refresh_stream(tmp_root + "/ck")
+    q3.awaitTermination(120)
+    assert mv.last_refreshed() == v
