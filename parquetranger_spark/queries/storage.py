@@ -1874,3 +1874,74 @@ def schema_evolution_ddl(spark, sf_dir):
         dsum("balance", "sum_bal"),
         F.count("tier").alias("n_tier"),
     )
+
+
+@query(
+    "versions_feed_audit",
+    oracle="""
+SELECT op, n_versions FROM (VALUES
+  ('append', 2), ('delete-dv', 1), ('overwrite-dynamic', 1)
+) AS t(op, n_versions)
+""",
+)
+def versions_feed_audit(spark, sf_dir):
+    """Versions-meta streaming feed (table_repo.py::stream_versions —
+    the manifest log as a source: one metadata row per committed
+    version, zero data files opened). Seed four deterministic commits
+    (two appends, a dv-delete, a partition overwrite), drain the feed
+    availableNow into parquet, and emit per-op version counts. In-query
+    asserts pin the contract: versions arrive exactly once, in order,
+    stamped with monotone non-null publish timestamps, and the dv
+    version reports its tombstone key file.
+
+    Scale shape: the feed is manifest-JSON-sized — a 100 TB table's
+    audit stream moves KBs per version, and the matview refresh pump
+    rides the same rows instead of a data-bearing CDF."""
+    import tempfile as _tf
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = TableRepo(
+        scratch_dir("vfeed") + "/orders",
+        group_cols="o_orderstatus",
+        index_cols="o_orderkey",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(o.where(F.col("o_orderkey") % 2 == 0))
+    t.extend(o.where(F.col("o_orderkey") % 2 == 1))
+    t.delete_records_dv(
+        o.where(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    )
+    t.replace_groups(
+        o.where(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+    )
+    out = _tf.mkdtemp(prefix="pqrs_vfeed_out_")
+    q = (
+        t.stream_versions()
+        .writeStream.format("parquet")
+        .option("path", out + "/p")
+        .option("checkpointLocation", out + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = spark.read.parquet(out + "/p").cache()
+    rows = sorted(
+        ((r._version, r._ts, r._op, r._n_files) for r in feed.collect())
+    )
+    vs = [v for v, _, _, _ in rows]
+    if vs != t.versions():
+        raise AssertionError(f"feed versions {vs} != committed {t.versions()}")
+    ts = [s for _, s, _, _ in rows]
+    if any(s is None or s <= 0 for s in ts) or ts != sorted(ts):
+        raise AssertionError("publish stamps must be present and monotone")
+    if next(n for _, _, op, n in rows if op == "delete-dv") < 1:
+        raise AssertionError("dv version must report its tombstone key file")
+    return feed.groupBy(F.col("_op").alias("op")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_versions")
+    )
