@@ -240,3 +240,83 @@ def test_purge_invalidates_epoch_cache(spark, tmp_root):
     assert [e["v"] for e in log] == [1, 2]
     assert {f["name"] for f in log[-1]["fields"]} == {"a", "bb"}
     assert {r.bb for r in t2.get_full_df().collect()} == {"x"}
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ops: ("add", default_or_None) | ("rename",) | ("drop",) | ("write",)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.one_of(st.none(), st.integers(-5, 5))),
+        st.tuples(st.just("rename")),
+        st.tuples(st.just("drop")),
+        st.tuples(st.just("write")),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_ddl_sequences_match_model(spark, tmp_path_factory, ops):
+    """Any interleaving of add/rename/drop and writes reads back exactly
+    what a pure-Python field-id model predicts: a row surfaces, for each
+    CURRENT field, the value it was written with under that field's id —
+    or the field's initial default (None if none) when it predates the
+    column. The single invariant behind every mapping rule."""
+    root = str(tmp_path_factory.mktemp("ddlprop")) + "/t"
+    t = TableRepo(root, commit_mode="manifest", single_writer=True, spark=spark)
+
+    next_id = [2]
+    fields = [{"id": 1, "name": "c1", "default": None}]  # current schema (model)
+    next_name = [2]
+    written = []  # (values_by_field_id: dict)
+    k = [0]
+
+    def do_write():
+        row = {f["id"]: k[0] * 100 + f["id"] for f in fields}
+        df = spark.createDataFrame(
+            [tuple([k[0]] + [row[f["id"]] for f in fields])],
+            "k long, " + ", ".join(f"{f['name']} long" for f in fields),
+        )
+        t.extend(df)
+        written.append(row)
+        k[0] += 1
+
+    do_write()  # freeze the canonical schema before any DDL
+    for op in ops:
+        if op[0] == "add":
+            name = f"c{next_name[0]}"
+            next_name[0] += 1
+            t.add_column(name, "long", default=op[1])
+            fields.append({"id": next_id[0], "name": name, "default": op[1]})
+            next_id[0] += 1
+        elif op[0] == "rename" and fields:
+            i = len(fields) // 2
+            new = f"c{next_name[0]}"
+            next_name[0] += 1
+            t.rename_column(fields[i]["name"], new)
+            fields[i] = {**fields[i], "name": new}
+        elif op[0] == "drop" and len(fields) > 1:
+            i = len(fields) - 1
+            t.drop_column(fields[i]["name"])
+            fields.pop(i)
+        elif op[0] == "write":
+            do_write()
+
+    got = {r["k"]: r.asDict() for r in t.get_full_df().collect()}
+    assert len(got) == len(written)
+    for kk, row in enumerate(written):
+        for f in fields:
+            exp = row.get(f["id"], f["default"])
+            assert got[kk][f["name"]] == exp, (
+                f"k={kk} field {f} expected {exp} got {got[kk][f['name']]}"
+            )
