@@ -11,6 +11,7 @@ Catalyst, Pandas UDFs only where built-ins can't express the semantics.
 from .functions.hashing import HashPartitioner, md5_bucket, md5_mod, md5_prefix_long
 from .session import get_spark
 from .sources.bucketed import BucketedRepo
+from .operators.ann_index import AnnIndex
 from .sources.ingestor import ObjIngestor, shred_json_df
 from .sources.matview import MaterializedAggView
 from .sources.table_repo import TableRepo
@@ -27,6 +28,7 @@ __all__ = [
     "Transaction",
     "MaterializedAggView",
     "TransactionError",
+    "AnnIndex",
     "BucketedRepo",
     "HashPartitioner",
     "RecordWriter",
