@@ -2769,6 +2769,14 @@ class TableRepo:
             )
             save_meta(self.main_path, meta, spark=self._spark)
             return align_to_schema(df, schema)
+        if self.commit_mode == "manifest":
+            # the CAS-published log is the schema authority once DDL has
+            # happened — a DDL that has published its epoch but not yet
+            # refreshed the sidecar cache must not make this writer align
+            # (and null out) against the stale cached shape
+            df, log_schema = self._translate_stale_names(df)
+            if log_schema is not None:
+                meta.schema = log_schema
         if self.allow_schema_extension:
             widened, grew = widen_schema(meta.schema, df.schema)
             if grew:
@@ -2785,6 +2793,39 @@ class TableRepo:
                 save_meta(self.main_path, meta, spark=self._spark)
                 self._sync_widening_to_log(meta.schema)
         return align_to_schema(df, meta.schema)
+
+    def _translate_stale_names(self, df: DataFrame):
+        """A frame built before a concurrent rename_column carries the
+        OLD column name; name-based alignment would silently drop it and
+        null the renamed field — a lost update with no error. Map stale
+        names to their current ones by field id (oldest epoch first, so
+        chains resolve to the newest mapping), only where the current
+        name is absent from the frame — frames already speaking the
+        current schema pass through untouched, and tables with no DDL
+        history pay one exists() probe. Returns ``(df, current epoch
+        schema or None)`` so the caller aligns against the log's truth,
+        not a possibly-stale sidecar cache."""
+        from ..plans.schema import as_nullable
+        from .schema_log import load_schema_log, schema_of_fields
+
+        slog = load_schema_log(self._fs(), self.main_path)
+        if not slog:
+            return df, None
+        cur = slog[-1]
+        cur_schema = as_nullable(schema_of_fields(cur["fields"]))
+        if len(slog) < 2:
+            return df, cur_schema
+        renames: dict[str, str] = {}
+        for e in slog[:-1]:
+            by_id = {f["id"]: f["name"] for f in e["fields"]}
+            for f in cur["fields"]:
+                old = by_id.get(f["id"])
+                if old is not None and old != f["name"]:
+                    renames[old] = f["name"]
+        for old, new in renames.items():
+            if old in df.columns and new not in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df, cur_schema
 
     def _sync_widening_to_log(self, widened: T.StructType) -> None:
         """allow_schema_extension widening on a table that has a schema

@@ -320,3 +320,51 @@ def test_ddl_sequences_match_model(spark, tmp_path_factory, ops):
             assert got[kk][f["name"]] == exp, (
                 f"k={kk} field {f} expected {exp} got {got[kk][f['name']]}"
             )
+
+
+def test_ddl_races_concurrent_writers(spark, tmp_root):
+    """Writers extending WHILE columns are renamed/added: every commit
+    stamps the epoch its aligned column set actually matched, so the
+    read maps each batch correctly whichever side of a rename it landed
+    on. No writer and no DDL may fail, and no value may be lost or
+    null out."""
+    t = _repo(spark, tmp_root, single_writer=False)
+    t.extend(_seed(spark, n=2))  # freeze canonical (k, v, s)
+    stop, errs = [], []
+
+    def writer(base):
+        try:
+            h = TableRepo(tmp_root + "/t", spark=spark, commit_mode="manifest")
+            for j in range(4):
+                cols = {f["name"] for f in (h.schema_log() or [{}])[-1].get("fields", [])}
+                df = _seed(spark, n=1, base=base + j)
+                if "value" in cols:
+                    df = df.withColumnRenamed("v", "value")
+                h.extend(df)
+        except Exception as e:
+            errs.append(("writer", e))
+
+    def ddler():
+        try:
+            h = TableRepo(tmp_root + "/t", spark=spark, commit_mode="manifest")
+            h.rename_column("v", "value")
+            h.add_column("extra", "long", default=7)
+        except Exception as e:
+            errs.append(("ddl", e))
+
+    ws = [threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(3)]
+    d = threading.Thread(target=ddler)
+    [x.start() for x in ws]
+    d.start()
+    [x.join() for x in ws + [d]]
+    assert not errs, errs
+    df = t.get_full_df()
+    assert {"value", "extra"} <= set(df.columns)
+    rows = {r.k: (r.value, r.extra) for r in df.collect()}
+    assert len(rows) == 2 + 12
+    # every row's value survived the rename with its written number
+    for k, (val, _extra) in rows.items():
+        assert val == float(k), (k, val)
+    # extras are either the written value (post-add epochs write nulls —
+    # _seed has no extra column) or the initial default for pre-add rows
+    assert all(e in (None, 7) for _, e in rows.values())
