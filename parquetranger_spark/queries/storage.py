@@ -1945,3 +1945,51 @@ def versions_feed_audit(spark, sf_dir):
     return feed.groupBy(F.col("_op").alias("op")).agg(
         F.count(F.lit(1)).cast("int").alias("n_versions")
     )
+
+
+@query(
+    "governed_read_masked",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       min(concat('***', right(c_name, 4))) AS min_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+GROUP BY c_mktsegment
+""",
+)
+def governed_read_masked(spark, sf_dir):
+    """Table-level governance policy (table_repo.py::set_policy /
+    get_full_df_governed — the catalog row-filter + column-mask shape):
+    the policy persists in the sidecar beside the table config, so a
+    handle REOPENED from the root alone (TableRepo.open) enforces it —
+    asserted in-query by reading through a fresh open() handle and by
+    checking no unmasked phone survives. Masks are pure Column
+    expressions cast back to the column's type (Catalyst folds them
+    into the scan projection); the row filter coalesces NULL to FALSE
+    (unknown rows are not visible — the fail-closed reading).
+
+    Scale shape: governance costs one projection + one predicate inside
+    the scan stage — no rewrite, no second pass, no driver work."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name", "c_acctbal"
+    )
+    t = TableRepo(
+        scratch_dir("gov") + "/customer",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(c)
+    t.set_policy(
+        row_filter="c_mktsegment IN ('BUILDING', 'MACHINERY')",
+        column_masks={"c_name": "concat('***', right(c_name, 4))"},
+    )
+    g = TableRepo.open(t.main_path, spark=spark).get_full_df_governed()
+    if g.where(~F.col("c_name").startswith("***")).count():
+        raise AssertionError("an unmasked name leaked through the policy")
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_name").alias("min_name"),
+        dsum("c_acctbal", "sum_bal"),
+    )

@@ -2748,6 +2748,7 @@ class TableRepo:
                 "group_cols": meta.group_cols,
                 "index_cols": meta.index_cols,
             }
+        cfg.pop("policy", None)  # read-path contract, not a ctor arg
         hp = cfg.pop("hash_partitioner", None)
         if hp is not None and "group_cols" not in overrides:
             cfg["group_cols"] = HashPartitioner(hp["col"], hp["num_groups"])
@@ -2793,6 +2794,72 @@ class TableRepo:
                 save_meta(self.main_path, meta, spark=self._spark)
                 self._sync_widening_to_log(meta.schema)
         return align_to_schema(df, meta.schema)
+
+    # ------------------------------------------------- governance policies
+
+    def set_policy(
+        self,
+        row_filter: str | None = None,
+        column_masks: dict[str, str] | None = None,
+    ) -> None:
+        """Persist a table-level GOVERNANCE policy (the catalog
+        row-filter / column-mask shape): ``row_filter`` is a SQL
+        predicate rows must satisfy to surface, ``column_masks`` maps
+        column → masking SQL expression (evaluated over the row, cast
+        back to the column's type — masking never changes the schema).
+        Stored in the sidecar beside the table config, so every handle
+        — including :meth:`open` — sees the same policy;
+        :meth:`get_full_df_governed` applies it. Validated against the
+        canonical schema here, not at read time. Pass both as None to
+        clear. Policies are read-path contracts for consumers; they do
+        not rewrite data (scrub at rest with update_where/pii tooling
+        when erasure, not governance, is the requirement)."""
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is None or meta.schema is None:
+            raise RuntimeError("set_policy() needs a written table (canonical schema)")
+        known = {f.name for f in meta.schema.fields}
+        for c in column_masks or {}:
+            if c not in known:
+                raise KeyError(f"set_policy: no column {c!r} to mask")
+        pol = {}
+        if row_filter:
+            pol["row_filter"] = row_filter
+        if column_masks:
+            pol["column_masks"] = dict(column_masks)
+        cfg = dict(meta.config or {})
+        if pol:
+            cfg["policy"] = pol
+        else:
+            cfg.pop("policy", None)
+        meta.config = cfg
+        save_meta(self.main_path, meta, spark=self._spark)
+
+    def get_full_df_governed(self, version: int | None = None) -> DataFrame:
+        """Full scan with the persisted policy applied: masked columns
+        replaced by their masking expression (cast to the original
+        type), then the row filter (so a filter may reference masked
+        columns' ORIGINAL values — the evaluation order catalogs
+        document: filter on raw, mask on output... inverted here
+        deliberately: masking FIRST means a consumer-visible predicate
+        can never leak raw values through errors; state filters over
+        unmasked columns). No policy → identical to get_full_df. Pure
+        Column ops — Catalyst folds masks into the scan projection."""
+        df = self.get_full_df(version=version)
+        meta = load_meta(self.main_path, spark=self._spark)
+        pol = ((meta and meta.config) or {}).get("policy") or {}
+        masks = pol.get("column_masks") or {}
+        if masks:
+            types = dict(df.dtypes)
+            df = df.select(
+                *[
+                    F.expr(masks[c]).cast(types[c]).alias(c) if c in masks else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        rf = pol.get("row_filter")
+        if rf:
+            df = df.where(F.coalesce(F.expr(rf), F.lit(False)))
+        return df
 
     def _translate_stale_names(self, df: DataFrame):
         """A frame built before a concurrent rename_column carries the

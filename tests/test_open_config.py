@@ -63,3 +63,30 @@ def test_open_overrides_and_missing(spark, tmp_root):
     assert o.single_writer and o.group_cols == ["g"]
     with pytest.raises(FileNotFoundError):
         TableRepo.open(tmp_root + "/nope", spark=spark)
+
+
+def test_governance_policy_roundtrip(spark, tmp_root):
+    t = TableRepo(tmp_root + "/gov", commit_mode="manifest", spark=spark)
+    t.extend(
+        spark.createDataFrame(
+            [Row(k=i, email=f"u{i}@x.io", seg=("A" if i % 2 else "B"), v=float(i)) for i in range(6)]
+        )
+    )
+    t.set_policy(
+        row_filter="seg = 'A'",
+        column_masks={"email": "concat('***', substring(email, instr(email, '@')))"},
+    )
+    # policy travels with the sidecar: a reopened handle enforces it
+    o = TableRepo.open(tmp_root + "/gov", spark=spark)
+    got = {r.k: (r.email, r.seg) for r in o.get_full_df_governed().collect()}
+    assert set(got) == {1, 3, 5}
+    assert all(e == "***@x.io" for e, _ in got.values())
+    # ungoverned read unchanged; clearing restores full surface
+    assert o.get_full_df().count() == 6
+    t.set_policy()
+    assert o.get_full_df_governed().count() == 6
+    with pytest.raises(KeyError):
+        t.set_policy(column_masks={"nope": "1"})
+    # NULL-evaluating row filter drops the row (unknown is not visible)
+    t.set_policy(row_filter="CASE WHEN k < 2 THEN NULL ELSE true END")
+    assert t.get_full_df_governed().count() == 4
