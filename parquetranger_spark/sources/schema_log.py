@@ -63,11 +63,14 @@ def _epoch_path(root: str, v: int) -> str:
 
 
 def invalidate_cache(root: str) -> None:
-    """Forget cached epochs under ``root`` — purge() is the one
+    """Forget cached epochs anywhere under ``root`` — purge() is the one
     in-protocol way an epoch path can be REUSED with different content
     (epoch files are never rewritten and vacuum never touches the schema
-    dir), and a recreated table must not read its predecessor's log."""
-    prefix = join_path(root, SCHEMA_DIR)
+    dir), and a recreated table must not read its predecessor's log.
+    The whole-root prefix also catches BRANCH logs
+    (``<root>/_pqrs_branches/<name>/_pqrs_schema``), which a purge
+    deletes along with everything else."""
+    prefix = root.rstrip("/") + "/"
     for p in [p for p in _EPOCH_CACHE if p.startswith(prefix)]:
         _EPOCH_CACHE.pop(p, None)
 
