@@ -2795,6 +2795,56 @@ class TableRepo:
                 self._sync_widening_to_log(meta.schema)
         return align_to_schema(df, meta.schema)
 
+    _MUTABLE_PROPS = (
+        "max_records",
+        "cluster_by",
+        "cluster_algo",
+        "compression",
+        "stats_cols",
+        "bloom_cols",
+        "constraints",
+        "constraint_mode",
+        "manifest_inline_files_max",
+    )
+
+    def set_table_properties(self, **props) -> None:
+        """ALTER-TABLE-SET-properties (catalog shape): update the
+        sidecar-persisted table configuration AND this handle, so future
+        :meth:`open` handles and this process agree. Mutable properties
+        only — partitioning, key columns, and the commit protocol are
+        structural (changing them is a rebuild/evolution operation, not
+        a property flip) and are refused. List-valued properties accept
+        a string for one element, like the constructor."""
+        bad = [k for k in props if k not in self._MUTABLE_PROPS]
+        if bad:
+            raise ValueError(
+                f"set_table_properties: {bad} not settable (mutable: "
+                f"{list(self._MUTABLE_PROPS)})"
+            )
+        if "cluster_algo" in props and props["cluster_algo"] not in ("sort", "zorder"):
+            raise ValueError("cluster_algo must be 'sort' or 'zorder'")
+        if props.get("stats_cols") and self.commit_mode != "manifest":
+            raise ValueError("stats_cols requires commit_mode='manifest'")
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta is None:
+            raise RuntimeError("set_table_properties() needs a written table")
+        for k, v in props.items():
+            if k in ("cluster_by", "stats_cols", "bloom_cols") and isinstance(v, str):
+                v = [v]
+            setattr(self, k, v if v is not None else ([] if k in (
+                "cluster_by", "stats_cols", "bloom_cols") else v))
+        # replace the mutable slice wholesale: _handle_config OMITS
+        # default-valued keys, so a property reset to its default must
+        # DROP the old persisted value, not merge over it
+        new_cfg = self._handle_config()
+        cfg = dict(meta.config or {})
+        for k in self._MUTABLE_PROPS:
+            cfg.pop(k, None)
+            if k in new_cfg:
+                cfg[k] = new_cfg[k]
+        meta.config = cfg
+        save_meta(self.main_path, meta, spark=self._spark)
+
     # ------------------------------------------------- governance policies
 
     def set_policy(

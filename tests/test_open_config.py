@@ -90,3 +90,27 @@ def test_governance_policy_roundtrip(spark, tmp_root):
     # NULL-evaluating row filter drops the row (unknown is not visible)
     t.set_policy(row_filter="CASE WHEN k < 2 THEN NULL ELSE true END")
     assert t.get_full_df_governed().count() == 4
+
+
+def test_set_table_properties(spark, tmp_root):
+    t = TableRepo(tmp_root + "/p", commit_mode="manifest", spark=spark)
+    t.extend(spark.createDataFrame([Row(k=i, v=float(i)) for i in range(200)]))
+    t.set_table_properties(stats_cols="v", cluster_by="v", max_records=50)
+    assert t.stats_cols == ["v"] and t.cluster_by == ["v"]
+    # this handle AND a reopened one both honor the new properties
+    t.extend(
+        spark.range(200, 400).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+        )
+    )
+    kept, total = t.skip_plan([("v", ">=", 399.0)])
+    assert kept < total  # stats recorded for the post-change commit
+    o = TableRepo.open(tmp_root + "/p", spark=spark)
+    assert o.stats_cols == ["v"] and o.max_records == 50
+    # reset to default DROPS the persisted value
+    t.set_table_properties(max_records=0)
+    assert TableRepo.open(tmp_root + "/p", spark=spark).max_records == 0
+    with pytest.raises(ValueError):
+        t.set_table_properties(group_cols=["v"])  # structural -> refused
+    with pytest.raises(ValueError):
+        t.set_table_properties(cluster_algo="hilbert")
