@@ -1096,11 +1096,25 @@ class TableRepo:
     def _refuse_structural(self, name: str, op: str) -> None:
         """Partition and key columns anchor directory layout, upsert
         matching, and dv tombstones — renaming/dropping them is a table
-        REBUILD, not a metadata flip; refuse loudly."""
+        REBUILD, not a metadata flip; refuse loudly. A column a
+        governance policy MASKS is likewise pinned (silently breaking or
+        orphaning a mask is a governance hole): drop or re-point the
+        policy first. Filter/mask EXPRESSIONS referencing other columns
+        are the policy author's contract to maintain — SQL strings are
+        not rewritten by DDL."""
         if name in self.group_cols:
             raise ValueError(f"{op}: {name!r} is a partition column")
         if name in self.index_cols:
             raise ValueError(f"{op}: {name!r} is a key (index) column")
+        meta = load_meta(self.main_path, spark=self._spark)
+        masks = (((meta and meta.config) or {}).get("policy") or {}).get(
+            "column_masks"
+        ) or {}
+        if name in masks:
+            raise ValueError(
+                f"{op}: {name!r} is masked by the table's governance policy "
+                "— set_policy() without it (or re-pointed) first"
+            )
 
     def _evolve_schema(self, mutate) -> None:
         """Shared DDL loop: bootstrap epoch 1 from the canonical sidecar

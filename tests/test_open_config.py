@@ -114,3 +114,16 @@ def test_set_table_properties(spark, tmp_root):
         t.set_table_properties(group_cols=["v"])  # structural -> refused
     with pytest.raises(ValueError):
         t.set_table_properties(cluster_algo="hilbert")
+
+
+def test_ddl_refuses_masked_column(spark, tmp_root):
+    t = TableRepo(tmp_root + "/m", commit_mode="manifest", spark=spark)
+    t.extend(spark.createDataFrame([Row(k=1, email="a@b.c")]))
+    t.set_policy(column_masks={"email": "'***'"})
+    with pytest.raises(ValueError, match="governance"):
+        t.rename_column("email", "mail")
+    with pytest.raises(ValueError, match="governance"):
+        t.drop_column("email")
+    t.set_policy()  # clear -> DDL proceeds
+    t.rename_column("email", "mail")
+    assert "mail" in t.get_full_df().columns
