@@ -479,3 +479,81 @@ def test_knn_density_ivf_no_cartesian(spark, sf_dir):
     assert p_full.count("BroadcastNestedLoopJoin") <= 2
     # and the bounded side is visibly bounded: a limit feeds it
     assert "GlobalLimit" in p_full or "TakeOrderedAndProject" in p_full
+
+
+def test_filtered_ann_pushes_attr_predicate_to_scan(spark, tmp_path_factory):
+    """Filtered vector search must PRE-filter: the attribute predicate
+    belongs in the postings scan's PushedFilters, not in a post-join
+    Filter over an unfiltered candidate pool."""
+    import numpy as np
+    import pandas as pd
+
+    from parquetranger_spark import AnnIndex
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(300),
+            "embedding": [list(map(float, r)) for r in rng.normal(size=(300, 8))],
+            "bucket": [i % 5 for i in range(300)],
+        }
+    )
+    idx = AnnIndex(str(tmp_path_factory.mktemp("annplan")) + "/idx", spark=spark)
+    idx.build(spark.createDataFrame(pdf), n_lists=8, seed=1, attr_cols=["bucket"])
+    q = spark.createDataFrame(pdf.head(5))
+    # max_rounds=1 -> the plan under test is the single probe pass
+    out = idx.query(q, k=3, n_probe=8, where="bucket = 2", max_rounds=1)
+    p = plan(out)
+    scan_filters = [
+        seg.split("]", 1)[0]
+        for seg in p.split("PushedFilters: [")[1:]
+    ]
+    assert any("bucket" in s for s in scan_filters), p
+
+
+def test_governed_read_folds_into_scan_projection(spark, tmp_path_factory):
+    """Masks + row filter must compile into the scan stage: one Project
+    and one pushable Filter, no exchange, no second pass."""
+    from pyspark.sql import Row
+
+    t = TableRepo(
+        str(tmp_path_factory.mktemp("govplan")) + "/t",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(
+        spark.createDataFrame(
+            [Row(k=i, email=f"e{i}@x", seg="A" if i % 2 else "B") for i in range(10)]
+        )
+    )
+    t.set_policy(row_filter="seg = 'A'", column_masks={"email": "'***'"})
+    p = plan(t.get_full_df_governed())
+    assert "Exchange" not in p, p
+    # the constant mask even PRUNES the raw column from the read schema —
+    # governance composed with column pruning, raw bytes never leave disk
+    scan_schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "email" not in scan_schema, p
+    # the (fail-closed, coalesce-wrapped) row filter runs inside the same
+    # whole-stage-codegen span as the scan — one pass, no second job
+    assert "coalesce((seg" in p, p
+
+
+def test_epoch_mapped_read_adds_no_shuffle(spark, tmp_path_factory):
+    """Schema-DDL mapping is a per-scan projection: a renamed table's
+    read must stay a union of scans — zero exchanges introduced."""
+    from pyspark.sql import Row
+
+    t = TableRepo(
+        str(tmp_path_factory.mktemp("ddlplan")) + "/t",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(spark.createDataFrame([Row(k=1, v=1.0)]))
+    t.rename_column("v", "value")
+    t.add_column("w", "long", default=3)
+    t.extend(spark.createDataFrame([Row(k=2, value=2.0, w=9)]))
+    p = plan(t.get_full_df())
+    assert "Exchange" not in p, p
+    assert "Union" in p, p
