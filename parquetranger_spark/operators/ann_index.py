@@ -201,23 +201,31 @@ class AnnIndex:
         an unfiltered candidate pool. Because a selective filter can
         drain the probed lists, probing ESCALATES adaptively: queries
         that end a round with fewer than k matches re-probe with 4×
-        the lists (up to ``max_rounds`` rounds, the last one probing
-        everything) — the Milvus/Vespa adaptive-nprobe shape. Driver
+        the lists (up to ``max_rounds`` rounds; a final ESCALATED round
+        probes everything for a guaranteed fill, while ``max_rounds=1``
+        stays one bounded pass at exactly ``n_probe``) — the
+        Milvus/Vespa adaptive-nprobe shape. Driver
         state per round is one count per unsatisfied query (bounded by
         the query batch, never the corpus)."""
         cents = self.centroids.get_full_df()
-        n_lists = cents.count()
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
         ).withColumn("qn", norm(F.col("qv")))
         if where is None:
             return self._topk_once(q, cents, k, n_probe, exclude_self, None)
+        # the list count (one tiny action) is only needed to bound the
+        # escalation — the unfiltered hot path above never pays it
+        n_lists = cents.count()
         q = q.localCheckpoint(eager=True)  # re-probed across rounds
         probe, done = n_probe, []
         for rnd in range(max_rounds):
             last = rnd == max_rounds - 1 or probe >= n_lists
-            if last:
+            if last and rnd > 0:
+                # the guaranteed-fill final ESCALATED round probes
+                # everything; a first-and-only round never silently
+                # widens — max_rounds=1 means "one bounded pass at
+                # exactly n_probe", the approximate answer asked for
                 probe = n_lists
             res = self._topk_once(q, cents, k, probe, exclude_self, where)
             if last:

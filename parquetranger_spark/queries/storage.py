@@ -1932,7 +1932,7 @@ def versions_feed_audit(spark, sf_dir):
     q.awaitTermination(120)
     feed = spark.read.parquet(out + "/p").cache()
     rows = sorted(
-        ((r._version, r._ts, r._op, r._n_files) for r in feed.collect())
+        ((r._version, r._ts, r._op, r._files_added) for r in feed.collect())
     )
     vs = [v for v, _, _, _ in rows]
     if vs != t.versions():
@@ -1941,7 +1941,9 @@ def versions_feed_audit(spark, sf_dir):
     if any(s is None or s <= 0 for s in ts) or ts != sorted(ts):
         raise AssertionError("publish stamps must be present and monotone")
     if next(n for _, _, op, n in rows if op == "delete-dv") < 1:
-        raise AssertionError("dv version must report its tombstone key file")
+        raise AssertionError(
+            "dv version must report its tombstone key file in _files_added"
+        )
     return feed.groupBy(F.col("_op").alias("op")).agg(
         F.count(F.lit(1)).cast("int").alias("n_versions")
     )

@@ -89,6 +89,13 @@ def manifest_stream_source():
             # O(versions) manifest JSONs plus their spilled payloads
             self._fset_cache = {}
             self._dv_cache = {}
+            # commit dir -> schema epoch stamp (immutable per dir) and the
+            # lazily-read schema log: files written under an OLDER epoch
+            # must stream with their columns mapped by field id — exactly
+            # the batch read path's rule — or a rename would silently
+            # null every pre-rename file in the feed
+            self._dir_sv = {}
+            self._slog_cache = None
             # per-version list of txn markers (immutable: the version
             # JSON never changes) — makes the per-poll frontier scan a
             # dict lookup except for still-pending markers
@@ -258,10 +265,73 @@ def manifest_stream_source():
                 # carry the base URI verbatim — each read re-resolves it,
                 # so a shallow clone's donor may live on a different store
                 base = c.get("base", self.root_uri)
+                self._dir_sv[(base, c["dir"])] = c.get("schema_v", 1)
                 for f in c["files"]:
                     out.add((base, c["dir"], f))
             self._fset_cache[version] = out
             return out
+
+        def _schema_log(self, refresh: bool = False):
+            """The table's schema epochs, read through pyarrow.fs (driver
+            side — plans and the simple reader; executors receive the
+            resolved per-file column plan instead). Cached per reader;
+            refreshed once on an unknown epoch stamp."""
+            if self._slog_cache is None or refresh:
+                import json as _json
+                import posixpath
+
+                from pyarrow import fs as pafs
+
+                sdir = posixpath.join(self.root, "_pqrs_schema")
+                out = []
+                try:
+                    infos = self.fs.get_file_info(
+                        pafs.FileSelector(sdir, recursive=False)
+                    )
+                except (FileNotFoundError, OSError):
+                    infos = []
+                for fi in infos:
+                    if fi.is_file and fi.path.endswith(".json"):
+                        with self.fs.open_input_stream(fi.path) as f:
+                            out.append(_json.loads(f.read().decode()))
+                out.sort(key=lambda e: e["v"])
+                self._slog_cache = out
+            return self._slog_cache
+
+        def _col_plan(self, base: str, cdir: str):
+            """Column-source plan for one commit dir, or None when it
+            already speaks the current epoch (the zero-DDL fast path):
+            current column -> ('src', epoch-era physical name) for
+            renames, ('default', value) for columns the epoch predates
+            (the Iceberg initial default; also shields dead same-name
+            columns left by drop-then-readd from leaking)."""
+            slog = self._schema_log()
+            if not slog:
+                return None
+            sv = self._dir_sv.get((base, cdir), 1)
+            cur = slog[-1]
+            if sv == cur["v"]:
+                return None
+            epochs = {e["v"]: e for e in slog}
+            if sv not in epochs:
+                slog = self._schema_log(refresh=True)
+                epochs = {e["v"]: e for e in slog}
+                cur = slog[-1]
+                if sv not in epochs:
+                    raise RuntimeError(
+                        f"commit {cdir!r} stamped with unknown schema epoch {sv}"
+                    )
+                if sv == cur["v"]:
+                    return None
+            by_id = {f["id"]: f["name"] for f in epochs[sv]["fields"]}
+            plan = {}
+            for f in cur["fields"]:
+                old = by_id.get(f["id"])
+                if old is None:
+                    plan[f["name"]] = ("default", f.get("default"))
+                elif old != f["name"]:
+                    plan[f["name"]] = ("src", old)
+            return plan or None
 
         def _dv_entries(self, version: int):
             """[(commit_index, key_cols, [triples])] for the deletion-
@@ -338,12 +408,15 @@ def manifest_stream_source():
                 if k not in owner or file_may_match(owner[k][0], owner[k][1], self.skip_preds)
             ]
 
-        def _file_rows(self, triples, extras, drop_row=None):
+        def _file_rows(self, triples, extras, drop_row=None, use_plan=True):
             """Rows of the given (base, dir, rel) files in manifest
             order; ``extras`` fills pseudo-columns (CDF's _change_type /
             _commit_version) that exist in the output schema but not in
             the files; ``drop_row(row_tuple)`` filters (the bootstrap's
-            deletion-vector mask)."""
+            deletion-vector mask). ``use_plan=False`` skips schema-epoch
+            mapping — the dv KEY files, whose key columns are
+            DDL-immutable and whose non-key columns are NULL by the
+            delete-row contract."""
             import posixpath
 
             import pyarrow.parquet as pq
@@ -362,12 +435,21 @@ def manifest_stream_source():
                     posixpath.join(bpath, cdir, rel), filesystem=bfs
                 )
                 n = tbl.num_rows
+                plan = self._col_plan(base, cdir) if use_plan else None
                 colvals = []
                 for name, typ in zip(self.cols, self.types):
                     if name in extras:
                         colvals.append([extras[name]] * n)
-                    elif name in tbl.column_names:
-                        colvals.append(tbl.column(name).to_pylist())
+                        continue
+                    phys = name
+                    if plan is not None and name in plan:
+                        kind, val = plan[name]
+                        if kind == "default":
+                            colvals.append([val] * n)
+                            continue
+                        phys = val
+                    if phys in tbl.column_names:
+                        colvals.append(tbl.column(phys).to_pylist())
                     elif name in parts:
                         colvals.append([self._cast_part(parts[name], typ)] * n)
                     else:
@@ -386,10 +468,32 @@ def manifest_stream_source():
             return self._file_rows(self._new_files(lo, hi), {})
 
         def _meta_rows_between(self, lo: int, hi: int):
+            """_n_commits/_n_files are the table's SNAPSHOT totals at the
+            version (the state an operator watches trend); _files_added
+            is the version's own contribution — the diff of raw file
+            sets INCLUDING dv key files (which _file_set deliberately
+            excludes from the data feed), so a delete-only version still
+            reports what it shipped."""
+
+            def allf(v):
+                if v <= 0:
+                    return set()
+                return {
+                    (c.get("base", self.root_uri), c["dir"], f)
+                    for c in self._manifest(v)["commits"]
+                    if self._txn_visible(c)
+                    for f in c.get("files") or ()
+                }
+
             rows = []
+            try:
+                prev = allf(lo)
+            except RuntimeError:
+                prev = None  # predecessor vacuumed: first delta unknowable
             for v in range(lo + 1, hi + 1):
                 m = self._manifest(v)
                 cs = [c for c in m["commits"] if self._txn_visible(c)]
+                cur = allf(v)
                 rows.append(
                     (
                         v,
@@ -397,8 +501,10 @@ def manifest_stream_source():
                         str(m.get("op") or ""),
                         len(cs),
                         sum(len(c.get("files") or ()) for c in cs),
+                        len(cur - prev) if prev is not None else None,
                     )
                 )
+                prev = cur
             return rows
 
         def _cdf_rows_between(self, lo: int, hi: int):
@@ -457,6 +563,7 @@ def manifest_stream_source():
                             self._file_rows(
                                 triples,
                                 {"_change_type": "delete", "_commit_version": v},
+                                use_plan=False,
                             )
                         )
                     rows.extend(
@@ -642,7 +749,14 @@ def manifest_stream_source():
                         for b, d, r in triples:
                             out.append(_FilePartition(
                                 b, d, r,
-                                {"_change_type": "delete", "_commit_version": v},
+                                {
+                                    "_change_type": "delete",
+                                    "_commit_version": v,
+                                    # dv KEY file: key cols are
+                                    # DDL-immutable and the rest are NULL
+                                    # by contract — no epoch plan
+                                    "__dv_keyfile": True,
+                                },
                             ))
                     for b, d, r in sorted(cur - prev):
                         out.append(_FilePartition(
@@ -650,9 +764,23 @@ def manifest_stream_source():
                             {"_change_type": "insert", "_commit_version": v},
                         ))
                     prev, prev_dv = cur, cur_dv
-                return out
+                return self._with_plans(out)
             new = self._mf._new_files(lo, hi)
-            return [_FilePartition(b, d, r) for b, d, r in new] or []
+            return self._with_plans([_FilePartition(b, d, r) for b, d, r in new])
+
+        def _with_plans(self, parts_list):
+            """Attach each data partition's schema-epoch column plan
+            DRIVER-side (executors never list the schema dir): renames
+            map to the epoch-era physical name, predating columns to
+            their initial default — the same field-id rule as the batch
+            read path and the simple reader."""
+            for p_ in parts_list:
+                if p_.extras.pop("__dv_keyfile", False):
+                    continue
+                plan = self._mf._col_plan(p_.base, p_.cdir)
+                if plan is not None:
+                    p_.extras["__col_plan"] = plan
+            return parts_list
 
         def read(self, partition):
             import json
@@ -693,14 +821,28 @@ def manifest_stream_source():
                 ]
                 tbl = tbl.filter(pa.array(keep, type=pa.bool_()))
                 n = tbl.num_rows
+            col_plan = extras.pop("__col_plan", None) or {}
             arrays, fields = [], []
             for field, typ in zip(st.fields, self.types):
                 name = field.name
                 patype = to_arrow_type(field.dataType)
+                phys, dflt = name, None
+                if name in col_plan:
+                    kind, val = col_plan[name]
+                    if kind == "default":
+                        phys, dflt = None, val
+                    else:
+                        phys = val
                 if name in extras:
                     arrays.append(pa.array([extras[name]] * n).cast(patype))
-                elif name in tbl.column_names:
-                    arrays.append(tbl.column(name).combine_chunks().cast(patype))
+                elif phys is None:
+                    arrays.append(
+                        pa.array([dflt] * n).cast(patype)
+                        if dflt is not None
+                        else pa.nulls(n, type=patype)
+                    )
+                elif phys in tbl.column_names:
+                    arrays.append(tbl.column(phys).combine_chunks().cast(patype))
                 elif name in parts:
                     val = _Reader._cast_part(self._mf, parts[name], typ)
                     arrays.append(pa.array([val] * n).cast(patype))

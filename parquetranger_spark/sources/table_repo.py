@@ -931,9 +931,12 @@ class TableRepo:
             raise RuntimeError(f"branch {name!r} has no committed version")
         from .schema_log import load_schema_log
 
-        if [e["v"] for e in load_schema_log(fs, broot)] != [
-            e["v"] for e in load_schema_log(fs, self.main_path)
+        if [(e["v"], e["fields"]) for e in load_schema_log(fs, broot)] != [
+            (e["v"], e["fields"]) for e in load_schema_log(fs, self.main_path)
         ]:
+            # CONTENT compare, not version numbers: symmetric divergence
+            # (one DDL on main, a different one on the branch) produces
+            # equal version lists whose epoch-mapped reads disagree
             # branch-local DDL would import commit stamps main's epoch log
             # can't resolve; schema evolution is a main-branch operation
             raise RuntimeError(
@@ -977,6 +980,11 @@ class TableRepo:
                         "rewrite main (compact/replace_all) or pass force=True"
                     )
         fs.delete(broot)
+        # a recreated branch republishes epoch paths under the same root —
+        # same cache-reuse hazard purge() guards on the main table
+        from .schema_log import invalidate_cache
+
+        invalidate_cache(broot)
 
     # ------------------------------------------------- schema DDL (metadata-only)
 
@@ -1102,11 +1110,16 @@ class TableRepo:
         policy first. Filter/mask EXPRESSIONS referencing other columns
         are the policy author's contract to maintain — SQL strings are
         not rewritten by DDL."""
-        if name in self.group_cols:
-            raise ValueError(f"{op}: {name!r} is a partition column")
-        if name in self.index_cols:
-            raise ValueError(f"{op}: {name!r} is a key (index) column")
         meta = load_meta(self.main_path, spark=self._spark)
+        # check the PERSISTED layout facts, not just this handle's ctor
+        # args: a read-style handle opened without index_cols could
+        # otherwise rename a key column and break every dv tombstone join
+        group_cols = set(self.group_cols) | set((meta and meta.group_cols) or ())
+        index_cols = set(self.index_cols) | set((meta and meta.index_cols) or ())
+        if name in group_cols:
+            raise ValueError(f"{op}: {name!r} is a partition column")
+        if name in index_cols:
+            raise ValueError(f"{op}: {name!r} is a key (index) column")
         masks = (((meta and meta.config) or {}).get("policy") or {}).get(
             "column_masks"
         ) or {}
@@ -2290,7 +2303,9 @@ class TableRepo:
     def stream_versions(self) -> DataFrame:
         """The manifest LOG itself as a streaming source (manifest mode):
         one row per committed version — ``_version, _ts, _op,
-        _n_commits, _n_files`` — derived from the version JSONs alone;
+        _n_commits, _n_files`` (snapshot totals) and ``_files_added``
+        (the version's own contribution, dv key files included) —
+        derived from the version JSONs alone;
         no data file is ever opened. Offsets, replay, and the
         undecided-txn frontier follow the same rules as the data feeds
         (sources/manifest_stream.py). Two consumers: an audit/ops feed
@@ -2305,8 +2320,8 @@ class TableRepo:
 
         spark = self._session()
         register_manifest_stream(spark)
-        cols = ["_version", "_ts", "_op", "_n_commits", "_n_files"]
-        types = ["bigint", "double", "string", "int", "int"]
+        cols = ["_version", "_ts", "_op", "_n_commits", "_n_files", "_files_added"]
+        types = ["bigint", "double", "string", "int", "int", "int"]
         return (
             spark.readStream.format("pqrs_manifest_stream")
             .option("root", self.main_path)
@@ -2756,11 +2771,21 @@ class TableRepo:
         cfg = dict(meta.config or {})
         if not cfg:
             # pre-config sidecar: fall back to the layout facts it does
-            # carry (partitioning + keys) — commit protocol unknowable,
-            # so default 'files' unless overridden
+            # carry (partitioning + keys); the commit protocol is
+            # probeable — a _pqrs_manifest dir means manifest mode, and
+            # guessing 'files' there would read the table as EMPTY
+            # (data lives under the underscore-hidden _pqrs_data)
+            from .manifest import MANIFEST_DIR
+
+            fs = fs_for(str(root_path), spark=spark)
             cfg = {
                 "group_cols": meta.group_cols,
                 "index_cols": meta.index_cols,
+                "commit_mode": (
+                    "manifest"
+                    if fs.exists(join_path(str(root_path), MANIFEST_DIR))
+                    else "files"
+                ),
             }
         cfg.pop("policy", None)  # read-path contract, not a ctor arg
         hp = cfg.pop("hash_partitioner", None)
@@ -3243,10 +3268,24 @@ class TableRepo:
             # so a write racing a concurrent rename lands with the epoch
             # whose names it really used and readers map it by field id
             names = set(df.columns)
+            # names AND types: alter_column_type epochs share a name set,
+            # and a batch aligned under the pre-widen epoch that commits
+            # after the widen must stamp the epoch whose TYPES it wrote —
+            # stamping the widened one would make readers open its int32
+            # files with a bigint schema, no cast, and fail forever
+            typed = {(f.name, f.dataType.jsonValue()) for f in df.schema.fields}
+            hit = None
             for e in reversed(slog):
-                if {f["name"] for f in e["fields"]} == names:
-                    entry["schema_v"] = e["v"]
+                if {(f["name"], f["type"]) for f in e["fields"]} == typed:
+                    hit = e["v"]
                     break
+            if hit is None:
+                for e in reversed(slog):
+                    if {f["name"] for f in e["fields"]} == names:
+                        hit = e["v"]
+                        break
+            if hit is not None:
+                entry["schema_v"] = hit
             else:
                 raise RuntimeError(
                     f"write to {self.name!r} carries columns {sorted(names)} "

@@ -368,3 +368,81 @@ def test_ddl_races_concurrent_writers(spark, tmp_root):
     # extras are either the written value (post-add epochs write nulls —
     # _seed has no extra column) or the initial default for pre-add rows
     assert all(e in (None, 7) for _, e in rows.values())
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_stream_changes_maps_schema_epochs(spark, tmp_root, tmp_path, partitioned):
+    """The CDF stream must map schema epochs like the batch read path:
+    pre-rename files stream the renamed column's VALUES (not nulls),
+    predating columns surface their initial default, and post-DDL files
+    stream physical values — both reader flavors."""
+    t = _repo(spark, tmp_root, index_cols="k")
+    t.extend(_seed(spark))  # epoch-1 files (column 'v')
+    t.rename_column("v", "value")
+    t.add_column("w", "long", default=5)
+    t.extend(
+        _seed(spark, base=10)
+        .withColumnRenamed("v", "value")
+        .withColumn("w", F.lit(9).cast("long"))
+    )
+    out = str(tmp_path / f"o{int(partitioned)}")
+    ck = str(tmp_path / f"c{int(partitioned)}")
+    q = (
+        t.stream_changes(partitioned=partitioned)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.k: (r.value, r.w)
+        for r in spark.read.parquet(out).where("_change_type = 'insert'").collect()
+    }
+    assert got[1] == (1.0, 5), got  # pre-rename file: id-mapped + default
+    assert got[11] == (11.0, 9), got  # post-DDL file: physical values
+    assert len(got) == 8
+
+
+def test_cdc_sync_converges_after_rename(spark, tmp_root, tmp_path):
+    """sync_from over a renamed source replicates VALUES, not nulls —
+    the replica equals the source's batch read."""
+    src = _repo(spark, tmp_root, index_cols="k")
+    src.extend(_seed(spark))
+    src.rename_column("v", "value")
+    src.extend(_seed(spark, base=10).withColumnRenamed("v", "value"))
+    src.delete_records_dv(spark.createDataFrame([Row(k=2)]))
+    repl = TableRepo(
+        tmp_root + "/repl", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    repl.sync_from(src, checkpoint=str(tmp_path / "ck"))
+    want = sorted(tuple(r) for r in src.get_full_df().collect())
+    got = sorted(tuple(r) for r in repl.get_full_df().collect())
+    assert got == want and len(got) == 7
+
+
+def test_write_racing_type_widen_stamps_written_epoch(spark, tmp_root, monkeypatch):
+    """A batch aligned under the pre-widen epoch whose commit lands
+    after a concurrent alter_column_type must stamp the epoch whose
+    TYPES it physically wrote — otherwise readers open its int32 files
+    with a bigint schema and fail forever."""
+    t = _repo(spark, tmp_root)
+    t.extend(spark.createDataFrame([Row(k=1, n=7)], "k long, n int"))
+    h = TableRepo(
+        tmp_root + "/t", spark=spark, commit_mode="manifest", single_writer=True
+    )
+    orig = TableRepo._apply_constraints
+    fired = []
+
+    def hook(self, df):
+        if not fired:  # inject the DDL between this write's align and stage
+            fired.append(1)
+            t.alter_column_type("n", "bigint")
+        return orig(self, df)
+
+    monkeypatch.setattr(TableRepo, "_apply_constraints", hook)
+    h.extend(spark.createDataFrame([Row(k=2, n=8)], "k long, n int"))
+    df = t.get_full_df()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert {(r.k, r.n) for r in df.collect()} == {(1, 7), (2, 8)}
