@@ -402,10 +402,41 @@ def manifest_stream_source():
                 base = c.get("base", self.root_uri)
                 for f in c["files"]:
                     owner[(base, c["dir"], f)] = (c, f)
+
+            def commit_preds(c):
+                # a commit's stats are keyed by the names current when it
+                # was WRITTEN: translate the subscription's current names
+                # back by field id (same rule as the batch skipping path);
+                # conjuncts on columns the epoch lacks drop for that
+                # commit only — pruning stays sound, just less sharp
+                slog = self._schema_log()
+                if not slog:
+                    return self.skip_preds
+                sv = c.get("schema_v", 1)
+                cur = slog[-1]
+                if sv == cur["v"]:
+                    return self.skip_preds
+                by_id = {
+                    f["id"]: f["name"]
+                    for e in slog
+                    if e["v"] == sv
+                    for f in e["fields"]
+                }
+                name_of = {
+                    f["name"]: by_id.get(f["id"]) for f in cur["fields"]
+                }
+                out = []
+                for p in self.skip_preds:
+                    nm = name_of.get(p[0], p[0])
+                    if nm is not None:
+                        out.append((nm,) + tuple(p[1:]))
+                return out
+
             return [
                 k
                 for k in new
-                if k not in owner or file_may_match(owner[k][0], owner[k][1], self.skip_preds)
+                if k not in owner
+                or file_may_match(owner[k][0], owner[k][1], commit_preds(owner[k][0]))
             ]
 
         def _file_rows(self, triples, extras, drop_row=None, use_plan=True):

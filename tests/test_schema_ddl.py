@@ -446,3 +446,37 @@ def test_write_racing_type_widen_stamps_written_epoch(spark, tmp_root, monkeypat
     df = t.get_full_df()
     assert dict(df.dtypes)["n"] == "bigint"
     assert {(r.k, r.n) for r in df.collect()} == {(1, 7), (2, 8)}
+
+
+def test_pruned_stream_subscription_survives_rename(spark, tmp_root, tmp_path):
+    """A stats-pruned stream subscription keeps pruning after a rename:
+    the predicate's current name translates back to each commit's epoch
+    name before the min/max probe."""
+    t = _repo(spark, tmp_root, index_cols="k", stats_cols="v")
+    t.extend(
+        spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("v"),
+            F.lit("x").alias("s"),
+        ).repartitionByRange(8, "k")
+    )
+    t.rename_column("v", "value")
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        t.stream_manifest(predicates=[("value", ">=", 390.0)])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    ks = {r.k for r in got.collect()}
+    # pruning is FILE-level: the matching rows must all arrive (with
+    # their renamed column's VALUES), and whole non-matching ranges
+    # must have been skipped (fewer than all 400 rows streamed)
+    assert {k for k in range(390, 400)} <= ks
+    assert len(ks) < 400
+    vals = {r.k: r.value for r in got.where(F.col("k") >= 390).collect()}
+    assert vals == {k: float(k) for k in range(390, 400)}
