@@ -2926,13 +2926,13 @@ class TableRepo:
     def get_full_df_governed(self, version: int | None = None) -> DataFrame:
         """Full scan with the persisted policy applied: masked columns
         replaced by their masking expression (cast to the original
-        type), then the row filter (so a filter may reference masked
-        columns' ORIGINAL values — the evaluation order catalogs
-        document: filter on raw, mask on output... inverted here
-        deliberately: masking FIRST means a consumer-visible predicate
-        can never leak raw values through errors; state filters over
-        unmasked columns). No policy → identical to get_full_df. Pure
-        Column ops — Catalyst folds masks into the scan projection."""
+        type) FIRST, then the row filter — so a filter expression sees
+        MASKED values, and a consumer-visible predicate can never leak
+        raw values (write filters against columns the policy does not
+        mask; NULL-evaluating filters drop the row — fail-closed). No
+        policy → identical to get_full_df. Pure Column ops — Catalyst
+        folds masks into the scan projection (a constant mask even
+        prunes the raw column from the read schema)."""
         df = self.get_full_df(version=version)
         meta = load_meta(self.main_path, spark=self._spark)
         pol = ((meta and meta.config) or {}).get("policy") or {}
