@@ -480,3 +480,25 @@ def test_pruned_stream_subscription_survives_rename(spark, tmp_root, tmp_path):
     assert len(ks) < 400
     vals = {r.k: r.value for r in got.where(F.col("k") >= 390).collect()}
     assert vals == {k: float(k) for k in range(390, 400)}
+
+
+def test_compact_retires_epoch_mapping_debt(spark, tmp_root):
+    """Normal maintenance pays off DDL debt: compaction reads the
+    current-schema view and rewrites, so every surviving commit is
+    stamped with the CURRENT epoch and reads stop paying the per-commit
+    id mapping entirely."""
+    from parquetranger_spark.sources.manifest import load_manifest
+
+    t = _repo(spark, tmp_root)
+    t.extend(_seed(spark))
+    t.rename_column("v", "value")
+    t.add_column("w", "long", default=4)
+    t.extend(_seed(spark, base=10).withColumnRenamed("v", "value"))
+    t.compact()
+    cur_v = t.schema_log()[-1]["v"]
+    mf = load_manifest(t._fs(), t.main_path)
+    data = [c for c in mf["commits"] if c.get("kind") != "dv" and c["files"]]
+    assert data and all(c.get("schema_v") == cur_v for c in data)
+    rows = {r.k: (r.value, r.w) for r in t.get_full_df().collect()}
+    # the mapped values (rename + initial default) are now PHYSICAL
+    assert rows[1] == (1.0, 4) and rows[11] == (11.0, None)
