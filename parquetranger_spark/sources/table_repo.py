@@ -90,6 +90,32 @@ def _to_epoch(ts) -> float:
     raise TypeError(f"cannot interpret {ts!r} as a timestamp")
 
 
+def _cast_partition_strings(vals: list[str], dtype) -> list | None:
+    """Hive-path partition strings → typed Python values matching what a
+    scan's distinct() would return for that column type; None for types
+    the path encoding cannot round-trip losslessly (caller scans)."""
+    import datetime as _dt
+
+    if dtype is None or isinstance(dtype, T.StringType):
+        return list(vals)
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return [int(v) for v in vals]
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return [float(v) for v in vals]
+        if isinstance(dtype, T.BooleanType):
+            return [v.lower() == "true" for v in vals]
+        if isinstance(dtype, T.DateType):
+            return [_dt.date.fromisoformat(v) for v in vals]
+        if isinstance(dtype, T.DecimalType):
+            from decimal import Decimal
+
+            return [Decimal(v) for v in vals]
+    except (ValueError, ArithmeticError):
+        return None
+    return None
+
+
 class ConcurrentWriteError(RuntimeError):
     """A read-modify-write publish detected a commit that landed since
     its read snapshot and would be silently erased/resurrected by the
@@ -147,6 +173,7 @@ class TableRepo:
         constraint_mode: str = "fail",
         bloom_cols: str | list[str] | None = None,
         manifest_inline_files_max: int = 2000,
+        governed: bool = False,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -212,8 +239,16 @@ class TableRepo:
             raise ValueError("constraint_mode must be 'fail' or 'drop'")
         self.constraint_mode = constraint_mode
         self.last_constraint_drops: dict[str, int] = {}
+        # governed=True makes this a CONSUMER handle: every read surface
+        # applies the table's persisted governance policy (row filter +
+        # column masks), and every mutation is refused — a policy a
+        # consumer could sidestep by method choice would not be a policy.
+        # The flag is a HANDLE property (never persisted): owners hold
+        # ungoverned handles, consumers are given governed ones
+        # (`TableRepo.open(root, governed=True)`).
+        self.governed = bool(governed)
         self._spark = spark
-        if mkdirs:
+        if mkdirs and not self.governed:
             self.mkdirs()
         if self.commit_mode == "manifest":
             # the manifest's partition spec is authoritative for an evolved
@@ -270,6 +305,7 @@ class TableRepo:
         ``rewrite=True`` (eager, O(table)): one static overwrite lays the
         whole table out under the new spec immediately — the explicit
         maintenance job, same posture as ``rewrite_to_canonical``."""
+        self._assert_ungoverned("evolve_partitioning")
         if self.commit_mode != "manifest":
             raise TypeError("evolve_partitioning requires commit_mode='manifest'")
         from .manifest import load_manifest, try_commit
@@ -365,6 +401,8 @@ class TableRepo:
         unchanged on a 100 TB table). This is the observability surface
         compaction decisions read: partitions with many small files are
         ``compact()`` candidates."""
+        self._refuse_leaky_metadata("stats")
+
         def proj(s: DataFrame) -> DataFrame:
             return s.select(
                 *self.group_cols,
@@ -421,8 +459,10 @@ class TableRepo:
         ``basePath``, matching the reference's ``__gb_dict`` footer
         rematerialization (core.py:216-223)."""
         spark = self._session()
+        pol = self._policy() if self.governed else {}
         for p in self.paths:
-            yield spark.read.option("basePath", self._scan_base(p)).parquet(p)
+            df = spark.read.option("basePath", self._scan_base(p)).parquet(p)
+            yield self._apply_policy(df, pol) if self.governed else df
 
     def _scan_base(self, path: str) -> str:
         """The basePath partition-column discovery anchors on: the table
@@ -525,6 +565,7 @@ class TableRepo:
         unreferenced data dir (reclaimed by :meth:`vacuum`'s age-windowed
         sweep — publish within the vacuum window), and audits cost no
         second write: publish is one small JSON CAS."""
+        self._assert_ungoverned("stage_extend")
         if self.commit_mode != "manifest":
             raise TypeError("stage_extend needs commit_mode='manifest' (WAP is a manifest flip)")
         meta = load_meta(self.main_path, spark=self._spark)
@@ -779,6 +820,7 @@ class TableRepo:
 
     def purge(self) -> None:
         """Drop the table (reference core.py:162-167)."""
+        self._assert_ungoverned("purge")
         from .schema_log import invalidate_cache
 
         self._fs().delete(self.main_path)
@@ -810,6 +852,7 @@ class TableRepo:
         delete data dirs the clone still references — run clones inside
         the source's vacuum retention window, or rewrite the clone
         (``replace_all(clone.get_full_df())``) to materialize it."""
+        self._assert_ungoverned("clone_to")
         if self.commit_mode != "manifest":
             raise TypeError("clone_to() requires commit_mode='manifest'")
         from .manifest import load_manifest, try_commit
@@ -870,6 +913,7 @@ class TableRepo:
         fast-forward main; or walk away and :meth:`delete_branch`. The
         fork version is recorded so merge can detect concurrent main
         commits (no rebase — the branch holder re-branches)."""
+        self._assert_ungoverned("create_branch")
         if self.commit_mode != "manifest":
             raise TypeError("create_branch() requires commit_mode='manifest'")
         import json as _json
@@ -898,6 +942,10 @@ class TableRepo:
             index_cols=list(self.index_cols) or None,
             commit_mode="manifest",
             compression=self.compression,
+            # a governed handle must not mint itself an ungoverned branch
+            # handle: the branch sidecar carries the fork-time policy and
+            # the returned handle keeps enforcing it
+            governed=self.governed,
             spark=self._spark,
         )
 
@@ -919,6 +967,7 @@ class TableRepo:
         the branch dir remains those files' physical home until a
         rewrite; :meth:`delete_branch` refuses while main references
         it)."""
+        self._assert_ungoverned("merge_branch")
         import json as _json
 
         from .manifest import load_manifest, try_commit
@@ -967,6 +1016,7 @@ class TableRepo:
         """Drop a branch dir. Refuses (without ``force``) while any
         retained MAIN version still references the branch's data by
         ``base`` — deleting then would corrupt merged history."""
+        self._assert_ungoverned("delete_branch")
         from .manifest import load_manifest
 
         broot = self._branch_root(name)
@@ -1011,6 +1061,7 @@ class TableRepo:
         aligned writes that omit the column) store real values (or real
         nulls): the default describes history, it does not shadow new
         data. Scalars only (they live in the epoch JSON)."""
+        self._assert_ungoverned("add_column")
         dt = self._parse_dtype(dtype)
         if default is not None and not isinstance(default, (str, int, float, bool)):
             raise TypeError(
@@ -1035,6 +1086,7 @@ class TableRepo:
         and aliased — no rewrite, no null-out of history (the failure
         mode of name-based parquet evolution that Iceberg field ids /
         Delta column mapping exist to prevent)."""
+        self._assert_ungoverned("rename_column")
         self._refuse_structural(old, "rename_column")
 
         def mutate(fields, log):
@@ -1054,6 +1106,7 @@ class TableRepo:
         older files simply stop projecting it. Its id is never reused, so
         a later ``add_column`` of the same name is a NEW column and old
         data correctly reads as null rather than resurrecting."""
+        self._assert_ungoverned("drop_column")
         self._refuse_structural(name, "drop_column")
 
         def mutate(fields, log):
@@ -1344,11 +1397,16 @@ class TableRepo:
             parts.append(dv_del)
         if not parts:
             empty = self._manifest_df(end if end > 0 else None, file_keep=lambda c, f: False)
-            return empty.withColumn("_change_type", F.lit("insert"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            out = empty.withColumn("_change_type", F.lit("insert"))
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        return (
+            self._apply_policy(out, tombstone_col="_change_type")
+            if self.governed
+            else out
+        )
 
     def restore(self, version: int) -> None:
         """Roll the table back to an earlier manifest version by
@@ -1357,6 +1415,7 @@ class TableRepo:
         bad commits stay inspectable via time travel, and no data is
         copied. Only possible while the target version's data dirs
         survive (i.e. inside the vacuum horizon)."""
+        self._assert_ungoverned("restore")
         if self.commit_mode != "manifest":
             raise TypeError("restore() requires commit_mode='manifest'")
         from .manifest import load_manifest, try_commit
@@ -1430,6 +1489,7 @@ class TableRepo:
         composing with concurrent appends like any commit. At 100 TB
         this turns "delete 1k users from 10k partitions" from a 10k-
         partition rewrite into a KB-sized commit."""
+        self._assert_ungoverned("delete_records_dv")
         if self.commit_mode != "manifest":
             raise TypeError("delete_records_dv needs commit_mode='manifest'")
         if not self.index_cols:
@@ -1473,6 +1533,7 @@ class TableRepo:
         semantics); genuinely new keys are untouched. At 100 TB this is
         "DELETE WHERE ts < retention_horizon" as one pruned scan plus a
         KB-sized commit, instead of a full-table rewrite."""
+        self._assert_ungoverned("delete_where_dv")
         if self.commit_mode != "manifest":
             raise TypeError("delete_where_dv needs commit_mode='manifest'")
         if not self.index_cols:
@@ -1487,6 +1548,7 @@ class TableRepo:
         """Delete rows matching a Column predicate; same partition-pruned
         rewrite as :meth:`delete_records` (rows where the predicate is
         NULL are kept, matching SQL DELETE semantics)."""
+        self._assert_ungoverned("delete_where")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         self._delete_matching(
             lambda df: df.where(cond),
@@ -1534,6 +1596,7 @@ class TableRepo:
         rejected) but the caller owns key uniqueness afterwards.
 
         For the no-rewrite twin see :meth:`update_where_dv`."""
+        self._assert_ungoverned("update_where")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond, F.lit(False))
         rmw = self._rmw_baseline()
@@ -1594,6 +1657,7 @@ class TableRepo:
         aborts the txn and raises :class:`ConcurrentWriteError` (the
         check-to-CAS window is documented best-effort, same as every
         optimistic scheme that validates outside the commit point)."""
+        self._assert_ungoverned("update_where_dv")
         if self.commit_mode != "manifest":
             raise TypeError("update_where_dv needs commit_mode='manifest'")
         if not self.index_cols:
@@ -1711,7 +1775,12 @@ class TableRepo:
         O(1)-jobs answer a 100 TB "how many rows" deserves. Falls back
         to a real count when any commit predates rowcounts, a deletion
         vector is live (tombstones subtract data-dependently), or the
-        table is not in manifest mode."""
+        table is not in manifest mode. A governed handle under a row
+        filter counts the GOVERNED frame (the metadata total would
+        disclose how many rows the filter hides); mask-only policies
+        keep the metadata path (masks never change the count)."""
+        if self.governed and self._policy().get("row_filter"):
+            return self.get_full_df().count()
         if self.commit_mode == "manifest":
             from .manifest import load_manifest, visible_commits
 
@@ -1735,8 +1804,15 @@ class TableRepo:
         scan-free-aggregate shape. Falls back to a real scan when any
         live data file lacks recorded stats for ``col`` or a deletion
         vector is live (tombstoned rows could BE the extremes — the
-        recorded file stats can no longer prove table-level bounds)."""
-        if self.commit_mode == "manifest" and col in self.stats_cols:
+        recorded file stats can no longer prove table-level bounds).
+        Governed handles take the scan path whenever a policy is active
+        (the manifest's extremes are RAW — a mask or row filter changes
+        the governed answer); the scan itself reads governed rows."""
+        if (
+            self.commit_mode == "manifest"
+            and col in self.stats_cols
+            and not (self.governed and self._policy())
+        ):
             from .manifest import load_manifest, visible_commits
 
             mf = load_manifest(self._fs(), self.main_path)
@@ -1773,6 +1849,7 @@ class TableRepo:
         ("the exact corpus snapshot run X trained on") that plain time
         travel loses at the vacuum horizon. Re-tagging a name moves it
         (last-write-wins; tags are refs, not commits)."""
+        self._assert_ungoverned("tag")
         if self.commit_mode != "manifest":
             raise TypeError("tag() requires commit_mode='manifest'")
         if not name or "/" in name or name.startswith((".", "_")):
@@ -1814,6 +1891,7 @@ class TableRepo:
 
     def delete_tag(self, name: str) -> None:
         """Remove a tag; the pinned version becomes vacuumable again."""
+        self._assert_ungoverned("delete_tag")
         if self.commit_mode != "manifest":
             raise TypeError("delete_tag() requires commit_mode='manifest'")
         from .manifest import MANIFEST_DIR
@@ -2042,6 +2120,22 @@ class TableRepo:
         ignore_corrupt_files: bool = False,
         as_of=None,
     ) -> DataFrame:
+        """Full scan — on a GOVERNED handle the persisted policy (column
+        masks, then row filter) is applied before the frame is returned;
+        every read surface built on this one (partition reads, views,
+        map_partitions, SQL) inherits it. See :meth:`_get_full_df_raw`
+        for the scan contract."""
+        df = self._get_full_df_raw(version, ignore_corrupt_files, as_of)
+        if self.governed:
+            df = self._apply_policy(df)
+        return df
+
+    def _get_full_df_raw(
+        self,
+        version: int | None = None,
+        ignore_corrupt_files: bool = False,
+        as_of=None,
+    ) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
         canonical-schema frame when no files exist (core.py:175).
         ``version`` (manifest mode only) time-travels to an earlier
@@ -2120,14 +2214,76 @@ class TableRepo:
         return self.get_full_df().where(F.col(pc) == value)
 
     def partition_values(self, partition_col: str | None = None) -> list[Any]:
+        """DISTINCT values of a partition column, METADATA-ONLY when
+        possible: the values are encoded in every data file's hive path,
+        which the manifest (manifest mode — zero listings, zero opens)
+        or one directory listing (files mode) already knows. This is the
+        first discovery call an interactive user makes on a 100 TB
+        table; a distinct scan for it would read the whole table. Falls
+        back to the scan for non-partition columns, when any live file
+        predates the current spec (mixed partition specs), when a
+        deletion vector is live (tombstones may have emptied a
+        partition the paths still show), on governed handles with an
+        active policy (a row filter may hide whole partitions, a mask
+        may rewrite the column), and for value types the hive path
+        cannot round-trip."""
         pc = partition_col or self.group_cols[0]
+        if (
+            pc in self.group_cols
+            and not (self.governed and self._policy())
+            and not self._has_live_dv()
+        ):
+            vals = self._partition_values_meta(pc)
+            if vals is not None:
+                return vals
         return [r[0] for r in self.get_full_df().select(pc).distinct().collect()]
+
+    def _has_live_dv(self) -> bool:
+        if self.commit_mode != "manifest":
+            return False
+        from .manifest import load_manifest, visible_commits
+
+        mf = load_manifest(self._fs(), self.main_path)
+        return any(
+            c.get("kind") == "dv"
+            for c in visible_commits((mf or {}).get("commits", []))
+        )
+
+    def _partition_values_meta(self, pc: str) -> list | None:
+        """Parse ``pc=value`` from every live data-file path and cast to
+        the canonical column type driver-side. None ⇒ the caller falls
+        back to the scan (a file not carrying the column, a null
+        partition dir, or an un-castable value/type)."""
+        paths = self.paths
+        if not paths:
+            return []
+        token = pc + "="
+        raw = set()
+        for p in paths:
+            v = None
+            for part in p.split("/")[:-1]:
+                if part.startswith(token):
+                    v = part[len(token):]
+            if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            raw.add(v)
+        from urllib.parse import unquote
+
+        vals = {unquote(s) for s in raw}
+        meta = load_meta(self.main_path, spark=self._spark)
+        dtype = None
+        if meta and meta.schema:
+            for f in meta.schema.fields:
+                if f.name == pc:
+                    dtype = f.dataType
+        return _cast_partition_strings(sorted(vals), dtype)
 
     def read_df_from_path(self, path: str) -> DataFrame:
         """Single-file read with partition columns restored from the
         directory names (reference ``read_df_from_path``, core.py:225-228;
         group-col rematerialization core.py:216-223)."""
-        return self._session().read.option("basePath", self._scan_base(path)).parquet(path)
+        df = self._session().read.option("basePath", self._scan_base(path)).parquet(path)
+        return self._apply_policy(df) if self.governed else df
 
     # Arrow-table variants (reference returns pyarrow.Table from
     # ``get_full_table`` core.py:172-175, ``get_partition_table``
@@ -2249,7 +2405,11 @@ class TableRepo:
         r = self._session().readStream.schema(meta.schema)
         if max_files_per_trigger:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-        return r.parquet(self.main_path)
+        df = r.parquet(self.main_path)
+        # policy folds into the streaming plan as plain Column ops; it is
+        # captured at stream DEFINITION time — policy changes need a
+        # stream restart, same contract as a schema change
+        return self._apply_policy(df) if self.governed else df
 
     def stream_manifest(self, partitioned: bool = False, predicates=None) -> DataFrame:
         """The table as a streaming source in MANIFEST mode — offsets are
@@ -2291,7 +2451,7 @@ class TableRepo:
             from .manifest import norm_predicates
 
             r = r.option("skip_preds", _json.dumps(norm_predicates(predicates)))
-        return (
+        df = (
             r.option("root", self.main_path)
             .option("schema_ddl", ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields))
             .option("schema_json", schema.json())
@@ -2299,6 +2459,7 @@ class TableRepo:
             .option("col_types", ",".join(f.dataType.simpleString() for f in schema.fields))
             .load()
         )
+        return self._apply_policy(df) if self.governed else df
 
     def stream_versions(self) -> DataFrame:
         """The manifest LOG itself as a streaming source (manifest mode):
@@ -2393,7 +2554,7 @@ class TableRepo:
 
         spark = self._session()
         register_manifest_stream(spark)
-        return (
+        df = (
             spark.readStream.format(
                 "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
             )
@@ -2410,6 +2571,15 @@ class TableRepo:
                 "col_types", ",".join(f.dataType.simpleString() for f in out_schema.fields)
             )
             .load()
+        )
+        # governed CDF: masks + filter apply per emitted row, so a replica
+        # synced from a governed handle holds only governed values; key-only
+        # delete tombstones (filter undecidable) are forwarded — see
+        # _apply_policy's tombstone contract
+        return (
+            self._apply_policy(df, tombstone_col="_change_type")
+            if self.governed
+            else df
         )
 
     def sync_from(
@@ -2451,6 +2621,7 @@ class TableRepo:
         over-delete). At 100 TB this is the cross-region/table
         replication shape: O(changed files) per refresh, never a
         full-table diff."""
+        self._assert_ungoverned("sync_from")
         if self.commit_mode != "manifest":
             raise TypeError("sync_from() requires commit_mode='manifest' on the replica")
         if not self.index_cols:
@@ -2854,6 +3025,7 @@ class TableRepo:
         structural (changing them is a rebuild/evolution operation, not
         a property flip) and are refused. List-valued properties accept
         a string for one element, like the constructor."""
+        self._assert_ungoverned("set_table_properties")
         bad = [k for k in props if k not in self._MUTABLE_PROPS]
         if bad:
             raise ValueError(
@@ -2903,6 +3075,7 @@ class TableRepo:
         clear. Policies are read-path contracts for consumers; they do
         not rewrite data (scrub at rest with update_where/pii tooling
         when erasure, not governance, is the requirement)."""
+        self._assert_ungoverned("set_policy")
         meta = load_meta(self.main_path, spark=self._spark)
         if meta is None or meta.schema is None:
             raise RuntimeError("set_policy() needs a written table (canonical schema)")
@@ -2910,6 +3083,27 @@ class TableRepo:
         for c in column_masks or {}:
             if c not in known:
                 raise KeyError(f"set_policy: no column {c!r} to mask")
+        # analyze every expression against the canonical schema NOW — an
+        # invalid filter/mask must fail at set time, not at the first
+        # governed read (where the reader can neither fix nor bypass it)
+        probe = self._session().createDataFrame([], meta.schema)
+        if row_filter:
+            try:
+                probe.where(F.expr(row_filter)).schema
+            except Exception as e:
+                raise ValueError(
+                    f"set_policy: row_filter {row_filter!r} does not analyze "
+                    f"against the table schema: {e}"
+                ) from e
+        ptypes = dict(probe.dtypes)
+        for c, m in (column_masks or {}).items():
+            try:
+                probe.select(F.expr(m).cast(ptypes[c]).alias(c)).schema
+            except Exception as e:
+                raise ValueError(
+                    f"set_policy: mask for {c!r} ({m!r}) does not analyze "
+                    f"against the table schema: {e}"
+                ) from e
         pol = {}
         if row_filter:
             pol["row_filter"] = row_filter
@@ -2923,19 +3117,31 @@ class TableRepo:
         meta.config = cfg
         save_meta(self.main_path, meta, spark=self._spark)
 
-    def get_full_df_governed(self, version: int | None = None) -> DataFrame:
-        """Full scan with the persisted policy applied: masked columns
-        replaced by their masking expression (cast to the original
-        type) FIRST, then the row filter — so a filter expression sees
-        MASKED values, and a consumer-visible predicate can never leak
-        raw values (write filters against columns the policy does not
-        mask; NULL-evaluating filters drop the row — fail-closed). No
-        policy → identical to get_full_df. Pure Column ops — Catalyst
-        folds masks into the scan projection (a constant mask even
-        prunes the raw column from the read schema)."""
-        df = self.get_full_df(version=version)
+    def _policy(self) -> dict:
+        """The persisted governance policy (empty dict when none)."""
         meta = load_meta(self.main_path, spark=self._spark)
-        pol = ((meta and meta.config) or {}).get("policy") or {}
+        return ((meta and meta.config) or {}).get("policy") or {}
+
+    def _apply_policy(
+        self, df: DataFrame, pol: dict | None = None, tombstone_col: str | None = None
+    ) -> DataFrame:
+        """Fold the governance policy into a frame: masked columns are
+        replaced by their masking expression (cast to the original type)
+        FIRST, then the row filter — a filter sees MASKED values, so a
+        consumer-visible predicate can never leak raw ones;
+        NULL-evaluating filters drop the row (fail-closed). Pure Column
+        ops — Catalyst folds masks into the scan projection (a constant
+        mask even prunes the raw column from the read schema), and the
+        same expressions work unchanged on STREAMING frames.
+
+        ``tombstone_col`` names a change-type column on CDF frames:
+        ``'delete'`` rows whose filter outcome is UNDECIDABLE (NULL —
+        key-only tombstones carry no data columns) are forwarded rather
+        than fail-closed, because suppressing them would leave a
+        governed replica retaining rows the source deleted; key
+        presence is the only disclosure, and the keys of rows the
+        consumer could once see are already known to it."""
+        pol = self._policy() if pol is None else pol
         masks = pol.get("column_masks") or {}
         if masks:
             types = dict(df.dtypes)
@@ -2947,8 +3153,61 @@ class TableRepo:
             )
         rf = pol.get("row_filter")
         if rf:
-            df = df.where(F.coalesce(F.expr(rf), F.lit(False)))
+            fallback = (
+                F.col(tombstone_col) == F.lit("delete")
+                if tombstone_col and tombstone_col in df.columns
+                else F.lit(False)
+            )
+            df = df.where(F.coalesce(F.expr(rf), fallback))
         return df
+
+    def _assert_ungoverned(self, op: str) -> None:
+        if self.governed:
+            raise PermissionError(
+                f"{op}: refused on a governed handle of {self.name!r} — "
+                "governance policies are read-path contracts for consumers; "
+                "mutations need the owner's ungoverned handle "
+                "(TableRepo.open(root) or this_handle.ungoverned())"
+            )
+
+    def _refuse_leaky_metadata(self, op: str) -> None:
+        """Physical-layout metadata surfaces (per-file column stats,
+        partition directories, per-partition row counts) can disclose
+        raw values or the existence of rows a policy hides — on a
+        governed handle with an active policy they are refused rather
+        than served filtered (a half-true stats surface would silently
+        mislead maintenance tooling)."""
+        if self.governed and self._policy():
+            raise PermissionError(
+                f"{op}: refused on a governed handle of {self.name!r} with an "
+                "active policy — physical metadata can leak raw values/rows "
+                "the policy hides; use the owner's ungoverned handle"
+            )
+
+    def ungoverned(self) -> "TableRepo":
+        """The owner's escape hatch: a twin handle with governance OFF
+        (reads raw, writes allowed). Deliberately trivial — governance
+        here is perimeter discipline like file permissions, not
+        cryptography: whoever can construct a TableRepo on the root can
+        read the files; the guarantee is that a handle HANDED to a
+        consumer as governed cannot *accidentally* surface raw values
+        through any read surface."""
+        import copy
+
+        twin = copy.copy(self)
+        twin.governed = False
+        return twin
+
+    def get_full_df_governed(self, version: int | None = None) -> DataFrame:
+        """Full scan with the persisted policy applied regardless of the
+        handle's ``governed`` flag (the explicit opt-in predating
+        handle-wide governance; a governed handle's :meth:`get_full_df`
+        already returns exactly this). No policy → identical to
+        get_full_df."""
+        df = self.get_full_df(version=version)
+        if self.governed:
+            return df  # policy already folded in — never applied twice
+        return self._apply_policy(df)
 
     def _translate_stale_names(self, df: DataFrame):
         """A frame built before a concurrent rename_column carries the
@@ -3020,6 +3279,7 @@ class TableRepo:
         overwrite); other partitions' files are untouched. Like
         :meth:`rewrite_to_canonical`, must not run concurrently with
         writers to the same partitions."""
+        self._assert_ungoverned("compact")
         if not self.paths:
             return
         self._refuse_pending_txns("compact")
@@ -3057,6 +3317,7 @@ class TableRepo:
         partition values compacted. Ungrouped tables compact whole when
         over the threshold. Like compact, not safe concurrent with
         writers to the same partitions."""
+        self._assert_ungoverned("maintain")
         if not self.group_cols:
             if self.n_files > max_files_per_partition:
                 self.compact()
@@ -3679,11 +3940,22 @@ class TableRepo:
 
         preds = norm_predicates(predicates)
         tr = self._epoch_pred_translator()
+        pol = self._policy() if self.governed else {}
+        masked = set(pol.get("column_masks") or {})
+        # governed handles: the exact predicates evaluate over GOVERNED
+        # values below (a raw-value predicate would leak membership of
+        # masked values through row presence), so file-level pruning may
+        # only use predicates on UNMASKED columns — their values are
+        # identical pre/post policy, and the row filter only shrinks the
+        # row set, so raw min/max pruning stays superset-safe
+        skip_preds = [p for p in preds if p[0] not in masked] if masked else preds
 
         def keep(c: dict, f: str) -> bool:
-            return file_may_match(c, f, tr(c, preds))
+            return file_may_match(c, f, tr(c, skip_preds))
 
         df = self._manifest_df(version, file_keep=keep)
+        if self.governed:
+            df = self._apply_policy(df, pol)
         for p in preds:
             col = F.col(p[0])
             if p[1] == "between":
@@ -3707,6 +3979,7 @@ class TableRepo:
         bitmap exists. Read entirely from the (tiny) manifest JSON; no
         data files are touched. The observability face of S24: what WOULD
         a predicate be able to prune, per file."""
+        self._refuse_leaky_metadata("index_stats")
         if self.commit_mode != "manifest":
             raise TypeError("index_stats() requires commit_mode='manifest'")
         from .manifest import load_manifest, visible_commits
@@ -3747,6 +4020,7 @@ class TableRepo:
         join target for maintenance planning, audit dashboards, and
         "which files hold partition X" questions that would otherwise
         cost an O(files) listing."""
+        self._refuse_leaky_metadata("files_df")
         if self.commit_mode != "manifest":
             raise TypeError("files_df() requires commit_mode='manifest'")
         from .manifest import load_manifest, partition_values_of, visible_commits
@@ -3779,6 +4053,7 @@ class TableRepo:
         """(files kept, files total) for ``predicates`` under the current
         stats — the observability hook for how selective a skipping scan
         will be, computed from the manifest alone (no data files touched)."""
+        self._refuse_leaky_metadata("skip_plan")
         from .manifest import file_may_match, load_manifest, norm_predicates, visible_commits
 
         preds = norm_predicates(predicates)
@@ -3928,6 +4203,7 @@ class TableRepo:
         offsets alive across vacuums: set it at least as deep as the
         slowest consumer's checkpoint lag (the vacuum-vs-streaming
         caveat, now tunable instead of absolute)."""
+        self._assert_ungoverned("vacuum")
         import time as _time
 
         if keep_versions < 1:
@@ -4075,6 +4351,7 @@ class TableRepo:
         }
 
     def _write(self, df: DataFrame, mode: str, dynamic: bool = True, fence: tuple | None = None, rmw_baseline: dict | None = None, prune: set | None = None) -> None:
+        self._assert_ungoverned("write")
         if fence is not None and self.commit_mode != "manifest":
             raise TypeError("fenced (exactly-once) writes need commit_mode='manifest'")
         meta = load_meta(self.main_path, spark=self._spark)
