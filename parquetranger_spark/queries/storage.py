@@ -1257,8 +1257,10 @@ def cdc_replica_sync(spark, sf_dir):
     "txn_multi_table_atomic",
     oracle=f"""
 WITH facts AS (
-  SELECT event_id, event_type, value FROM events
-  WHERE event_type IN ('click', 'view')
+  SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value * 2 AS value FROM events
+  WHERE event_type = 'view'
 ), summary AS (
   SELECT event_type, count(*) AS n_src, {dsum_sql('value', 'sum_value')}
   FROM facts GROUP BY event_type
@@ -1278,14 +1280,20 @@ def txn_multi_table_atomic(spark, sf_dir):
     without its rollup in summary. Txn 1 (click batch + its rollup)
     commits; mid-flight invisibility on BOTH tables is asserted
     in-query before the marker CAS. Txn 2 (view batch + rollup) also
-    commits. Txn 3 (purchase batch + rollups) ABORTS — none of its
-    entries may ever surface, on either table, and
+    commits. Txn 3 is the DECLARED-OVERWRITE participant: it
+    ``replace_groups``-rewrites the view partition with doubled values
+    and upserts the matching rollup — published as a deferred-overwrite
+    entry (manifest ``ow`` spec) whose prune of the old view files
+    becomes visible only with the marker CAS; mid-flight the old view
+    sum is asserted still visible. Txn 4 (purchase batch + rollups)
+    ABORTS — none of its entries may ever surface, on either table, and
     ``sweep_aborted_txns`` + the final read prove it. The oracle derives
-    the same join from the base table: only click+view survive, and
+    the same join from the base table: clicks plus DOUBLED views, and
     summary matches facts exactly (the consistency invariant). Scale
     shape: a txn adds zero data movement — entries publish through the
     normal CAS and one KB-sized marker flips visibility for every
-    table at once."""
+    table at once; the overwrite's prune folds physically into the
+    chain at the next publish."""
     from ..sources.txn import Transaction
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
@@ -1323,8 +1331,25 @@ def txn_multi_table_atomic(spark, sf_dir):
     t1.commit()
     t2 = refresh("view")
     t2.commit()
-    t3 = refresh("purchase")
-    t3.abort()
+    # txn 3: transactional dynamic overwrite — double every view row and
+    # refresh its rollup, atomically
+    doubled = ev.where(F.col("event_type") == "view").withColumn(
+        "value", F.col("value") * 2
+    )
+    pre = facts.get_full_df().where("event_type = 'view'").agg(
+        F.sum("value")
+    ).collect()[0][0]
+    t3 = Transaction(cat)
+    t3.replace_groups(facts, doubled)
+    t3.replace_records(summary, rollup(doubled))
+    mid = facts.get_full_df().where("event_type = 'view'").agg(
+        F.sum("value")
+    ).collect()[0][0]
+    if abs(mid - pre) > 1e-6 * max(abs(pre), 1.0):
+        raise AssertionError("pending txn-overwrite leaked into a read")
+    t3.commit()
+    t4 = refresh("purchase")
+    t4.abort()
     if facts.sweep_aborted_txns() == 0:
         raise AssertionError("aborted txn left nothing to sweep")
     summary.sweep_aborted_txns()

@@ -313,6 +313,71 @@ def prune_partitions(
     return out
 
 
+def _apply_overwrite(commits: list[dict], ow: dict, group_cols=None) -> list[dict]:
+    """Apply one overwrite spec to the commits BEFORE it: scope='all' is
+    the fence-preserving truncation (_publish_entry's static branch),
+    scope='groups' is prune_partitions under the spec the overwrite was
+    written with — the exact effect the eager publish-time path has."""
+    if ow.get("scope") == "all":
+        return [
+            {
+                k: v
+                for k, v in c.items()
+                if k not in ("files_ref", "stats", "rows", "blooms", "bloom_types")
+            }
+            | {"files": []}
+            for c in commits
+            if "fence" in c
+        ]
+    touched = {tuple(t) for t in ow.get("touched", [])}
+    return prune_partitions(commits, list(ow.get("spec") or group_cols or []), touched)
+
+
+def effective_commits(commits: list[dict], group_cols=None) -> list[dict]:
+    """READ-side commit list: txn visibility (:func:`visible_commits`)
+    plus the deferred effect of transactional OVERWRITE entries. An entry
+    carrying ``ow`` (published by ``Transaction.replace_groups`` /
+    ``replace_all``) is additive at publish time — its destructive half,
+    the prune of older files, cannot run then because it must become
+    visible atomically with the txn's other tables. The prune is applied
+    HERE instead, positionally (it masks only entries earlier in the
+    list), and physically folded into the chain by the next publish
+    (:func:`fold_decided_overwrites`) — the deferred mask is transient
+    debt, not a permanent read tax. Cost when no ``ow`` entry is live:
+    one generator scan."""
+    vis = visible_commits(commits)
+    if not any("ow" in c for c in vis):
+        return vis
+    out: list[dict] = []
+    for c in vis:
+        ow = c.get("ow")
+        if ow:
+            out = _apply_overwrite(out, ow, group_cols)
+        out.append(c)
+    return out
+
+
+def fold_decided_overwrites(commits: list[dict]) -> list[dict]:
+    """WRITER-side settle, run inside every publish CAS loop: physically
+    apply each overwrite entry whose transaction has COMMITTED (its mask
+    is permanent) and strip its ``ow``/``txn`` markers, so later versions
+    stop re-deriving the mask and vacuum's retention walk stops keeping
+    the dead files alive once pre-fold versions age out. Pending entries
+    stay untouched (undecided — their mask must not apply yet); aborted
+    ones stay for sweep_aborted_txns. Read-visible state is UNCHANGED by
+    the fold: it applies exactly what effective_commits already shows."""
+    if not any("ow" in c for c in commits):
+        return commits
+    out: list[dict] = []
+    for c in commits:
+        ow = c.get("ow")
+        if ow and (c.get("txn") is None or txn_state(c["txn"]) == "committed"):
+            out = _apply_overwrite(out, ow, ow.get("spec"))
+            c = {k: v for k, v in c.items() if k not in ("ow", "txn")}
+        out.append(c)
+    return out
+
+
 # ---- file-level column statistics (data skipping) ----------------------
 
 SKIP_OPS = ("==", "<", "<=", ">", ">=", "between", "in")

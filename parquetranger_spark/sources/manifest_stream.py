@@ -256,6 +256,13 @@ def manifest_stream_source():
                     # cannot occur here (the frontier holds the stream
                     # below any undecided version)
                     continue
+                ow = c.get("ow")
+                if ow:
+                    # deferred txn-overwrite (manifest.effective_commits's
+                    # stream twin): a visible 'ow' entry erases earlier
+                    # files in its scope from the running set — the CDF
+                    # diff then emits them as deletes at this version
+                    out = self._mask_overwrite(out, ow)
                 if c.get("kind") == "dv":
                     # dv commits carry tombstone keys, not table rows:
                     # the APPEND feed skips them (it surfaces appended
@@ -270,6 +277,33 @@ def manifest_stream_source():
                     out.add((base, c["dir"], f))
             self._fset_cache[version] = out
             return out
+
+        @staticmethod
+        def _mask_overwrite(out, ow):
+            """Apply one deferred-overwrite spec to the running file set:
+            scope='all' truncates, scope='groups' drops files whose hive
+            partition tuple (under the spec the overwrite was written
+            with) is in its touched list. Positional like the batch read
+            path; the txn frontier guarantees the entry is decided by
+            the time the stream processes its version."""
+            if ow.get("scope") == "all":
+                return set()
+            spec = list(ow.get("spec") or [])
+            touched = {tuple(t) for t in ow.get("touched", [])}
+            kept = set()
+            for base, d, f in out:
+                found = {}
+                for part in f.split("/")[:-1]:
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        found[k] = v
+                try:
+                    pv = tuple(found[c] for c in spec)
+                except KeyError:
+                    pv = None
+                if pv not in touched:
+                    kept.add((base, d, f))
+            return kept
 
         def _schema_log(self, refresh: bool = False):
             """The table's schema epochs, read through pyarrow.fs (driver

@@ -375,11 +375,11 @@ class TableRepo:
         In manifest mode the manifest IS the file index — no directory
         listing, and files awaiting vacuum never surface."""
         if self.commit_mode == "manifest":
-            from .manifest import live_files, load_manifest, visible_commits
+            from .manifest import effective_commits, live_files, load_manifest
 
             mf = load_manifest(self._fs(), self.main_path)
             if mf is not None:
-                mf = {**mf, "commits": visible_commits(mf["commits"])}
+                mf = {**mf, "commits": effective_commits(mf["commits"], self.group_cols)}
             return live_files(mf, self.main_path)
         return self._fs().list_files(self.main_path, ".parquet")
 
@@ -1276,13 +1276,14 @@ class TableRepo:
             mf = load_manifest(fs, self.main_path, version)
             if mf is None:
                 raise KeyError(f"no manifest version {version} for {self.name}")
-            from .manifest import visible_commits
+            from .manifest import effective_commits
 
             # txn gate: a still-pending entry is not part of either diff
             # endpoint; once its marker commits it contributes to every
             # version that carries it (same retroactive-visibility rule
-            # as the read path)
-            return visible_commits(mf["commits"])
+            # as the read path) — and a committed txn-overwrite entry
+            # retroactively masks the files it replaced (effective view)
+            return effective_commits(mf["commits"], self.group_cols)
 
         def fset(commits: list[dict], kind) -> set:
             return {
@@ -1684,7 +1685,7 @@ class TableRepo:
         # flips both entries visible: any commit that landed since this
         # update's snapshot either added rows the update never read or
         # removed rows it would resurrect — abort instead of committing
-        from .manifest import load_manifest, visible_commits
+        from .manifest import effective_commits, load_manifest
 
         cur = load_manifest(self._fs(), self.main_path) or {"commits": []}
         touched = (
@@ -1698,7 +1699,7 @@ class TableRepo:
         try:
             self._check_rmw_conflict(
                 rmw,
-                visible_commits(cur["commits"]),
+                effective_commits(cur["commits"], self.group_cols),
                 bool(self.group_cols),
                 touched,
             )
@@ -1782,10 +1783,10 @@ class TableRepo:
         if self.governed and self._policy().get("row_filter"):
             return self.get_full_df().count()
         if self.commit_mode == "manifest":
-            from .manifest import load_manifest, visible_commits
+            from .manifest import effective_commits, load_manifest
 
             mf = load_manifest(self._fs(), self.main_path)
-            commits = visible_commits((mf or {}).get("commits", []))
+            commits = effective_commits((mf or {}).get("commits", []), self.group_cols)
             data = [c for c in commits if c.get("kind") != "dv"]
             if not any(c.get("kind") == "dv" for c in commits) and all(
                 not c["files"] or set(c.get("rows", {})) >= set(c["files"])
@@ -1813,10 +1814,10 @@ class TableRepo:
             and col in self.stats_cols
             and not (self.governed and self._policy())
         ):
-            from .manifest import load_manifest, visible_commits
+            from .manifest import effective_commits, load_manifest
 
             mf = load_manifest(self._fs(), self.main_path)
-            commits = visible_commits((mf or {}).get("commits", []))
+            commits = effective_commits((mf or {}).get("commits", []), self.group_cols)
             data = [c for c in commits if c.get("kind") != "dv"]
             no_dv = not any(c.get("kind") == "dv" for c in commits)
             covered = all(
@@ -1987,13 +1988,16 @@ class TableRepo:
             from ..plans.schema import as_nullable
 
             schema = as_nullable(schema_of_fields(cur_epoch["fields"]))
-        from .manifest import visible_commits
+        from .manifest import effective_commits
 
         # multi-table-txn gate: entries published under a still-pending
         # (or aborted) transaction are not part of any read snapshot —
         # filtering whole entries keeps the dv position arithmetic below
-        # intact (relative order of the survivors is unchanged)
-        commits = visible_commits((mf or {}).get("commits", []))
+        # intact (relative order of the survivors is unchanged). The
+        # effective view also applies committed txn-overwrite masks
+        # (deferred prune) — both consumers of the list (scan loop and
+        # _dv_frame) see the SAME filtered ordering.
+        commits = effective_commits((mf or {}).get("commits", []), self.group_cols)
         dv = self._dv_frame(commits)
         scans = []
         for ci, c in enumerate(commits):
@@ -2241,12 +2245,12 @@ class TableRepo:
     def _has_live_dv(self) -> bool:
         if self.commit_mode != "manifest":
             return False
-        from .manifest import load_manifest, visible_commits
+        from .manifest import effective_commits, load_manifest
 
         mf = load_manifest(self._fs(), self.main_path)
         return any(
             c.get("kind") == "dv"
-            for c in visible_commits((mf or {}).get("commits", []))
+            for c in effective_commits((mf or {}).get("commits", []), self.group_cols)
         )
 
     def _partition_values_meta(self, pc: str) -> list | None:
@@ -3611,7 +3615,13 @@ class TableRepo:
         the next manifest version, retrying against concurrent committers.
         Losing the CAS costs re-reading one small JSON and re-deriving the
         file list, never re-writing data."""
-        from .manifest import load_manifest, partition_values_of, prune_partitions, try_commit
+        from .manifest import (
+            fold_decided_overwrites,
+            load_manifest,
+            partition_values_of,
+            prune_partitions,
+            try_commit,
+        )
 
         fs = self._fs()
         files = entry["files"]
@@ -3626,16 +3636,30 @@ class TableRepo:
             commits = list(cur["commits"]) if cur else []
             if fkey is not None and any(c.get("fence") == fkey for c in commits):
                 return  # lost a race to our own replay — already in
+            # settle committed txn-overwrites physically (read-identical:
+            # effective_commits already showed this view) so the chain
+            # stops carrying dead file refs forward
+            commits = fold_decided_overwrites(commits)
             if rmw_baseline is not None:
                 self._check_rmw_conflict(rmw_baseline, commits, dynamic, touched)
+            if entry.get("ow", {}).get("scope") == "groups":
+                # a deferred dynamic overwrite is only sound against
+                # commits written under ITS spec — same rule as the eager
+                # path, checked inside the CAS loop against the list the
+                # publish will actually land on
+                self._assert_uniform_spec(
+                    [c for c in commits if c.get("kind") != "dv"]
+                )
             if mode == "append":
                 # a fenced entry publishes even with ZERO files: the fence
                 # is the exactly-once marker, and consumers (sync_from)
                 # rely on it to know a version's effects — which may be
                 # deletes only — are fully applied; an unfenced empty
-                # entry stays dropped
+                # entry stays dropped. A txn-overwrite entry ("ow")
+                # publishes even empty: replace_all of an empty frame is
+                # a transactional truncation
                 commits = commits + (
-                    [entry] if (files or entry.get("fence")) else []
+                    [entry] if (files or entry.get("fence") or entry.get("ow")) else []
                 )
             elif dynamic and self.group_cols:
                 self._assert_uniform_spec(commits)
@@ -3982,13 +4006,13 @@ class TableRepo:
         self._refuse_leaky_metadata("index_stats")
         if self.commit_mode != "manifest":
             raise TypeError("index_stats() requires commit_mode='manifest'")
-        from .manifest import load_manifest, visible_commits
+        from .manifest import effective_commits, load_manifest
 
         mf = load_manifest(self._fs(), self.main_path, version)
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         rows = []
-        for c in visible_commits((mf or {}).get("commits", [])):
+        for c in effective_commits((mf or {}).get("commits", []), self.group_cols):
             blooms = c.get("blooms") or {}
             for f in c["files"]:
                 st = (c.get("stats") or {}).get(f) or {}
@@ -4023,14 +4047,14 @@ class TableRepo:
         self._refuse_leaky_metadata("files_df")
         if self.commit_mode != "manifest":
             raise TypeError("files_df() requires commit_mode='manifest'")
-        from .manifest import load_manifest, partition_values_of, visible_commits
+        from .manifest import effective_commits, load_manifest, partition_values_of
 
         mf = load_manifest(self._fs(), self.main_path, version)
         if version is not None and mf is None:
             raise KeyError(f"no manifest version {version} for {self.name}")
         gcols = list(self.group_cols)
         rows = []
-        for c in visible_commits((mf or {}).get("commits", [])):
+        for c in effective_commits((mf or {}).get("commits", []), self.group_cols):
             nr = c.get("rows") or {}
             for f in c["files"]:
                 pv = partition_values_of(f, gcols) if gcols else None
@@ -4054,7 +4078,7 @@ class TableRepo:
         stats — the observability hook for how selective a skipping scan
         will be, computed from the manifest alone (no data files touched)."""
         self._refuse_leaky_metadata("skip_plan")
-        from .manifest import file_may_match, load_manifest, norm_predicates, visible_commits
+        from .manifest import effective_commits, file_may_match, load_manifest, norm_predicates
 
         preds = norm_predicates(predicates)
         mf = load_manifest(self._fs(), self.main_path, version)
@@ -4065,7 +4089,7 @@ class TableRepo:
             raise KeyError(f"no manifest version {version} for {self.name}")
         tr = self._epoch_pred_translator()
         kept = total = 0
-        for c in visible_commits((mf or {}).get("commits", [])):
+        for c in effective_commits((mf or {}).get("commits", []), self.group_cols):
             for f in c["files"]:
                 total += 1
                 if file_may_match(c, f, tr(c, preds)):
@@ -4325,7 +4349,7 @@ class TableRepo:
         mode (no snapshot to anchor on; documented unprotected)."""
         if self.commit_mode != "manifest":
             return None
-        from .manifest import load_manifest, visible_commits
+        from .manifest import effective_commits, load_manifest
 
         mf = load_manifest(self._fs(), self.main_path)
         return {
@@ -4346,7 +4370,7 @@ class TableRepo:
             # since (its rows were never read) — and conflict either way.
             "dirs": {
                 c["dir"]: frozenset(c["files"])
-                for c in visible_commits((mf or {}).get("commits", []))
+                for c in effective_commits((mf or {}).get("commits", []), self.group_cols)
             },
         }
 
@@ -4488,7 +4512,8 @@ class StagedCommit:
         self._check("publish")
         repo = self._repo
         if mode == "append":
-            repo._publish_entry(self._entry, "append", dynamic=False, op="wap-append")
+            op = "txn-overwrite" if self._entry.get("ow") else "wap-append"
+            repo._publish_entry(self._entry, "append", dynamic=False, op=op)
         elif mode == "replace_groups":
             if not repo.group_cols:
                 raise TypeError("not a grouped table")

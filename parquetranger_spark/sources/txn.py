@@ -23,13 +23,20 @@ catalog commit shape), without adding a second commit protocol:
   re-created handle (same ``txn_id``) or :meth:`TableRepo.
   sweep_aborted_txns` after an explicit abort resolves them.
 
-Only ADDITIVE commit kinds may participate — plain appends and
-deletion-vector tombstones — because their effect is carried entirely by
-their own entry, so gating the entry gates the effect. Keyed upsert is
-expressible as dv-delete + append (both gated), which is exactly what
-:meth:`Transaction.replace_records` publishes. Destructive kinds
-(dynamic/static overwrite) rewrite OTHER entries at publish time and
-cannot be gated retroactively; they raise here.
+Additive commit kinds — plain appends and deletion-vector tombstones —
+participate directly: their effect is carried entirely by their own
+entry, so gating the entry gates the effect. Keyed upsert is expressible
+as dv-delete + append (both gated), which is exactly what
+:meth:`Transaction.replace_records` publishes. DECLARED overwrites
+(``replace_groups`` / ``replace_all``) are destructive — the eager path
+rewrites OTHER entries at publish time, which cannot be gated
+retroactively — so their transactional flavor publishes an additive
+entry carrying a deferred-overwrite spec (``entry["ow"]``): the new
+files land now (gated, invisible), and the prune of the files they
+replace is applied by the READ path once the txn commits
+(:func:`..manifest.effective_commits`), then physically folded into the
+chain by the next publish (:func:`..manifest.fold_decided_overwrites`).
+The atomicity point stays the single marker CAS.
 
 Concurrency interplay (see ``TableRepo._check_rmw_conflict``): a
 non-transactional keyed rewrite conflicts loudly with any undecided
@@ -118,6 +125,49 @@ class Transaction:
             raise TypeError("replace_records needs index_cols (the match key)")
         self.delete_records_dv(repo, df.select(*repo.index_cols))
         self.extend(repo, df)
+
+    def replace_groups(self, repo: "TableRepo", df: "DataFrame") -> None:
+        """Gated dynamic partition overwrite: the partitions present in
+        ``df`` are atomically replaced — alongside every other table in
+        the txn — when the marker commits. Published as an additive
+        entry carrying the deferred-overwrite spec (the partitions it
+        replaces, computed from its OWN staged files — no extra job);
+        the prune of older files in those partitions applies at read
+        time once the txn commits and is folded physically by the next
+        publish. Same last-writer-wins posture vs concurrent overwrites
+        of the same partitions as the eager path."""
+        self._check_undecided("replace_groups")
+        if not repo.group_cols:
+            raise TypeError("replace_groups: not a grouped table")
+        from .manifest import partition_values_of
+
+        staged = repo.stage_extend(df)
+        touched = sorted(
+            {
+                partition_values_of(f, repo.group_cols)
+                for f in staged._entry["files"]
+            }
+        )
+        staged._entry["txn"] = self.marker
+        staged._entry["ow"] = {
+            "scope": "groups",
+            "touched": [list(t) for t in touched],
+            "spec": list(repo.group_cols),
+        }
+        staged.publish("append")
+        self._writes += 1
+
+    def replace_all(self, repo: "TableRepo", df: "DataFrame") -> None:
+        """Gated truncate-and-load: when the marker commits, the table's
+        prior contents vanish and ``df`` is the table — atomically with
+        the txn's other writes. Fence tombstones survive the truncation
+        (same exactly-once invariant as the eager static overwrite)."""
+        self._check_undecided("replace_all")
+        staged = repo.stage_extend(df)
+        staged._entry["txn"] = self.marker
+        staged._entry["ow"] = {"scope": "all"}
+        staged.publish("append")
+        self._writes += 1
 
     # ---------------------------------------------------------- decision
 
