@@ -145,15 +145,46 @@ def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
     for f in canonical.fields:
         src_f = have.get(f.name) or by_lower.get(f.name.lower())
         if src_f is not None:
-            src = F.col(src_f.name)
-            cols.append(
-                src.alias(f.name)
-                if src_f.dataType == f.dataType
-                else src.cast(f.dataType).alias(f.name)
-            )
+            if (
+                isinstance(f.dataType, T.StructType)
+                and isinstance(src_f.dataType, T.StructType)
+                and src_f.dataType != f.dataType
+            ):
+                # struct-aware alignment: a positional struct cast fails
+                # outright when the canonical struct gained or lost a
+                # field (nested schema evolution) — rebuild by NAME, with
+                # missing members as typed nulls and NULL structs kept
+                # NULL (F.struct of the children would resurrect them)
+                cols.append(_align_struct(src_f, f))
+            else:
+                src = F.col(src_f.name)
+                cols.append(
+                    src.alias(f.name)
+                    if src_f.dataType == f.dataType
+                    else src.cast(f.dataType).alias(f.name)
+                )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def _align_struct(src_f: T.StructField, f: T.StructField):
+    have = {c.name.lower(): c for c in src_f.dataType.fields}
+    parts = []
+    for c in f.dataType.fields:
+        s = have.get(c.name.lower())
+        if s is None:
+            parts.append(F.lit(None).cast(c.dataType).alias(c.name))
+        else:
+            e = F.col(src_f.name).getField(s.name)
+            parts.append(
+                (e if s.dataType == c.dataType else e.cast(c.dataType)).alias(c.name)
+            )
+    return (
+        F.when(F.col(src_f.name).isNotNull(), F.struct(*parts))
+        .otherwise(F.lit(None).cast(f.dataType))
+        .alias(f.name)
+    )
 
 
 def widen_schema(canonical: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:

@@ -1902,6 +1902,85 @@ def schema_evolution_ddl(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_nested",
+    oracle="""
+WITH merged AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_nationkey AS BIGINT) AS nat, c_acctbal AS balance,
+         'unk' AS tier
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT) AS nat,
+         c_acctbal AS balance,
+         CASE WHEN c_acctbal > 5000 THEN 'hi' ELSE 'lo' END AS tier
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c_mktsegment, count(*) AS n,
+       CAST(SUM(CAST(balance AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+       CAST(SUM(nat) AS BIGINT) AS sum_nat,
+       count(CASE WHEN tier <> 'unk' THEN 1 END) AS n_tier
+FROM merged GROUP BY c_mktsegment
+""",
+)
+def schema_evolution_nested(spark, sf_dir):
+    """NESTED schema evolution (table_repo.py::rename_struct_field /
+    add_struct_field / alter_struct_field_type — Iceberg nested field
+    ids, one level into StructType): seed half the customers with a
+    ``meta struct<nat:int, bal:double>`` column, then RENAME meta.bal →
+    meta.balance, ADD meta.tier (initial default 'unk'), and WIDEN
+    meta.nat int→bigint — zero files rewritten (asserted in-query) —
+    then append the other half under the evolved struct shape. Old
+    files map member-by-member through nested ids (a positional struct
+    cast cannot express a member rename); old rows surface the added
+    member's initial default. The oracle states the merged end state
+    over the flattened members.
+
+    Scale shape: identical to top-level DDL — each nested DDL is one
+    CAS-published epoch JSON, the read adds one struct-rebuild
+    projection per old-epoch commit scan (folded by Catalyst), new-epoch
+    commits pay nothing."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.struct(
+            F.col("c_nationkey").alias("nat"), F.col("c_acctbal").alias("bal")
+        ).alias("meta"),
+    )
+    t = TableRepo(
+        scratch_dir("nested") + "/customer",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(c.where(F.col("c_custkey") % 2 == 0))
+    files_before = sorted(t.paths)
+    t.rename_struct_field("meta", "bal", "balance")
+    t.add_struct_field("meta", "tier", "string", default="unk")
+    t.alter_struct_field_type("meta", "nat", "bigint")
+    if sorted(t.paths) != files_before:
+        raise AssertionError("nested schema DDL rewrote data files")
+    t.extend(
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 1)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.struct(
+                F.col("c_nationkey").cast("bigint").alias("nat"),
+                F.col("c_acctbal").alias("balance"),
+                F.when(F.col("c_acctbal") > 5000, "hi").otherwise("lo").alias("tier"),
+            ).alias("meta"),
+        )
+    )
+    return t.get_full_df().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("meta.balance", "sum_bal"),
+        F.sum("meta.nat").alias("sum_nat"),
+        F.count(F.when(F.col("meta.tier") != "unk", 1)).alias("n_tier"),
+    )
+
+
+@query(
     "versions_feed_audit",
     oracle="""
 SELECT op, n_versions FROM (VALUES

@@ -357,15 +357,60 @@ def manifest_stream_source():
                     )
                 if sv == cur["v"]:
                     return None
-            by_id = {f["id"]: f["name"] for f in epochs[sv]["fields"]}
+            by_id = {f["id"]: f for f in epochs[sv]["fields"]}
             plan = {}
             for f in cur["fields"]:
                 old = by_id.get(f["id"])
                 if old is None:
                     plan[f["name"]] = ("default", f.get("default"))
-                elif old != f["name"]:
-                    plan[f["name"]] = ("src", old)
+                    continue
+                nmap = self._nested_plan(old, f, slog)
+                if nmap is not None:
+                    plan[f["name"]] = ("nested", {"src": old["name"], "map": nmap})
+                elif old["name"] != f["name"]:
+                    plan[f["name"]] = ("src", old["name"])
             return plan or None
+
+        @staticmethod
+        def _nested_plan(old: dict, cur: dict, slog: list):
+            """Per-member plan for a struct column whose shape differs
+            between the commit's epoch and the current one (nested
+            schema evolution): [(cur_member, src_member|None, default)]
+            — built DRIVER-side from nested field ids so executors never
+            read the schema dir. None when no nested mapping is needed
+            (identical type json, or no nested ids anywhere — pre-feature
+            tables). Pre-id epochs synthesize their member ids from the
+            first id-bearing epoch, filtered to the members their type
+            json physically holds (struct content is name-stable before
+            ids exist — nested DDL requires them)."""
+            cur_nested = cur.get("fields")
+            t_old, t_cur = old.get("type"), cur.get("type")
+            if not cur_nested or t_old == t_cur:
+                return None
+            if not (isinstance(t_old, dict) and t_old.get("type") == "struct"):
+                return None
+            src_nested = old.get("fields")
+            if src_nested is None:
+                names = {fd["name"] for fd in t_old.get("fields", [])}
+                for e in slog:
+                    for f in e["fields"]:
+                        if f["id"] == old["id"] and "fields" in f:
+                            src_nested = [
+                                n for n in f["fields"] if n["name"] in names
+                            ]
+                            break
+                    if src_nested is not None:
+                        break
+            if src_nested is None:
+                return None
+            by_id = {n["id"]: n for n in src_nested}
+            out = []
+            for n in cur_nested:
+                s = by_id.get(n["id"])
+                out.append(
+                    (n["name"], s["name"] if s else None, n.get("default"))
+                )
+            return out
 
         def _dv_entries(self, version: int):
             """[(commit_index, key_cols, [triples])] for the deletion-
@@ -511,6 +556,24 @@ def manifest_stream_source():
                         kind, val = plan[name]
                         if kind == "default":
                             colvals.append([val] * n)
+                            continue
+                        if kind == "nested":
+                            src = val["src"]
+                            if src in tbl.column_names:
+                                raw = tbl.column(src).to_pylist()
+                                colvals.append(
+                                    [
+                                        None
+                                        if d is None
+                                        else {
+                                            cn: (d.get(sn) if sn is not None else dv)
+                                            for (cn, sn, dv) in val["map"]
+                                        }
+                                        for d in raw
+                                    ]
+                                )
+                            else:
+                                colvals.append([None] * n)
                             continue
                         phys = val
                     if phys in tbl.column_names:
@@ -891,13 +954,41 @@ def manifest_stream_source():
             for field, typ in zip(st.fields, self.types):
                 name = field.name
                 patype = to_arrow_type(field.dataType)
-                phys, dflt = name, None
+                phys, dflt, nmap = name, None, None
                 if name in col_plan:
                     kind, val = col_plan[name]
                     if kind == "default":
                         phys, dflt = None, val
+                    elif kind == "nested":
+                        phys, nmap = val["src"], val["map"]
                     else:
                         phys = val
+                if nmap is not None and phys in tbl.column_names:
+                    # nested schema evolution: rebuild the struct member
+                    # by member from the epoch-era physical struct —
+                    # rename → take child, widen → cast child, added →
+                    # default/null — keeping NULL structs NULL via mask
+                    import pyarrow.compute as pc
+
+                    sa = tbl.column(phys).combine_chunks()
+                    children, child_names = [], []
+                    for cn, sn, dv in nmap:
+                        ct = patype.field(cn).type
+                        src_names = [fl.name for fl in sa.type]
+                        if sn is not None and sn in src_names:
+                            children.append(sa.field(sn).cast(ct))
+                        elif dv is not None:
+                            children.append(pa.array([dv] * n).cast(ct))
+                        else:
+                            children.append(pa.nulls(n, type=ct))
+                        child_names.append(cn)
+                    arrays.append(
+                        pa.StructArray.from_arrays(
+                            children, names=child_names, mask=pc.is_null(sa)
+                        )
+                    )
+                    fields.append(pa.field(name, patype))
+                    continue
                 if name in extras:
                     arrays.append(pa.array([extras[name]] * n).cast(patype))
                 elif phys is None:

@@ -109,11 +109,62 @@ def publish_schema_version(fs, root: str, fields: list[dict], v: int) -> bool:
 
 def fields_from_schema(schema: T.StructType) -> list[dict]:
     """Bootstrap field list: ids assigned in field order, 1-based (the
-    epoch-1 snapshot of a pre-DDL table)."""
-    return [
+    epoch-1 snapshot of a pre-DDL table). Struct-typed columns also get
+    one level of NESTED field ids (Iceberg assigns ids to every nested
+    field; one level covers the engine's struct usage — multimodal
+    ``meta``, shredded props), allocated after the top-level block so
+    both namespaces stay globally unique."""
+    out = [
         {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
         for i, f in enumerate(schema.fields)
     ]
+    nid = len(out) + 1
+    for entry, f in zip(out, schema.fields):
+        if isinstance(f.dataType, T.StructType):
+            entry["fields"] = []
+            for nf in f.dataType.fields:
+                entry["fields"].append(
+                    {"id": nid, "name": nf.name, "type": nf.dataType.jsonValue()}
+                )
+                nid += 1
+    return out
+
+
+def nested_fields_for(field: dict, log: list[dict]) -> list[dict] | None:
+    """The nested field-id list of a struct-typed field AS OF ITS EPOCH.
+    Epochs published before nested-id support carry no ``fields`` key —
+    synthesize from the FIRST later epoch that has ids for the same
+    top-level field id, filtered to the nested names the old epoch's
+    type json actually holds. Sound because nested rename/add/widen all
+    REQUIRE ids: struct content is name- and type-stable across the
+    pre-id epochs, so the first id assignment names exactly the old
+    files' physical fields. None when the field is not a struct or no
+    epoch ever assigned nested ids (caller falls back to a positional
+    cast — the pre-feature behavior)."""
+    if "fields" in field:
+        return field["fields"]
+    t = field.get("type")
+    if not (isinstance(t, dict) and t.get("type") == "struct"):
+        return None
+    names = {fd["name"] for fd in t.get("fields", [])}
+    for e in log:
+        for f in e["fields"]:
+            if f["id"] == field["id"] and "fields" in f:
+                return [n for n in f["fields"] if n["name"] in names]
+    return None
+
+
+def struct_type_of_fields(nested: list[dict]) -> dict:
+    """The type json a nested field-id list describes — kept in the
+    entry's ``type`` alongside ``fields`` so every existing consumer of
+    ``type`` (scan schemas, epoch matching, align) stays correct."""
+    return {
+        "type": "struct",
+        "fields": [
+            {"name": n["name"], "type": n["type"], "nullable": True, "metadata": {}}
+            for n in nested
+        ],
+    }
 
 
 def schema_of_fields(fields: list[dict]) -> T.StructType:
@@ -131,11 +182,18 @@ def schema_of_fields(fields: list[dict]) -> T.StructType:
 
 
 def next_field_id(log: list[dict]) -> int:
-    """Ids are never reused, even after a drop — scan EVERY epoch, not
-    just the current one, so a dropped-then-readded name gets a fresh id
-    and old files correctly surface null for the new column."""
+    """Ids are never reused, even after a drop — scan EVERY epoch
+    (nested ids included: top-level and nested share one namespace), so
+    a dropped-then-readded name gets a fresh id and old files correctly
+    surface null for the new column."""
     return 1 + max(
-        (f["id"] for e in log for f in e["fields"]), default=0
+        (
+            i
+            for e in log
+            for f in e["fields"]
+            for i in [f["id"], *(n["id"] for n in f.get("fields", []))]
+        ),
+        default=0,
     )
 
 

@@ -1149,6 +1149,177 @@ class TableRepo:
 
         self._evolve_schema(mutate)
 
+    # --- one level of NESTED struct DDL (Iceberg nested field ids) ---
+
+    def add_struct_field(self, col: str, name: str, dtype, default=None) -> None:
+        """Metadata-only ADD of a field INSIDE a struct column: the new
+        nested field gets a fresh id (top-level and nested ids share one
+        namespace, never reused); files from older epochs surface the
+        ``default`` (or null) for it on read — zero rewrite, the
+        Iceberg nested-field-id shape one level deep (the in-repo user
+        is the multimodal ``meta`` struct, operators/multimodal.py)."""
+        dt = self._parse_dtype(dtype)
+        if default is not None and not isinstance(default, (str, int, float, bool)):
+            raise TypeError(
+                f"add_struct_field: default must be a JSON scalar, got "
+                f"{type(default).__name__}"
+            )
+
+        def mut(nested, alloc):
+            if any(n["name"].lower() == name.lower() for n in nested):
+                raise ValueError(
+                    f"add_struct_field: {col}.{name} already exists"
+                )
+            fld = {"id": alloc(), "name": name, "type": dt.jsonValue()}
+            if default is not None:
+                fld["default"] = default
+            return nested + [fld]
+
+        self._nested_ddl(col, "add_struct_field", mut)
+
+    def rename_struct_field(self, col: str, old: str, new: str) -> None:
+        """Metadata-only RENAME of a struct member: same nested id, new
+        name; old files are read with their epoch's nested name and
+        re-struct-ed — no rewrite, no null-out (a positional struct cast
+        cannot express this; the nested id can)."""
+
+        def mut(nested, alloc):
+            if not any(n["name"] == old for n in nested):
+                raise KeyError(f"rename_struct_field: no field {col}.{old}")
+            if any(n["name"].lower() == new.lower() for n in nested):
+                raise ValueError(f"rename_struct_field: {col}.{new} already exists")
+            return [({**n, "name": new} if n["name"] == old else n) for n in nested]
+
+        self._nested_ddl(col, "rename_struct_field", mut)
+
+    def drop_struct_field(self, col: str, name: str) -> None:
+        """Metadata-only DROP of a struct member; its id is never reused,
+        so a later re-add of the same name is a NEW field and old data
+        correctly reads as null/default rather than resurrecting."""
+
+        def mut(nested, alloc):
+            kept = [n for n in nested if n["name"] != name]
+            if len(kept) == len(nested):
+                raise KeyError(f"drop_struct_field: no field {col}.{name}")
+            if not kept:
+                raise ValueError(
+                    "drop_struct_field: cannot drop the struct's last field "
+                    "(drop_column the struct instead)"
+                )
+            return kept
+
+        self._nested_ddl(col, "drop_struct_field", mut)
+
+    def alter_struct_field_type(self, col: str, name: str, dtype) -> None:
+        """Metadata-only type WIDENING of a struct member (same safe set
+        as alter_column_type); older files cast the leaf on read."""
+        dt = self._parse_dtype(dtype)
+
+        def mut(nested, alloc):
+            from .schema_log import is_safe_widening
+
+            for n in nested:
+                if n["name"] == name:
+                    if n["type"] == dt.jsonValue():
+                        raise ValueError(
+                            f"alter_struct_field_type: {col}.{name} is already "
+                            f"{dt.simpleString()}"
+                        )
+                    if not is_safe_widening(n["type"], dt.jsonValue()):
+                        raise ValueError(
+                            f"alter_struct_field_type: {n['type']!r} -> "
+                            f"{dt.simpleString()!r} is not a safe widening"
+                        )
+                    return [
+                        ({**g, "type": dt.jsonValue()} if g["name"] == name else g)
+                        for g in nested
+                    ]
+            raise KeyError(f"alter_struct_field_type: no field {col}.{name}")
+
+        self._nested_ddl(col, "alter_struct_field_type", mut)
+
+    def _nested_ddl(self, col: str, op: str, mutate_nested) -> None:
+        """Shared nested-DDL loop: bootstrap nested ids on the parent
+        (positional, fresh ids — exactly once per struct column, the
+        first time nested DDL touches it) when its epochs predate nested
+        ids, apply the mutation, rebuild the parent's authoritative type
+        json from the nested list, publish as a new epoch through the
+        same CAS loop as top-level DDL."""
+        self._assert_ungoverned(op)
+        self._refuse_structural(col, op)
+
+        def mutate(fields, log):
+            from .schema_log import next_field_id, struct_type_of_fields
+
+            out, hit = [], False
+            for f in fields:
+                if f["name"] != col:
+                    out.append(f)
+                    continue
+                hit = True
+                t = f.get("type")
+                if not (isinstance(t, dict) and t.get("type") == "struct"):
+                    raise TypeError(f"{op}: column {col!r} is not a struct")
+                nested = f.get("fields")
+                if nested is None:
+                    nid = next_field_id(log)
+                    nested = []
+                    for fd in t.get("fields", []):
+                        nested.append(
+                            {"id": nid, "name": fd["name"], "type": fd["type"]}
+                        )
+                        nid += 1
+                start = 1 + max(
+                    [next_field_id(log) - 1] + [n["id"] for n in nested]
+                )
+                ctr = iter(range(start, start + 1_000_000))
+                nested = mutate_nested(list(nested), lambda: next(ctr))
+                out.append(
+                    {**f, "fields": nested, "type": struct_type_of_fields(nested)}
+                )
+            if not hit:
+                raise KeyError(f"{op}: no column {col!r}")
+            return out
+
+        self._evolve_schema(mutate)
+
+    def _epoch_field_expr(self, src: dict, f: dict, tgt, slog: list) -> "F.Column":
+        """Map ONE field of an old-epoch commit scan to the current
+        epoch: rename → alias, widen → cast, and for struct columns a
+        NESTED field-id mapping (child rename → alias, child widen →
+        cast, added-later child → its initial default or null, dropped
+        child → omitted) that a positional struct cast cannot express.
+        NULL structs stay NULL — F.struct of the mapped children would
+        otherwise resurrect them as all-null rows."""
+        from .schema_log import nested_fields_for, schema_of_fields
+
+        cur_nested = f.get("fields")
+        if isinstance(tgt, T.StructType) and cur_nested:
+            src_nested = nested_fields_for(src, slog)
+            if src_nested is not None:
+                by_id = {n["id"]: n for n in src_nested}
+                parts = []
+                for n in cur_nested:
+                    ntgt = schema_of_fields([n]).fields[0].dataType
+                    s = by_id.get(n["id"])
+                    if s is None:
+                        parts.append(
+                            F.lit(n.get("default")).cast(ntgt).alias(n["name"])
+                        )
+                    else:
+                        parts.append(
+                            F.col(src["name"])
+                            .getField(s["name"])
+                            .cast(ntgt)
+                            .alias(n["name"])
+                        )
+                return (
+                    F.when(F.col(src["name"]).isNotNull(), F.struct(*parts))
+                    .otherwise(F.lit(None).cast(tgt))
+                    .alias(f["name"])
+                )
+        return F.col(src["name"]).cast(tgt).alias(f["name"])
+
     def _parse_dtype(self, dtype) -> T.DataType:
         if isinstance(dtype, T.DataType):
             return dtype
@@ -2053,7 +2224,8 @@ class TableRepo:
                     elif src["name"] == f["name"] and src["type"] == f["type"]:
                         cols.append(F.col(f["name"]))
                     else:
-                        cols.append(F.col(src["name"]).cast(tgt).alias(f["name"]))
+                        # rename/widen/nested-evolution mapping, struct-aware
+                        cols.append(self._epoch_field_expr(src, f, tgt, slog))
                 if project is not None:
                     # keep the metadata struct reachable for the hook —
                     # it resolves only directly on the scan
@@ -3538,10 +3710,19 @@ class TableRepo:
             # after the widen must stamp the epoch whose TYPES it wrote —
             # stamping the widened one would make readers open its int32
             # files with a bigint schema, no cast, and fail forever
-            typed = {(f.name, f.dataType.jsonValue()) for f in df.schema.fields}
+            import json as _json
+
+            # canonical-JSON the types: struct columns' jsonValue() is a
+            # dict (unhashable, and key order is not guaranteed)
+            def _tkey(t):
+                return _json.dumps(t, sort_keys=True)
+
+            typed = {
+                (f.name, _tkey(f.dataType.jsonValue())) for f in df.schema.fields
+            }
             hit = None
             for e in reversed(slog):
-                if {(f["name"], f["type"]) for f in e["fields"]} == typed:
+                if {(f["name"], _tkey(f["type"])) for f in e["fields"]} == typed:
                     hit = e["v"]
                     break
             if hit is None:
