@@ -136,6 +136,33 @@ ANN_SPLIT = [
     "ann_filtered_topk",
 ]
 
+R2_SET = [
+    "extend_roundtrip", "upsert_by_key", "partition_pruned_read",
+    "hash_partition_counts", "groupby_mean", "map_partitions_agg",
+    "json_shred_counts", "dedup_exact_text", "dedup_near_minhash",
+    "dedup_simhash_pairs", "topk_cosine_bruteforce", "topk_cosine_ivf",
+    "text_token_stats", "bpe_token_stats", "events_hourly_agg",
+    "sessionization", "stream_sessionization",
+]
+
+# the 44 queries common with BENCH_r03 — the round-3 drift-tracking
+# subset (VERDICT r4 asked for r5 ≤ r3 ±5% on these; three of them
+# deliberately carry the exact-verify surface since r4, so compare net
+# of ann_approx_only for the like-for-like number)
+R3_SET = R2_SET + [
+    "events_cube", "sql_q5_local_supplier", "doc_chunks",
+    "e2e_curation_pipeline", "decontaminate_ngrams",
+    "stream_incremental_rollup", "sql_q4_priority_check",
+    "sql_q17_small_qty_revenue", "sql_q21_waiting_suppliers",
+    "manifest_time_travel", "topk_cosine_pq", "domain_mixture_resample",
+    "multimodal_dedup", "sql_q8_market_share", "token_budget_sample",
+    "semantic_dedup_kept", "delete_records_roundtrip",
+    "sql_recursive_spine", "udtf_word_runs", "dedup_clusters_star",
+    "stats_skipping_read", "zorder_skipping_read", "manifest_stream_agg",
+    "manifest_changes_feed", "bloom_skipping_read",
+    "constraints_drop_audit", "ab_test_lift",
+]
+
 
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
@@ -164,33 +191,49 @@ def run_one(spark, name: str) -> float:
 CHUNK = int(os.environ.get("PQRS_BENCH_CHUNK", "34"))
 
 
-def _fan_out(names: list[str], repeat: int) -> None:
-    """Fork the bench into fresh subprocesses (see main) and merge their
-    one-line JSONs into the final emission."""
+def _run_child(queries: list[str], repeat: int, label: str) -> dict:
     import subprocess
 
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--queries",
+        ",".join(queries),
+        "--repeat",
+        str(repeat),
+    ]
+    print(f"# {label}: {len(queries)} queries", file=sys.stderr)
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stderr.write(r.stderr[-4000:])
+    if r.returncode != 0:
+        raise SystemExit(f"bench {label} failed:\n{r.stdout[-2000:]}")
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _fan_out(names: list[str], repeat: int) -> None:
+    """Fork the bench into fresh subprocesses (see main) and merge their
+    one-line JSONs into the final emission. Methodology continuity
+    (VERDICT r5 #2): the chunked-subprocess harness changed accounting
+    vs rounds ≤3 (one long session), making the r03 common-subset delta
+    unattributable between cold-JVM cost and real drift — so the default
+    run ALSO times the 44-query r03 common subset ONCE in a single
+    session (the r03 method, one child process, no chunking) and emits
+    it as r3_method_total next to the chunked r3_subset_total."""
     merged: dict[str, float] = {}
     approx: dict[str, float] = {}
     chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)]
     for ci, chunk in enumerate(chunks):
-        cmd = [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--queries",
-            ",".join(chunk),
-            "--repeat",
-            str(repeat),
-        ]
-        print(f"# chunk {ci + 1}/{len(chunks)}: {len(chunk)} queries", file=sys.stderr)
-        r = subprocess.run(cmd, capture_output=True, text=True)
-        sys.stderr.write(r.stderr[-4000:])
-        if r.returncode != 0:
-            raise SystemExit(f"bench chunk {ci + 1} failed:\n{r.stdout[-2000:]}")
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        part = json.loads(line)
+        part = _run_child(chunk, repeat, f"chunk {ci + 1}/{len(chunks)}")
         merged.update(part["queries"])
         approx.update(part.get("ann_approx_only") or {})
-    _emit_json(merged, approx)
+    extra = {}
+    r3 = [n for n in R3_SET if n in QUERIES]
+    if set(r3) <= set(names):
+        part = _run_child(r3, repeat, "r3-method single-session run")
+        extra["r3_method_total"] = round(sum(part["queries"].values()), 3)
+        extra["r3_method_ann_approx_only"] = part.get("ann_approx_only") or {}
+    _emit_json(merged, approx, extra)
 
 
 def main() -> None:
@@ -298,43 +341,22 @@ def main() -> None:
     _emit_json(timings, approx_only)
 
 
-def _emit_json(timings: dict[str, float], approx_only: dict[str, float]) -> None:
+def _emit_json(
+    timings: dict[str, float],
+    approx_only: dict[str, float],
+    extra: dict | None = None,
+) -> None:
     total = round(sum(timings.values()), 3)
     # the headline set GROWS each round (new tiers join it), so the grand
     # total is not comparable across rounds; the r1/r2-era 17-query subset
     # subtotal is the like-for-like progression number
-    r2_set = [
-        "extend_roundtrip", "upsert_by_key", "partition_pruned_read",
-        "hash_partition_counts", "groupby_mean", "map_partitions_agg",
-        "json_shred_counts", "dedup_exact_text", "dedup_near_minhash",
-        "dedup_simhash_pairs", "topk_cosine_bruteforce", "topk_cosine_ivf",
-        "text_token_stats", "bpe_token_stats", "events_hourly_agg",
-        "sessionization", "stream_sessionization",
-    ]
-    r2_subtotal = round(sum(timings[n] for n in r2_set if n in timings), 3)
-    # the 16-query round-1 set (r2_set minus dedup_simhash_pairs, which
+    r2_subtotal = round(sum(timings[n] for n in R2_SET if n in timings), 3)
+    # the 16-query round-1 set (R2_SET minus dedup_simhash_pairs, which
     # joined in r2) — BENCH_r01.json's 71.0 s over these queries is the
     # driver's ≤2×-of-baseline bar, so emit the comparable number directly
-    r1_set = [n for n in r2_set if n != "dedup_simhash_pairs"]
+    r1_set = [n for n in R2_SET if n != "dedup_simhash_pairs"]
     r1_subtotal = round(sum(timings[n] for n in r1_set if n in timings), 3)
-    # the 44 queries common with BENCH_r03 — the round-3 drift-tracking
-    # subset (VERDICT r4 asked for r5 ≤ r3 ±5% on these; three of them
-    # deliberately carry the exact-verify surface since r4, so compare
-    # net of ann_approx_only for the like-for-like number)
-    r3_set = r2_set + [
-        "events_cube", "sql_q5_local_supplier", "doc_chunks",
-        "e2e_curation_pipeline", "decontaminate_ngrams",
-        "stream_incremental_rollup", "sql_q4_priority_check",
-        "sql_q17_small_qty_revenue", "sql_q21_waiting_suppliers",
-        "manifest_time_travel", "topk_cosine_pq", "domain_mixture_resample",
-        "multimodal_dedup", "sql_q8_market_share", "token_budget_sample",
-        "semantic_dedup_kept", "delete_records_roundtrip",
-        "sql_recursive_spine", "udtf_word_runs", "dedup_clusters_star",
-        "stats_skipping_read", "zorder_skipping_read", "manifest_stream_agg",
-        "manifest_changes_feed", "bloom_skipping_read",
-        "constraints_drop_audit", "ab_test_lift",
-    ]
-    r3_subtotal = round(sum(timings[n] for n in r3_set if n in timings), 3)
+    r3_subtotal = round(sum(timings[n] for n in R3_SET if n in timings), 3)
     print(
         json.dumps(
             {
@@ -355,7 +377,8 @@ def _emit_json(timings: dict[str, float], approx_only: dict[str, float]) -> None
                 # in-query (the verified-exact oracle pattern that ended
                 # their no_oracle driver exposure) — deliberate
                 # correctness-coverage cost, not an index regression
-                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed)",
+                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed); r3_method_total re-times the 44-query r03 common subset in ONE session (the r03 accounting) for cross-round attribution",
+                **(extra or {}),
             }
         )
     )

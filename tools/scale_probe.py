@@ -354,6 +354,73 @@ def probe(spark):
         ).collect()
 
     ops["ddl_mapped_read"] = ddl_mapped_read
+
+    # round 6: GOVERNED read. Repos are pre-written + policied per
+    # factor; the timed read is the governed handle's full scan + agg.
+    # The claim: masks and the row filter are plain Column expressions
+    # Catalyst folds into the scan projection/filter, so a governed read
+    # scales exactly like a plain scan (≈ ddl_mapped_read's exponent) —
+    # governance costs a projection, never a second pass.
+    gov_root = tempfile.mkdtemp(prefix="pqrs_scale_gov_")
+    gov_handles = {}
+    for f in FACTORS:
+        r = TableRepo(
+            f"{gov_root}/t{f}",
+            commit_mode="manifest",
+            single_writer=True,
+            spark=spark,
+        )
+        r.extend(replicate(docs, "doc_id", f))
+        r.set_policy(
+            row_filter="doc_id % 10 != 0",
+            column_masks={"text": "repeat('*', 8)"},
+        )
+        gov_handles[f] = TableRepo.open(f"{gov_root}/t{f}", spark=spark, governed=True)
+
+    def governed_read(f):
+        gov_handles[f].get_full_df().agg(
+            F.sum(F.length("text")), F.count(F.lit(1))
+        ).collect()
+
+    ops["governed_read"] = governed_read
+
+    # round 6: versions-metadata feed. Tables hold factor-scaled DATA but
+    # a FIXED number of commits (6); the timed op drains stream_versions
+    # availableNow. The claim: the feed derives entirely from the version
+    # JSONs — zero data files opened — so drain time is flat in data size
+    # (exponent ≈ 0), which is what lets the matview refresh trigger poll
+    # a 100 TB table for free.
+    vf_root = tempfile.mkdtemp(prefix="pqrs_scale_vf_")
+    vf_repos = {}
+    for f in FACTORS:
+        r = TableRepo(
+            f"{vf_root}/t{f}",
+            index_cols="doc_id",
+            commit_mode="manifest",
+            single_writer=True,
+            spark=spark,
+        )
+        big = replicate(docs, "doc_id", f)
+        for i in range(6):
+            r.extend(big.where(F.col("doc_id") % 6 == i))
+        vf_repos[f] = r
+    vf_seq = {"n": 0}
+
+    def versions_feed(f):
+        vf_seq["n"] += 1
+        out = f"{vf_root}/out{f}_{vf_seq['n']}"
+        q = (
+            vf_repos[f]
+            .stream_versions()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    ops["versions_feed"] = versions_feed
     prebuilt_idx = {
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS
