@@ -170,6 +170,22 @@ def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
 
 def _align_struct(src_f: T.StructField, f: T.StructField):
     have = {c.name.lower(): c for c in src_f.dataType.fields}
+    # incoming members the canonical struct does not know would be
+    # silently DISCARDED from every written row — unlike top-level extra
+    # columns (reference-convention drop, core.py:410) nested members
+    # have no widening path, and before struct-aware alignment this case
+    # failed the positional cast loudly; keep it loud
+    unknown = sorted(
+        c.name
+        for c in src_f.dataType.fields
+        if c.name.lower() not in {g.name.lower() for g in f.dataType.fields}
+    )
+    if unknown:
+        raise ValueError(
+            f"write carries struct members {src_f.name}.{unknown} unknown to "
+            "the canonical schema — run add_struct_field (or drop them) "
+            "before writing; silently discarding nested values is never ok"
+        )
     parts = []
     for c in f.dataType.fields:
         s = have.get(c.name.lower())

@@ -288,22 +288,17 @@ def manifest_stream_source():
             the time the stream processes its version."""
             if ow.get("scope") == "all":
                 return set()
+            # driver-side (called from _file_set at planning time), so
+            # reuse the batch path's hive parser rather than forking it
+            from parquetranger_spark.sources.manifest import partition_values_of
+
             spec = list(ow.get("spec") or [])
             touched = {tuple(t) for t in ow.get("touched", [])}
-            kept = set()
-            for base, d, f in out:
-                found = {}
-                for part in f.split("/")[:-1]:
-                    if "=" in part:
-                        k, v = part.split("=", 1)
-                        found[k] = v
-                try:
-                    pv = tuple(found[c] for c in spec)
-                except KeyError:
-                    pv = None
-                if pv not in touched:
-                    kept.add((base, d, f))
-            return kept
+            return {
+                (base, d, f)
+                for base, d, f in out
+                if partition_values_of(f, spec) not in touched
+            }
 
         def _schema_log(self, refresh: bool = False):
             """The table's schema epochs, read through pyarrow.fs (driver
@@ -377,30 +372,22 @@ def manifest_stream_source():
             between the commit's epoch and the current one (nested
             schema evolution): [(cur_member, src_member|None, default)]
             — built DRIVER-side from nested field ids so executors never
-            read the schema dir. None when no nested mapping is needed
-            (identical type json, or no nested ids anywhere — pre-feature
-            tables). Pre-id epochs synthesize their member ids from the
-            first id-bearing epoch, filtered to the members their type
-            json physically holds (struct content is name-stable before
-            ids exist — nested DDL requires them)."""
+            read the schema dir (this runs in _col_plan, planning time —
+            same driver-only contract as _new_files' package import).
+            Resolution (incl. pre-id epoch synthesis) delegates to the
+            batch read path's nested_fields_for, so stream and batch can
+            never disagree on the same manifest. None when no nested
+            mapping is needed (identical type json, or no nested ids
+            anywhere — pre-feature tables)."""
             cur_nested = cur.get("fields")
             t_old, t_cur = old.get("type"), cur.get("type")
             if not cur_nested or t_old == t_cur:
                 return None
             if not (isinstance(t_old, dict) and t_old.get("type") == "struct"):
                 return None
-            src_nested = old.get("fields")
-            if src_nested is None:
-                names = {fd["name"] for fd in t_old.get("fields", [])}
-                for e in slog:
-                    for f in e["fields"]:
-                        if f["id"] == old["id"] and "fields" in f:
-                            src_nested = [
-                                n for n in f["fields"] if n["name"] in names
-                            ]
-                            break
-                    if src_nested is not None:
-                        break
+            from parquetranger_spark.sources.schema_log import nested_fields_for
+
+            src_nested = nested_fields_for(old, slog)
             if src_nested is None:
                 return None
             by_id = {n["id"]: n for n in src_nested}

@@ -373,7 +373,14 @@ class TableRepo:
     def paths(self) -> list[str]:
         """All data files, sorted (reference ``paths``, core.py:261-265).
         In manifest mode the manifest IS the file index — no directory
-        listing, and files awaiting vacuum never surface."""
+        listing, and files awaiting vacuum never surface. Refused on a
+        governed handle with an active policy: hive path components
+        disclose raw partition values and the existence of rows the
+        policy hides (same perimeter as stats/files_df)."""
+        self._refuse_leaky_metadata("paths")
+        return self._live_paths()
+
+    def _live_paths(self) -> list[str]:
         if self.commit_mode == "manifest":
             from .manifest import effective_commits, live_files, load_manifest
 
@@ -391,7 +398,8 @@ class TableRepo:
 
     @property
     def n_files(self) -> int:
-        return len(self.paths)
+        # a bare count discloses no values — served even under a policy
+        return len(self._live_paths())
 
     def stats(self) -> DataFrame:
         """Per-partition physical statistics as a DataFrame — rows, file
@@ -410,7 +418,7 @@ class TableRepo:
                 F.col("_metadata.file_size").alias("__sz"),
             )
 
-        if not self.paths:
+        if not self._live_paths():
             # EITHER mode: an empty table's scan is an in-memory relation
             # with no _metadata pseudo-column — proj would raise
             # UNRESOLVED_COLUMN; surface an empty stats frame instead so
@@ -460,7 +468,7 @@ class TableRepo:
         rematerialization (core.py:216-223)."""
         spark = self._session()
         pol = self._policy() if self.governed else {}
-        for p in self.paths:
+        for p in self._live_paths():
             df = spark.read.option("basePath", self._scan_base(p)).parquet(p)
             yield self._apply_policy(df, pol) if self.governed else df
 
@@ -488,6 +496,7 @@ class TableRepo:
         signature and return shape (``get_partition_paths``,
         core.py:177-183 returns an itertools.groupby over sorted paths).
         Values come from the hive-style ``col=value`` path component."""
+        self._refuse_leaky_metadata("get_partition_paths")
         if partition_col not in self.group_cols:
             raise TypeError(f"{partition_col!r} is not a partition column of {self.name}")
         prefix = f"{partition_col}="
@@ -501,21 +510,22 @@ class TableRepo:
         from itertools import groupby
 
         return (
-            (v, list(ps)) for v, ps in groupby(sorted(self.paths, key=val_of), key=val_of)
+            (v, list(ps)) for v, ps in groupby(sorted(self._live_paths(), key=val_of), key=val_of)
         )
 
     def paths_for_partition(self, value: Any, partition_col: str | None = None) -> list[str]:
         """Data files under ONE partition value (the inverse lookup of
         :meth:`get_partition_paths`). Raises if the column exists but the
         value has no files — a silent ``[]`` hides typos."""
+        self._refuse_leaky_metadata("paths_for_partition")
         pc = partition_col or (self.group_cols[0] if self.group_cols else None)
         if pc is None:
             raise TypeError("not a grouped table")
         from .manifest import hive_value
 
         needle = f"{pc}={hive_value(value)}"
-        out = [p for p in self.paths if needle in path_parts(p)]
-        if not out and self.paths:
+        out = [p for p in self._live_paths() if needle in path_parts(p)]
+        if not out and self._live_paths():
             raise KeyError(f"no files for partition {needle}")
         return out
 
@@ -1239,14 +1249,50 @@ class TableRepo:
         self._nested_ddl(col, "alter_struct_field_type", mut)
 
     def _nested_ddl(self, col: str, op: str, mutate_nested) -> None:
-        """Shared nested-DDL loop: bootstrap nested ids on the parent
-        (positional, fresh ids — exactly once per struct column, the
-        first time nested DDL touches it) when its epochs predate nested
-        ids, apply the mutation, rebuild the parent's authoritative type
-        json from the nested list, publish as a new epoch through the
-        same CAS loop as top-level DDL."""
+        """Shared nested-DDL loop. When the column's epochs predate
+        nested ids, the id backfill publishes as its OWN epoch first —
+        names and types unchanged, ids assigned positionally — and only
+        then does the mutation publish. The two-epoch shape is load-
+        bearing for old files: pre-id epochs synthesize their member ids
+        from the FIRST id-bearing epoch (nested_fields_for), so that
+        epoch must be name-stable with them; folding the backfill into
+        the mutation epoch would make a rename-as-first-nested-DDL
+        filter the renamed member out of the synthesis and silently read
+        every old row's value as NULL."""
         self._assert_ungoverned(op)
         self._refuse_structural(col, op)
+
+        class _Bootstrapped(Exception):
+            pass
+
+        def bootstrap(fields, log):
+            from .schema_log import next_field_id
+
+            out, hit = [], False
+            for f in fields:
+                if f["name"] != col:
+                    out.append(f)
+                    continue
+                hit = True
+                t = f.get("type")
+                if not (isinstance(t, dict) and t.get("type") == "struct"):
+                    raise TypeError(f"{op}: column {col!r} is not a struct")
+                if "fields" in f:
+                    raise _Bootstrapped()  # someone already assigned ids
+                nid = next_field_id(log)
+                nested = []
+                for fd in t.get("fields", []):
+                    nested.append({"id": nid, "name": fd["name"], "type": fd["type"]})
+                    nid += 1
+                out.append({**f, "fields": nested})
+            if not hit:
+                raise KeyError(f"{op}: no column {col!r}")
+            return out
+
+        try:
+            self._evolve_schema(bootstrap)
+        except _Bootstrapped:
+            pass
 
         def mutate(fields, log):
             from .schema_log import next_field_id, struct_type_of_fields
@@ -1261,14 +1307,11 @@ class TableRepo:
                 if not (isinstance(t, dict) and t.get("type") == "struct"):
                     raise TypeError(f"{op}: column {col!r} is not a struct")
                 nested = f.get("fields")
-                if nested is None:
-                    nid = next_field_id(log)
-                    nested = []
-                    for fd in t.get("fields", []):
-                        nested.append(
-                            {"id": nid, "name": fd["name"], "type": fd["type"]}
-                        )
-                        nid += 1
+                if nested is None:  # a concurrent purge/rewrite of the log
+                    raise RuntimeError(
+                        f"{op}: {col!r} lost its nested ids between the "
+                        "backfill and the mutation — retry"
+                    )
                 start = 1 + max(
                     [next_field_id(log) - 1] + [n["id"] for n in nested]
                 )
@@ -2354,7 +2397,7 @@ class TableRepo:
             if ignore_corrupt_files:
                 r = r.option("ignoreCorruptFiles", "true")
             return r.parquet(self.main_path)
-        if not self.paths:
+        if not self._live_paths():
             return spark.createDataFrame([], T.StructType([]))
         # no sidecar (externally-written table): build the schema without
         # touching session conf (a set/restore would race concurrent
@@ -2363,7 +2406,7 @@ class TableRepo:
         # FILES disables partition discovery, so the footer merge yields
         # the pure data schema; partition columns come from the directory
         # names, typed string.
-        files = self.paths
+        files = self._live_paths()
         base_r = spark.read
         if ignore_corrupt_files:
             base_r = base_r.option("ignoreCorruptFiles", "true")
@@ -2430,7 +2473,7 @@ class TableRepo:
         the canonical column type driver-side. None ⇒ the caller falls
         back to the scan (a file not carrying the column, a null
         partition dir, or an un-castable value/type)."""
-        paths = self.paths
+        paths = self._live_paths()
         if not paths:
             return []
         token = pc + "="
@@ -2626,7 +2669,20 @@ class TableRepo:
 
             from .manifest import norm_predicates
 
-            r = r.option("skip_preds", _json.dumps(norm_predicates(predicates)))
+            preds = norm_predicates(predicates)
+            if self.governed:
+                # same leak the batch skipping path guards: pruning by a
+                # masked column's RAW min/max would disclose raw-value
+                # membership through which files stream — and the stream
+                # never re-applies predicates row-level, so the predicate
+                # cannot be evaluated over governed values either. Only
+                # unmasked-column predicates may prune (their values are
+                # identical pre/post policy; the row filter only shrinks
+                # the row set, so pruning stays superset-safe).
+                masked = set(self._policy().get("column_masks") or {})
+                if masked:
+                    preds = [p for p in preds if p[0] not in masked]
+            r = r.option("skip_preds", _json.dumps(preds))
         df = (
             r.option("root", self.main_path)
             .option("schema_ddl", ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields))
@@ -2651,6 +2707,10 @@ class TableRepo:
         :meth:`~parquetranger_spark.sources.matview.MaterializedAggView.refresh_stream`
         — a view pump that must NOT pay a data-row stream just to learn
         a version landed."""
+        # per-version file counts + op cadence are physical metadata a
+        # governed consumer has no business watching (ops hold owner
+        # handles) — same perimeter as stats/files_df
+        self._refuse_leaky_metadata("stream_versions")
         if self.commit_mode != "manifest":
             raise TypeError("stream_versions() requires commit_mode='manifest'")
         from .manifest_stream import register_manifest_stream
@@ -3294,7 +3354,12 @@ class TableRepo:
         save_meta(self.main_path, meta, spark=self._spark)
 
     def _policy(self) -> dict:
-        """The persisted governance policy (empty dict when none)."""
+        """The persisted governance policy (empty dict when none). One
+        KB-sized sidecar read per call — deliberate: the policy must be
+        re-read so a set_policy() from another handle takes effect
+        without reopening this one (the same freshness contract every
+        read already pays via load_meta); multi-step paths thread the
+        loaded ``pol`` into :meth:`_apply_policy` instead of re-calling."""
         meta = load_meta(self.main_path, spark=self._spark)
         return ((meta and meta.config) or {}).get("policy") or {}
 
@@ -3456,7 +3521,7 @@ class TableRepo:
         :meth:`rewrite_to_canonical`, must not run concurrently with
         writers to the same partitions."""
         self._assert_ungoverned("compact")
-        if not self.paths:
+        if not self._live_paths():
             return
         self._refuse_pending_txns("compact")
         if partition_values is not None:
@@ -3519,7 +3584,7 @@ class TableRepo:
         implicit append side effect — SURVEY §7.3.7). Also serves as a
         small-file compaction pass. Not safe to run concurrently with other
         writers (it is a full static overwrite)."""
-        if not self.paths:
+        if not self._live_paths():
             return
         self._refuse_pending_txns("rewrite_to_canonical")
         old = self.get_full_df().localCheckpoint(eager=True)
@@ -3823,14 +3888,49 @@ class TableRepo:
             commits = fold_decided_overwrites(commits)
             if rmw_baseline is not None:
                 self._check_rmw_conflict(rmw_baseline, commits, dynamic, touched)
-            if entry.get("ow", {}).get("scope") == "groups":
-                # a deferred dynamic overwrite is only sound against
-                # commits written under ITS spec — same rule as the eager
-                # path, checked inside the CAS loop against the list the
-                # publish will actually land on
-                self._assert_uniform_spec(
-                    [c for c in commits if c.get("kind") != "dv"]
+            if "ow" in entry:
+                ow = entry["ow"]
+                if ow.get("scope") == "groups":
+                    # a deferred dynamic overwrite is only sound against
+                    # commits written under ITS spec — same rule as the
+                    # eager path, checked inside the CAS loop against the
+                    # list the publish will actually land on
+                    self._assert_uniform_spec(
+                        [c for c in commits if c.get("kind") != "dv"]
+                    )
+                # a transactional overwrite must not silently mask an
+                # entry gated on a DIFFERENT undecided transaction: that
+                # txn's later commit would then apply only its OTHER
+                # tables' writes — a torn multi-table txn with no error
+                # (the same invariant _check_rmw_conflict enforces for
+                # non-transactional keyed rewrites). Conflict loudly; the
+                # caller decides the other txn (or retries after it).
+                from .manifest import txn_state as _txn_state
+
+                touched_ow = (
+                    {tuple(t) for t in ow.get("touched", [])}
+                    if ow.get("scope") == "groups"
+                    else None
                 )
+                for c in commits:
+                    m = c.get("txn")
+                    if not m or m == entry.get("txn") or _txn_state(m) != "pending":
+                        continue
+                    if touched_ow is None:
+                        clash = bool(c["files"])
+                    else:
+                        clash = any(
+                            partition_values_of(f, list(ow.get("spec") or []))
+                            in touched_ow
+                            for f in c["files"]
+                        )
+                    if clash:
+                        raise ConcurrentWriteError(
+                            f"transactional overwrite of {self.name!r} would "
+                            f"mask entry {c['dir']!r} gated on undecided "
+                            f"transaction {m!r}; decide that transaction "
+                            "first and rerun"
+                        )
             if mode == "append":
                 # a fenced entry publishes even with ZERO files: the fence
                 # is the exactly-once marker, and consumers (sync_from)

@@ -66,8 +66,13 @@ def test_every_batch_read_surface_is_governed(spark, tmp_root):
         "as_view_sql": lambda: spark.sql(
             f"SELECT * FROM {g.as_view('gov_view')}"
         ).collect(),
+        # file paths come from the OWNER handle (g.paths is refused —
+        # hive components leak partition values); reading the files
+        # through the governed handle must still be masked+filtered
         "read_df_from_path": lambda: [
-            r for p in g.paths for r in g.read_df_from_path(p).collect()
+            r
+            for p in g.ungoverned().paths
+            for r in g.read_df_from_path(p).collect()
         ],
         "dfs": lambda: [r for d in g.dfs for r in d.collect()],
         "get_full_table": lambda: g.get_full_table().to_pylist(),
@@ -173,15 +178,22 @@ def test_governed_handle_refuses_every_mutation(spark, tmp_root):
     for name, fn in mutations.items():
         with pytest.raises(PermissionError, match="governed"):
             fn()
-    # physical-metadata surfaces that would leak raw stats/partitions
+    # physical-metadata surfaces that would leak raw stats/partitions/
+    # file layout (hive path components carry raw partition values)
     for name, fn in {
         "stats": g.stats,
         "files_df": g.files_df,
         "index_stats": g.index_stats,
         "skip_plan": lambda: g.skip_plan([("val", ">", 0.0)]),
+        "paths": lambda: g.paths,
+        "get_partition_paths": lambda: list(g.get_partition_paths("seg")),
+        "paths_for_partition": lambda: g.paths_for_partition("A"),
+        "stream_versions": lambda: g.stream_versions(),
     }.items():
         with pytest.raises(PermissionError, match="governed"):
             fn()
+    # a bare file count discloses no values — still served
+    assert g.n_files >= 1
     # the table is untouched and the owner escape works
     raw = {r.email for r in g.ungoverned().get_full_df().collect()}
     assert raw == RAW_EMAILS
@@ -240,3 +252,49 @@ def test_skipping_predicates_evaluate_over_governed_values(spark, tmp_root):
     g = _gov(spark, t)
     assert g.get_full_df_skipping([("email", "==", "a@x.io")]).count() == 0
     assert g.get_full_df_skipping([("email", "==", "***")]).count() == 3
+
+
+def test_governed_stream_subscription_cannot_probe_masked_values(
+    spark, tmp_root, tmp_path
+):
+    """Self-review regression: stream_manifest(predicates=...) on a
+    governed handle must not prune files by a MASKED column's raw stats
+    — row presence would disclose raw-value membership. Masked-column
+    predicates are dropped from the skip set; unmasked ones still
+    prune."""
+    t = TableRepo(
+        f"{tmp_root}/t",
+        group_cols="seg",
+        index_cols="k",
+        commit_mode="manifest",
+        stats_cols=["email", "val"],
+        spark=spark,
+    )
+    t.extend(
+        spark.createDataFrame(
+            [(1, "A", "a@x.io", 10.0), (2, "B", "z@x.io", 20.0)],
+            "k int, seg string, email string, val double",
+        )
+    )
+    t.set_policy(column_masks={"email": "'***'"})
+    g = TableRepo.open(t.main_path, spark=spark, governed=True)
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{tmp_path}/{name}")
+            .option("checkpointLocation", f"{tmp_path}/{name}_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(f"{tmp_path}/{name}").collect()
+
+    # a raw-value probe on the masked column must NOT narrow the feed:
+    # both rows stream (masked), so membership of 'a@x.io' is undetectable
+    rows = drain(g.stream_manifest(predicates=[("email", "==", "a@x.io")]), "p1")
+    assert {r.k for r in rows} == {1, 2}
+    assert {r.email for r in rows} == {"***"}
+    # unmasked-column predicates still prune files
+    rows = drain(g.stream_manifest(predicates=[("val", ">", 15.0)]), "p2")
+    assert {r.k for r in rows} == {2}

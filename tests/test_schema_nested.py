@@ -146,3 +146,73 @@ def test_nested_evolution_streams_both_flavors(spark, tmp_root, tmp_path, partit
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, (640, "png", 3)), (2, None), (3, (1024, "jpg", 1))}
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_pre_id_log_rename_first_keeps_old_values(spark, tmp_root, tmp_path, stream):
+    """Self-review regression: on a schema log written BEFORE nested-id
+    support (epochs without 'fields'), a rename as the FIRST nested DDL
+    must not null out the renamed member in old files. The id backfill
+    publishes as its own epoch (name-stable with every pre-id epoch), so
+    pre-id commits synthesize their member ids correctly — on the batch
+    scan and the streaming reader alike."""
+    from parquetranger_spark.plans.schema import as_nullable
+    from parquetranger_spark.sources.schema_log import (
+        load_schema_log,
+        publish_schema_version,
+    )
+
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(_v1(spark, [(1, "A", (640, "png"))]))
+    # simulate the pre-nested-id era: publish epoch 1 WITHOUT nested ids
+    # (exactly what rounds <6 wrote) and stamp the data against it via a
+    # top-level DDL... instead, hand-publish the id-less epoch directly
+    fields = [
+        {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
+        for i, f in enumerate(as_nullable(t.get_full_df().schema).fields)
+    ]
+    assert publish_schema_version(t._fs(), t.main_path, fields, 1)
+
+    def meta_entry(epoch):
+        return next(f for f in epoch["fields"] if f["name"] == "meta")
+
+    assert "fields" not in meta_entry(load_schema_log(t._fs(), t.main_path)[0])
+
+    t.rename_struct_field("meta", "w", "width")  # FIRST nested DDL = rename
+    log = load_schema_log(t._fs(), t.main_path)
+    # the backfill published as its own epoch: v2 name-stable, v3 renamed
+    assert [e["v"] for e in log] == [1, 2, 3]
+    assert [n["name"] for n in meta_entry(log[1])["fields"]] == ["w", "fmt"]
+    assert [n["name"] for n in meta_entry(log[2])["fields"]] == ["width", "fmt"]
+
+    got = t.get_full_df().select("k", "meta.width", "meta.fmt").collect()
+    assert [(r[0], r[1], r[2]) for r in got] == [(1, 640, "png")]
+
+    if stream:
+        out = f"{tmp_path}/out"
+        q = (
+            t.stream_manifest()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out).collect()
+        assert [(r.k, r.meta.width, r.meta.fmt) for r in rows] == [(1, 640, "png")]
+
+
+def test_alignment_refuses_unknown_nested_members(spark, tmp_root):
+    """Self-review regression: a writer whose struct carries a member
+    the canonical schema does not know must FAIL loudly (positional
+    casts used to), never silently discard the values."""
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(_v1(spark, [(1, "A", (1, "x"))]))
+    t.add_struct_field("meta", "chan", "int")
+    bad = spark.createDataFrame(
+        [(9, "B", (9, "y", 1, "oops"))],
+        "k int, g string, meta struct<w:int, fmt:string, chan:int, rogue:string>",
+    )
+    with pytest.raises(ValueError, match="rogue"):
+        TableRepo.open(t.main_path, spark=spark).extend(bad)

@@ -158,3 +158,34 @@ def test_mixed_spec_refuses_txn_replace_groups(spark, tmp_root):
     x = Transaction(f"{tmp_root}/cat")
     with pytest.raises(RuntimeError, match="partition spec"):
         x.replace_groups(t2, _df(spark, [(9, "A", 99.0)]))
+
+
+def test_txn_overwrite_refuses_masking_pending_txn(spark, tmp_root):
+    """Self-review regression: an ow entry must not silently mask an
+    entry gated on a DIFFERENT undecided transaction — that txn's later
+    commit would apply only its other tables' writes (torn). The
+    overwrite conflicts loudly instead; once the other txn is decided it
+    proceeds."""
+    from parquetranger_spark.sources.table_repo import ConcurrentWriteError
+
+    t = _repo(spark, f"{tmp_root}/t")
+    t.extend(_df(spark, [(1, "A", 1.0), (2, "B", 2.0)]))
+    a = Transaction(f"{tmp_root}/cat")
+    a.extend(t, _df(spark, [(5, "A", 5.0)]))  # pending entry in partition A
+
+    b = Transaction(f"{tmp_root}/cat")
+    with pytest.raises(ConcurrentWriteError, match="undecided"):
+        b.replace_groups(t, _df(spark, [(9, "A", 9.0)]))
+    with pytest.raises(ConcurrentWriteError, match="undecided"):
+        Transaction(f"{tmp_root}/cat").replace_all(t, _df(spark, [(7, "C", 7.0)]))
+    # disjoint partitions don't conflict
+    c = Transaction(f"{tmp_root}/cat")
+    c.replace_groups(t, _df(spark, [(8, "B", 8.0)]))
+    c.commit()
+    # decide txn A → the overwrite now proceeds and masks A's rows too
+    a.commit()
+    assert _vals(t) == {(1, "A", 1.0), (5, "A", 5.0), (8, "B", 8.0)}
+    d = Transaction(f"{tmp_root}/cat")
+    d.replace_groups(t, _df(spark, [(9, "A", 9.0)]))
+    d.commit()
+    assert _vals(t) == {(9, "A", 9.0), (8, "B", 8.0)}
