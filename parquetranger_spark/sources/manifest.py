@@ -199,6 +199,18 @@ def try_commit(fs, root: str, manifest: dict[str, Any], prev_ts: float = 0.0) ->
     # AS-OF instant to a snapshot that was never the visible one at that
     # moment. Monotone per chain, the resolver's scan is sound.
     out["ts"] = max(time.time(), float(prev_ts or 0.0))
+    # stamp the schema epoch CURRENT at publish time (Iceberg's
+    # snapshot↔schema binding): time travel to this version can then
+    # read with the shape the table had, not whatever DDL came later.
+    # Epochs are cached process-wide; tables without DDL pay one
+    # exists() probe. Pre-stamp manifests fall back to the current
+    # epoch on read (the pre-feature behavior).
+    if "schema_v" not in out:
+        from .schema_log import load_schema_log
+
+        slog = load_schema_log(fs, root)
+        if slog:
+            out["schema_v"] = slog[-1]["v"]
     for c in manifest["commits"]:
         if "files_ref" in c:
             c = {k: v for k, v in c.items() if k not in SPILL_KEYS}

@@ -171,6 +171,7 @@ class TableRepo:
         stats_cols: str | list[str] | None = None,
         constraints: dict[str, str] | None = None,
         constraint_mode: str = "fail",
+        generated_cols: dict[str, str] | None = None,
         bloom_cols: str | list[str] | None = None,
         manifest_inline_files_max: int = 2000,
         governed: bool = False,
@@ -239,6 +240,13 @@ class TableRepo:
             raise ValueError("constraint_mode must be 'fail' or 'drop'")
         self.constraint_mode = constraint_mode
         self.last_constraint_drops: dict[str, int] = {}
+        # GENERATED columns (the Delta GENERATED ALWAYS AS shape): column
+        # -> SQL expression over the row's other columns, computed on
+        # every write path when the writer omits the column and VALIDATED
+        # (whole-batch reject on any mismatch) when the writer provides
+        # it — so a derived partition column (day = date(ts)) can never
+        # drift from its source. Persisted with the table config.
+        self.generated_cols = dict(generated_cols or {})
         # governed=True makes this a CONSUMER handle: every read surface
         # applies the table's persisted governance policy (row filter +
         # column masks), and every mutation is refused — a policy a
@@ -1395,6 +1403,14 @@ class TableRepo:
                 f"{op}: {name!r} is masked by the table's governance policy "
                 "— set_policy() without it (or re-pointed) first"
             )
+        gen = ((meta and meta.config) or {}).get("generated_cols") or {}
+        if name in gen:
+            raise ValueError(
+                f"{op}: {name!r} is a GENERATED column — clear it via "
+                "set_table_properties(generated_cols=...) first (its "
+                "expression, like every persisted SQL string, is not "
+                "rewritten by DDL)"
+            )
 
     def _evolve_schema(self, mutate) -> None:
         """Shared DDL loop: bootstrap epoch 1 from the canonical sidecar
@@ -1714,6 +1730,19 @@ class TableRepo:
         from .manifest import DATA_DIR
 
         keyset = keys.select(*self.index_cols).distinct()
+        # tombstones must carry the CANONICAL key types: a caller handing
+        # string keys against a bigint column would write a dv whose join
+        # silently matches nothing (and whose key-only CDF delete rows
+        # crash the arrow batch builder) — cast now, loudly if impossible
+        meta = load_meta(self.main_path, spark=self._spark)
+        if meta and meta.schema:
+            ktypes = {f.name: f.dataType for f in meta.schema.fields}
+            keyset = keyset.select(
+                *[
+                    F.col(c).cast(ktypes[c]).alias(c) if c in ktypes else F.col(c)
+                    for c in self.index_cols
+                ]
+            )
         fs = self._fs()
         rel_dir = f"{DATA_DIR}/{uuid.uuid4().hex[:16]}"
         cdir = join_path(self.main_path, rel_dir)
@@ -2157,6 +2186,7 @@ class TableRepo:
         file_keep=None,
         project=None,
         preloaded: dict | None = None,
+        snapshot_schema: bool = False,
     ) -> DataFrame:
         """Manifest-mode scan: the file list comes from one manifest (the
         snapshot), frozen at plan time — concurrent commits cannot change
@@ -2194,6 +2224,23 @@ class TableRepo:
         slog = load_schema_log(self._fs(), self.main_path)
         epochs = {e["v"]: e for e in slog}
         cur_epoch = slog[-1] if slog else None
+        if snapshot_schema and mf is not None and cur_epoch is not None:
+            # snapshot↔schema binding (Iceberg semantics): a time-travel
+            # read uses the epoch that was CURRENT when the version
+            # published — a column renamed/added/dropped later reads back
+            # exactly as it did then. Manifests predating the stamp fall
+            # back to the max epoch any of their commits was written
+            # under — exact for versions published before ALL DDL (epoch
+            # 1 IS the pre-DDL snapshot), a sound lower bound for
+            # old-engine manifests in between.
+            sv = mf.get("schema_v")
+            if sv is None:
+                sv = max(
+                    (c.get("schema_v", 1) for c in mf.get("commits", [])),
+                    default=None,
+                )
+            if sv is not None and sv in epochs:
+                cur_epoch = epochs[sv]
         if cur_epoch is not None:
             # the schema LOG is the authority once DDL has happened; the
             # sidecar is just its cache (a racing writer may have saved a
@@ -2382,7 +2429,17 @@ class TableRepo:
                 raise TypeError("pass version= or as_of=, not both")
             version = self.version_at(as_of)
         if self.commit_mode == "manifest":
-            return self._manifest_df(version, ignore_corrupt_files)
+            # time travel binds to the SNAPSHOT's schema epoch (Iceberg
+            # semantics; pre-stamp versions keep current-schema mapping) —
+            # except on governed handles: the policy's masks/filter speak
+            # the CURRENT schema, so a governed time travel keeps the
+            # current shape rather than surfacing pre-rename raw columns
+            # the policy could not have named (fail-closed)
+            return self._manifest_df(
+                version,
+                ignore_corrupt_files,
+                snapshot_schema=(version is not None and not self.governed),
+            )
         if version is not None:
             raise TypeError("time travel requires commit_mode='manifest'")
         spark = self._session()
@@ -3070,8 +3127,9 @@ class TableRepo:
         return self._spark or active_spark()
 
     def _prepare(self, df: DataFrame) -> DataFrame:
-        """Bucket-assign, null-group-filter, schema-align, constraint-check
-        (write-side)."""
+        """Generate, bucket-assign, null-group-filter, schema-align,
+        constraint-check (write-side)."""
+        df = self._apply_generated(df)
         if self.partitioner is not None and self.partitioner.bucket_col not in df.columns:
             df = self.partitioner.assign(df, index_cols=self.index_cols)
         for gc in self.group_cols:
@@ -3081,6 +3139,39 @@ class TableRepo:
             df = df.where(F.col(gc).isNotNull())
         df = self._align(df)
         return self._apply_constraints(df)
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """GENERATED-column write gate: absent columns are computed from
+        their expression (pure Column ops — runs first so a generated
+        PARTITION column exists before the null-group filter and bucket
+        assignment), present columns are VALIDATED against it with one
+        map-side-combined aggregate and any null-safe mismatch rejects
+        the whole batch — the Delta GENERATED ALWAYS AS contract: the
+        invariant readers rely on for partition pruning ("day really is
+        date(ts)") can never be broken by a writer-supplied value."""
+        if not self.generated_cols:
+            return df
+        checks = []
+        for c, expr in self.generated_cols.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+            else:
+                checks.append(
+                    F.sum(
+                        (~F.col(c).eqNullSafe(F.expr(expr))).cast("long")
+                    ).alias(c)
+                )
+        if checks:
+            bad = df.agg(*checks).collect()[0].asDict()
+            viol = {c: int(n) for c, n in bad.items() if n}
+            if viol:
+                raise ValueError(
+                    f"write to {self.name!r} supplies generated column(s) "
+                    f"with values diverging from their expression "
+                    f"(rows per column: {viol}) — omit the column or fix "
+                    "the producer; generated columns are ALWAYS derived"
+                )
+        return df
 
     def _apply_constraints(self, df: DataFrame) -> DataFrame:
         """CHECK-constraint gate (SQL semantics — NULL passes), one
@@ -3149,6 +3240,7 @@ class TableRepo:
             "bloom_cols",
             "constraints",
             "constraint_mode",
+            "generated_cols",
             "manifest_inline_files_max",
         ):
             v = getattr(self, k)
@@ -3250,6 +3342,7 @@ class TableRepo:
         "bloom_cols",
         "constraints",
         "constraint_mode",
+        "generated_cols",
         "manifest_inline_files_max",
     )
 

@@ -108,15 +108,24 @@ def test_ddl_refuses_structural_and_bad_args(spark, tmp_root):
         plain.rename_column("v", "x")  # manifest mode only
 
 
-def test_time_travel_reads_with_current_schema(spark, tmp_root):
+def test_time_travel_reads_with_snapshot_schema(spark, tmp_root):
+    """Round 6 changed this contract to the Iceberg snapshot↔schema
+    binding: a version published BEFORE a rename reads back with its
+    own epoch's name, not the current one (tests/test_time_travel_schema
+    covers the full matrix; here we pin the DDL-suite view of it)."""
     t = _repo(spark, tmp_root)
     t.extend(_seed(spark))
     v1 = t.versions()[-1]
     t.rename_column("v", "value")
     t.extend(_seed(spark, base=10).withColumnRenamed("v", "value"))
     old = t.get_full_df(version=v1)
-    assert "value" in old.columns and old.count() == 4
-    assert {r.value for r in old.collect()} == {0.0, 1.0, 2.0, 3.0}
+    assert "v" in old.columns and "value" not in old.columns
+    assert old.count() == 4
+    assert {r.v for r in old.collect()} == {0.0, 1.0, 2.0, 3.0}
+    # the CURRENT read speaks the current epoch over both commits
+    assert {r.value for r in t.get_full_df().collect()} == {
+        0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0,
+    }
 
 
 def test_clone_and_branch_carry_epochs(spark, tmp_root):
