@@ -117,6 +117,14 @@ HEADLINE = [
     "ann_index_persisted_topk",
     "ann_filtered_topk",
     "schema_evolution_ddl",
+    # round-8 additions (driver round 6): handle-wide governance, nested
+    # schema evolution, metadata-only partition discovery, snapshot-bound
+    # time travel, generated columns — new to the headline set
+    "governed_handle_surfaces",
+    "schema_evolution_nested",
+    "partition_values_meta",
+    "time_travel_snapshot_schema",
+    "generated_partition_col",
 ]
 
 # queries whose gate form deliberately runs BOTH the index path and an
