@@ -189,3 +189,83 @@ def test_txn_overwrite_refuses_masking_pending_txn(spark, tmp_root):
     d.replace_groups(t, _df(spark, [(9, "A", 9.0)]))
     d.commit()
     assert _vals(t) == {(9, "A", 9.0), (8, "B", 8.0)}
+
+
+def test_concurrent_txn_overwrites_and_appends_soak(spark, tmp_root):
+    """Soak: six transactional partition overwrites (each paired with an
+    append to a second table) race plain appends to disjoint partitions
+    and a polling reader. Invariants at the end: every committed txn is
+    all-or-nothing ACROSS tables (facts partition replaced ⇔ summary row
+    present), plain appends all survive, the chain folds clean (no ow
+    markers left after a final publish), and no read ever crashed."""
+    import threading
+
+    facts = _repo(spark, f"{tmp_root}/facts")
+    summary = TableRepo(
+        f"{tmp_root}/summary", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    # seed every partition the txns will overwrite
+    facts.extend(
+        _df(spark, [(i, f"T{i}", 0.0) for i in range(6)] + [(100, "P0", 1.0)])
+    )
+    summary.extend(spark.createDataFrame([(999, "seed", 0.0)], "k int, g string, v double"))
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                facts.get_full_df().count()
+                facts.count_rows()
+            except Exception as e:  # noqa: BLE001
+                errors.append(("reader", repr(e)))
+                return
+
+    def txn_worker(i):
+        try:
+            x = Transaction(f"{tmp_root}/cat")
+            x.replace_groups(facts, _df(spark, [(1000 + i, f"T{i}", 9.0)]))
+            x.extend(
+                summary,
+                spark.createDataFrame([(i, "done", 1.0)], "k int, g string, v double"),
+            )
+            x.commit()
+        except Exception as e:  # noqa: BLE001
+            errors.append((f"txn{i}", repr(e)))
+
+    def append_worker(i):
+        try:
+            facts.extend(_df(spark, [(200 + i, f"P{i}", 2.0)]))
+        except Exception as e:  # noqa: BLE001
+            errors.append((f"append{i}", repr(e)))
+
+    r = threading.Thread(target=reader)
+    r.start()
+    workers = [threading.Thread(target=txn_worker, args=(i,)) for i in range(6)]
+    workers += [threading.Thread(target=append_worker, args=(i,)) for i in range(4)]
+    for w in workers:
+        w.start()
+    for w in workers:
+        w.join()
+    stop.set()
+    r.join()
+    assert not errors, errors
+
+    rows = {(r.k, r.g, r.v) for r in facts.get_full_df().collect()}
+    # every txn overwrite landed whole: old T_i row gone, new row present,
+    # and its summary row exists
+    sm = {r.k for r in summary.get_full_df().collect()}
+    for i in range(6):
+        assert (1000 + i, f"T{i}", 9.0) in rows and (i, f"T{i}", 0.0) not in rows
+        assert i in sm
+    # appends to disjoint partitions all survived
+    for i in range(4):
+        assert (200 + i, f"P{i}", 2.0) in rows
+    assert (100, "P0", 1.0) in rows  # untouched partition intact
+    # a final publish folds every decided overwrite out of the chain
+    facts.extend(_df(spark, [(300, "Z", 3.0)]))
+    from parquetranger_spark.sources.manifest import load_manifest
+
+    mf = load_manifest(facts._fs(), facts.main_path)
+    assert not any("ow" in c or "txn" in c for c in mf["commits"])
+    assert facts.count_rows() == len(rows) + 1
