@@ -2173,6 +2173,11 @@ class TableRepo:
                     "op": mf.get("op", "?"),
                     "ts": mf.get("ts"),
                     "spec": mf.get("spec"),
+                    # the schema epoch current at publish (None predates
+                    # the stamp) — the snapshot↔schema binding, surfaced
+                    # so an operator can see exactly when each DDL took
+                    # effect relative to the data history
+                    "schema_v": mf.get("schema_v"),
                     "n_commits": len(mf["commits"]),
                     "n_files": sum(len(c["files"]) for c in mf["commits"]),
                 }

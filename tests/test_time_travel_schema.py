@@ -53,6 +53,11 @@ def test_time_travel_reads_the_snapshots_schema(spark, tmp_root):
     diff = t.changes_between(1, 2)
     assert {"x", "c", "_change_type"} <= set(diff.columns) and "a" not in diff.columns
 
+    # history surfaces the binding: v2 published under the rename+add
+    # epoch (v1 predates the schema log — no stamp)
+    h = {e["version"]: e["schema_v"] for e in t.history()}
+    assert h[1] is None and h[2] == 3
+
 
 def test_governed_time_travel_keeps_current_shape_and_masks(spark, tmp_root):
     t = TableRepo(
