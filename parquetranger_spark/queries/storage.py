@@ -2320,7 +2320,7 @@ def generated_partition_col(spark, sf_dir):
     that DOES supply a diverging value is rejected whole-batch (asserted
     in-query), so the pruning invariant 'o_month really is the order's
     month' is unbreakable. The read back is partition-pruned on the
-    generated column (months < 1992-07), which the oracle recomputes
+    generated column (months < 1995-07), which the oracle recomputes
     from the base table's dates.
 
     Scale shape: generation is one Column expression folded into the

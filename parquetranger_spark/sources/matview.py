@@ -226,7 +226,10 @@ class MaterializedAggView:
             # (partition-pruned too when the source is grouped by the
             # lead group column); decimal partials keep the replaced
             # state bit-identical to the incremental one
-            base = self.source.get_full_df(version=end)
+            # current-schema versioned read: the view's group/agg
+            # expressions speak CURRENT names — a snapshot-schema frame
+            # after a source rename would fail to resolve them
+            base = self.source.get_full_df(version=end, bind_snapshot_schema=False)
             for g in gc:
                 base = base.where(F.col(g).isNotNull())
             base = base.join(rescan_keys, gc, "left_semi")

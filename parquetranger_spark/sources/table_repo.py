@@ -1445,6 +1445,7 @@ class TableRepo:
                 continue  # reload: either ours or a concurrent bootstrap won
             cur = log[-1]
             new_fields = mutate([dict(f) for f in cur["fields"]], log)
+            self._check_generated_after_ddl(new_fields)
             if publish_schema_version(fs, self.main_path, new_fields, cur["v"] + 1):
                 break
         meta = load_meta(self.main_path, spark=self._spark) or TableMeta(
@@ -1456,6 +1457,36 @@ class TableRepo:
 
         meta.schema = as_nullable(schema_of_fields(new_fields))
         save_meta(self.main_path, meta, spark=self._spark)
+
+    def _check_generated_after_ddl(self, new_fields: list[dict]) -> None:
+        """A DDL that renames or drops a column REFERENCED by a persisted
+        generated-column expression would brick every subsequent write
+        (the expression fails analysis in _apply_generated forever) — the
+        Delta rule is to refuse the DDL, so analyze each expression
+        against the post-DDL schema and refuse loudly (clear or re-point
+        via set_table_properties(generated_cols=...) first). The
+        generated TARGET column itself is already pinned by
+        _refuse_structural."""
+        meta = load_meta(self.main_path, spark=self._spark)
+        gen = ((meta and meta.config) or {}).get("generated_cols") or {}
+        if not gen:
+            return
+        from ..plans.schema import as_nullable
+        from .schema_log import schema_of_fields
+
+        probe = self._session().createDataFrame(
+            [], as_nullable(schema_of_fields(new_fields))
+        )
+        for c, e in gen.items():
+            try:
+                probe.select(F.expr(e)).schema
+            except Exception as err:
+                raise ValueError(
+                    f"DDL would break generated column {c!r} = {e!r} "
+                    f"(its expression no longer analyzes: {err}); clear or "
+                    "re-point it via set_table_properties(generated_cols=...) "
+                    "first"
+                ) from err
 
     def changes_between(
         self, start: int, end: int | None = None, row_level: bool = False
@@ -1737,9 +1768,38 @@ class TableRepo:
         meta = load_meta(self.main_path, spark=self._spark)
         if meta and meta.schema:
             ktypes = {f.name: f.dataType for f in meta.schema.fields}
+            have = {f.name: f.dataType for f in keyset.schema.fields}
+            differing = [
+                c
+                for c in self.index_cols
+                if c in ktypes and have.get(c) != ktypes[c]
+            ]
+            if differing:
+                # refuse uncastable values explicitly: without ANSI mode a
+                # failed cast NULLs silently, and a NULL key component
+                # never matches — the match-nothing tombstone this cast
+                # exists to prevent. One keys-frame-sized job, only when
+                # incoming types actually differ.
+                mism = None
+                for c in differing:
+                    # try_cast: under ANSI a plain cast THROWS mid-job
+                    # instead of NULLing — either way we want one clear error
+                    cond = (
+                        F.col(c).isNotNull()
+                        & F.col(c).try_cast(ktypes[c]).isNull()
+                    )
+                    mism = cond if mism is None else (mism | cond)
+                n_bad = keyset.where(mism).count()
+                if n_bad:
+                    raise TypeError(
+                        f"delete_records_dv: {n_bad} key value(s) in "
+                        f"{differing} do not cast to the canonical key "
+                        "type(s) — a tombstone with NULLed keys would "
+                        "silently match nothing"
+                    )
             keyset = keyset.select(
                 *[
-                    F.col(c).cast(ktypes[c]).alias(c) if c in ktypes else F.col(c)
+                    F.col(c).try_cast(ktypes[c]).alias(c) if c in ktypes else F.col(c)
                     for c in self.index_cols
                 ]
             )
@@ -2390,13 +2450,21 @@ class TableRepo:
         version: int | None = None,
         ignore_corrupt_files: bool = False,
         as_of=None,
+        bind_snapshot_schema: bool = True,
     ) -> DataFrame:
         """Full scan — on a GOVERNED handle the persisted policy (column
         masks, then row filter) is applied before the frame is returned;
         every read surface built on this one (partition reads, views,
-        map_partitions, SQL) inherits it. See :meth:`_get_full_df_raw`
-        for the scan contract."""
-        df = self._get_full_df_raw(version, ignore_corrupt_files, as_of)
+        map_partitions, SQL) inherits it. ``bind_snapshot_schema=False``
+        makes a versioned read keep the CURRENT epoch's shape (the
+        pre-round-6 behavior) — for consumers whose downstream
+        expressions speak current names (matview rescans, governed-by-
+        call reads). See :meth:`_get_full_df_raw` for the scan
+        contract."""
+        df = self._get_full_df_raw(
+            version, ignore_corrupt_files, as_of,
+            bind_snapshot_schema=bind_snapshot_schema,
+        )
         if self.governed:
             df = self._apply_policy(df)
         return df
@@ -2406,6 +2474,7 @@ class TableRepo:
         version: int | None = None,
         ignore_corrupt_files: bool = False,
         as_of=None,
+        bind_snapshot_schema: bool = True,
     ) -> DataFrame:
         """Full scan (reference ``get_full_df``, core.py:169-175); empty
         canonical-schema frame when no files exist (core.py:175).
@@ -2443,7 +2512,11 @@ class TableRepo:
             return self._manifest_df(
                 version,
                 ignore_corrupt_files,
-                snapshot_schema=(version is not None and not self.governed),
+                snapshot_schema=(
+                    bind_snapshot_schema
+                    and version is not None
+                    and not self.governed
+                ),
             )
         if version is not None:
             raise TypeError("time travel requires commit_mode='manifest'")
@@ -3543,7 +3616,10 @@ class TableRepo:
         handle-wide governance; a governed handle's :meth:`get_full_df`
         already returns exactly this). No policy → identical to
         get_full_df."""
-        df = self.get_full_df(version=version)
+        # current-shape read even when versioned: the policy's masks name
+        # CURRENT columns, and a snapshot-schema frame surfacing a
+        # pre-rename column name would silently skip its mask (raw leak)
+        df = self.get_full_df(version=version, bind_snapshot_schema=False)
         if self.governed:
             return df  # policy already folded in — never applied twice
         return self._apply_policy(df)
