@@ -43,6 +43,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _shingle_base_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, __bases) — each nonempty document's DISTINCT shingle base
+    hashes as ``array<long>``: per-token xxhash64, then xxhash64 over each
+    ``shingle_n``-token hash window (docs shorter than ``shingle_n``
+    tokens collapse to one whole-text base, mirroring :func:`shingles`'
+    short-doc branch). The long-array form is the shared currency of the
+    signature path (explode → min-agg) and the fingerprint collapse
+    (sort → hash) — no shingle STRINGS are ever materialized, which is
+    what keeps both passes cheap on long documents.
+
+    Tokens hash to longs ONCE in a materialized projection: ``element_at``
+    over a non-materialized ``split`` re-evaluates the split per element
+    (Catalyst does not CSE inside lambda bodies), turning shingling
+    O(doc_len²). A base-hash collision merges two shingles — the same
+    2⁻⁶⁴-per-pair posture every downstream hash consumer here already
+    accepts."""
+    # regexp, not trim(): trim strips only ASCII spaces, and a corpus of
+    # tab/newline-only docs would still share one degenerate signature
+    nonempty = df.where(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
+    hashed = nonempty.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    n = F.size(F.col("__th"))
+    bases = F.when(
+        n < shingle_n, F.array(F.xxhash64(F.array_join(F.col("__tk"), " ")))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (shingle_n - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(F.col("__th"), i + j) for j in range(shingle_n)]
+            ),
+        )
+    )
+    return hashed.select(F.col(id_col), F.array_distinct(bases).alias("__bases"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -73,33 +116,32 @@ def minhash_signatures(
     "verifying" at jaccard 1.0. Empty docs belong to exact dedup, not
     near-dedup; left-join back to the corpus ids if one-row-per-doc
     matters to a direct caller."""
-    # regexp, not trim(): trim strips only ASCII spaces, and a corpus of
-    # tab/newline-only docs would still share one degenerate signature
-    nonempty = df.where(F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0)
-    hashed = nonempty.select(
-        F.col(id_col),
-        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
-        tokens(F.col(text_col)).alias("__tk"),
+    return _signatures_from_base_sets(
+        _shingle_base_sets(df, text_col, id_col, shingle_n), id_col, num_hashes
     )
-    n = F.size(F.col("__th"))
-    bases = F.when(
-        n < shingle_n, F.array(F.xxhash64(F.array_join(F.col("__tk"), " ")))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (shingle_n - 1)),
-            lambda i: F.xxhash64(
-                *[F.element_at(F.col("__th"), i + j) for j in range(shingle_n)]
-            ),
-        )
+
+
+def _signatures_from_base_sets(
+    base_sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures from a precomputed (id, __bases) frame — lets
+    callers that already hold base sets (the fingerprint-collapse path)
+    skip a second tokenize/shingle scan. Hash family unchanged:
+    ``min(xxhash64(base, seed_i))`` — but the min folds PER ROW with
+    ``array_min(transform(...))`` instead of explode → groupBy: the
+    signature stage is a pure scan projection with ZERO shuffle (the old
+    explode shape pushed |corpus|×|shingles| rows through a hash
+    aggregate — the dominant exchange at sf1 and a pointless one, since
+    a per-document min needs no cross-partition combine)."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__bases"), lambda b: F.xxhash64(b, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
     )
-    exploded = hashed.select(
-        F.col(id_col), F.explode(F.array_distinct(bases)).alias("__base")
-    )
-    mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("__base"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
-    )
-    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-    return mins.select(F.col(id_col), sig.alias("signature"))
+    return base_sets.select(F.col(id_col), sig.alias("signature"))
 
 
 def _band_buckets(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -197,8 +239,26 @@ def candidate_pairs_minhash(
     that pass ``_handles`` receive the persisted frames and own the
     unpersist; otherwise unpersist via ``spark.catalog.clearCache()`` or
     let :func:`near_dedup_minhash` manage the lifecycle."""
+    return _candidates_from_base_sets(
+        _shingle_base_sets(df, text_col, id_col, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+        bucket_cap,
+        _handles=_handles,
+    )
+
+
+def _candidates_from_base_sets(
+    base_sets: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    bucket_cap: int | None,
+    _handles: list | None = None,
+) -> DataFrame:
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = _signatures_from_base_sets(base_sets, id_col, num_hashes)
     from pyspark import StorageLevel
 
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
@@ -306,6 +366,74 @@ def containment_pairs(
     )
 
 
+def shingle_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, __fp) — a 128-bit fingerprint of each document's DISTINCT
+    shingle set: ``struct(xxhash64(sorted_bases), xxhash64(seed,
+    sorted_bases))``, two independently-seeded 64-bit hashes over the
+    sorted :func:`_shingle_base_sets` array (≈2⁻¹²⁸ pairwise collision —
+    the same negligible-risk posture as :func:`exact_dedup`'s md5
+    grouping). All-long codegen arithmetic: no shingle strings, no
+    explode, no shuffle.
+
+    Two documents with equal fingerprints have identical distinct-shingle
+    sets, hence pairwise Jaccard exactly 1.0, identical Jaccard against
+    every third document, and — because MinHash signatures are a pure
+    function of the same base-hash set — identical LSH behavior. That
+    makes the fingerprint a lossless collapse key for near-dedup: one
+    representative per fingerprint stands in for the whole group through
+    candidate generation AND verification. The string-shingle↔base-hash
+    correspondence is exact because ``concat_ws``-joined token shingles
+    parse back to their token windows uniquely (tokens cannot contain the
+    separator), so equal base sets ⇔ equal shingle-string sets up to the
+    per-window hash collision already accepted everywhere downstream.
+
+    Null / empty / whitespace-only docs are dropped (same guard as
+    :func:`minhash_signatures`); short docs (< shingle_n tokens) collapse
+    to a single whole-text base, mirroring both the signature path's
+    short-doc branch and the verify path's :func:`shingles` semantics, so
+    the collapse key agrees with both."""
+    bases = _shingle_base_sets(df, text_col, id_col, shingle_n)
+    return bases.select(F.col(id_col), _fp_col().alias("__fp"))
+
+
+def _fp_col() -> "F.Column":
+    """The 128-bit shingle-set fingerprint expression over a ``__bases``
+    column (see :func:`shingle_fingerprints`)."""
+    sorted_b = F.array_sort(F.col("__bases"))
+    return F.struct(
+        F.xxhash64(sorted_b).alias("h1"),
+        # distinct constant prefix ⇒ an independent member of the family
+        F.xxhash64(F.lit(-7046029254386353131), sorted_b).alias("h2"),
+    )
+
+
+def _jaccard_from_bases(base_sets: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact set Jaccard for candidate pairs over the hashed shingle sets
+    (``__bases`` long arrays): |A∩B| / (|A|+|B|−|A∩B|). Same values as the
+    string-set :func:`jaccard_pairs` up to the per-window hash collision
+    every consumer of the base hashes already accepts (≈2⁻⁴⁸ per pair),
+    but the two attach joins shuffle 8-byte longs instead of shingle
+    strings (~3× fewer exchange bytes) and the intersect compares longs —
+    the verify stage is the candidate-volume cost center on dup-dense
+    corpora, so this is where narrow rows matter. The union size is
+    derived from the two set sizes (the inputs are distinct sets), so no
+    union array is ever materialized."""
+    a = base_sets.select(F.col(id_col).alias("id_a"), F.col("__bases").alias("__ba"))
+    b = base_sets.select(F.col(id_col).alias("id_b"), F.col("__bases").alias("__bb"))
+    inter = F.size(F.array_intersect("__ba", "__bb")).cast("double")
+    union = F.size("__ba").cast("double") + F.size("__bb").cast("double") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
@@ -316,9 +444,33 @@ def near_dedup_minhash(
     shingle_n: int = 3,
     bucket_cap: int | None = None,
     eager: bool = True,
+    collapse: bool = True,
 ) -> DataFrame:
-    """X2 end-to-end: LSH candidates → exact Jaccard verify → pairs ≥
-    threshold. Returns (id_a, id_b, jaccard).
+    """X2 end-to-end: LSH candidates → exact set-Jaccard verify → pairs ≥
+    threshold. Returns (id_a, id_b, jaccard). The verify computes
+    |A∩B|/|A∪B| over the hashed shingle sets (:func:`_jaccard_from_bases`
+    — long arrays, not shingle strings), identical values up to the
+    per-window hash collision the whole MinHash path already accepts.
+
+    ``collapse=True`` (default) ADAPTIVELY pre-groups documents by their
+    exact distinct-shingle-set fingerprint (:func:`shingle_fingerprints`)
+    and runs signatures + LSH + the exact-Jaccard verify over ONE
+    representative per group, then expands group pairs back to document
+    pairs with plain equi-joins; a one-row statistics probe first checks
+    the duplication ratio and falls back to the direct plan when ≥~80 %
+    of fingerprints are unique (the collapse machinery would be pure
+    overhead there). Zero recall loss: same shingle set ⇒
+    same MinHash signature (so the representative hits exactly the band
+    buckets every member would) and the SAME exact Jaccard against any
+    other document (so one verification decides the whole group pair);
+    intra-group pairs have Jaccard exactly 1.0 by construction. This is
+    the dup-dense-corpus bound: a cluster of k identical documents costs
+    one signature + one bucket row instead of k² candidate pairs — LSH
+    work scales with DISTINCT content, and only the final pair expansion
+    (the answer itself) scales with duplication. Same pre-join collapse
+    idea as the reference's keyed upsert deduping before its join
+    (reference core.py:119). ``collapse=False`` keeps the direct
+    every-doc-through-LSH plan (bit-identical result set).
 
     ``eager=True`` (default) materializes the (small) verified pair set via
     ``localCheckpoint`` and unpersists the intermediate caches before
@@ -328,13 +480,55 @@ def near_dedup_minhash(
     from pyspark import StorageLevel
 
     handles: list[DataFrame] = []
-    cands = candidate_pairs_minhash(
-        df, text_col, id_col, num_hashes, bands, shingle_n, bucket_cap, _handles=handles
+    # ONE tokenize/shingle scan of the corpus feeds everything downstream —
+    # fingerprints, signatures, LSH, and the verify all read this cached
+    # (id, bases) frame; the corpus parquet is never re-scanned.
+    base_sets = _shingle_base_sets(df, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    handles.append(base_sets)
+    if collapse:
+        # adaptive: the collapse machinery (a bases-carrying group-by and
+        # the pair-expansion joins) only pays for itself when fingerprint
+        # groups are fat. One tiny aggregate over the cached base sets
+        # decides — the same runtime-statistics spirit as AQE's join
+        # re-planning. A mostly-distinct corpus (crawls after exact
+        # dedup) skips straight to the direct plan and pays only this one
+        # narrow count; it also forces base_sets to materialize, which
+        # every later pass reuses.
+        row = base_sets.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(_fp_col()).alias("d"),
+        ).first()
+        collapse = row["d"] <= 0.8 * row["n"]
+    if collapse:
+        members = base_sets.select(F.col(id_col), _fp_col().alias("__fp")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        handles.append(members)
+        # one member's bases stand in for the group's (identical sets);
+        # min_by keeps the carry deterministic and single-shuffle
+        reps = (
+            base_sets.select(F.col(id_col), F.col("__bases"), _fp_col().alias("__fp"))
+            .groupBy("__fp")
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.min_by("__bases", F.col(id_col)).alias("__bases"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        handles.append(reps)
+        lsh_sets = reps.select(F.col(id_col), F.col("__bases"))
+    else:
+        reps = members = None
+        lsh_sets = base_sets
+    cands = _candidates_from_base_sets(
+        lsh_sets, id_col, num_hashes, bands, bucket_cap, _handles=handles
     )
     # verify-stage shingle sets are only needed for docs that survived
     # candidate generation — a small fraction of the corpus. Semi-join the
-    # corpus down before re-tokenizing, so exact-Jaccard cost scales with
-    # the candidate set, not the table. cands is read three times (two id
+    # cached base sets down, so exact-Jaccard cost scales with the
+    # candidate set, not the table. cands is read three times (two id
     # projections + the verify join) and is tiny — persist it.
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     handles.append(cands)
@@ -346,10 +540,43 @@ def near_dedup_minhash(
     # no broadcast hint: candidate-id cardinality is corpus-dependent (a
     # dirty corpus can have many near-dup pairs) — AQE picks broadcast at
     # runtime when the side is actually small
-    cand_docs = df.join(cand_ids, id_col, "left_semi")
-    out = jaccard_pairs(cand_docs, cands, text_col, id_col, shingle_n).where(
-        F.col("jaccard") >= threshold
-    )
+    cand_sets = lsh_sets.join(cand_ids, id_col, "left_semi")
+    out = _jaccard_from_bases(cand_sets, cands, id_col).where(F.col("jaccard") >= threshold)
+    if collapse:
+        # expand representative pairs back to member pairs. Each document
+        # belongs to exactly one fingerprint group, so every unordered
+        # document pair is emitted exactly once: cross-group pairs via the
+        # verified (fp_a, fp_b) row (Jaccard copied — exact, the sets are
+        # identical to their reps'), intra-group pairs via a fingerprint
+        # self-join at Jaccard 1.0. Work here is proportional to the
+        # OUTPUT pair count — pure codegen equi-joins, no LSH buckets.
+        rfp = reps.select(F.col(id_col), F.col("__fp"))
+        fp_pairs = (
+            out.join(
+                rfp.select(F.col(id_col).alias("id_a"), F.col("__fp").alias("__fp_a")), "id_a"
+            )
+            .join(rfp.select(F.col(id_col).alias("id_b"), F.col("__fp").alias("__fp_b")), "id_b")
+            .select("__fp_a", "__fp_b", "jaccard")
+        )
+        ma = members.select(F.col("__fp").alias("__fp_a"), F.col(id_col).alias("__ma"))
+        mb = members.select(F.col("__fp").alias("__fp_b"), F.col(id_col).alias("__mb"))
+        cross = (
+            fp_pairs.join(ma, "__fp_a")
+            .join(mb, "__fp_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        intra = (
+            members.select("__fp", F.col(id_col).alias("id_a"))
+            .join(members.select("__fp", F.col(id_col).alias("id_b")), "__fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+            .where(F.lit(1.0) >= F.lit(float(threshold)))
+        )
+        out = cross.unionByName(intra)
     if eager:
         out = out.localCheckpoint(eager=True)
         for h in handles:
