@@ -111,11 +111,16 @@ def manifest_stream_source():
             """``(pyarrow filesystem, within-fs path)`` for a root/base —
             plain paths map to LocalFileSystem, URIs go through
             ``pyarrow.fs.FileSystem.from_uri`` (file:// strips to a local
-            path; object-store schemes get their real client). Only a
-            scheme pyarrow cannot construct a filesystem for is refused —
-            LOUDLY, never as a silently-empty stream. Resolutions are
-            memoized per URI (class-level, so per-file loops and per-task
-            reads never rebuild an object-store client per file)."""
+            path; object-store schemes get their real client);
+            ``webhdfs://`` gets a self-contained pure-Python REST reader
+            (:func:`_webhdfs_pafs`) — HDFS clusters expose WebHDFS even
+            where libhdfs isn't installable in the Python workers, and
+            the in-container object-store contract test serves the same
+            protocol from a stub. Only a scheme nothing can construct a
+            filesystem for is refused — LOUDLY, never as a
+            silently-empty stream. Resolutions are memoized per URI
+            (class-level, so per-file loops and per-task reads never
+            rebuild an object-store client per file)."""
             import re
 
             from pyarrow.fs import FileSystem, LocalFileSystem
@@ -126,6 +131,8 @@ def manifest_stream_source():
             m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]+):/+", p)
             if not m:
                 out = (LocalFileSystem(), p)
+            elif m.group(1).lower() == "webhdfs":
+                out = cls._webhdfs_pafs(p)
             else:
                 try:
                     out = FileSystem.from_uri(p)
@@ -137,6 +144,117 @@ def manifest_stream_source():
                     )
             cls._FS_CACHE[p] = out
             return out
+
+        @staticmethod
+        def _webhdfs_pafs(p: str):
+            """(PyFileSystem over a WebHDFS REST handler, within-fs path).
+
+            Read-only and deliberately minimal: the streaming source only
+            stats, lists and reads (manifest JSONs + parquet data files).
+            ``open_input_file`` fetches the whole object into a
+            BufferReader — manifest artifacts are KBs and the per-task
+            data files the stream reads are single row-group parquet, so
+            ranged-read plumbing buys nothing here; S3/GCS-class stores
+            never take this branch (pyarrow has native clients). Defined
+            closure-local so the data source stays self-contained on
+            executors (no package imports)."""
+            import json as _json
+            import urllib.error
+            import urllib.parse
+            import urllib.request
+
+            import pyarrow as pa
+            from pyarrow.fs import (
+                FileInfo,
+                FileSystemHandler,
+                FileType,
+                PyFileSystem,
+            )
+
+            netloc, _, tail = p.split("://", 1)[1].partition("/")
+            within = "/" + tail
+            api = f"http://{netloc}/webhdfs/v1"
+
+            def call(path, op, **params):
+                qs = "&".join(
+                    [f"op={op}"]
+                    + [f"{k}={urllib.parse.quote(str(v))}" for k, v in params.items()]
+                )
+                with urllib.request.urlopen(
+                    f"{api}{urllib.parse.quote(path)}?{qs}"
+                ) as r:
+                    return r.read()
+
+            def info_of(path, st):
+                typ = (
+                    FileType.Directory if st["type"] == "DIRECTORY" else FileType.File
+                )
+                return FileInfo(
+                    path, typ, size=st["length"], mtime_ns=st["modificationTime"] * 1_000_000
+                )
+
+            class _H(FileSystemHandler):
+                def get_type_name(self):
+                    return f"webhdfs[{netloc}]"
+
+                def __eq__(self, other):
+                    return isinstance(other, _H) and other.get_type_name() == self.get_type_name()
+
+                def __ne__(self, other):
+                    return not self.__eq__(other)
+
+                def get_file_info(self, paths):
+                    out = []
+                    for path in paths:
+                        try:
+                            st = _json.loads(call(path, "GETFILESTATUS"))["FileStatus"]
+                            out.append(info_of(path, st))
+                        except urllib.error.HTTPError as e:
+                            if e.code == 404:
+                                out.append(FileInfo(path, FileType.NotFound))
+                            else:
+                                raise
+                    return out
+
+                def get_file_info_selector(self, selector):
+                    base = selector.base_dir
+                    try:
+                        sts = _json.loads(call(base, "LISTSTATUS"))["FileStatuses"][
+                            "FileStatus"
+                        ]
+                    except urllib.error.HTTPError as e:
+                        if e.code == 404:
+                            if selector.allow_not_found:
+                                return []
+                            raise FileNotFoundError(base)
+                        raise
+                    out = []
+                    for st in sts:
+                        path = base.rstrip("/") + "/" + st["pathSuffix"]
+                        fi = info_of(path, st)
+                        out.append(fi)
+                        if selector.recursive and st["type"] == "DIRECTORY":
+                            sub = type(selector)(path, recursive=True, allow_not_found=True)
+                            out.extend(self.get_file_info_selector(sub))
+                    return out
+
+                def open_input_stream(self, path):
+                    return pa.BufferReader(call(path, "OPEN"))
+
+                def open_input_file(self, path):
+                    return pa.BufferReader(call(path, "OPEN"))
+
+                def normalize_path(self, path):
+                    return path
+
+                def _ro(self, *a, **k):
+                    raise NotImplementedError("webhdfs reader is read-only")
+
+                create_dir = delete_dir = delete_dir_contents = _ro
+                delete_root_dir_contents = delete_file = move = copy_file = _ro
+                open_output_stream = open_append_stream = _ro
+
+            return PyFileSystem(_H()), within
 
         # -- manifest plumbing (self-contained: no package imports) ----
         def _versions(self):
