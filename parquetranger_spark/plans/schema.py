@@ -145,17 +145,18 @@ def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
     for f in canonical.fields:
         src_f = have.get(f.name) or by_lower.get(f.name.lower())
         if src_f is not None:
-            if (
-                isinstance(f.dataType, T.StructType)
-                and isinstance(src_f.dataType, T.StructType)
-                and src_f.dataType != f.dataType
-            ):
-                # struct-aware alignment: a positional struct cast fails
-                # outright when the canonical struct gained or lost a
-                # field (nested schema evolution) — rebuild by NAME, with
-                # missing members as typed nulls and NULL structs kept
-                # NULL (F.struct of the children would resurrect them)
-                cols.append(_align_struct(src_f, f))
+            if src_f.dataType != f.dataType and _has_struct(f.dataType) and _has_struct(src_f.dataType):
+                # struct-aware alignment: a positional cast fails outright
+                # when a (possibly array-/map-wrapped) canonical struct
+                # gained or lost a member (nested schema evolution) —
+                # rebuild by NAME at every depth, with missing members as
+                # typed nulls and NULL structs kept NULL (F.struct of the
+                # children would resurrect them)
+                cols.append(
+                    _align_expr(
+                        F.col(src_f.name), src_f.dataType, f.dataType, src_f.name
+                    ).alias(f.name)
+                )
             else:
                 src = F.col(src_f.name)
                 cols.append(
@@ -168,38 +169,78 @@ def align_to_schema(df: DataFrame, canonical: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
-def _align_struct(src_f: T.StructField, f: T.StructField):
-    have = {c.name.lower(): c for c in src_f.dataType.fields}
-    # incoming members the canonical struct does not know would be
-    # silently DISCARDED from every written row — unlike top-level extra
-    # columns (reference-convention drop, core.py:410) nested members
-    # have no widening path, and before struct-aware alignment this case
-    # failed the positional cast loudly; keep it loud
+def _has_struct(dt: T.DataType) -> bool:
+    """True when ``dt`` bottoms out in a struct through any chain of
+    array elements / map values — the shapes nested schema evolution can
+    produce, hence the shapes alignment must rebuild by name."""
+    if isinstance(dt, T.StructType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_struct(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_struct(dt.valueType)
+    return False
+
+
+def _align_expr(expr, src_dt: T.DataType, tgt_dt: T.DataType, path: str):
+    """By-name recursive alignment of one expression onto the canonical
+    type: structs rebuild member-wise (missing → typed null, NULL structs
+    stay NULL), arrays/maps recurse per element through ``transform`` /
+    ``transform_values`` — one codegen projection, no explosion. Unknown
+    incoming members raise at ANY depth: they would be silently DISCARDED
+    from every written row — unlike top-level extra columns
+    (reference-convention drop, core.py:410) nested members have no
+    widening path, so keep it loud."""
+    if src_dt == tgt_dt:
+        return expr
+    if isinstance(tgt_dt, T.ArrayType) and isinstance(src_dt, T.ArrayType):
+        return F.when(
+            expr.isNotNull(),
+            F.transform(
+                expr,
+                lambda x: _align_expr(
+                    x, src_dt.elementType, tgt_dt.elementType, path + "[]"
+                ),
+            ),
+        ).otherwise(F.lit(None).cast(tgt_dt))
+    if isinstance(tgt_dt, T.MapType) and isinstance(src_dt, T.MapType):
+        return F.when(
+            expr.isNotNull(),
+            F.transform_values(
+                expr,
+                lambda _k, v: _align_expr(
+                    v, src_dt.valueType, tgt_dt.valueType, path + "{}"
+                ),
+            ),
+        ).otherwise(F.lit(None).cast(tgt_dt))
+    if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
+        return expr.cast(tgt_dt)
+    have = {c.name.lower(): c for c in src_dt.fields}
     unknown = sorted(
         c.name
-        for c in src_f.dataType.fields
-        if c.name.lower() not in {g.name.lower() for g in f.dataType.fields}
+        for c in src_dt.fields
+        if c.name.lower() not in {g.name.lower() for g in tgt_dt.fields}
     )
     if unknown:
         raise ValueError(
-            f"write carries struct members {src_f.name}.{unknown} unknown to "
+            f"write carries struct members {path}.{unknown} unknown to "
             "the canonical schema — run add_struct_field (or drop them) "
             "before writing; silently discarding nested values is never ok"
         )
     parts = []
-    for c in f.dataType.fields:
+    for c in tgt_dt.fields:
         s = have.get(c.name.lower())
         if s is None:
             parts.append(F.lit(None).cast(c.dataType).alias(c.name))
         else:
-            e = F.col(src_f.name).getField(s.name)
             parts.append(
-                (e if s.dataType == c.dataType else e.cast(c.dataType)).alias(c.name)
+                _align_expr(
+                    expr.getField(s.name), s.dataType, c.dataType, f"{path}.{s.name}"
+                ).alias(c.name)
             )
     return (
-        F.when(F.col(src_f.name).isNotNull(), F.struct(*parts))
-        .otherwise(F.lit(None).cast(f.dataType))
-        .alias(f.name)
+        F.when(expr.isNotNull(), F.struct(*parts))
+        .otherwise(F.lit(None).cast(tgt_dt))
     )
 
 

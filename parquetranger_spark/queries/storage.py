@@ -1981,6 +1981,103 @@ def schema_evolution_nested(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_deep",
+    oracle="""
+WITH oc AS (
+  SELECT c.c_mktsegment,
+         o.o_totalprice AS price,
+         CAST(o.o_orderkey % 30 AS BIGINT) AS days,
+         CASE WHEN c.c_custkey % 2 = 0 THEN 'no'
+              WHEN o.o_orderpriority LIKE '1%' THEN 'yes' ELSE 'no' END AS express
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(days) AS BIGINT) AS sum_days,
+       count(CASE WHEN express = 'yes' THEN 1 END) AS n_express
+FROM oc GROUP BY c_mktsegment
+""",
+)
+def schema_evolution_deep(spark, sf_dir):
+    """DEEP nested schema evolution (round-7 verdict #3): the member
+    tree evolves through CONTAINERS and MULTIPLE struct levels — an
+    ``orders array<struct<okey, total, ship:struct<prio, days>>>``
+    column gets a member RENAME inside the array's struct
+    (orders.total → price), a type WIDEN two levels down
+    (orders.ship.days int → bigint) and an ADD two levels down
+    (orders.ship.express, initial default 'no') — zero files rewritten
+    (asserted in-query). Old files map per ELEMENT through nested field
+    ids carried across the array boundary (``transform`` +
+    member-rebuild, one codegen projection — no explosion, no rewrite);
+    the oracle states the merged end state over the flattened elements.
+
+    Scale shape: identical to one-level nested DDL — each mutation is
+    one CAS-published epoch JSON; old-epoch commit scans add one
+    higher-order-function projection, new-epoch commits pay nothing."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders")
+    nested = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").alias("total"),
+                    F.struct(
+                        F.col("o_orderpriority").alias("prio"),
+                        (F.col("o_orderkey") % 30).cast("int").alias("days"),
+                    ).alias("ship"),
+                )
+            ).alias("orders")
+        )
+    )
+    t = TableRepo(
+        scratch_dir("nested_deep") + "/customer_orders",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(nested.where(F.col("c_custkey") % 2 == 0))
+    files_before = sorted(t.paths)
+    t.rename_struct_field("orders", "total", "price")
+    t.alter_struct_field_type("orders.ship", "days", "bigint")
+    t.add_struct_field("orders.ship", "express", "string", default="no")
+    if sorted(t.paths) != files_before:
+        raise AssertionError("deep nested schema DDL rewrote data files")
+    evolved = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_custkey") % 2 == 1)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_totalprice").alias("price"),
+                    F.struct(
+                        F.col("o_orderpriority").alias("prio"),
+                        (F.col("o_orderkey") % 30).cast("bigint").alias("days"),
+                        F.when(F.col("o_orderpriority").startswith("1"), "yes")
+                        .otherwise("no")
+                        .alias("express"),
+                    ).alias("ship"),
+                )
+            ).alias("orders")
+        )
+    )
+    t.extend(evolved)
+    flat = t.get_full_df().select(
+        "c_mktsegment", F.explode("orders").alias("o")
+    )
+    return flat.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o.price", "sum_price"),
+        F.sum("o.ship.days").alias("sum_days"),
+        F.count(F.when(F.col("o.ship.express") == "yes", 1)).alias("n_express"),
+    )
+
+
+@query(
     "versions_feed_audit",
     oracle="""
 SELECT op, n_versions FROM (VALUES

@@ -486,36 +486,56 @@ def manifest_stream_source():
 
         @staticmethod
         def _nested_plan(old: dict, cur: dict, slog: list):
-            """Per-member plan for a struct column whose shape differs
-            between the commit's epoch and the current one (nested
-            schema evolution): [(cur_member, src_member|None, default)]
-            — built DRIVER-side from nested field ids so executors never
+            """Per-member plan for a struct-content column whose shape
+            differs between the commit's epoch and the current one
+            (nested schema evolution), RECURSIVE at every depth:
+            [(cur_member, src_member|None, default, sub_plan|None)] —
+            built DRIVER-side from nested field ids so executors never
             read the schema dir (this runs in _col_plan, planning time —
             same driver-only contract as _new_files' package import).
             Resolution (incl. pre-id epoch synthesis) delegates to the
             batch read path's nested_fields_for, so stream and batch can
-            never disagree on the same manifest. None when no nested
-            mapping is needed (identical type json, or no nested ids
-            anywhere — pre-feature tables)."""
+            never disagree on the same manifest. A level where either
+            side carries no ids never changed shape (ids persist through
+            every later epoch once assigned), so its sub-plan is None
+            and the executor plain-casts. None when no nested mapping is
+            needed (identical type json, or no nested ids anywhere —
+            pre-feature tables)."""
             cur_nested = cur.get("fields")
-            t_old, t_cur = old.get("type"), cur.get("type")
-            if not cur_nested or t_old == t_cur:
+            if not cur_nested:
                 return None
-            if not (isinstance(t_old, dict) and t_old.get("type") == "struct"):
-                return None
-            from parquetranger_spark.sources.schema_log import nested_fields_for
+            from parquetranger_spark.sources.schema_log import (
+                descend_containers,
+                nested_fields_for,
+            )
 
+            if descend_containers(old.get("type"))[0] is None:
+                return None
             src_nested = nested_fields_for(old, slog)
             if src_nested is None:
                 return None
-            by_id = {n["id"]: n for n in src_nested}
-            out = []
-            for n in cur_nested:
-                s = by_id.get(n["id"])
-                out.append(
-                    (n["name"], s["name"] if s else None, n.get("default"))
-                )
-            return out
+            cur_resolved = nested_fields_for(cur, slog) or cur_nested
+            # tree equality compares IDS too, never just type jsons: a
+            # drop-then-readd reproduces an identical type json under a
+            # new member id, and skipping the plan would resurrect the
+            # dropped values
+            if src_nested == cur_resolved and old.get("type") == cur.get("type"):
+                return None
+
+            def build(src_members, cur_members):
+                by_id = {n["id"]: n for n in src_members}
+                out = []
+                for n in cur_members:
+                    s = by_id.get(n["id"])
+                    sub = None
+                    if s is not None and s.get("fields") and n.get("fields") and s != n:
+                        sub = build(s["fields"], n["fields"])
+                    out.append(
+                        (n["name"], s["name"] if s else None, n.get("default"), sub)
+                    )
+                return out
+
+            return build(src_nested, cur_resolved)
 
         def _dv_entries(self, version: int):
             """[(commit_index, key_cols, [triples])] for the deletion-
@@ -651,6 +671,20 @@ def manifest_stream_source():
                 )
                 n = tbl.num_rows
                 plan = self._col_plan(base, cdir) if use_plan else None
+
+                def _plain(v):
+                    # pyarrow's to_pylist emits MAP values as [(k, v)…];
+                    # Spark's row conversion requires dicts — recurse
+                    # through lists/structs (a tuple-element list is
+                    # unambiguously a map: structs arrive as dicts)
+                    if isinstance(v, list):
+                        if v and isinstance(v[0], tuple):
+                            return {e[0]: _plain(e[1]) for e in v}
+                        return [_plain(e) for e in v]
+                    if isinstance(v, dict):
+                        return {k2: _plain(v2) for k2, v2 in v.items()}
+                    return v
+
                 colvals = []
                 for name, typ in zip(self.cols, self.types):
                     if name in extras:
@@ -666,23 +700,41 @@ def manifest_stream_source():
                             src = val["src"]
                             if src in tbl.column_names:
                                 raw = tbl.column(src).to_pylist()
+
+                                def remap(d, plan):
+                                    # recursive over pylist shapes:
+                                    # struct → dict, array → list, map →
+                                    # list of (k, v) tuples (dict-ified:
+                                    # Spark's row conversion requires
+                                    # dicts for MapType values)
+                                    if d is None:
+                                        return None
+                                    if isinstance(d, list):
+                                        if d and isinstance(d[0], tuple):
+                                            return {e[0]: remap(e[1], plan) for e in d}
+                                        return [remap(e, plan) for e in d]
+                                    return {
+                                        cn: (
+                                            remap(d.get(sn), sub)
+                                            if sn is not None and sub
+                                            else _plain(d.get(sn))
+                                            if sn is not None
+                                            else dv
+                                        )
+                                        for (cn, sn, dv, sub) in plan
+                                    }
+
                                 colvals.append(
-                                    [
-                                        None
-                                        if d is None
-                                        else {
-                                            cn: (d.get(sn) if sn is not None else dv)
-                                            for (cn, sn, dv) in val["map"]
-                                        }
-                                        for d in raw
-                                    ]
+                                    [remap(d, val["map"]) for d in raw]
                                 )
                             else:
                                 colvals.append([None] * n)
                             continue
                         phys = val
                     if phys in tbl.column_names:
-                        colvals.append(tbl.column(phys).to_pylist())
+                        colvals.append(
+                            [_plain(v) for v in tbl.column(phys).to_pylist()]
+                        )
                     elif name in parts:
                         colvals.append([self._cast_part(parts[name], typ)] * n)
                     else:
@@ -1070,28 +1122,53 @@ def manifest_stream_source():
                         phys = val
                 if nmap is not None and phys in tbl.column_names:
                     # nested schema evolution: rebuild the struct member
-                    # by member from the epoch-era physical struct —
+                    # by member from the epoch-era physical column —
                     # rename → take child, widen → cast child, added →
                     # default/null — keeping NULL structs NULL via mask
+                    # and recursing through arrays (per-element on the
+                    # flattened values child, offsets reused), maps
+                    # (items child) and deeper structs
                     import pyarrow.compute as pc
 
-                    sa = tbl.column(phys).combine_chunks()
-                    children, child_names = [], []
-                    for cn, sn, dv in nmap:
-                        ct = patype.field(cn).type
-                        src_names = [fl.name for fl in sa.type]
-                        if sn is not None and sn in src_names:
-                            children.append(sa.field(sn).cast(ct))
-                        elif dv is not None:
-                            children.append(pa.array([dv] * n).cast(ct))
-                        else:
-                            children.append(pa.nulls(n, type=ct))
-                        child_names.append(cn)
-                    arrays.append(
-                        pa.StructArray.from_arrays(
-                            children, names=child_names, mask=pc.is_null(sa)
+                    def rebuild(src, ttype, plan):
+                        if pa.types.is_list(ttype) or pa.types.is_large_list(ttype):
+                            vals = rebuild(src.values, ttype.value_type, plan)
+                            cls_ = (
+                                pa.LargeListArray
+                                if pa.types.is_large_list(ttype)
+                                else pa.ListArray
+                            )
+                            return cls_.from_arrays(
+                                src.offsets, vals, mask=pc.is_null(src)
+                            )
+                        if pa.types.is_map(ttype):
+                            items = rebuild(src.items, ttype.item_type, plan)
+                            return pa.MapArray.from_arrays(
+                                src.offsets, src.keys, items
+                            )
+                        if not pa.types.is_struct(ttype):
+                            return src.cast(ttype)
+                        m = len(src)
+                        src_names = [fl.name for fl in src.type]
+                        children, child_names = [], []
+                        for cn, sn, dv, sub in plan:
+                            ct = ttype.field(cn).type
+                            if sn is not None and sn in src_names:
+                                ch = src.field(sn)
+                                children.append(
+                                    rebuild(ch, ct, sub) if sub else ch.cast(ct)
+                                )
+                            elif dv is not None:
+                                children.append(pa.array([dv] * m).cast(ct))
+                            else:
+                                children.append(pa.nulls(m, type=ct))
+                            child_names.append(cn)
+                        return pa.StructArray.from_arrays(
+                            children, names=child_names, mask=pc.is_null(src)
                         )
-                    )
+
+                    sa = tbl.column(phys).combine_chunks()
+                    arrays.append(rebuild(sa, patype, nmap))
                     fields.append(pa.field(name, patype))
                     continue
                 if name in extras:

@@ -107,51 +107,120 @@ def publish_schema_version(fs, root: str, fields: list[dict], v: int) -> bool:
     )
 
 
+def descend_containers(tjson):
+    """``(struct_json | None, rewrap)`` — the struct type json reached
+    from ``tjson`` by descending through any chain of array elements /
+    map VALUES (map keys are scalar join currency, never evolved), plus a
+    function re-wrapping a replacement struct json in the same container
+    chain. ``(None, None)`` when no struct underlies the type. This is
+    the container convention of the whole nested-id feature: an entry's
+    ``fields`` list always describes the struct its type bottoms out in,
+    so ``meta``, ``array<struct>``, ``map<string, struct>`` and
+    ``array<array<struct>>`` columns all evolve with the same machinery."""
+    wraps: list[tuple[str, dict]] = []
+    t = tjson
+    while isinstance(t, dict) and t.get("type") in ("array", "map"):
+        wraps.append((t["type"], t))
+        t = t["elementType"] if t["type"] == "array" else t["valueType"]
+    if not (isinstance(t, dict) and t.get("type") == "struct"):
+        return None, None
+
+    def rewrap(new_struct: dict) -> dict:
+        out = new_struct
+        for kind, outer in reversed(wraps):
+            o = dict(outer)
+            o["elementType" if kind == "array" else "valueType"] = out
+            out = o
+        return out
+
+    return t, rewrap
+
+
+def _ids_for_type(tjson, alloc) -> list[dict] | None:
+    """Recursive nested-id assignment for the struct underlying
+    ``tjson`` (or None when none does): every member gets an id, and
+    members whose own types bottom out in structs carry their own
+    ``fields`` — the full-depth Iceberg shape."""
+    st, _ = descend_containers(tjson)
+    if st is None:
+        return None
+    out = []
+    for fd in st.get("fields", []):
+        e: dict = {"id": alloc(), "name": fd["name"], "type": fd["type"]}
+        sub = _ids_for_type(fd["type"], alloc)
+        if sub is not None:
+            e["fields"] = sub
+        out.append(e)
+    return out
+
+
 def fields_from_schema(schema: T.StructType) -> list[dict]:
     """Bootstrap field list: ids assigned in field order, 1-based (the
-    epoch-1 snapshot of a pre-DDL table). Struct-typed columns also get
-    one level of NESTED field ids (Iceberg assigns ids to every nested
-    field; one level covers the engine's struct usage — multimodal
-    ``meta``, shredded props), allocated after the top-level block so
-    both namespaces stay globally unique."""
+    epoch-1 snapshot of a pre-DDL table). Columns whose types bottom out
+    in structs (plain structs, array<struct>, map<_, struct>, nested
+    combinations) also get NESTED field ids at EVERY depth (Iceberg
+    assigns ids to every nested field), allocated after the top-level
+    block so all namespaces stay globally unique."""
     out = [
         {"id": i + 1, "name": f.name, "type": f.dataType.jsonValue()}
         for i, f in enumerate(schema.fields)
     ]
-    nid = len(out) + 1
-    for entry, f in zip(out, schema.fields):
-        if isinstance(f.dataType, T.StructType):
-            entry["fields"] = []
-            for nf in f.dataType.fields:
-                entry["fields"].append(
-                    {"id": nid, "name": nf.name, "type": nf.dataType.jsonValue()}
-                )
-                nid += 1
+    ctr = iter(range(len(out) + 1, 1 << 31))
+    for entry in out:
+        sub = _ids_for_type(entry["type"], lambda: next(ctr))
+        if sub is not None:
+            entry["fields"] = sub
     return out
 
 
-def nested_fields_for(field: dict, log: list[dict]) -> list[dict] | None:
-    """The nested field-id list of a struct-typed field AS OF ITS EPOCH.
-    Epochs published before nested-id support carry no ``fields`` key —
-    synthesize from the FIRST later epoch that has ids for the same
-    top-level field id, filtered to the nested names the old epoch's
-    type json actually holds. Sound because nested rename/add/widen all
-    REQUIRE ids: struct content is name- and type-stable across the
-    pre-id epochs, so the first id assignment names exactly the old
-    files' physical fields. None when the field is not a struct or no
-    epoch ever assigned nested ids (caller falls back to a positional
-    cast — the pre-feature behavior)."""
-    if "fields" in field:
-        return field["fields"]
-    t = field.get("type")
-    if not (isinstance(t, dict) and t.get("type") == "struct"):
+def walk_fields(fields: list[dict]):
+    """Depth-first iterator over every entry of an epoch's field forest
+    (top-level and nested at any depth)."""
+    for f in fields:
+        yield f
+        yield from walk_fields(f.get("fields", []))
+
+
+def _synth_members(fid: int, tjson, log: list[dict]) -> list[dict] | None:
+    """Member-id synthesis for an entry published before ids existed at
+    its level: take the FIRST later epoch that assigned ids under the
+    same entry id (searched at any depth), filtered to the member names
+    the old entry's type json actually holds. Sound because nested
+    rename/add/widen all REQUIRE ids: content under an id-less entry is
+    name- and type-stable across the id-less epochs, so the first id
+    assignment names exactly the old files' physical members."""
+    st, _ = descend_containers(tjson)
+    if st is None:
         return None
-    names = {fd["name"] for fd in t.get("fields", [])}
+    names = {fd["name"] for fd in st.get("fields", [])}
     for e in log:
-        for f in e["fields"]:
-            if f["id"] == field["id"] and "fields" in f:
+        for f in walk_fields(e["fields"]):
+            if f["id"] == fid and "fields" in f:
                 return [n for n in f["fields"] if n["name"] in names]
     return None
+
+
+def nested_fields_for(field: dict, log: list[dict]) -> list[dict] | None:
+    """The FULLY-RESOLVED member tree of a struct-content field AS OF ITS
+    EPOCH: every member carries its id, and members whose types bottom
+    out in structs carry their own resolved ``fields`` — with levels the
+    epoch predates synthesized via :func:`_synth_members`. None when the
+    field has no struct content or no epoch ever assigned ids under it
+    (caller falls back to a positional cast — the pre-feature
+    behavior)."""
+    members = field.get("fields")
+    if members is None:
+        members = _synth_members(field["id"], field.get("type"), log)
+        if members is None:
+            return None
+    out = []
+    for m in members:
+        r = dict(m)
+        sub = nested_fields_for(m, log)
+        if sub is not None:
+            r["fields"] = sub
+        out.append(r)
+    return out
 
 
 def struct_type_of_fields(nested: list[dict]) -> dict:
@@ -165,6 +234,18 @@ def struct_type_of_fields(nested: list[dict]) -> dict:
             for n in nested
         ],
     }
+
+
+def retype_entry(entry: dict) -> dict:
+    """Recompute an entry's ``type`` json from its (just-mutated)
+    ``fields`` list, preserving the container chain (array/map wrappers)
+    the struct lives under. The inverse bookkeeping of
+    :func:`descend_containers` — called bottom-up along a nested-DDL
+    path so ancestors' type jsons always match their member lists."""
+    st, rewrap = descend_containers(entry["type"])
+    if st is None or rewrap is None:
+        raise TypeError(f"retype_entry: {entry['name']!r} has no struct content")
+    return {**entry, "type": rewrap(struct_type_of_fields(entry["fields"]))}
 
 
 def schema_of_fields(fields: list[dict]) -> T.StructType:
@@ -182,17 +263,12 @@ def schema_of_fields(fields: list[dict]) -> T.StructType:
 
 
 def next_field_id(log: list[dict]) -> int:
-    """Ids are never reused, even after a drop — scan EVERY epoch
-    (nested ids included: top-level and nested share one namespace), so
-    a dropped-then-readded name gets a fresh id and old files correctly
+    """Ids are never reused, even after a drop — scan EVERY epoch at
+    EVERY nesting depth (all levels share one namespace), so a
+    dropped-then-readded name gets a fresh id and old files correctly
     surface null for the new column."""
     return 1 + max(
-        (
-            i
-            for e in log
-            for f in e["fields"]
-            for i in [f["id"], *(n["id"] for n in f.get("fields", []))]
-        ),
+        (f["id"] for e in log for f in walk_fields(e["fields"])),
         default=0,
     )
 

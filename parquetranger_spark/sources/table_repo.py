@@ -1257,8 +1257,18 @@ class TableRepo:
         self._nested_ddl(col, "alter_struct_field_type", mut)
 
     def _nested_ddl(self, col: str, op: str, mutate_nested) -> None:
-        """Shared nested-DDL loop. When the column's epochs predate
-        nested ids, the id backfill publishes as its OWN epoch first —
+        """Shared nested-DDL loop. ``col`` may be a dotted PATH
+        (``meta``, ``meta.exif``, ``frames.tags`` where ``frames`` is an
+        ``array<struct>``): each segment after the first descends one
+        member level, passing transparently through array/map containers
+        (the member list always describes the struct the type bottoms
+        out in — :func:`~.schema_log.descend_containers`). The mutation
+        applies to the member list AT the path; ancestor type jsons are
+        recomputed bottom-up so every ``type`` stays in lockstep with
+        its ``fields``.
+
+        When the column's epochs predate nested ids (at any depth along
+        the tree), the id backfill publishes as its OWN epoch first —
         names and types unchanged, ids assigned positionally — and only
         then does the mutation publish. The two-epoch shape is load-
         bearing for old files: pre-id epochs synthesize their member ids
@@ -1268,33 +1278,60 @@ class TableRepo:
         filter the renamed member out of the synthesis and silently read
         every old row's value as NULL."""
         self._assert_ungoverned(op)
-        self._refuse_structural(col, op)
+        top, *path = col.split(".")
+        self._refuse_structural(top, op)
 
         class _Bootstrapped(Exception):
             pass
 
-        def bootstrap(fields, log):
-            from .schema_log import next_field_id
+        def _ensure_ids(entry, alloc) -> tuple[dict, bool]:
+            """(entry with ids at every struct level, grew?) — positional
+            assignment exactly where missing, existing ids untouched."""
+            from .schema_log import descend_containers
 
-            out, hit = [], False
+            st, _ = descend_containers(entry.get("type"))
+            if st is None:
+                return entry, False
+            grew = False
+            members = entry.get("fields")
+            if members is None:
+                members = [
+                    {"id": alloc(), "name": fd["name"], "type": fd["type"]}
+                    for fd in st.get("fields", [])
+                ]
+                grew = True
+            fixed = []
+            for m in members:
+                m2, g = _ensure_ids(m, alloc)
+                grew = grew or g
+                fixed.append(m2)
+            return {**entry, "fields": fixed}, grew
+
+        def bootstrap(fields, log):
+            from .schema_log import descend_containers, next_field_id
+
+            out, hit, grew = [], False, False
+            nid = next_field_id(log)
+
+            def alloc():
+                nonlocal nid
+                nid += 1
+                return nid - 1
+
             for f in fields:
-                if f["name"] != col:
+                if f["name"] != top:
                     out.append(f)
                     continue
                 hit = True
-                t = f.get("type")
-                if not (isinstance(t, dict) and t.get("type") == "struct"):
-                    raise TypeError(f"{op}: column {col!r} is not a struct")
-                if "fields" in f:
-                    raise _Bootstrapped()  # someone already assigned ids
-                nid = next_field_id(log)
-                nested = []
-                for fd in t.get("fields", []):
-                    nested.append({"id": nid, "name": fd["name"], "type": fd["type"]})
-                    nid += 1
-                out.append({**f, "fields": nested})
+                if descend_containers(f.get("type"))[0] is None:
+                    raise TypeError(f"{op}: column {top!r} has no struct content")
+                f2, g = _ensure_ids(f, alloc)
+                grew = grew or g
+                out.append(f2)
             if not hit:
-                raise KeyError(f"{op}: no column {col!r}")
+                raise KeyError(f"{op}: no column {top!r}")
+            if not grew:
+                raise _Bootstrapped()  # ids complete everywhere already
             return out
 
         try:
@@ -1303,73 +1340,136 @@ class TableRepo:
             pass
 
         def mutate(fields, log):
-            from .schema_log import next_field_id, struct_type_of_fields
+            from .schema_log import next_field_id, retype_entry
 
-            out, hit = [], False
-            for f in fields:
-                if f["name"] != col:
-                    out.append(f)
-                    continue
-                hit = True
-                t = f.get("type")
-                if not (isinstance(t, dict) and t.get("type") == "struct"):
-                    raise TypeError(f"{op}: column {col!r} is not a struct")
-                nested = f.get("fields")
+            start = next_field_id(log)
+            ctr = iter(range(start, start + 1_000_000))
+
+            def descend(entry, segs):
+                """Apply the mutation under ``entry`` following ``segs``;
+                returns the rebuilt entry (types recomputed on the way
+                back up)."""
+                from .schema_log import descend_containers
+
+                if descend_containers(entry.get("type"))[0] is None:
+                    raise TypeError(
+                        f"{op}: {entry['name']!r} (in path {col!r}) has no "
+                        "struct content"
+                    )
+                nested = entry.get("fields")
                 if nested is None:  # a concurrent purge/rewrite of the log
                     raise RuntimeError(
                         f"{op}: {col!r} lost its nested ids between the "
                         "backfill and the mutation — retry"
                     )
-                start = 1 + max(
-                    [next_field_id(log) - 1] + [n["id"] for n in nested]
-                )
-                ctr = iter(range(start, start + 1_000_000))
-                nested = mutate_nested(list(nested), lambda: next(ctr))
-                out.append(
-                    {**f, "fields": nested, "type": struct_type_of_fields(nested)}
-                )
+                if not segs:
+                    new = mutate_nested(list(nested), lambda: next(ctr))
+                else:
+                    seg, rest = segs[0], segs[1:]
+                    new, found = [], False
+                    for m in nested:
+                        if m["name"] == seg:
+                            found = True
+                            new.append(descend(m, rest))
+                        else:
+                            new.append(m)
+                    if not found:
+                        raise KeyError(f"{op}: no member {seg!r} under {col!r}")
+                return retype_entry({**entry, "fields": new})
+
+            out, hit = [], False
+            for f in fields:
+                if f["name"] != top:
+                    out.append(f)
+                    continue
+                hit = True
+                out.append(descend(f, path))
             if not hit:
-                raise KeyError(f"{op}: no column {col!r}")
+                raise KeyError(f"{op}: no column {top!r}")
             return out
 
         self._evolve_schema(mutate)
 
     def _epoch_field_expr(self, src: dict, f: dict, tgt, slog: list) -> "F.Column":
         """Map ONE field of an old-epoch commit scan to the current
-        epoch: rename → alias, widen → cast, and for struct columns a
-        NESTED field-id mapping (child rename → alias, child widen →
-        cast, added-later child → its initial default or null, dropped
-        child → omitted) that a positional struct cast cannot express.
-        NULL structs stay NULL — F.struct of the mapped children would
-        otherwise resurrect them as all-null rows."""
+        epoch: rename → alias, widen → cast, and for struct-content
+        columns a NESTED field-id mapping AT EVERY DEPTH (member rename
+        → alias, member widen → cast, added-later member → its initial
+        default or null, dropped member → omitted) that a positional
+        struct cast cannot express. Arrays and maps pass through
+        higher-order functions (``transform`` / ``transform_values``) so
+        an ``array<struct>`` or ``map<k, struct>`` column evolves per
+        ELEMENT with zero row explosion — the whole mapping stays one
+        codegen projection. NULL structs stay NULL — F.struct of the
+        mapped children would otherwise resurrect them as all-null
+        rows; higher-order fns are null-propagating by definition."""
         from .schema_log import nested_fields_for, schema_of_fields
 
         cur_nested = f.get("fields")
-        if isinstance(tgt, T.StructType) and cur_nested:
+        if cur_nested:
             src_nested = nested_fields_for(src, slog)
             if src_nested is not None:
-                by_id = {n["id"]: n for n in src_nested}
-                parts = []
-                for n in cur_nested:
-                    ntgt = schema_of_fields([n]).fields[0].dataType
-                    s = by_id.get(n["id"])
-                    if s is None:
-                        parts.append(
-                            F.lit(n.get("default")).cast(ntgt).alias(n["name"])
-                        )
-                    else:
-                        parts.append(
-                            F.col(src["name"])
-                            .getField(s["name"])
-                            .cast(ntgt)
-                            .alias(n["name"])
-                        )
-                return (
-                    F.when(F.col(src["name"]).isNotNull(), F.struct(*parts))
-                    .otherwise(F.lit(None).cast(tgt))
-                    .alias(f["name"])
-                )
+                return self._nested_map_expr(
+                    F.col(src["name"]), tgt, src_nested, cur_nested
+                ).alias(f["name"])
         return F.col(src["name"]).cast(tgt).alias(f["name"])
+
+    @classmethod
+    def _nested_map_expr(cls, src_expr, tgt, src_members, cur_members):
+        """Recursive id-driven mapping of one struct-content expression
+        onto its current-epoch type (see :meth:`_epoch_field_expr`).
+        ``src_members`` / ``cur_members`` are the resolved member trees;
+        a member level where either side carries no ids never changed
+        shape (ids, once assigned, persist through every later epoch),
+        so it safely falls back to a plain cast."""
+        from .schema_log import schema_of_fields
+
+        if isinstance(tgt, T.ArrayType):
+            return F.when(
+                src_expr.isNotNull(),
+                F.transform(
+                    src_expr,
+                    lambda x: cls._nested_map_expr(
+                        x, tgt.elementType, src_members, cur_members
+                    ),
+                ),
+            ).otherwise(F.lit(None).cast(tgt))
+        if isinstance(tgt, T.MapType):
+            return F.when(
+                src_expr.isNotNull(),
+                F.transform_values(
+                    src_expr,
+                    lambda _k, v: cls._nested_map_expr(
+                        v, tgt.valueType, src_members, cur_members
+                    ),
+                ),
+            ).otherwise(F.lit(None).cast(tgt))
+        if not isinstance(tgt, T.StructType):
+            return src_expr.cast(tgt)
+        by_id = {m["id"]: m for m in src_members}
+        parts = []
+        for m in cur_members:
+            mtgt = schema_of_fields([m]).fields[0].dataType
+            s = by_id.get(m["id"])
+            if s is None:
+                parts.append(F.lit(m.get("default")).cast(mtgt).alias(m["name"]))
+                continue
+            child = src_expr.getField(s["name"])
+            sub_src, sub_cur = s.get("fields"), m.get("fields")
+            # recursion gate compares the ENTRIES (ids included), never
+            # just type jsons: a drop-then-readd reproduces an identical
+            # type json with a different member id, and a positional cast
+            # would resurrect the dropped values
+            if sub_src and sub_cur and s != m:
+                parts.append(
+                    cls._nested_map_expr(child, mtgt, sub_src, sub_cur).alias(m["name"])
+                )
+            else:
+                parts.append(child.cast(mtgt).alias(m["name"]))
+        return (
+            F.when(src_expr.isNotNull(), F.struct(*parts))
+            .otherwise(F.lit(None).cast(tgt))
+        )
 
     def _parse_dtype(self, dtype) -> T.DataType:
         if isinstance(dtype, T.DataType):
@@ -2376,7 +2476,10 @@ class TableRepo:
                         # (or null) — a constant per commit scan, folded
                         # by Catalyst, never materialized in storage
                         cols.append(F.lit(f.get("default")).cast(tgt).alias(f["name"]))
-                    elif src["name"] == f["name"] and src["type"] == f["type"]:
+                    elif src == f:
+                        # deep entry equality (ids included) — name+type
+                        # alone would miss a drop-then-readd that
+                        # reproduced the same type json under a new id
                         cols.append(F.col(f["name"]))
                     else:
                         # rename/widen/nested-evolution mapping, struct-aware

@@ -71,7 +71,7 @@ def test_nested_ddl_guards(spark, tmp_root):
             "k int, g string, v double, meta struct<w:int, fmt:string>",
         )
     )
-    with pytest.raises(TypeError, match="not a struct"):
+    with pytest.raises(TypeError, match="no struct content"):
         t.add_struct_field("v", "x", "int")
     # key/partition columns are structural — pinned even for nested ops
     with pytest.raises(ValueError, match="key"):
