@@ -1512,6 +1512,21 @@ class TableRepo:
                 "rewritten by DDL)"
             )
 
+    def _undecided_txn_markers(self) -> list[str]:
+        """Distinct STILL-PENDING transaction markers among this table's
+        current manifest entries — the set that makes schema DDL refuse
+        (see :meth:`_evolve_schema`). Resolved marker states are cached
+        process-wide by ``txn_state``, so this is O(in-flight txns)."""
+        from .manifest import load_manifest, txn_state
+
+        mf = load_manifest(self._fs(), self.main_path)
+        out: list[str] = []
+        for c in (mf or {}).get("commits", []):
+            m = c.get("txn")
+            if m and m not in out and txn_state(m) == "pending":
+                out.append(m)
+        return out
+
     def _evolve_schema(self, mutate) -> None:
         """Shared DDL loop: bootstrap epoch 1 from the canonical sidecar
         schema if this is the table's first DDL, apply ``mutate`` to the
@@ -1529,6 +1544,26 @@ class TableRepo:
 
         fs = self._fs()
         while True:
+            # conflict-checked DDL (round-7 verdict #4): an epoch flip
+            # cannot be gated on a transaction marker (the schema log has
+            # no read-side txn resolution, by design — it must stay
+            # readable by bare schema() calls), so DDL racing an OPEN
+            # transaction that already staged entries on this table is
+            # refused loudly instead of silently re-shaping the shared
+            # current epoch under the txn's feet. Decided (committed /
+            # aborted) txns never block; a crashed coordinator's pending
+            # marker blocks until decided or swept — deliberately loud.
+            # Re-checked on every CAS retry. Entries landing inside the
+            # residual check→publish window stay CORRECT regardless: they
+            # stamp the epoch they aligned to and map by field id.
+            pending = self._undecided_txn_markers()
+            if pending:
+                raise RuntimeError(
+                    f"schema DDL on {self.name!r} refused: undecided "
+                    f"transaction entries present (markers: {pending}) — "
+                    "commit/abort the transaction (or sweep_aborted_txns) "
+                    "first"
+                )
             log = load_schema_log(fs, self.main_path)
             if not log:
                 meta = load_meta(self.main_path, spark=self._spark)
