@@ -700,6 +700,7 @@ class TableRepo:
         update_condition: str | None = None,
         delete_condition: str | None = None,
         insert: bool = True,
+        merge_schema: bool = False,
     ) -> None:
         """SQL MERGE INTO over the keyed table (the Delta/Iceberg MERGE
         shape; no reference counterpart — core.py can only upsert whole
@@ -725,6 +726,16 @@ class TableRepo:
         rejected: a key rewrite is a delete+insert, and a group move
         belongs to replace_records' full-row semantics.
 
+        ``merge_schema=True`` (Delta's mergeSchema-on-MERGE): source
+        columns — and nested struct members at any depth — absent from
+        the target's canonical schema are ADDED through the schema-epoch
+        log before the merge runs (metadata-only; manifest mode
+        required). Pre-merge rows in untouched partitions surface the
+        initial-default semantics of ``add_column`` (typed null) with
+        zero rewrite; without the flag, alignment drops unknown
+        top-level source columns (the documented default) and unknown
+        NESTED members raise.
+
         Scale shape, same as replace_records: one semi-join locates the
         partitions holding matched keys; only those (plus partitions
         receiving inserts) are read back, merged via ONE full-outer join
@@ -732,6 +743,8 @@ class TableRepo:
         never O(table). Partitions emptied by deletes are cleared."""
         if not self.index_cols:
             raise TypeError("merge needs index_cols (the match key)")
+        if merge_schema:
+            self._merge_schema_from(source)
         protected = set(self.index_cols) | set(self.group_cols)
         if isinstance(update, dict):
             bad = protected & set(update)
@@ -1511,6 +1524,63 @@ class TableRepo:
                 "expression, like every persisted SQL string, is not "
                 "rewritten by DDL)"
             )
+
+    def _merge_schema_from(self, source: DataFrame) -> None:
+        """Schema evolution on MERGE (Delta ``mergeSchema``): add every
+        source column / nested struct member the canonical schema lacks,
+        through the S33 epoch log — metadata commits only, no file
+        rewritten, no data job. Top-level adds batch into ONE epoch;
+        nested adds follow per dotted path. Type conflicts on EXISTING
+        columns are not touched here — alignment's cast rules (and its
+        loud unknown-member error) still govern those."""
+        if self.commit_mode != "manifest":
+            raise TypeError(
+                "merge(merge_schema=True) requires commit_mode='manifest' "
+                "(schema DDL lives in the manifest epoch log)"
+            )
+        target = self.get_full_df().schema
+        if not target.fields:
+            # never-written table: the first write adopts the incoming
+            # schema wholesale — nothing to evolve
+            return
+        have = {f.name.lower(): f for f in target.fields}
+        new_top = [f for f in source.schema.fields if f.name.lower() not in have]
+        if new_top:
+
+            def mutate(fields, log):
+                from .schema_log import next_field_id
+
+                nid = next_field_id(log)
+                added = []
+                for i, f in enumerate(new_top):
+                    added.append(
+                        {"id": nid + i, "name": f.name, "type": f.dataType.jsonValue()}
+                    )
+                return fields + added
+
+            self._evolve_schema(mutate)
+
+        def nested_adds(src_dt, tgt_dt, path):
+            while isinstance(src_dt, T.ArrayType) and isinstance(tgt_dt, T.ArrayType):
+                src_dt, tgt_dt = src_dt.elementType, tgt_dt.elementType
+            while isinstance(src_dt, T.MapType) and isinstance(tgt_dt, T.MapType):
+                src_dt, tgt_dt = src_dt.valueType, tgt_dt.valueType
+            if not (
+                isinstance(src_dt, T.StructType) and isinstance(tgt_dt, T.StructType)
+            ):
+                return
+            members = {c.name.lower(): c for c in tgt_dt.fields}
+            for c in src_dt.fields:
+                m = members.get(c.name.lower())
+                if m is None:
+                    self.add_struct_field(path, c.name, c.dataType)
+                else:
+                    nested_adds(c.dataType, m.dataType, f"{path}.{m.name}")
+
+        for f in source.schema.fields:
+            m = have.get(f.name.lower())
+            if m is not None:
+                nested_adds(f.dataType, m.dataType, m.name)
 
     def _undecided_txn_markers(self) -> list[str]:
         """Distinct STILL-PENDING transaction markers among this table's
