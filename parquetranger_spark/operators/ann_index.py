@@ -83,6 +83,8 @@ class AnnIndex:
         max_iter: int = 5,
         train_limit: int | None = 8192,
         attr_cols: list[str] | None = None,
+        pq_m: int | None = None,
+        pq_codes: int = 256,
     ) -> int:
         """(Re)build the index from ``corpus``: train the coarse
         quantizer, assign every vector, replace both tables. Returns the
@@ -92,7 +94,18 @@ class AnnIndex:
         the postings table — the filtered-search shape (Milvus/Vespa
         attribute filtering): :meth:`query` with ``where=`` then pushes
         the predicate into the probed partitions' parquet scan, so a
-        constrained search reads no more than an unconstrained one."""
+        constrained search reads no more than an unconstrained one.
+
+        ``pq_m`` composes PRODUCT QUANTIZATION into the index (the
+        FAISS IVF-PQ shape): codebooks train once on a bounded sample
+        (:func:`.similarity.train_pq_codebooks`, persisted in a third
+        tiny table), every posting also stores its ``pq_m``-byte code,
+        and :meth:`query_pq` serves top-k by an asymmetric-distance scan
+        that reads ONLY the codes column of the probed partitions —
+        parquet column pruning makes the candidate scan ~dim·8/pq_m
+        times narrower than raw vectors (the scan-bandwidth story at
+        100 TB of embeddings) — with exact re-rank reading raw vectors
+        for candidates alone."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -122,6 +135,19 @@ class AnnIndex:
         assigned = model.transform(cv).select(
             self.id_col, "cv", "cn", "list_id", *self_attrs
         )
+        if pq_m:
+            from .similarity import train_pq_codebooks
+
+            books = train_pq_codebooks(
+                corpus, vec_col=self.vec_col, m=pq_m, n_codes=pq_codes, seed=seed
+            )
+            self._pq_repo().replace_all(
+                spark.createDataFrame(
+                    [(pq_m, pq_codes, books)],
+                    "m int, n_codes int, books array<array<array<double>>>",
+                )
+            )
+            assigned = assigned.withColumn("pq", self._encode_udf(books)(F.col("cv")))
         cents = [
             (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
         ]
@@ -130,6 +156,70 @@ class AnnIndex:
         )
         self.postings.replace_all(assigned)
         return n_lists
+
+    # ---------------------------------------------------------------- PQ
+
+    def _pq_repo(self) -> TableRepo:
+        return TableRepo(
+            self.root + "/pq", commit_mode="manifest", spark=self._spark
+        )
+
+    def _load_books(self):
+        """(books, m) from the persisted codebook table, or None when the
+        index was built without PQ. One driver-side row — m × n_codes ×
+        (dim/m) doubles, a few MB at any corpus size."""
+        repo = self._pq_repo()
+        try:
+            row = repo.get_full_df().first()
+        except Exception:
+            return None
+        if row is None:
+            return None
+        return [list(map(list, b)) for b in row["books"]], row["m"]
+
+    @staticmethod
+    def _encode_udf(books):
+        """Arrow-batched encoder: normalized subvector → nearest codebook
+        entry per subspace (same construction as topk_cosine_pq — the
+        only Python in the PQ pipeline)."""
+        def _encode(vs):
+            import numpy as np
+            import pandas as _pd
+
+            B = [np.asarray(b) for b in books]
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), len(B)), dtype=np.int32)
+            for j, C in enumerate(B):
+                Xj = X[:, j * C.shape[1] : (j + 1) * C.shape[1]]
+                d2 = (C * C).sum(1)[None, :] - 2.0 * (Xj @ C.T)
+                codes[:, j] = d2.argmin(1)
+            return _pd.Series(list(codes))
+
+        return F.pandas_udf(_encode, "array<int>")
+
+    @staticmethod
+    def _lut_udf(books):
+        """Per-query LUT of subvector·codebook dots — the broadcastable
+        side of the asymmetric-distance scan."""
+        def _luts(vs):
+            import numpy as np
+            import pandas as _pd
+
+            B = [np.asarray(b) for b in books]
+            out = []
+            for v in vs:
+                x = np.array(v, dtype=np.float64)  # copy: arrow buffers are read-only
+                x /= max(np.linalg.norm(x), 1e-12)
+                out.append(
+                    [
+                        list(x[j * C.shape[1] : (j + 1) * C.shape[1]] @ C.T)
+                        for j, C in enumerate(B)
+                    ]
+                )
+            return _pd.Series(out)
+
+        return F.pandas_udf(_luts, "array<array<double>>")
 
     def add(self, batch: DataFrame) -> None:
         """Route ``batch`` to nearest existing centroids (the KMeans
@@ -162,6 +252,13 @@ class AnnIndex:
             .where(F.col("__r") == 1)
             .select(self.id_col, "cv", "cn", "list_id", *extra)
         )
+        pq = self._load_books()
+        if pq is not None:
+            # codebooks are FROZEN at build time (the FAISS contract):
+            # adds encode against them, never re-train
+            assigned = assigned.withColumn(
+                "pq", self._encode_udf(pq[0])(F.col("cv"))
+            )
         # postings' canonical-schema alignment drops attrs the index was
         # not built with and nulls ones this batch lacks — the batch
         # never dictates the index's attribute surface
@@ -252,19 +349,105 @@ class AnnIndex:
             out = out.unionByName(d)
         return out
 
-    def _topk_once(
+    def query_pq(
         self,
-        q: DataFrame,
-        cents: DataFrame,
-        k: int,
-        n_probe: int,
-        exclude_self: bool,
-        where: str | None,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        rerank: int | None = None,
+        exclude_self: bool = True,
     ) -> DataFrame:
+        """Top-k via the IVF-PQ serving path: probe ``n_probe`` lists,
+        ADC-score candidates reading ONLY the ``pq`` codes column of the
+        probed partitions (parquet column pruning — the raw ``cv``
+        vectors never enter the candidate scan), keep the top ``rerank``
+        (default 4k) per query, then re-rank exactly by reading the raw
+        vectors of the CANDIDATES alone. Returns (query_id, neighbor_id,
+        rank, cos) with exact cosine within the candidate set — the
+        FAISS IVF-PQ + refine shape on TableRepo storage.
+
+        Scan arithmetic at 100 TB: probed fraction × (pq_m bytes/row)
+        for candidates + rerank×|queries| rows of raw vectors — vs
+        probed fraction × (8·dim bytes/row) without PQ."""
+        pq = self._load_books()
+        if pq is None:
+            raise ValueError(
+                "query_pq: index was built without pq_m (no codebooks)"
+            )
+        books, _m = pq
+        rerank = rerank or 4 * k
+        cents = self.centroids.get_full_df()
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"),
+            to_double(F.col(self.vec_col)).alias("qv"),
+        ).withColumn("qn", norm(F.col("qv")))
+        probes = self._probes(q, cents, n_probe).select(
+            "query_id", "qv", "qn", "list_id", self._lut_udf(books)(F.col("qv")).alias("lut")
+        )
+        probes = probes.localCheckpoint(eager=True)
+        probed_ids = [
+            r["list_id"] for r in probes.select("list_id").distinct().collect()
+        ]
+        # candidate scan: codes only — cv/cn are PRUNED from this read
+        codes = (
+            self.postings.get_full_df()
+            .where(F.col("list_id").isin(probed_ids))
+            .select(F.col(self.id_col).alias("neighbor_id"), "pq", "list_id")
+        )
+        cand = probes.select("query_id", "list_id", "lut").join(codes, "list_id")
+        if exclude_self:
+            cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+        # ADC: Σ_j lut[j][code_j] (element_at is 1-based, codes 0-based)
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("pq"),
+                F.col("lut"),
+                lambda c, row: F.element_at(row, c.cast("int") + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wa = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("neighbor_id")
+        )
+        short = (
+            cand.select("query_id", "neighbor_id", "list_id", adc.alias("adc"))
+            .withColumn("__r", F.row_number().over(wa))
+            .where(F.col("__r") <= rerank)
+            .select("query_id", "neighbor_id", "list_id")
+        )
+        # exact refine: raw vectors for the candidate rows alone — the
+        # scan still prunes to probed partitions, then semi-joins by id
+        vecs = (
+            self.postings.get_full_df()
+            .where(F.col("list_id").isin(probed_ids))
+            .select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            short.join(vecs, "neighbor_id")
+            .join(q.select("query_id", "qv", "qn"), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_prenormed(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ).alias("cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )
+
+    def _probes(self, q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+        """(query_id, qv, qn, list_id) — each query's ``n_probe`` nearest
+        lists by centroid cosine (broadcast ranking, no shuffle)."""
         wq = Window.partitionBy("query_id").orderBy(
             F.col("c_cos").desc(), F.col("list_id")
         )
-        probes = (
+        return (
             q.crossJoin(F.broadcast(cents))
             .select(
                 "query_id",
@@ -277,9 +460,19 @@ class AnnIndex:
             .where(F.col("__pr") <= n_probe)
             .select("query_id", "qv", "qn", "list_id")
         )
+
+    def _topk_once(
+        self,
+        q: DataFrame,
+        cents: DataFrame,
+        k: int,
+        n_probe: int,
+        exclude_self: bool,
+        where: str | None,
+    ) -> DataFrame:
         # probes anchor two consumers (the id collect + the candidate
         # join); checkpoint once — the frame is n_queries × n_probe rows
-        probes = probes.localCheckpoint(eager=True)
+        probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
         probed_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
         inv = self.postings.get_full_df().where(F.col("list_id").isin(probed_ids))
         if where is not None:

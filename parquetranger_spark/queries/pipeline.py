@@ -729,6 +729,71 @@ def ann_index_persisted_topk(spark, sf_dir):
 
 
 @query(
+    "ann_index_pq_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id >= 100 AND vec_id < 150),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+""",
+)
+def ann_index_pq_topk(spark, sf_dir):
+    """X3/X15 IVF-PQ serving (round-7 verdict #6 —
+    operators/ann_index.py::build(pq_m=) + query_pq): the persisted index
+    stores m-byte PQ codes in the postings partitions; top-k serves by an
+    asymmetric-distance scan over the PROBED partitions' codes column
+    with exact re-rank reading raw vectors for candidates only — the
+    scan-bandwidth story at 100 TB of embeddings. In-query asserts:
+    (a) bytes-scanned — the plan's candidate scan reads the ``pq``
+    column WITHOUT ``cv`` (parquet column pruning is the mechanism, so
+    the plan is the proof); (b) recall ≥ 0.7 of the PQ path vs the
+    UNCOMPRESSED index serving the same probes; (c) the emitted surface
+    is the exact brute force (recall-asserted via _ann_verified_exact),
+    which the SQL oracle re-derives."""
+    import re as _re
+
+    from ..operators.ann_index import AnnIndex
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = AnnIndex(scratch_dir("annpq") + "/idx", spark=spark)
+    n_lists = idx.build(e, seed=42, pq_m=8)
+    q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    n_probe = max(8, n_lists // 3)
+    approx = idx.query_pq(q, k=5, n_probe=n_probe, rerank=40).cache()
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    if any("pq:" in s and "cv:" in s for s in schemas):
+        raise AssertionError(
+            "PQ candidate scan reads raw vectors — column pruning regressed"
+        )
+    if not any("pq:" in s for s in schemas):
+        raise AssertionError("no codes-only candidate scan found in the plan")
+    import os as _os
+
+    if not _os.environ.get("PQRS_BENCH_APPROX_ONLY"):
+        uncompressed = idx.query(q, k=5, n_probe=n_probe).cache()
+        total = uncompressed.count()
+        hits = uncompressed.join(
+            approx, ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        if total and hits < 0.7 * total:
+            raise AssertionError(
+                f"ann_index_pq_topk: PQ recall vs uncompressed index "
+                f"{hits / total:.3f} < 0.7"
+            )
+    exact = topk_cosine_bruteforce(q, e, k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.7, "ann_index_pq_topk")
+
+
+@query(
     "ann_filtered_topk",
     oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -215,3 +215,47 @@ def test_lifecycle_soak_under_retention(spark, idx, tmp_root):
     a = {(r.query_id, r.neighbor_id) for r in idx.query(q, k=3, n_probe=6).collect()}
     b = {(r.query_id, r.neighbor_id) for r in idx2.query(q, k=3, n_probe=6).collect()}
     assert a == b
+
+
+def test_pq_composed_index_lifecycle(spark, sf_dir, tmp_path):
+    """IVF-PQ composition (round-7 verdict #6): build(pq_m=) persists
+    codebooks and m-byte codes; add() encodes against the FROZEN books;
+    query_pq ADC-scans codes only (plan-asserted) and re-ranks exactly;
+    deletes hold through the PQ path."""
+    import re
+
+    from parquetranger_spark.operators.ann_index import AnnIndex
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = e.where(F.col("vec_id") % 5 != 0)
+    incr = e.where(F.col("vec_id") % 5 == 0)
+    idx = AnnIndex(str(tmp_path) + "/idx", spark=spark)
+    n_lists = idx.build(base, seed=42, pq_m=4, pq_codes=64)
+    idx.add(incr)  # must encode with the stored books
+    assert idx.postings.get_full_df().where(F.col("pq").isNull()).count() == 0
+    assert idx.postings.get_full_df().where(F.size("pq") != 4).count() == 0
+    dead = e.where(F.col("vec_id") % 50 == 0).select("vec_id")
+    idx.delete(dead)
+
+    q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    got = idx.query_pq(q, k=3, n_probe=max(4, n_lists // 2), rerank=30).cache()
+    # plan: the candidate scan reads codes WITHOUT raw vectors
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert any("pq:" in s for s in schemas)
+    assert not any("pq:" in s and "cv:" in s for s in schemas)
+    # k rows per query, exact-cosine ordering, no deleted ids
+    per_q = {r["query_id"]: r["count"] for r in got.groupBy("query_id").count().collect()}
+    assert set(per_q.values()) == {3}
+    assert got.join(dead, got["neighbor_id"] == dead["vec_id"], "left_semi").count() == 0
+    # recall vs the uncompressed serving path over the same probes
+    ref = idx.query(q, k=3, n_probe=max(4, n_lists // 2)).cache()
+    hits = ref.join(got, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.7 * ref.count()
+    # built-without-PQ indexes refuse query_pq loudly
+    bare = AnnIndex(str(tmp_path) + "/bare", spark=spark)
+    bare.build(base.limit(200), seed=1)
+    with pytest.raises(ValueError, match="without pq_m"):
+        bare.query_pq(q, k=3)
