@@ -230,17 +230,20 @@ def _fan_out(names: list[str], repeat: int) -> None:
     it as r3_method_total next to the chunked r3_subset_total."""
     merged: dict[str, float] = {}
     approx: dict[str, float] = {}
+    spread: dict[str, float] = {}
     chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)]
     for ci, chunk in enumerate(chunks):
         part = _run_child(chunk, repeat, f"chunk {ci + 1}/{len(chunks)}")
         merged.update(part["queries"])
         approx.update(part.get("ann_approx_only") or {})
+        spread.update(part.get("query_spread") or {})
     extra = {}
     r3 = [n for n in R3_SET if n in QUERIES]
     if set(r3) <= set(names):
         part = _run_child(r3, repeat, "r3-method single-session run")
         extra["r3_method_total"] = round(sum(part["queries"].values()), 3)
         extra["r3_method_ann_approx_only"] = part.get("ann_approx_only") or {}
+    extra["query_spread"] = spread
     _emit_json(merged, approx, extra)
 
 
@@ -317,22 +320,32 @@ def main() -> None:
     timings: dict[str, float] = {}
     approx_only: dict[str, float] = {}
 
+    sigmas: dict[str, float] = {}
+
     def timed(name: str) -> float:
-        best = None
+        samples = []
         for _ in range(repeat):
             pre = set(_glob.glob(scratch_glob))
-            t = run_one(spark, name)
-            best = t if best is None else min(best, t)
+            samples.append(run_one(spark, name))
             # storage queries materialize scratch repos per run; a long
             # --all --repeat sweep would otherwise grow /tmp linearly and
             # can exhaust it mid-bench
             for d in set(_glob.glob(scratch_glob)) - pre:
                 _shutil.rmtree(d, ignore_errors=True)
-        return best
+        samples.sort()
+        med = samples[len(samples) // 2]
+        sigmas[name] = round(samples[-1] - samples[0], 3)
+        # sub-second queries sit inside the JVM-scheduling noise band
+        # (±30% observed): best-of-N there reports the lucky tail and
+        # phantom "regressions" appear round-over-round — take the MEDIAN
+        # below the threshold (verdict r6 #7). Heavier queries keep
+        # best-of-N: their first run pays query-shaped JIT, and min is
+        # the steady-state throughput the cross-round ratios track.
+        return med if med < 1.5 else samples[0]
 
     for name in names:
         timings[name] = timed(name)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s (spread {sigmas[name]}s)", file=sys.stderr)
         if name in ANN_SPLIT:
             # verified-exact family: re-time ADJACENT to the full run
             # (same session age) with the exact twin + recall assert
@@ -340,13 +353,15 @@ def main() -> None:
             # path vs the deliberately-added verify surface. Gate
             # semantics are unchanged — the flag lives only here.
             os.environ["PQRS_BENCH_APPROX_ONLY"] = "1"
+            full_sigma = sigmas[name]
             try:
                 approx_only[name] = timed(name)
             finally:
                 os.environ.pop("PQRS_BENCH_APPROX_ONLY", None)
+                sigmas[name] = full_sigma  # spread reported for the FULL run
             print(f"# {name} (approx only): {approx_only[name]}s", file=sys.stderr)
 
-    _emit_json(timings, approx_only)
+    _emit_json(timings, approx_only, {"query_spread": sigmas})
 
 
 def _emit_json(
@@ -385,7 +400,7 @@ def _emit_json(
                 # in-query (the verified-exact oracle pattern that ended
                 # their no_oracle driver exposure) — deliberate
                 # correctness-coverage cost, not an index regression
-                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed); r3_method_total re-times the 44-query r03 common subset in ONE session (the r03 accounting) for cross-round attribution",
+                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed); r3_method_total re-times the 44-query r03 common subset in ONE session (the r03 accounting) for cross-round attribution; since r7 per-query values are MEDIAN-of-N below 1.5s / best-of-N above (sub-second noise band), with per-query max-min spread in query_spread",
                 **(extra or {}),
             }
         )
