@@ -2260,6 +2260,77 @@ def governed_read_masked(spark, sf_dir):
 
 
 @query(
+    "governed_roles_matrix",
+    oracle="""
+WITH analyst AS (
+  SELECT 'analyst' AS role, c_mktsegment,
+         concat('**', right(c_name, 3)) AS c_name, c_acctbal
+  FROM customer
+),
+intern AS (
+  SELECT 'intern' AS role, c_mktsegment, '<intern>' AS c_name,
+         round(c_acctbal, -2) AS c_acctbal
+  FROM customer WHERE round(c_acctbal, -2) >= 0.0
+),
+unioned AS (SELECT * FROM analyst UNION ALL SELECT * FROM intern)
+SELECT role, c_mktsegment, count(*) AS n, min(c_name) AS min_name,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+FROM unioned GROUP BY role, c_mktsegment
+""",
+)
+def governed_roles_matrix(spark, sf_dir):
+    """Per-principal governance (round-7 verdict #8 —
+    table_repo.py::set_policy(role=...) + open(governed_as=...)): the
+    sidecar carries PER-ROLE grants beside the table default; a handle
+    bound to a role resolves its own masks/filters, the roleless governed
+    handle keeps the default, an ungranted role falls back to the table
+    default (asserted in-query), and with no default it fails CLOSED
+    (pytest matrix). The emitted surface unions
+    the two roles' views tagged by role — the oracle reproduces both
+    mask shapes in SQL. Scale shape: identical to single-policy
+    governance — one projection + one predicate inside the scan, chosen
+    per handle at plan time; role resolution is one sidecar read."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name", "c_acctbal"
+    )
+    t = TableRepo(
+        scratch_dir("govroles") + "/customer",
+        commit_mode="manifest",
+        single_writer=True,
+        spark=spark,
+    )
+    t.extend(c)
+    t.set_policy(column_masks={"c_name": "'<default>'"})
+    t.set_policy(
+        column_masks={"c_name": "concat('**', right(c_name, 3))"}, role="analyst"
+    )
+    t.set_policy(
+        row_filter="c_acctbal >= 0.0",
+        column_masks={"c_name": "'<intern>'", "c_acctbal": "round(c_acctbal, -2)"},
+        role="intern",
+    )
+    analyst = TableRepo.open(t.main_path, governed_as="analyst", spark=spark)
+    intern = TableRepo.open(t.main_path, governed_as="intern", spark=spark)
+    ghost = TableRepo.open(t.main_path, governed_as="ghost", spark=spark)
+    # an ungranted role falls back to the table DEFAULT when one exists
+    # (fail-closed only when there is none — pytest covers that branch):
+    # it must see the default mask, never raw names
+    row = ghost.get_full_df().select("c_name").head(1)
+    if row and row[0][0] != "<default>":
+        raise AssertionError("ungranted role bypassed the default mask")
+    both = analyst.get_full_df().withColumn("role", F.lit("analyst")).unionByName(
+        intern.get_full_df().withColumn("role", F.lit("intern"))
+    )
+    return both.groupBy("role", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_name").alias("min_name"),
+        dsum("c_acctbal", "sum_bal"),
+    )
+
+
+
+
+@query(
     "governed_handle_surfaces",
     oracle="""
 WITH gov AS (

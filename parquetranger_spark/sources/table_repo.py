@@ -175,6 +175,7 @@ class TableRepo:
         bloom_cols: str | list[str] | None = None,
         manifest_inline_files_max: int = 2000,
         governed: bool = False,
+        governed_as: str | None = None,
         spark: SparkSession | None = None,
     ):
         root_path = str(root_path)
@@ -253,8 +254,13 @@ class TableRepo:
         # consumer could sidestep by method choice would not be a policy.
         # The flag is a HANDLE property (never persisted): owners hold
         # ungoverned handles, consumers are given governed ones
-        # (`TableRepo.open(root, governed=True)`).
-        self.governed = bool(governed)
+        # (`TableRepo.open(root, governed=True)`). ``governed_as`` binds
+        # the handle to a PRINCIPAL: the policy resolved at read time is
+        # the role's own (set_policy(role=...)), falling back to the
+        # table default; a role the role-governed table never granted
+        # fails CLOSED (see _policy). Implies governed.
+        self.governed_as = governed_as
+        self.governed = bool(governed) or governed_as is not None
         self._spark = spark
         if mkdirs and not self.governed:
             self.mkdirs()
@@ -977,6 +983,7 @@ class TableRepo:
             # handle: the branch sidecar carries the fork-time policy and
             # the returned handle keeps enforcing it
             governed=self.governed,
+            governed_as=self.governed_as,
             spark=self._spark,
         )
 
@@ -1508,13 +1515,15 @@ class TableRepo:
             raise ValueError(f"{op}: {name!r} is a partition column")
         if name in index_cols:
             raise ValueError(f"{op}: {name!r} is a key (index) column")
-        masks = (((meta and meta.config) or {}).get("policy") or {}).get(
-            "column_masks"
-        ) or {}
+        cfg = (meta and meta.config) or {}
+        pols = [cfg.get("policy") or {}]
+        pols += list((cfg.get("role_policies") or {}).values())
+        masks = {c for p in pols for c in (p.get("column_masks") or {})}
         if name in masks:
             raise ValueError(
-                f"{op}: {name!r} is masked by the table's governance policy "
-                "— set_policy() without it (or re-pointed) first"
+                f"{op}: {name!r} is masked by a governance policy (default "
+                "or role grant) — set_policy() without it (or re-pointed) "
+                "first"
             )
         gen = ((meta and meta.config) or {}).get("generated_cols") or {}
         if name in gen:
@@ -3572,7 +3581,8 @@ class TableRepo:
                     else "files"
                 ),
             }
-        cfg.pop("policy", None)  # read-path contract, not a ctor arg
+        cfg.pop("policy", None)  # read-path contracts, not ctor args
+        cfg.pop("role_policies", None)
         hp = cfg.pop("hash_partitioner", None)
         if hp is not None and "group_cols" not in overrides:
             cfg["group_cols"] = HashPartitioner(hp["col"], hp["num_groups"])
@@ -3677,6 +3687,7 @@ class TableRepo:
         self,
         row_filter: str | None = None,
         column_masks: dict[str, str] | None = None,
+        role: str | None = None,
     ) -> None:
         """Persist a table-level GOVERNANCE policy (the catalog
         row-filter / column-mask shape): ``row_filter`` is a SQL
@@ -3689,7 +3700,15 @@ class TableRepo:
         canonical schema here, not at read time. Pass both as None to
         clear. Policies are read-path contracts for consumers; they do
         not rewrite data (scrub at rest with update_where/pii tooling
-        when erasure, not governance, is the requirement)."""
+        when erasure, not governance, is the requirement).
+
+        ``role`` binds the policy to a PRINCIPAL (the catalog
+        grant shape — round-7 verdict #8): handles opened with
+        ``open(root, governed_as=role)`` resolve that role's policy;
+        roleless ``set_policy`` keeps setting the table DEFAULT every
+        plain governed handle (and any role without its own grant when a
+        default exists) resolves. Clearing a role (both args None with
+        ``role=``) removes only that grant."""
         self._assert_ungoverned("set_policy")
         meta = load_meta(self.main_path, spark=self._spark)
         if meta is None or meta.schema is None:
@@ -3725,22 +3744,52 @@ class TableRepo:
         if column_masks:
             pol["column_masks"] = dict(column_masks)
         cfg = dict(meta.config or {})
-        if pol:
-            cfg["policy"] = pol
+        if role is None:
+            if pol:
+                cfg["policy"] = pol
+            else:
+                cfg.pop("policy", None)
         else:
-            cfg.pop("policy", None)
+            rp = dict(cfg.get("role_policies") or {})
+            if pol:
+                rp[role] = pol
+            else:
+                rp.pop(role, None)
+            if rp:
+                cfg["role_policies"] = rp
+            else:
+                cfg.pop("role_policies", None)
         meta.config = cfg
         save_meta(self.main_path, meta, spark=self._spark)
 
     def _policy(self) -> dict:
-        """The persisted governance policy (empty dict when none). One
+        """The governance policy THIS handle resolves (empty dict when
+        none). Role-bound handles (``governed_as``) get their role's
+        grant, else the table default, and fail CLOSED — PermissionError
+        — when the table carries role grants but none for this role and
+        no default (a typo'd principal must never read raw). One
         KB-sized sidecar read per call — deliberate: the policy must be
         re-read so a set_policy() from another handle takes effect
         without reopening this one (the same freshness contract every
         read already pays via load_meta); multi-step paths thread the
         loaded ``pol`` into :meth:`_apply_policy` instead of re-calling."""
         meta = load_meta(self.main_path, spark=self._spark)
-        return ((meta and meta.config) or {}).get("policy") or {}
+        cfg = (meta and meta.config) or {}
+        if self.governed_as is not None:
+            rp = cfg.get("role_policies") or {}
+            if self.governed_as in rp:
+                return rp[self.governed_as]
+            default = cfg.get("policy")
+            if default:
+                return default
+            if rp:
+                raise PermissionError(
+                    f"role {self.governed_as!r} has no policy grant on "
+                    f"{self.name!r} (and the table has no default policy) — "
+                    "fail-closed; grant it via set_policy(role=...)"
+                )
+            return {}
+        return cfg.get("policy") or {}
 
     def _apply_policy(
         self, df: DataFrame, pol: dict | None = None, tombstone_col: str | None = None
@@ -3816,6 +3865,7 @@ class TableRepo:
 
         twin = copy.copy(self)
         twin.governed = False
+        twin.governed_as = None
         return twin
 
     def get_full_df_governed(self, version: int | None = None) -> DataFrame:

@@ -298,3 +298,60 @@ def test_governed_stream_subscription_cannot_probe_masked_values(
     # unmasked-column predicates still prune files
     rows = drain(g.stream_manifest(predicates=[("val", ">", 15.0)]), "p2")
     assert {r.k for r in rows} == {2}
+
+
+def test_per_principal_policies(spark, tmp_root):
+    """Round-7 verdict #8: role-bound grants. Two roles see DIFFERENT
+    masked surfaces through the same root; the roleless governed handle
+    keeps the default; an ungranted role on a role-governed table fails
+    CLOSED; clearing one grant leaves the others."""
+    t = TableRepo(
+        f"{tmp_root}/t", group_cols="g", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t.extend(
+        spark.createDataFrame(
+            [(1, "A", "alice@x.io", 10.0), (2, "B", "bob@y.io", 99.0)],
+            "k int, g string, email string, v double",
+        )
+    )
+    t.set_policy(column_masks={"email": "'***'"})  # table default
+    t.set_policy(
+        column_masks={"email": "concat('*@', split(email, '@')[1])"},
+        role="analyst",
+    )
+    t.set_policy(row_filter="v < 50.0", column_masks={"email": "'###'"}, role="intern")
+
+    analyst = TableRepo.open(t.main_path, governed_as="analyst", spark=spark)
+    intern = TableRepo.open(t.main_path, governed_as="intern", spark=spark)
+    plain = TableRepo.open(t.main_path, governed=True, spark=spark)
+
+    a = {r.k: r.email for r in analyst.get_full_df().collect()}
+    assert a == {1: "*@x.io", 2: "*@y.io"}  # domain-preserving mask
+    i = {(r.k, r.email) for r in intern.get_full_df().collect()}
+    assert i == {(1, "###")}  # row filter AND full mask
+    p = {r.email for r in plain.get_full_df().collect()}
+    assert p == {"***"}  # the default policy, unchanged semantics
+
+    # role handles are governed handles: mutations refuse
+    with pytest.raises(PermissionError):
+        analyst.extend(spark.createDataFrame([(9, "A", "x", 1.0)], "k int, g string, email string, v double"))
+
+    # ungranted role on a role-governed table: fail closed, loudly
+    t2 = TableRepo(
+        f"{tmp_root}/t2", group_cols="g", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t2.extend(spark.createDataFrame([(1, "A", "e", 1.0)], "k int, g string, email string, v double"))
+    t2.set_policy(column_masks={"email": "'x'"}, role="analyst")
+    ghost = TableRepo.open(t2.main_path, governed_as="ghost", spark=spark)
+    with pytest.raises(PermissionError, match="fail-closed"):
+        ghost.get_full_df().collect()
+
+    # clearing one grant leaves others; structural pin covers role masks
+    with pytest.raises(ValueError, match="masked by a governance policy"):
+        t.rename_column("email", "mail")
+    t.set_policy(role="intern")  # clear intern only
+    assert {r.k for r in analyst.get_full_df().collect()} == {1, 2}
+    with pytest.raises(PermissionError, match="fail-closed"):
+        TableRepo.open(t2.main_path, governed_as="intern", spark=spark).get_full_df()
