@@ -125,6 +125,13 @@ HEADLINE = [
     "partition_values_meta",
     "time_travel_snapshot_schema",
     "generated_partition_col",
+    # round-9 additions (driver round 7): deep nested DDL through
+    # containers, MERGE schema evolution, per-principal governance,
+    # IVF-PQ serving — new to the headline set this round
+    "schema_evolution_deep",
+    "merge_upsert_evolving",
+    "governed_roles_matrix",
+    "ann_index_pq_topk",
 ]
 
 # queries whose gate form deliberately runs BOTH the index path and an
@@ -142,6 +149,7 @@ ANN_SPLIT = [
     "embedding_outliers_knn",
     "ann_index_persisted_topk",
     "ann_filtered_topk",
+    "ann_index_pq_topk",
 ]
 
 R2_SET = [
