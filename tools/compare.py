@@ -7,6 +7,7 @@ Usage: python tools/compare.py [query ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -37,6 +38,21 @@ def norm_rows(cols, rows):
 
 
 def main(names):
+    json_out = None
+    if "--json" in names:
+        i = names.index("--json")
+        json_out = names[i + 1]
+        names = names[:i] + names[i + 2:]
+    results: dict[str, dict] = {}
+
+    def record(name, ok, t0, rows=None, err=None):
+        results[name] = {
+            "ok": bool(ok),
+            "secs": round(time.time() - t0, 2),
+            **({"rows": rows} if rows is not None else {}),
+            **({"err": err} if err else {}),
+        }
+
     spark = get_spark("compare")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -56,9 +72,12 @@ def main(names):
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record(name, False, t0, err=f"spark: {e}"[:300])
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record(name, True, t0, rows=len(srows))
+            results[name]["rows_only"] = True
             continue
         try:
             res = con.execute(oracles[name])
@@ -67,6 +86,7 @@ def main(names):
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failed.append(name)
+            record(name, False, t0, err=f"oracle: {e}"[:300])
             continue
         problems = []
         if sorted(scols) != sorted(ocols):
@@ -81,9 +101,25 @@ def main(names):
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
+            record(name, False, t0, rows=len(srows), err="; ".join(problems)[:300])
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record(name, True, t0, rows=len(srows))
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if json_out:
+        # the per-round gate ARTIFACT (verdict r6 #10): per-query pass
+        # bits + timings so the judge can verify the full-gate claim
+        # without re-running every query
+        payload = {
+            "sf_dir": SF_DIR,
+            "total": len(names),
+            "passed": len(names) - len(failed),
+            "failed": sorted(failed),
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"# wrote {json_out}")
     return 1 if failed else 0
 
 
