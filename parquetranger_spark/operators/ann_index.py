@@ -148,6 +148,13 @@ class AnnIndex:
                 )
             )
             assigned = assigned.withColumn("pq", self._encode_udf(books)(F.col("cv")))
+        else:
+            # a rebuild WITHOUT pq must retire any previous codebooks:
+            # stale books would make query_pq serve null-coded garbage
+            # silently and add() encode against a dead corpus's training
+            pq = self._pq_repo()
+            if pq._fs().exists(pq.main_path):
+                pq.purge()
         cents = [
             (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
         ]
@@ -161,18 +168,23 @@ class AnnIndex:
 
     def _pq_repo(self) -> TableRepo:
         return TableRepo(
-            self.root + "/pq", commit_mode="manifest", spark=self._spark
+            self.root + "/pq",
+            commit_mode="manifest",
+            mkdirs=False,  # probes must not materialize dirs on non-PQ indexes
+            spark=self._spark,
         )
 
     def _load_books(self):
         """(books, m) from the persisted codebook table, or None when the
-        index was built without PQ. One driver-side row — m × n_codes ×
-        (dim/m) doubles, a few MB at any corpus size."""
+        index was built without PQ. Existence is probed explicitly — a
+        REAL read failure (store timeout, permissions) propagates instead
+        of silently degrading add() into writing null-coded postings.
+        One driver-side row — m × n_codes × (dim/m) doubles, a few MB at
+        any corpus size."""
         repo = self._pq_repo()
-        try:
-            row = repo.get_full_df().first()
-        except Exception:
+        if not repo._fs().exists(repo.main_path):
             return None
+        row = repo.get_full_df().first()
         if row is None:
             return None
         return [list(map(list, b)) for b in row["books"]], row["m"]
@@ -381,10 +393,12 @@ class AnnIndex:
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
         ).withColumn("qn", norm(F.col("qv")))
-        probes = self._probes(q, cents, n_probe).select(
-            "query_id", "qv", "qn", "list_id", self._lut_udf(books)(F.col("qv")).alias("lut")
-        )
-        probes = probes.localCheckpoint(eager=True)
+        # LUT computed ONCE per query row (the m×n_codes GEMM), not once
+        # per (query, probe) pair — it joins back onto candidates below
+        luts = q.select(
+            "query_id", self._lut_udf(books)(F.col("qv")).alias("lut")
+        ).localCheckpoint(eager=True)
+        probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
         probed_ids = [
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         ]
@@ -394,7 +408,11 @@ class AnnIndex:
             .where(F.col("list_id").isin(probed_ids))
             .select(F.col(self.id_col).alias("neighbor_id"), "pq", "list_id")
         )
-        cand = probes.select("query_id", "list_id", "lut").join(codes, "list_id")
+        cand = (
+            probes.select("query_id", "list_id")
+            .join(codes, "list_id")
+            .join(luts, "query_id")
+        )
         if exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
         # ADC: Σ_j lut[j][code_j] (element_at is 1-based, codes 0-based)

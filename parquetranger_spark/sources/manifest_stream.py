@@ -1143,8 +1143,21 @@ def manifest_stream_source():
                             )
                         if pa.types.is_map(ttype):
                             items = rebuild(src.items, ttype.item_type, plan)
+                            # MapArray.from_arrays has no mask= — NULL
+                            # entries must ride in as NULL offsets, else
+                            # every null map resurrects as {}
+                            import numpy as _np
+
+                            nulls = pc.is_null(src).to_numpy(
+                                zero_copy_only=False
+                            )
+                            off = src.offsets.to_numpy()
+                            off = pa.array(
+                                off,
+                                mask=_np.concatenate([nulls, [False]]),
+                            )
                             return pa.MapArray.from_arrays(
-                                src.offsets, src.keys, items
+                                off, src.keys, items
                             )
                         if not pa.types.is_struct(ttype):
                             return src.cast(ttype)

@@ -747,6 +747,11 @@ class TableRepo:
         receiving inserts) are read back, merged via ONE full-outer join
         on the keys, and dynamically overwritten — O(touched partitions),
         never O(table). Partitions emptied by deletes are cleared."""
+        # governance check FIRST: merge_schema performs durable DDL and
+        # the merge itself rewrites partitions — a governed consumer must
+        # be refused before any metadata is touched, not at the final
+        # write step
+        self._assert_ungoverned("merge")
         if not self.index_cols:
             raise TypeError("merge needs index_cols (the match key)")
         if merge_schema:
@@ -3789,7 +3794,19 @@ class TableRepo:
                     "fail-closed; grant it via set_policy(role=...)"
                 )
             return {}
-        return cfg.get("policy") or {}
+        default = cfg.get("policy")
+        if default:
+            return default
+        if cfg.get("role_policies"):
+            # a table governed ONLY by role grants: a roleless governed
+            # handle must not resolve an empty policy and read raw —
+            # omitting the role cannot grant more than naming a wrong one
+            raise PermissionError(
+                f"{self.name!r} is governed by per-role grants and has no "
+                "default policy — open it with governed_as=<role> (or have "
+                "the owner set a default via set_policy())"
+            )
+        return {}
 
     def _apply_policy(
         self, df: DataFrame, pol: dict | None = None, tombstone_col: str | None = None

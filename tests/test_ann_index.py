@@ -259,3 +259,26 @@ def test_pq_composed_index_lifecycle(spark, sf_dir, tmp_path):
     bare.build(base.limit(200), seed=1)
     with pytest.raises(ValueError, match="without pq_m"):
         bare.query_pq(q, k=3)
+
+
+def test_rebuild_without_pq_retires_codebooks(spark, sf_dir, tmp_path):
+    """Self-review regression: a rebuild WITHOUT pq_m must purge stale
+    codebooks — query_pq refuses loudly instead of serving null-coded
+    garbage, and add() stops encoding."""
+    from parquetranger_spark.operators.ann_index import AnnIndex
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(400)
+    idx = AnnIndex(str(tmp_path) + "/idx", spark=spark)
+    idx.build(e, seed=42, pq_m=4, pq_codes=32)
+    assert idx._load_books() is not None
+    idx.build(e, seed=42)  # rebuild, no PQ
+    assert idx._load_books() is None
+    q = e.limit(5)
+    with pytest.raises(ValueError, match="without pq_m"):
+        idx.query_pq(q, k=2)
+    idx.add(e.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding").limit(10))
+    assert "pq" not in idx.postings.get_full_df().columns or (
+        idx.postings.get_full_df().where(F.col("pq").isNotNull()).count() == 0
+    )

@@ -355,3 +355,40 @@ def test_per_principal_policies(spark, tmp_root):
     assert {r.k for r in analyst.get_full_df().collect()} == {1, 2}
     with pytest.raises(PermissionError, match="fail-closed"):
         TableRepo.open(t2.main_path, governed_as="intern", spark=spark).get_full_df()
+
+
+def test_roleless_governed_fails_closed_on_role_only_table(spark, tmp_root):
+    """Self-review regression: omitting the role must never grant MORE
+    than naming a wrong one — a governed handle without governed_as on a
+    table carrying ONLY role grants raises instead of reading raw."""
+    t = TableRepo(
+        f"{tmp_root}/t", group_cols="g", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t.extend(spark.createDataFrame([(1, "A", "raw@x.io")], "k int, g string, email string"))
+    t.set_policy(column_masks={"email": "'x'"}, role="analyst")
+    g = TableRepo.open(t.main_path, governed=True, spark=spark)
+    with pytest.raises(PermissionError, match="per-role grants"):
+        g.get_full_df().collect()
+    # the owner and the granted role still work
+    assert t.get_full_df().count() == 1
+    a = TableRepo.open(t.main_path, governed_as="analyst", spark=spark)
+    assert {r.email for r in a.get_full_df().collect()} == {"x"}
+
+
+def test_governed_merge_refused_before_any_ddl(spark, tmp_root):
+    """Self-review regression: merge(merge_schema=True) on a governed
+    handle must refuse BEFORE publishing schema epochs."""
+    from parquetranger_spark.sources.schema_log import load_schema_log
+
+    t = TableRepo(
+        f"{tmp_root}/t", group_cols="g", index_cols="k",
+        commit_mode="manifest", spark=spark,
+    )
+    t.extend(spark.createDataFrame([(1, "A", 1.0)], "k int, g string, v double"))
+    t.set_policy(column_masks={"v": "0.0"})
+    g = TableRepo.open(t.main_path, governed=True, spark=spark)
+    src = spark.createDataFrame([(1, "A", 2.0, "x")], "k int, g string, v double, n string")
+    with pytest.raises(PermissionError, match="merge"):
+        g.merge(src, update="all", merge_schema=True)
+    assert load_schema_log(t._fs(), t.main_path) == []  # no epoch published

@@ -121,7 +121,11 @@ def test_deep_ddl_guards(spark, tmp_root):
 
 
 @pytest.mark.parametrize("cdf", [False, True])
-def test_deep_evolution_streams_both_flavors(spark, tmp_root, tmp_path, cdf):
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_deep_evolution_streams_both_flavors(spark, tmp_root, tmp_path, cdf, partitioned):
+    """Both stream flavors × both reader paths (driver-python simple and
+    one-task-per-file ARROW — the arrow rebuild is where a dropped map
+    null mask would resurrect NULL maps as empty ones)."""
     t = _repo(spark, f"{tmp_root}/t")
     t.extend(_seed(spark))
     _evolve(t)
@@ -133,8 +137,12 @@ def test_deep_evolution_streams_both_flavors(spark, tmp_root, tmp_path, cdf):
             "props map<string, struct<n:int, u:string, score:double>>",
         )
     )
-    out = f"{tmp_path}/out{int(cdf)}"
-    src = t.stream_changes() if cdf else t.stream_manifest()
+    out = f"{tmp_path}/out{int(cdf)}_{int(partitioned)}"
+    src = (
+        t.stream_changes(partitioned=partitioned)
+        if cdf
+        else t.stream_manifest(partitioned=partitioned)
+    )
     q = (
         src.writeStream.format("parquet")
         .option("path", out)

@@ -41,6 +41,8 @@ def main(names):
     json_out = None
     if "--json" in names:
         i = names.index("--json")
+        if i + 1 >= len(names):
+            raise SystemExit("usage: compare.py [query ...] [--json PATH]")
         json_out = names[i + 1]
         names = names[:i] + names[i + 2:]
     results: dict[str, dict] = {}
