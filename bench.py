@@ -239,12 +239,14 @@ def _fan_out(names: list[str], repeat: int) -> None:
     merged: dict[str, float] = {}
     approx: dict[str, float] = {}
     spread: dict[str, float] = {}
+    bests: dict[str, float] = {}
     chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)]
     for ci, chunk in enumerate(chunks):
         part = _run_child(chunk, repeat, f"chunk {ci + 1}/{len(chunks)}")
         merged.update(part["queries"])
         approx.update(part.get("ann_approx_only") or {})
         spread.update(part.get("query_spread") or {})
+        bests.update(part.get("queries_best") or {})
     extra = {}
     r3 = [n for n in R3_SET if n in QUERIES]
     if set(r3) <= set(names):
@@ -252,6 +254,7 @@ def _fan_out(names: list[str], repeat: int) -> None:
         extra["r3_method_total"] = round(sum(part["queries"].values()), 3)
         extra["r3_method_ann_approx_only"] = part.get("ann_approx_only") or {}
     extra["query_spread"] = spread
+    extra["queries_best"] = bests
     _emit_json(merged, approx, extra)
 
 
@@ -329,6 +332,7 @@ def main() -> None:
     approx_only: dict[str, float] = {}
 
     sigmas: dict[str, float] = {}
+    bests: dict[str, float] = {}
 
     def timed(name: str) -> float:
         samples = []
@@ -343,6 +347,7 @@ def main() -> None:
         samples.sort()
         med = samples[len(samples) // 2]
         sigmas[name] = round(samples[-1] - samples[0], 3)
+        bests[name] = samples[0]
         # sub-second queries sit inside the JVM-scheduling noise band
         # (±30% observed): best-of-N there reports the lucky tail and
         # phantom "regressions" appear round-over-round — take the MEDIAN
@@ -361,15 +366,16 @@ def main() -> None:
             # path vs the deliberately-added verify surface. Gate
             # semantics are unchanged — the flag lives only here.
             os.environ["PQRS_BENCH_APPROX_ONLY"] = "1"
-            full_sigma = sigmas[name]
+            full_sigma, full_best = sigmas[name], bests[name]
             try:
                 approx_only[name] = timed(name)
             finally:
                 os.environ.pop("PQRS_BENCH_APPROX_ONLY", None)
-                sigmas[name] = full_sigma  # spread reported for the FULL run
+                # spread/best reported for the FULL run
+                sigmas[name], bests[name] = full_sigma, full_best
             print(f"# {name} (approx only): {approx_only[name]}s", file=sys.stderr)
 
-    _emit_json(timings, approx_only, {"query_spread": sigmas})
+    _emit_json(timings, approx_only, {"query_spread": sigmas, "queries_best": bests})
 
 
 def _emit_json(
@@ -408,7 +414,7 @@ def _emit_json(
                 # in-query (the verified-exact oracle pattern that ended
                 # their no_oracle driver exposure) — deliberate
                 # correctness-coverage cost, not an index regression
-                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed); r3_method_total re-times the 44-query r03 common subset in ONE session (the r03 accounting) for cross-round attribution; since r7 per-query values are MEDIAN-of-N below 1.5s / best-of-N above (sub-second noise band), with per-query max-min spread in query_spread",
+                "notes": "ann queries include exact-verify surface since r4; benched in fresh warmed subprocesses per 34-query chunk since r5 (each chunk pre-runs its first query untimed); r3_method_total re-times the 44-query r03 common subset in ONE session (the r03 accounting) for cross-round attribution; since r7 per-query values are MEDIAN-of-N below 1.5s / best-of-N above (sub-second noise band), with per-query max-min spread in query_spread and best-of-N in queries_best (the like-for-like number vs pre-r7 rounds)",
                 **(extra or {}),
             }
         )
