@@ -326,6 +326,23 @@ def probe(spark):
 
     ops["ann_filtered_query"] = ann_filtered_query
 
+    # round 7: IVF-PQ serving against pre-built PQ indexes — the ADC
+    # candidate scan reads m-byte codes only (column-pruned), rerank
+    # touches candidates' raw vectors alone, so the timed op should
+    # track the unfiltered ann_index_query's sub-√n shape with a
+    # SMALLER byte constant (exponent ≤ ~0.5)
+    pq_root = tempfile.mkdtemp(prefix="pqrs_scale_pq_")
+    pq_idx = {}
+    for f in FACTORS:
+        ai = AnnIndex(f"{pq_root}/idx{f}", spark=spark)
+        ai.build(replicate(emb, "vec_id", f), seed=42, pq_m=8)
+        pq_idx[f] = ai
+
+    def ann_index_pq_query(f):
+        pq_idx[f].query_pq(ann_queries, k=5, n_probe=8, rerank=40).count()
+
+    ops["ann_index_pq_query"] = ann_index_pq_query
+
     # round 5 wave 2: schema-DDL mapped read. Repos are pre-written in
     # two commits per factor, then renamed + default-added — METADATA
     # only; the timed read pays the per-commit field-id projection
