@@ -141,13 +141,27 @@ class AnnIndex:
             books = train_pq_codebooks(
                 corpus, vec_col=self.vec_col, m=pq_m, n_codes=pq_codes, seed=seed
             )
+            assigned = assigned.withColumn("pq", self._encode_udf(books)(F.col("cv")))
+            # training-time sample MSE rides with the books: maintain()
+            # re-measures the same bounded statistic to DETECT drift —
+            # measured here against the source corpus, since postings
+            # are not yet written
+            mse = self._pq_mse_of(
+                [
+                    r[0]
+                    for r in corpus.select(
+                        to_double(F.col(self.vec_col))
+                    ).limit(4096).collect()
+                ],
+                books,
+            )
             self._pq_repo().replace_all(
                 spark.createDataFrame(
-                    [(pq_m, pq_codes, books)],
-                    "m int, n_codes int, books array<array<array<double>>>",
+                    [(pq_m, pq_codes, books, mse)],
+                    "m int, n_codes int, books array<array<array<double>>>, "
+                    "train_mse double",
                 )
             )
-            assigned = assigned.withColumn("pq", self._encode_udf(books)(F.col("cv")))
         else:
             # a rebuild WITHOUT pq must retire any previous codebooks:
             # stale books would make query_pq serve null-coded garbage
@@ -181,13 +195,28 @@ class AnnIndex:
         of silently degrading add() into writing null-coded postings.
         One driver-side row — m × n_codes × (dim/m) doubles, a few MB at
         any corpus size."""
+        meta = self._load_pq_meta()
+        if meta is None:
+            return None
+        return meta["books"], meta["m"]
+
+    def _load_pq_meta(self):
+        """Full codebook metadata dict (books, m, n_codes, train_mse) or
+        None; ``train_mse`` is None for indexes persisted before drift
+        tracking existed — maintain() then skips the drift pass."""
         repo = self._pq_repo()
         if not repo._fs().exists(repo.main_path):
             return None
         row = repo.get_full_df().first()
         if row is None:
             return None
-        return [list(map(list, b)) for b in row["books"]], row["m"]
+        d = row.asDict()
+        return {
+            "books": [list(map(list, b)) for b in d["books"]],
+            "m": d["m"],
+            "n_codes": d["n_codes"],
+            "train_mse": d.get("train_mse"),
+        }
 
     @staticmethod
     def _encode_udf(books):
@@ -281,9 +310,236 @@ class AnnIndex:
         postings table; no list is rewritten."""
         self.postings.delete_records_dv(keys.select(self.id_col))
 
-    def maintain(self, max_files_per_partition: int = 8) -> list:
-        """Compact lists fragmented by incremental adds."""
-        return self.postings.maintain(max_files_per_partition)
+    def maintain(
+        self,
+        max_files_per_partition: int = 8,
+        split_factor: float | None = 4.0,
+        min_split_rows: int = 64,
+        pq_drift: float | None = 0.5,
+        seed: int = 42,
+    ) -> dict:
+        """Index maintenance under append DRIFT, in three passes:
+
+        1. **compact** lists fragmented by incremental adds (the
+           TableRepo small-file sweep — unchanged).
+        2. **split** oversized lists: :meth:`add` routes to FROZEN
+           centroids, so a skewed append stream concentrates vectors
+           into one posting list and query cost walks from √n toward n.
+           Any list holding more than ``split_factor`` × the mean list
+           size (and at least ``min_split_rows`` rows) is re-clustered
+           by a LOCAL seeded 2-means (one ``applyInPandas`` over the
+           oversized partitions only — O(oversized), never O(table),
+           the same bounded-repair spirit as the LSH bucket caps in
+           operators/dedup.py); one child keeps the old ``list_id``
+           (its partition is overwritten in place), the other gets a
+           fresh id. New sub-centroids replace the split list's row in
+           the routing table. Both tables move in ONE fenced
+           multi-table transaction (sources/txn.py) — a query never
+           sees a centroid without its partition or vice versa.
+        3. **re-train PQ codebooks** when quantization drift exceeds
+           ``pq_drift``: build() persisted the training-time sample MSE
+           alongside the books; maintain re-measures the same bounded
+           statistic on the CURRENT corpus and, past the threshold,
+           re-trains the books and re-encodes every posting's code —
+           the one O(table) pass here, taken only when serving quality
+           has actually decayed (stale codebooks silently degrade ADC
+           ranking; FAISS leaves this to the operator, we measure it).
+           Books + codes also publish as one transaction.
+
+        Pass ``split_factor=None`` / ``pq_drift=None`` to skip a pass.
+        Returns ``{"compacted": [...], "split": {old: [children...]},
+        "pq_retrained": bool}``."""
+        out = {
+            "compacted": self.postings.maintain(max_files_per_partition),
+            "split": {},
+            "pq_retrained": False,
+        }
+        if split_factor is not None:
+            out["split"] = self._split_oversized(
+                split_factor, min_split_rows, seed
+            )
+        if pq_drift is not None:
+            out["pq_retrained"] = self._maybe_retrain_pq(pq_drift, seed)
+        return out
+
+    def _split_oversized(
+        self, split_factor: float, min_split_rows: int, seed: int
+    ) -> dict:
+        from ..sources.txn import Transaction
+
+        # list sizes from the stats surface (metadata-column scan — the
+        # same source compaction decisions read), not a data scan
+        counts = {
+            r["list_id"]: r["n_rows"]
+            for r in self.postings.stats().collect()
+        }
+        if not counts:
+            return {}
+        mean = sum(counts.values()) / len(counts)
+        oversized = sorted(
+            lid
+            for lid, n in counts.items()
+            if n > split_factor * mean and n >= min_split_rows
+        )
+        if not oversized:
+            return {}
+        spark = self.postings._session()
+        rows = self.postings.get_full_df().where(
+            F.col("list_id").isin([int(x) for x in oversized])
+        )
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(rows.schema.fields)
+            + [
+                T.StructField("sub", T.IntegerType()),
+                T.StructField(
+                    "sub_centroid", T.ArrayType(T.DoubleType()), True
+                ),
+            ]
+        )
+
+        mean_sz = float(sum(counts.values())) / len(counts)
+
+        def _local_kmeans(pdf):
+            # local seeded Lloyd on ONE oversized list (bounded by the
+            # list, runs task-side). k tracks how oversized the list is
+            # (≈ count/mean children, capped) so ONE sweep rebalances a
+            # 10×-skewed list instead of halving per call; the
+            # sub-centroid is stamped on the first row of each child
+            # only — the routing rows are recovered with a not-null
+            # filter, no second pass
+            import numpy as np
+
+            X = np.stack(pdf["cv"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            k = int(min(max(2, round(len(X) / max(mean_sz, 1.0))), 16, len(X)))
+            rng = np.random.RandomState(seed ^ (int(pdf["list_id"].iloc[0]) + 1))
+            C = X[rng.choice(len(X), size=k, replace=False)].copy()
+            a = np.zeros(len(X), dtype=np.int64)
+            for _ in range(8):
+                d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+                a = d2.argmin(1)
+                for j in range(len(C)):
+                    if (a == j).any():
+                        C[j] = X[a == j].mean(0)
+            pdf = pdf.copy()
+            pdf["sub"] = a
+            cent = [None] * len(pdf)
+            for j in range(len(C)):
+                hit = np.flatnonzero(a == j)
+                if len(hit):
+                    cent[hit[0]] = [float(x) for x in C[j]]
+            pdf["sub_centroid"] = cent
+            return pdf
+
+        assigned = (
+            rows.repartition("list_id")
+            .groupBy("list_id")
+            .applyInPandas(_local_kmeans, out_schema)
+            .localCheckpoint(eager=True)
+        )
+        # tiny: ≤ 2 rows per oversized list
+        subs = assigned.where(F.col("sub_centroid").isNotNull()).select(
+            "list_id", "sub", "sub_centroid"
+        ).collect()
+        cents = self.centroids.get_full_df()
+        next_id = (
+            cents.agg(F.max("list_id")).collect()[0][0] or 0
+        ) + 1
+        mapping, new_cent_rows, split_map = [], [], {}
+        for r in sorted(subs, key=lambda r: (r["list_id"], r["sub"])):
+            old = int(r["list_id"])
+            if r["sub"] == 0:
+                new = old  # child 0 keeps the partition dir
+            else:
+                new, next_id = next_id, next_id + 1
+            mapping.append((old, int(r["sub"]), new))
+            new_cent_rows.append((new, [float(x) for x in r["sub_centroid"]]))
+            split_map.setdefault(old, []).append(new)
+        # a degenerate list (all points identical → one child) needs no
+        # table move: its centroid update alone would churn commits
+        split_map = {k: v for k, v in split_map.items() if len(v) > 1}
+        if not split_map:
+            return {}
+        mdf = spark.createDataFrame(
+            mapping, "list_id int, sub int, new_list_id int"
+        )
+        data_cols = [c for c in rows.columns if c != "list_id"]
+        new_rows = (
+            assigned.join(F.broadcast(mdf), ["list_id", "sub"])
+            .select(
+                F.col("new_list_id").cast("int").alias("list_id"), *data_cols
+            )
+        )
+        keep = cents.where(
+            ~F.col("list_id").isin([int(x) for x in split_map])
+        )
+        new_cents = keep.unionByName(
+            spark.createDataFrame(
+                new_cent_rows, "list_id int, centroid array<double>"
+            )
+        )
+        t = Transaction(self.root + "/_txns")
+        t.replace_groups(self.postings, new_rows)
+        t.replace_all(self.centroids, new_cents)
+        t.commit()
+        return split_map
+
+    def _maybe_retrain_pq(self, pq_drift: float, seed: int) -> bool:
+        from ..sources.txn import Transaction
+        from .similarity import train_pq_codebooks
+
+        meta = self._load_pq_meta()
+        if meta is None or meta.get("train_mse") is None:
+            return False
+        cur = self._pq_sample_mse(meta["books"], seed=seed)
+        if cur is None or cur <= (1.0 + pq_drift) * meta["train_mse"]:
+            return False
+        corpus = self.postings.get_full_df()
+        books = train_pq_codebooks(
+            corpus, vec_col="cv", m=meta["m"], n_codes=meta["n_codes"], seed=seed
+        )
+        new_mse = self._pq_sample_mse(books, seed=seed)
+        spark = self.postings._session()
+        t = Transaction(self.root + "/_txns")
+        t.replace_all(
+            self._pq_repo(),
+            spark.createDataFrame(
+                [(meta["m"], meta["n_codes"], books, float(new_mse))],
+                "m int, n_codes int, books array<array<array<double>>>, "
+                "train_mse double",
+            ),
+        )
+        t.replace_all(
+            self.postings,
+            corpus.withColumn("pq", self._encode_udf(books)(F.col("cv"))),
+        )
+        t.commit()
+        return True
+
+    def _pq_sample_mse(self, books, limit: int = 4096, seed: int = 42):
+        """Quantization MSE of the CURRENT corpus against ``books`` on a
+        bounded sample (limit × dim doubles driver-side — the same
+        bounded-fit argument as codebook training itself)."""
+        sample = self.postings.get_full_df().select("cv").limit(limit).collect()
+        return self._pq_mse_of([r[0] for r in sample], books)
+
+    @staticmethod
+    def _pq_mse_of(vectors, books):
+        import numpy as np
+
+        if not vectors:
+            return None
+        X = np.asarray(vectors, dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        B = [np.asarray(b) for b in books]
+        sub = X.shape[1] // len(B)
+        err = 0.0
+        for j, C in enumerate(B):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (Xj @ C.T)
+            err += float(((Xj - C[d2.argmin(1)]) ** 2).sum())
+        return err / X.size
 
     # ------------------------------------------------------------- query
 
@@ -434,11 +690,24 @@ class AnnIndex:
             .where(F.col("__r") <= rerank)
             .select("query_id", "neighbor_id", "list_id")
         )
-        # exact refine: raw vectors for the candidate rows alone — the
-        # scan still prunes to probed partitions, then semi-joins by id
+        # exact refine: raw vectors for the CANDIDATE ids alone. The
+        # shortlist is bounded by rerank×|queries| (driver-safe), and
+        # materializing the ids lets the isin() predicate PUSH INTO the
+        # parquet scan — without it the join keys never reach the scan
+        # and the probed partitions' cv/cn columns are read in full a
+        # second time. Deliberately NOT checkpointed: the collect pays
+        # one extra (narrow, codes-only) ADC pass, which is far cheaper
+        # than the wide cv scan the id pushdown eliminates — and the
+        # codes-only scan stays visible in the served plan (the column-
+        # pruning plan gate reads it there)
+        cand_ids = [
+            r["neighbor_id"]
+            for r in short.select("neighbor_id").distinct().collect()
+        ]
         vecs = (
             self.postings.get_full_df()
             .where(F.col("list_id").isin(probed_ids))
+            .where(F.col(self.id_col).isin(cand_ids))
             .select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn")
         )
         w = Window.partitionBy("query_id").orderBy(

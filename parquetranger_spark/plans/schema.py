@@ -204,15 +204,24 @@ def _align_expr(expr, src_dt: T.DataType, tgt_dt: T.DataType, path: str):
             ),
         ).otherwise(F.lit(None).cast(tgt_dt))
     if isinstance(tgt_dt, T.MapType) and isinstance(src_dt, T.MapType):
-        return F.when(
-            expr.isNotNull(),
-            F.transform_values(
-                expr,
-                lambda _k, v: _align_expr(
-                    v, src_dt.valueType, tgt_dt.valueType, path + "{}"
-                ),
+        aligned = F.transform_values(
+            expr,
+            lambda _k, v: _align_expr(
+                v, src_dt.valueType, tgt_dt.valueType, path + "{}"
             ),
-        ).otherwise(F.lit(None).cast(tgt_dt))
+        )
+        if src_dt.keyType != tgt_dt.keyType:
+            # keys align too (map<int,…> vs canonical map<bigint,…>):
+            # keys can themselves be structs, so recurse, not just cast
+            aligned = F.transform_keys(
+                aligned,
+                lambda k, _v: _align_expr(
+                    k, src_dt.keyType, tgt_dt.keyType, path + "{k}"
+                ),
+            )
+        return F.when(expr.isNotNull(), aligned).otherwise(
+            F.lit(None).cast(tgt_dt)
+        )
     if not (isinstance(tgt_dt, T.StructType) and isinstance(src_dt, T.StructType)):
         return expr.cast(tgt_dt)
     have = {c.name.lower(): c for c in src_dt.fields}

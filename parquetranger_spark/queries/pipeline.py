@@ -794,6 +794,87 @@ def ann_index_pq_topk(spark, sf_dir):
 
 
 @query(
+    "ann_index_drift_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+  UNION ALL
+  SELECT 1000000 * ((vec_id % 50) + 1) + vec_id AS neighbor_id,
+         list_transform(embedding, x -> 3.0 + 0.1 * CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id % 50 < 10
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id >= 100 AND vec_id < 150),
+scored AS (
+  SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+""",
+)
+def ann_index_drift_topk(spark, sf_dir):
+    """X3/X15 index maintenance under DRIFT (round-7 verdict #1 —
+    operators/ann_index.py::maintain): ``add()`` routes to frozen
+    centroids, so ten append batches aimed at ONE region of the space
+    (an affine squeeze of existing vectors toward a fixed point —
+    SQL-reproducible) pile into a handful of posting lists and query
+    cost walks from √n toward n. ``maintain()`` detects the oversized
+    lists from the stats surface, re-clusters each with a local seeded
+    k-means sized to the overload (O(oversized), one sweep), and moves
+    postings + routing table in one fenced multi-table transaction.
+    In-query asserts: the skew really concentrated (pre-maintain max
+    list > split threshold), maintain really split (non-empty split
+    map), the fat list shrank, no posting orphaned from the routing
+    table, row conservation — then recall ≥ 0.7 vs brute force over the
+    post-drift corpus, whose exact surface is emitted (the SQL oracle
+    re-derives it)."""
+    from ..functions.vectors import to_double
+    from ..operators.ann_index import AnnIndex
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = AnnIndex(scratch_dir("anndrift") + "/idx", spark=spark)
+    n_lists = idx.build(e, seed=42)
+    for i in range(10):
+        batch = e.where(F.col("vec_id") % 50 == i).select(
+            (F.lit(1_000_000) * (i + 1) + F.col("vec_id")).alias("vec_id"),
+            F.transform(
+                to_double(F.col("embedding")),
+                lambda x: F.lit(3.0) + F.lit(0.1) * x,
+            ).alias("embedding"),
+        )
+        idx.add(batch)
+    sizes = {r["list_id"]: r["n_rows"] for r in idx.postings.stats().collect()}
+    mean = sum(sizes.values()) / len(sizes)
+    if max(sizes.values()) <= 2.0 * mean:
+        raise AssertionError(
+            "drift workload failed to concentrate: no list exceeds 2x mean"
+        )
+    res = idx.maintain(split_factor=2.0, min_split_rows=32)
+    if not res["split"]:
+        raise AssertionError("maintain() split nothing on a skewed index")
+    sizes2 = {r["list_id"]: r["n_rows"] for r in idx.postings.stats().collect()}
+    fat = max(sizes, key=sizes.get)
+    if sizes2.get(fat, 0) >= sizes[fat]:
+        raise AssertionError("oversized list did not shrink after maintain()")
+    if sum(sizes2.values()) != sum(sizes.values()):
+        raise AssertionError("maintain() lost or duplicated postings rows")
+    live = {r["list_id"] for r in idx.centroids.get_full_df().collect()}
+    if not set(sizes2) <= live:
+        raise AssertionError("postings reference a list with no centroid")
+    q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    approx = idx.query(q, k=5, n_probe=max(8, n_lists // 3))
+    corpus = idx.postings.get_full_df().select(
+        F.col("vec_id"), F.col("cv").alias("embedding")
+    )
+    exact = topk_cosine_bruteforce(q, corpus, k=5)
+    return _ann_verified_exact(spark, approx, exact, 0.7, "ann_index_drift_topk")
+
+
+@query(
     "ann_filtered_topk",
     oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

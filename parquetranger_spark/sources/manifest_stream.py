@@ -63,6 +63,23 @@ def manifest_stream_source():
             self.fs, self.root = self._resolve(self.root_uri)
             self.cols = options["cols"].split(",")
             self.types = options["col_types"].split(",")
+            # declared Spark types, preferred over the comma-split
+            # col_types strings: a nested simpleString contains commas
+            # (map<string,int>) so the split misaligns past it, and the
+            # pylist→row conversion needs the DECLARED type to tell an
+            # empty MAP ([] from to_pylist) apart from an empty array —
+            # sniffing (k,v) tuples can't (empty maps have none).
+            # StructType.fromJson is pure Python (no JVM), safe on
+            # executor workers too.
+            self.schema_st = None
+            sj = options.get("schema_json")
+            if sj:
+                from pyspark.sql.types import StructType
+
+                self.schema_st = StructType.fromJson(json.loads(sj))
+                self.types = [
+                    f.dataType.simpleString() for f in self.schema_st.fields
+                ]
             # optional stats-pruned SUBSCRIPTION: files whose recorded
             # [min,max] provably cannot match these conjuncts never enter
             # a micro-batch (file-level pruning only — exact row filters
@@ -672,11 +689,31 @@ def manifest_stream_source():
                 n = tbl.num_rows
                 plan = self._col_plan(base, cdir) if use_plan else None
 
-                def _plain(v):
-                    # pyarrow's to_pylist emits MAP values as [(k, v)…];
-                    # Spark's row conversion requires dicts — recurse
-                    # through lists/structs (a tuple-element list is
-                    # unambiguously a map: structs arrive as dicts)
+                from pyspark.sql.types import (
+                    ArrayType as _Arr,
+                    MapType as _Map,
+                    StructType as _Struct,
+                )
+
+                def _plain(v, dt=None):
+                    # pyarrow's to_pylist emits MAP values as [(k, v)…]
+                    # and an EMPTY non-null map as [] — Spark's row
+                    # conversion requires dicts for MapType, so convert
+                    # by the DECLARED type when we have it (tuple
+                    # sniffing cannot tell an empty map from an empty
+                    # array and crashed on empty maps)
+                    if v is None:
+                        return None
+                    if isinstance(dt, _Map):
+                        return {e[0]: _plain(e[1], dt.valueType) for e in v}
+                    if isinstance(dt, _Arr):
+                        return [_plain(e, dt.elementType) for e in v]
+                    if isinstance(dt, _Struct):
+                        return {
+                            f.name: _plain(v.get(f.name), f.dataType)
+                            for f in dt.fields
+                        }
+                    # no declared type (legacy option path): sniff
                     if isinstance(v, list):
                         if v and isinstance(v[0], tuple):
                             return {e[0]: _plain(e[1]) for e in v}
@@ -685,8 +722,13 @@ def manifest_stream_source():
                         return {k2: _plain(v2) for k2, v2 in v.items()}
                     return v
 
+                dts = (
+                    [f.dataType for f in self.schema_st.fields]
+                    if self.schema_st is not None
+                    else [None] * len(self.cols)
+                )
                 colvals = []
-                for name, typ in zip(self.cols, self.types):
+                for name, typ, dt in zip(self.cols, self.types, dts):
                     if name in extras:
                         colvals.append([extras[name]] * n)
                         continue
@@ -701,23 +743,39 @@ def manifest_stream_source():
                             if src in tbl.column_names:
                                 raw = tbl.column(src).to_pylist()
 
-                                def remap(d, plan):
-                                    # recursive over pylist shapes:
-                                    # struct → dict, array → list, map →
-                                    # list of (k, v) tuples (dict-ified:
-                                    # Spark's row conversion requires
-                                    # dicts for MapType values)
+                                def remap(d, plan, dt=None):
+                                    # recursive over pylist shapes
+                                    # guided by the DECLARED type when
+                                    # known: map containers (even empty)
+                                    # dict-ify, arrays stay lists, and
+                                    # the plan applies at struct nodes;
+                                    # without a type, sniff (k,v) tuples
                                     if d is None:
                                         return None
+                                    if isinstance(dt, _Map):
+                                        return {
+                                            e[0]: remap(e[1], plan, dt.valueType)
+                                            for e in d
+                                        }
+                                    if isinstance(dt, _Arr):
+                                        return [
+                                            remap(e, plan, dt.elementType)
+                                            for e in d
+                                        ]
                                     if isinstance(d, list):
                                         if d and isinstance(d[0], tuple):
                                             return {e[0]: remap(e[1], plan) for e in d}
                                         return [remap(e, plan) for e in d]
+                                    fdt = (
+                                        {f.name: f.dataType for f in dt.fields}
+                                        if isinstance(dt, _Struct)
+                                        else {}
+                                    )
                                     return {
                                         cn: (
-                                            remap(d.get(sn), sub)
+                                            remap(d.get(sn), sub, fdt.get(cn))
                                             if sn is not None and sub
-                                            else _plain(d.get(sn))
+                                            else _plain(d.get(sn), fdt.get(cn))
                                             if sn is not None
                                             else dv
                                         )
@@ -725,7 +783,7 @@ def manifest_stream_source():
                                     }
 
                                 colvals.append(
-                                    [remap(d, val["map"]) for d in raw]
+                                    [remap(d, val["map"], dt) for d in raw]
                                 )
                             else:
                                 colvals.append([None] * n)
@@ -733,7 +791,7 @@ def manifest_stream_source():
                         phys = val
                     if phys in tbl.column_names:
                         colvals.append(
-                            [_plain(v) for v in tbl.column(phys).to_pylist()]
+                            [_plain(v, dt) for v in tbl.column(phys).to_pylist()]
                         )
                     elif name in parts:
                         colvals.append([self._cast_part(parts[name], typ)] * n)

@@ -3076,11 +3076,17 @@ class TableRepo:
         register_manifest_stream(spark)
         cols = ["_version", "_ts", "_op", "_n_commits", "_n_files", "_files_added"]
         types = ["bigint", "double", "string", "int", "int", "int"]
+        from pyspark.sql.types import _parse_datatype_string
+
+        meta_schema = _parse_datatype_string(
+            ", ".join(f"{c} {t}" for c, t in zip(cols, types))
+        )
         return (
             spark.readStream.format("pqrs_manifest_stream")
             .option("root", self.main_path)
             .option("versions_meta", "1")
             .option("schema_ddl", ", ".join(f"{c} {t}" for c, t in zip(cols, types)))
+            .option("schema_json", meta_schema.json())
             .option("cols", ",".join(cols))
             .option("col_types", ",".join(types))
             .load()

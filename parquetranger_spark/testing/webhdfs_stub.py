@@ -281,7 +281,12 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json({"boolean": True})
         if op == "RENAME":
             dst_rel = q.get("destination", "")
-            dst = self._fs_path(dst_rel)
+            try:
+                dst = self._fs_path(dst_rel)
+            except PermissionError:
+                # same 403 the source-path escape gets — a path-escaping
+                # DESTINATION must not surface as an unhandled 500
+                return self._reply(403, _remote_exc("IOException", "path escape"))
             overwrite = "OVERWRITE" in (q.get("renameoptions", "") or "").upper()
             with self._lock:
                 if not os.path.exists(p):
