@@ -261,3 +261,56 @@ def widen_schema(canonical: T.StructType, incoming: T.StructType) -> tuple[T.Str
     if not new_fields:
         return canonical, False
     return T.StructType(list(canonical.fields) + [T.StructField(f.name, f.dataType, True) for f in new_fields]), True
+
+
+def resolve_path_type(schema: T.StructType, dotted: str) -> T.DataType | None:
+    """The declared type of a dotted nested path (``props.email``,
+    ``frames.tags`` where ``frames`` is ``array<struct>``), descending
+    transparently through array elements / map VALUES — the container
+    convention of the nested-DDL machinery (schema_log
+    ``descend_containers``). ``None`` when any segment is missing or a
+    non-final segment bottoms out in a non-struct."""
+    dt: T.DataType = schema
+    for seg in dotted.split("."):
+        while isinstance(dt, (T.ArrayType, T.MapType)):
+            dt = dt.elementType if isinstance(dt, T.ArrayType) else dt.valueType
+        if not isinstance(dt, T.StructType):
+            return None
+        hit = next((f for f in dt.fields if f.name == seg), None)
+        if hit is None:
+            return None
+        dt = hit.dataType
+    return dt
+
+
+def mask_path_expr(col_expr, dt: T.DataType, path: list[str], mask_col):
+    """Rewrite the nested field at ``path`` inside ``col_expr`` (typed
+    ``dt``) to ``mask_col`` — structs via ``withField`` (NULL structs
+    stay NULL: update on null yields null), array/map containers via
+    ``transform`` / ``transform_values`` so every element is rewritten.
+    ``mask_col`` is evaluated in ROW context (it may reference other
+    columns, like top-level masks), not per element."""
+    if isinstance(dt, T.ArrayType):
+        return F.when(
+            col_expr.isNotNull(),
+            F.transform(
+                col_expr,
+                lambda e: mask_path_expr(e, dt.elementType, path, mask_col),
+            ),
+        ).otherwise(F.lit(None).cast(dt))
+    if isinstance(dt, T.MapType):
+        return F.when(
+            col_expr.isNotNull(),
+            F.transform_values(
+                col_expr,
+                lambda _k, v: mask_path_expr(v, dt.valueType, path, mask_col),
+            ),
+        ).otherwise(F.lit(None).cast(dt))
+    assert isinstance(dt, T.StructType), "resolved mask path must hit structs"
+    seg = path[0]
+    fdt = next(f.dataType for f in dt.fields if f.name == seg)
+    if len(path) == 1:
+        return col_expr.withField(seg, mask_col.cast(fdt))
+    return col_expr.withField(
+        seg, mask_path_expr(col_expr.getField(seg), fdt, path[1:], mask_col)
+    )

@@ -1218,7 +1218,7 @@ class TableRepo:
                 fld["default"] = default
             return nested + [fld]
 
-        self._nested_ddl(col, "add_struct_field", mut)
+        self._nested_ddl(col, "add_struct_field", mut, member=name)
 
     def rename_struct_field(self, col: str, old: str, new: str) -> None:
         """Metadata-only RENAME of a struct member: same nested id, new
@@ -1233,7 +1233,7 @@ class TableRepo:
                 raise ValueError(f"rename_struct_field: {col}.{new} already exists")
             return [({**n, "name": new} if n["name"] == old else n) for n in nested]
 
-        self._nested_ddl(col, "rename_struct_field", mut)
+        self._nested_ddl(col, "rename_struct_field", mut, member=old)
 
     def drop_struct_field(self, col: str, name: str) -> None:
         """Metadata-only DROP of a struct member; its id is never reused,
@@ -1251,7 +1251,7 @@ class TableRepo:
                 )
             return kept
 
-        self._nested_ddl(col, "drop_struct_field", mut)
+        self._nested_ddl(col, "drop_struct_field", mut, member=name)
 
     def alter_struct_field_type(self, col: str, name: str, dtype) -> None:
         """Metadata-only type WIDENING of a struct member (same safe set
@@ -1279,9 +1279,9 @@ class TableRepo:
                     ]
             raise KeyError(f"alter_struct_field_type: no field {col}.{name}")
 
-        self._nested_ddl(col, "alter_struct_field_type", mut)
+        self._nested_ddl(col, "alter_struct_field_type", mut, member=name)
 
-    def _nested_ddl(self, col: str, op: str, mutate_nested) -> None:
+    def _nested_ddl(self, col: str, op: str, mutate_nested, member: str | None = None) -> None:
         """Shared nested-DDL loop. ``col`` may be a dotted PATH
         (``meta``, ``meta.exif``, ``frames.tags`` where ``frames`` is an
         ``array<struct>``): each segment after the first descends one
@@ -1304,7 +1304,11 @@ class TableRepo:
         every old row's value as NULL."""
         self._assert_ungoverned(op)
         top, *path = col.split(".")
-        self._refuse_structural(top, op)
+        # path-precise governance pin: the affected member (or the whole
+        # path for member-less ops) may not be a masked path, an ancestor
+        # of one, or a descendant — siblings stay evolvable
+        affected = f"{col}.{member}" if member else col
+        self._refuse_structural(top, op, nested_path=affected)
 
         class _Bootstrapped(Exception):
             pass
@@ -1501,7 +1505,9 @@ class TableRepo:
             return dtype
         return T.StructType.fromDDL(f"`c` {dtype}").fields[0].dataType
 
-    def _refuse_structural(self, name: str, op: str) -> None:
+    def _refuse_structural(
+        self, name: str, op: str, nested_path: str | None = None
+    ) -> None:
         """Partition and key columns anchor directory layout, upsert
         matching, and dv tombstones — renaming/dropping them is a table
         REBUILD, not a metadata flip; refuse loudly. A column a
@@ -1524,9 +1530,27 @@ class TableRepo:
         pols = [cfg.get("policy") or {}]
         pols += list((cfg.get("role_policies") or {}).values())
         masks = {c for p in pols for c in (p.get("column_masks") or {})}
-        if name in masks:
+        if nested_path is None:
+            # top-level DDL: the column itself masked, or NESTED masks
+            # bound anywhere under it (renaming/dropping the top would
+            # orphan the dotted binding — same governance hole)
+            hit = sorted(
+                m for m in masks if m == name or m.split(".")[0] == name
+            )
+        else:
+            # nested DDL: path-precise — refuse only when the affected
+            # dotted path IS a masked path, an ancestor of one, or a
+            # descendant of one; sibling members stay evolvable
+            hit = sorted(
+                m
+                for m in masks
+                if m == nested_path
+                or m.startswith(nested_path + ".")
+                or nested_path.startswith(m + ".")
+            )
+        if hit:
             raise ValueError(
-                f"{op}: {name!r} is masked by a governance policy (default "
+                f"{op}: {hit[0]!r} is masked by a governance policy (default "
                 "or role grant) — set_policy() without it (or re-pointed) "
                 "first"
             )
@@ -2987,7 +3011,38 @@ class TableRepo:
         # stream restart, same contract as a schema change
         return self._apply_policy(df) if self.governed else df
 
-    def stream_manifest(self, partitioned: bool = False, predicates=None) -> DataFrame:
+    def _stream_px_auto(
+        self, partitioned, threshold_rows: int = 100_000, threshold_files: int = 32
+    ) -> bool:
+        """Resolve a stream's reader flavor. Explicit True/False wins;
+        ``None`` = AUTO: pick the executor-side partitioned reader
+        (``pqrs_manifest_stream_px`` — one task per file, Arrow batches
+        off the scan) as soon as any single committed entry is FAT —
+        ≥ ``threshold_rows`` recorded rows, or ≥ ``threshold_files``
+        files when the entry predates rowcounts. The simple reader
+        materializes each micro-batch's rows ON THE DRIVER, which is
+        right for control-plane-sized increments and a bottleneck for
+        anything else; at 100× one fat commit through it is a driver
+        OOM, so fat history flips the default before the stream ever
+        polls. The probe is O(manifest) driver-side JSON already cached
+        by every other manifest op."""
+        if partitioned is not None:
+            return bool(partitioned)
+        from .manifest import load_manifest
+
+        mf = load_manifest(self._fs(), self.main_path)
+        for c in (mf or {}).get("commits", []):
+            rows = c.get("rows")
+            if rows:
+                if sum(rows.values()) >= threshold_rows:
+                    return True
+            elif len(c.get("files", ())) >= threshold_files:
+                return True
+        return False
+
+    def stream_manifest(
+        self, partitioned: bool | None = None, predicates=None
+    ) -> DataFrame:
         """The table as a streaming source in MANIFEST mode — offsets are
         manifest VERSIONS, each micro-batch is the rows of files added
         between two committed versions, and replay re-derives identical
@@ -2997,8 +3052,11 @@ class TableRepo:
         commit protocol whose write side is ``extend_fenced``.
         ``partitioned=True`` selects the executor-side flavor: one Spark
         task per added file, Arrow batches off the scan — the scale path
-        for fat commits (the default simple reader prefetches each batch
-        driver-side, right for control-plane-sized increments).
+        for fat commits (the simple reader prefetches each batch
+        driver-side, right for control-plane-sized increments). The
+        default (``None``) AUTO-selects: fat committed entries (row
+        counts from the manifest) flip to the partitioned reader — see
+        :meth:`_stream_px_auto`.
         ``predicates`` (same spec as :meth:`get_full_df_skipping`) turns
         the stream into a stats-pruned SUBSCRIPTION: files whose manifest
         [min,max] provably cannot match never enter a micro-batch —
@@ -3018,7 +3076,9 @@ class TableRepo:
         register_manifest_stream(spark)
         r = (
             spark.readStream.format(
-                "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
+                "pqrs_manifest_stream_px"
+                if self._stream_px_auto(partitioned)
+                else "pqrs_manifest_stream"
             )
         )
         if predicates is not None:
@@ -3036,7 +3096,12 @@ class TableRepo:
                 # unmasked-column predicates may prune (their values are
                 # identical pre/post policy; the row filter only shrinks
                 # the row set, so pruning stays superset-safe).
-                masked = set(self._policy().get("column_masks") or {})
+                # top segments: a NESTED mask under a column pins its
+                # whole top column against raw-stats pruning too
+                masked = {
+                    k.split(".")[0]
+                    for k in (self._policy().get("column_masks") or {})
+                }
                 if masked:
                     preds = [p for p in preds if p[0] not in masked]
             r = r.option("skip_preds", _json.dumps(preds))
@@ -3093,7 +3158,7 @@ class TableRepo:
         )
 
     def stream_changes(
-        self, partitioned: bool = False, starting_version: int | str = 1
+        self, partitioned: bool | None = None, starting_version: int | str = 1
     ) -> DataFrame:
         """The table's CHANGE-DATA-FEED as a streaming source (Delta's
         ``readChangeFeed`` shape on the manifest log; no reference
@@ -3113,7 +3178,9 @@ class TableRepo:
         Exactly-once by construction: a replayed offset range re-derives
         the identical diff from the identical immutable manifests.
         ``partitioned=True`` fans the changed files out one-per-task
-        (Arrow batches executor-side) for fat commits.
+        (Arrow batches executor-side) for fat commits; the default
+        (``None``) AUTO-selects by committed entry weight — see
+        :meth:`_stream_px_auto`.
 
         ``starting_version`` picks where the feed begins (the Delta
         ``startingVersion`` shape): an int N streams changes from
@@ -3155,7 +3222,9 @@ class TableRepo:
         register_manifest_stream(spark)
         df = (
             spark.readStream.format(
-                "pqrs_manifest_stream_px" if partitioned else "pqrs_manifest_stream"
+                "pqrs_manifest_stream_px"
+                if self._stream_px_auto(partitioned)
+                else "pqrs_manifest_stream"
             )
             .option("root", self.main_path)
             .option("cdf", "1")
@@ -3724,9 +3793,17 @@ class TableRepo:
         meta = load_meta(self.main_path, spark=self._spark)
         if meta is None or meta.schema is None:
             raise RuntimeError("set_policy() needs a written table (canonical schema)")
+        from ..plans.schema import resolve_path_type
+
         known = {f.name for f in meta.schema.fields}
         for c in column_masks or {}:
-            if c not in known:
+            if "." in c:
+                # NESTED mask (round-8): a dotted path resolved exactly
+                # like nested DDL — through struct members and
+                # array/map-value containers at any depth
+                if resolve_path_type(meta.schema, c) is None:
+                    raise KeyError(f"set_policy: no nested field {c!r} to mask")
+            elif c not in known:
                 raise KeyError(f"set_policy: no column {c!r} to mask")
         # analyze every expression against the canonical schema NOW — an
         # invalid filter/mask must fail at set time, not at the first
@@ -3742,8 +3819,13 @@ class TableRepo:
                 ) from e
         ptypes = dict(probe.dtypes)
         for c, m in (column_masks or {}).items():
+            tgt = (
+                resolve_path_type(meta.schema, c).simpleString()
+                if "." in c
+                else ptypes[c]
+            )
             try:
-                probe.select(F.expr(m).cast(ptypes[c]).alias(c)).schema
+                probe.select(F.expr(m).cast(tgt).alias("__m")).schema
             except Exception as e:
                 raise ValueError(
                     f"set_policy: mask for {c!r} ({m!r}) does not analyze "
@@ -3836,13 +3918,32 @@ class TableRepo:
         pol = self._policy() if pol is None else pol
         masks = pol.get("column_masks") or {}
         if masks:
+            from ..plans.schema import mask_path_expr
+
             types = dict(df.dtypes)
-            df = df.select(
-                *[
-                    F.expr(masks[c]).cast(types[c]).alias(c) if c in masks else F.col(c)
-                    for c in df.columns
-                ]
-            )
+            flat = {c: m for c, m in masks.items() if "." not in c}
+            nested: dict[str, list[tuple[list[str], str]]] = {}
+            for c, m in masks.items():
+                if "." in c:
+                    top, *rest = c.split(".")
+                    nested.setdefault(top, []).append((rest, m))
+            cols = []
+            for c in df.columns:
+                if c in flat:
+                    cols.append(F.expr(flat[c]).cast(types[c]).alias(c))
+                elif c in nested:
+                    # nested masks rewrite the member IN PLACE via
+                    # withField / transform chains (one codegen
+                    # projection; NULL structs stay NULL) — the mask
+                    # expression is row-context, like top-level masks
+                    dt = df.schema[c].dataType
+                    expr = F.col(c)
+                    for rest, m in nested[c]:
+                        expr = mask_path_expr(expr, dt, rest, F.expr(m))
+                    cols.append(expr.alias(c))
+                else:
+                    cols.append(F.col(c))
+            df = df.select(*cols)
         rf = pol.get("row_filter")
         if rf:
             fallback = (
@@ -4701,7 +4802,7 @@ class TableRepo:
         preds = norm_predicates(predicates)
         tr = self._epoch_pred_translator()
         pol = self._policy() if self.governed else {}
-        masked = set(pol.get("column_masks") or {})
+        masked = {k.split(".")[0] for k in (pol.get("column_masks") or {})}
         # governed handles: the exact predicates evaluate over GOVERNED
         # values below (a raw-value predicate would leak membership of
         # masked values through row presence), so file-level pruning may

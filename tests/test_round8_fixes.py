@@ -158,3 +158,41 @@ def test_webhdfs_rename_destination_escape_403(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad)
         assert ei.value.code == 403
+
+
+def test_stream_px_auto_flavor(spark, tmp_root):
+    """Round-8: stream flavor AUTO-selection — fat committed entries
+    flip the default to the executor-side partitioned reader; explicit
+    choices always win."""
+    import pandas as pd
+
+    # rowcount-aware table (stats_cols records per-file rowcounts)
+    t = _mk(spark, f"{tmp_root}/t", stats_cols="v")
+    t.extend(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [f"k{i}" for i in range(12)], "v": range(12)})
+        ).coalesce(1)
+    )
+    # thin history: simple reader
+    assert t._stream_px_auto(None) is False
+    # explicit wins both ways
+    assert t._stream_px_auto(True) is True
+    assert t._stream_px_auto(False) is False
+    # the same history IS fat under a tiny threshold (the decision is
+    # threshold-driven, not shape-driven)
+    assert t._stream_px_auto(None, threshold_rows=10) is True
+    # a genuinely fat commit flips the DEFAULT threshold
+    big = spark.range(100_000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    t.extend(big)
+    assert t._stream_px_auto(None) is True
+    # tables without rowcounts fall back to per-entry file count
+    t2 = _mk(spark, f"{tmp_root}/t2")
+    t2.extend(
+        spark.createDataFrame(
+            pd.DataFrame({"k": [f"k{i}" for i in range(80)], "v": range(80)})
+        ).repartition(40)
+    )
+    assert t2._stream_px_auto(None) is True
+    assert t2._stream_px_auto(None, threshold_files=64) is False
