@@ -132,6 +132,12 @@ HEADLINE = [
     "merge_upsert_evolving",
     "governed_roles_matrix",
     "ann_index_pq_topk",
+    # round-10 additions (driver round 8): ANN drift maintenance, the
+    # executor-side CDF reader (dv-bearing, parity-asserted), nested
+    # column masks — new to the headline set this round
+    "ann_index_drift_topk",
+    "stream_changes_dv_px",
+    "governed_nested_mask",
 ]
 
 # queries whose gate form deliberately runs BOTH the index path and an
@@ -150,6 +156,7 @@ ANN_SPLIT = [
     "ann_index_persisted_topk",
     "ann_filtered_topk",
     "ann_index_pq_topk",
+    "ann_index_drift_topk",
 ]
 
 R2_SET = [
@@ -240,6 +247,8 @@ def _fan_out(names: list[str], repeat: int) -> None:
     approx: dict[str, float] = {}
     spread: dict[str, float] = {}
     bests: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    serves: dict[str, float] = {}
     chunks = [names[i : i + CHUNK] for i in range(0, len(names), CHUNK)]
     for ci, chunk in enumerate(chunks):
         part = _run_child(chunk, repeat, f"chunk {ci + 1}/{len(chunks)}")
@@ -247,6 +256,8 @@ def _fan_out(names: list[str], repeat: int) -> None:
         approx.update(part.get("ann_approx_only") or {})
         spread.update(part.get("query_spread") or {})
         bests.update(part.get("queries_best") or {})
+        builds.update(part.get("ann_build_s") or {})
+        serves.update(part.get("ann_serve_s") or {})
     extra = {}
     r3 = [n for n in R3_SET if n in QUERIES]
     if set(r3) <= set(names):
@@ -255,6 +266,8 @@ def _fan_out(names: list[str], repeat: int) -> None:
         extra["r3_method_ann_approx_only"] = part.get("ann_approx_only") or {}
     extra["query_spread"] = spread
     extra["queries_best"] = bests
+    extra["ann_build_s"] = builds
+    extra["ann_serve_s"] = serves
     _emit_json(merged, approx, extra)
 
 
@@ -333,28 +346,38 @@ def main() -> None:
 
     sigmas: dict[str, float] = {}
     bests: dict[str, float] = {}
+    builds: dict[str, float] = {}
+    from parquetranger_spark.queries import common as _qcommon
 
     def timed(name: str) -> float:
         samples = []
         for _ in range(repeat):
             pre = set(_glob.glob(scratch_glob))
-            samples.append(run_one(spark, name))
+            dt = run_one(spark, name)
+            # index-building queries self-report their build seconds
+            # (queries/common.py record_build): keep the build sample
+            # PAIRED with its run so the chosen timing and its build
+            # split come from the same execution
+            samples.append((dt, _qcommon.BUILD_S.pop(name, None)))
             # storage queries materialize scratch repos per run; a long
             # --all --repeat sweep would otherwise grow /tmp linearly and
             # can exhaust it mid-bench
             for d in set(_glob.glob(scratch_glob)) - pre:
                 _shutil.rmtree(d, ignore_errors=True)
-        samples.sort()
+        samples.sort(key=lambda p: p[0])
         med = samples[len(samples) // 2]
-        sigmas[name] = round(samples[-1] - samples[0], 3)
-        bests[name] = samples[0]
+        sigmas[name] = round(samples[-1][0] - samples[0][0], 3)
+        bests[name] = samples[0][0]
         # sub-second queries sit inside the JVM-scheduling noise band
         # (±30% observed): best-of-N there reports the lucky tail and
         # phantom "regressions" appear round-over-round — take the MEDIAN
         # below the threshold (verdict r6 #7). Heavier queries keep
         # best-of-N: their first run pays query-shaped JIT, and min is
         # the steady-state throughput the cross-round ratios track.
-        return med if med < 1.5 else samples[0]
+        chosen = med if med[0] < 1.5 else samples[0]
+        if chosen[1] is not None and not os.environ.get("PQRS_BENCH_APPROX_ONLY"):
+            builds[name] = round(chosen[1], 3)
+        return chosen[0]
 
     for name in names:
         timings[name] = timed(name)
@@ -375,7 +398,22 @@ def main() -> None:
                 sigmas[name], bests[name] = full_sigma, full_best
             print(f"# {name} (approx only): {approx_only[name]}s", file=sys.stderr)
 
-    _emit_json(timings, approx_only, {"query_spread": sigmas, "queries_best": bests})
+    serve = {
+        n: round(timings[n] - b, 3) for n, b in builds.items() if n in timings
+    }
+    _emit_json(
+        timings,
+        approx_only,
+        {
+            "query_spread": sigmas,
+            "queries_best": bests,
+            # one-off index construction vs the serve path (verdict r7
+            # #6): serve_s = full timing minus the in-body build, the
+            # number comparable across rounds as indexes gain features
+            "ann_build_s": builds,
+            "ann_serve_s": serve,
+        },
+    )
 
 
 def _emit_json(

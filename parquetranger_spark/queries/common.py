@@ -85,3 +85,15 @@ def embedding_dim(sf_dir: str, table: str = "embeddings", col: str = "embedding"
         batch = next(pq.ParquetFile(path).iter_batches(batch_size=1, columns=[col]))
         _DIM_CACHE[path] = len(batch.column(0)[0])
     return _DIM_CACHE[path]
+
+
+# Per-query index-BUILD seconds, recorded by queries that construct a
+# persisted ANN index inside their timed body (round-7 verdict #6:
+# bench attribution must split one-off build cost from the serve path,
+# so serve-only numbers stay comparable across rounds). bench.py pops
+# entries after each run and emits ann_build_s / ann_serve_s.
+BUILD_S: dict[str, float] = {}
+
+
+def record_build(name: str, seconds: float) -> None:
+    BUILD_S[name] = round(seconds, 3)

@@ -24,7 +24,7 @@ from ..operators.events import session_stats
 from ..operators.similarity import topk_cosine_bruteforce, topk_cosine_lsh
 from ..sources.table_repo import TableRepo
 from . import query
-from .common import dsum, dsum_sql, embedding_dim, load, scratch_dir
+from .common import dsum, dsum_sql, embedding_dim, load, record_build, scratch_dir
 
 # ---------------------------------------------------------------- SQL helpers
 
@@ -708,9 +708,13 @@ def ann_index_persisted_topk(spark, sf_dir):
     incr = e.where(F.col("vec_id") % 7 == 0)
     dead = e.where(F.col("vec_id") % 50 == 0).select("vec_id")
     idx = AnnIndex(scratch_dir("annidx") + "/idx", spark=spark)
+    import time as _time
+
+    _b0 = _time.monotonic()
     n_lists = idx.build(base, seed=42)
     idx.add(incr)
     idx.delete(dead)
+    record_build("ann_index_persisted_topk", _time.monotonic() - _b0)
     q = e.where(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 150) & (F.col("vec_id") % 50 != 0)
     )
@@ -764,7 +768,11 @@ def ann_index_pq_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = AnnIndex(scratch_dir("annpq") + "/idx", spark=spark)
+    import time as _time
+
+    _b0 = _time.monotonic()
     n_lists = idx.build(e, seed=42, pq_m=8)
+    record_build("ann_index_pq_topk", _time.monotonic() - _b0)
     q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
     n_probe = max(8, n_lists // 3)
     approx = idx.query_pq(q, k=5, n_probe=n_probe, rerank=40).cache()
@@ -837,6 +845,9 @@ def ann_index_drift_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = AnnIndex(scratch_dir("anndrift") + "/idx", spark=spark)
+    import time as _time
+
+    _b0 = _time.monotonic()
     n_lists = idx.build(e, seed=42)
     for i in range(10):
         batch = e.where(F.col("vec_id") % 50 == i).select(
@@ -865,6 +876,7 @@ def ann_index_drift_topk(spark, sf_dir):
     live = {r["list_id"] for r in idx.centroids.get_full_df().collect()}
     if not set(sizes2) <= live:
         raise AssertionError("postings reference a list with no centroid")
+    record_build("ann_index_drift_topk", _time.monotonic() - _b0)
     q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
     approx = idx.query(q, k=5, n_probe=max(8, n_lists // 3))
     corpus = idx.postings.get_full_df().select(
@@ -911,7 +923,11 @@ def ann_filtered_topk(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = e.withColumn("bucket", (F.col("vec_id") % 10).cast("int"))
     idx = AnnIndex(scratch_dir("annflt") + "/idx", spark=spark)
+    import time as _time
+
+    _b0 = _time.monotonic()
     n_lists = idx.build(corpus, seed=42, attr_cols=["bucket"])
+    record_build("ann_filtered_topk", _time.monotonic() - _b0)
     q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
     # a filtered search probes MORE lists than an unfiltered one for the
     # same recall (only ~selectivity of each probed list competes): a

@@ -627,6 +627,18 @@ def manifest_files_inventory(spark, sf_dir):
     )
     t.extend(od.where(F.col("o_orderkey") % 2 == 0))
     t.extend(od.where(F.col("o_orderkey") % 2 == 1))
+    # round 8: the inventory reflects RETENTION HOLDS — a hold at v1
+    # pins both versions through a harshest-setting vacuum, so the
+    # physical inventory (and this query's result) is unchanged by it
+    t.register_retention_hold("inventory_probe", version=1)
+    t.vacuum(max_age_seconds=0, keep_versions=1)
+    if t.versions() != [1, 2]:
+        raise AssertionError(
+            f"retention hold did not pin versions: {t.versions()}"
+        )
+    if "inventory_probe" not in t.retention_holds():
+        raise AssertionError("live hold missing from retention_holds()")
+    t.release_retention_hold("inventory_probe")
     inv = t.files_df()
     return inv.groupBy(
         F.col("partition")["o_orderstatus"].alias("o_orderstatus")

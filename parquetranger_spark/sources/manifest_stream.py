@@ -117,6 +117,35 @@ def manifest_stream_source():
             # JSON never changes) — makes the per-poll frontier scan a
             # dict lookup except for still-pending markers
             self._txn_marker_cache = {}
+            # named RETENTION HOLD: when set, every committed offset
+            # advances a hold marker in the table's manifest dir, so
+            # vacuum() cannot prune the manifests a checkpoint resume
+            # needs (the vacuum-vs-streaming guard; holds expire by age)
+            self.hold_name = options.get("retention_hold") or None
+
+        def commit(self, end):
+            # offset-commit callback (driver-side): advance this
+            # consumer's retention hold to the committed horizon.
+            # Belt-and-braces with the read()-time pin — under
+            # availableNow the engine may deliver commit() only on the
+            # NEXT run, so the pin is what protects a fresh checkpoint
+            self._advance_hold(int(end["v"]))
+
+        def _advance_hold(self, version: int):
+            if not self.hold_name:
+                return
+            import json as _json
+            import time as _time
+
+            from parquetranger_spark.sources.fs import fs_for, join_path
+
+            fs = fs_for(self.root_uri)
+            d = join_path(self.root_uri, "_pqrs_manifest", "holds")
+            fs.mkdirs(d)
+            fs.write_text_atomic(
+                join_path(d, f"{self.hold_name}.json"),
+                _json.dumps({"version": int(version), "ts": _time.time()}),
+            )
 
         _FS_CACHE: dict = {}
         # marker path → resolved outcome; markers are written exactly once
@@ -979,6 +1008,11 @@ def manifest_stream_source():
 
         def read(self, start):
             lo = int(start["v"])
+            # pin the retention hold at PLANNING time: a crash-now
+            # restart re-plans from this very offset, and commit()
+            # callbacks lag a whole run under availableNow — waiting for
+            # them leaves the first run's horizon unpinned
+            self._advance_hold(lo)
             vs = self._versions()
             hi = self._txn_frontier(vs[-1] if vs else 0, lo=lo)
             if hi <= lo:
@@ -993,9 +1027,6 @@ def manifest_stream_source():
             # an existing checkpoint has no prefetch cache), which
             # rejects bare lists
             return iter(self._rows_between(int(start["v"]), int(end["v"])))
-
-        def commit(self, end):
-            pass
 
     class _FilePartition(InputPartition):
         def __init__(self, base: str, cdir: str, rel: str, extras=None):
@@ -1030,8 +1061,14 @@ def manifest_stream_source():
             vs = self._mf._versions()
             return {"v": self._mf._txn_frontier(vs[-1] if vs else 0)}
 
+        def commit(self, end):
+            # same retention-hold advance as the simple flavor
+            self._mf.commit(end)
+
         def partitions(self, start, end):
             lo, hi = int(start["v"]), int(end["v"])
+            # planning-time retention pin, same rationale as _Reader.read
+            self._mf._advance_hold(lo)
             if self._mf.cdf:
                 # one task per changed file, change-kind planned here:
                 # deletes of a version before its inserts (list order is
@@ -1260,9 +1297,6 @@ def manifest_stream_source():
                 fields.append(pa.field(name, patype))
             out = pa.table(arrays, schema=pa.schema(fields))
             yield from out.to_batches(max_chunksize=65536)
-
-        def commit(self, end):
-            pass
 
     class ManifestStream(DataSource):
         @classmethod

@@ -3041,7 +3041,10 @@ class TableRepo:
         return False
 
     def stream_manifest(
-        self, partitioned: bool | None = None, predicates=None
+        self,
+        partitioned: bool | None = None,
+        predicates=None,
+        hold: str | None = None,
     ) -> DataFrame:
         """The table as a streaming source in MANIFEST mode — offsets are
         manifest VERSIONS, each micro-batch is the rows of files added
@@ -3081,6 +3084,11 @@ class TableRepo:
                 else "pqrs_manifest_stream"
             )
         )
+        if hold:
+            # named retention hold: every committed micro-batch advances
+            # it, so vacuum() cannot prune this checkpoint's horizon —
+            # see register_retention_hold
+            r = r.option("retention_hold", hold)
         if predicates is not None:
             import json as _json
 
@@ -3158,7 +3166,10 @@ class TableRepo:
         )
 
     def stream_changes(
-        self, partitioned: bool | None = None, starting_version: int | str = 1
+        self,
+        partitioned: bool | None = None,
+        starting_version: int | str = 1,
+        hold: str | None = None,
     ) -> DataFrame:
         """The table's CHANGE-DATA-FEED as a streaming source (Delta's
         ``readChangeFeed`` shape on the manifest log; no reference
@@ -3220,13 +3231,15 @@ class TableRepo:
 
         spark = self._session()
         register_manifest_stream(spark)
+        r = spark.readStream.format(
+            "pqrs_manifest_stream_px"
+            if self._stream_px_auto(partitioned)
+            else "pqrs_manifest_stream"
+        )
+        if hold:
+            r = r.option("retention_hold", hold)
         df = (
-            spark.readStream.format(
-                "pqrs_manifest_stream_px"
-                if self._stream_px_auto(partitioned)
-                else "pqrs_manifest_stream"
-            )
-            .option("root", self.main_path)
+            r.option("root", self.main_path)
             .option("cdf", "1")
             .option("cdf_start", str(start))
             .option(
@@ -5041,7 +5054,108 @@ class TableRepo:
             if try_commit(fs, self.main_path, nxt, prev_ts=cur.get("ts", 0.0)):
                 return dropped
 
-    def vacuum(self, max_age_seconds: float = 24 * 3600, keep_versions: int = 1) -> list[str]:
+    HOLDS_DIR = "holds"
+
+    def register_retention_hold(self, name: str, version: int | None = None) -> None:
+        """Pin manifests (and the data dirs they reference) from
+        ``version`` ONWARD against :meth:`vacuum` — the
+        vacuum-vs-streaming-checkpoint guard (round-7 verdict #7).
+        Streams register/advance one automatically per micro-batch when
+        opened with ``hold=`` (stream_manifest / stream_changes): the
+        hold tracks the checkpoint horizon, so a retention sweep can
+        never prune the manifest a resume needs — PREVENTION, where the
+        previous contract was a clear error after the fact (a
+        re-bootstrap at 100 TB is days). Holds carry a timestamp and
+        EXPIRE by age (``vacuum(hold_expiry_seconds=)``): an abandoned
+        consumer cannot pin retention forever. Manual registration
+        covers non-streaming readers (a long backfill over a pinned
+        version range)."""
+        if self.commit_mode != "manifest":
+            raise TypeError("retention holds require commit_mode='manifest'")
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad hold name {name!r}")
+        import json as _json
+        import time as _time
+
+        from .manifest import MANIFEST_DIR
+
+        if version is None:
+            vs = self.versions()
+            version = vs[-1] if vs else 1
+        fs = self._fs()
+        d = join_path(self.main_path, MANIFEST_DIR, self.HOLDS_DIR)
+        fs.mkdirs(d)
+        fs.write_text_atomic(
+            join_path(d, f"{name}.json"),
+            _json.dumps({"version": int(version), "ts": _time.time()}),
+        )
+
+    def release_retention_hold(self, name: str) -> None:
+        from .manifest import MANIFEST_DIR
+
+        fs = self._fs()
+        p = join_path(self.main_path, MANIFEST_DIR, self.HOLDS_DIR, f"{name}.json")
+        if fs.exists(p):
+            fs.delete(p)
+
+    def retention_holds(self) -> dict[str, dict]:
+        """Live hold markers as ``{name: {version, ts}}`` (malformed
+        markers surface as version-1 pins — fail-SAFE: a half-written
+        marker must hold, not free)."""
+        import json as _json
+
+        from .fs import basename
+        from .manifest import MANIFEST_DIR
+
+        fs = self._fs()
+        d = join_path(self.main_path, MANIFEST_DIR, self.HOLDS_DIR)
+        out = {}
+        if not fs.exists(d):
+            return out
+        for p in fs.list_files(d, ".json"):
+            name = basename(p)[: -len(".json")]
+            try:
+                out[name] = _json.loads(fs.read_text(p))
+            except Exception:
+                out[name] = {"version": 1, "ts": None}
+        return out
+
+    def _held_versions(
+        self, expiry: float, versions: list[int], sweep_expired: bool = False
+    ) -> set[int]:
+        import json as _json
+        import time as _time
+
+        from .manifest import MANIFEST_DIR
+
+        now = _time.time()
+        fs = self._fs()
+        d = join_path(self.main_path, MANIFEST_DIR, self.HOLDS_DIR)
+        live_mins = []
+        if fs.exists(d):
+            for p in fs.list_files(d, ".json"):
+                try:
+                    h = _json.loads(fs.read_text(p))
+                    ts, v = float(h["ts"]), int(h["version"])
+                except Exception:
+                    # half-written marker (racing a stream's commit):
+                    # treat as a live hold-everything pin, never free
+                    ts, v = now, versions[0] if versions else 1
+                if ts >= now - expiry:
+                    live_mins.append(v)
+                elif sweep_expired:
+                    fs.delete(p)
+        if not live_mins:
+            return set()
+        vmin = min(live_mins)
+        return {v for v in versions if v >= vmin}
+
+    def vacuum(
+        self,
+        max_age_seconds: float = 24 * 3600,
+        keep_versions: int = 1,
+        hold_expiry_seconds: float = 7 * 24 * 3600,
+    ) -> list[str]:
         """Delete orphaned two-phase-append staging dirs older than
         ``max_age_seconds`` — the maintenance sweep for writers that
         crashed mid-append. Readers never see staging (dot-prefixed), so
@@ -5077,10 +5191,17 @@ class TableRepo:
                 fs.delete(path)
                 deleted.append(path)
         if self.commit_mode == "manifest":
-            deleted += self._vacuum_manifest(cutoff, keep_versions)
+            deleted += self._vacuum_manifest(
+                cutoff, keep_versions, hold_expiry_seconds
+            )
         return deleted
 
-    def _vacuum_manifest(self, cutoff: float, keep_versions: int = 1) -> list[str]:
+    def _vacuum_manifest(
+        self,
+        cutoff: float,
+        keep_versions: int = 1,
+        hold_expiry_seconds: float = 7 * 24 * 3600,
+    ) -> list[str]:
         """Manifest-mode sweep: (a) commit dirs referenced by NO retained
         manifest and older than the cutoff — superseded by later
         overwrites/compactions, or stranded by a writer that crashed
@@ -5106,6 +5227,7 @@ class TableRepo:
             join_path(self.main_path, MANIFEST_DIR),
             join_path(self.main_path, MANIFEST_DIR, "lists"),
             join_path(self.main_path, MANIFEST_DIR, "tags"),
+            join_path(self.main_path, MANIFEST_DIR, self.HOLDS_DIR),
             self.main_path,
         ):
             for path, mtime in fs.list_dirs(parent, prefix=STAGING_DIR):
@@ -5118,7 +5240,13 @@ class TableRepo:
         # version keeps its manifest, its spilled lists, and its data
         # dirs alive until the tag is deleted
         tagged = {v for v in self.tags().values() if v in versions}
-        retained = sorted(window | tagged)
+        # retention HOLDS pin everything from a consumer's checkpoint
+        # horizon onward (streams advance theirs per committed batch);
+        # stale holds expire by age and are swept here
+        held = self._held_versions(
+            hold_expiry_seconds, versions, sweep_expired=True
+        )
+        retained = sorted(window | tagged | held)
         live_dirs = set()
         live_refs = set()
         for v in retained:
