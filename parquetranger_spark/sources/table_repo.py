@@ -3269,6 +3269,7 @@ class TableRepo:
         checkpoint: str,
         starting_version: int | str = 1,
         timeout_sec: float = 600,
+        hold: str | None = None,
     ) -> None:
         """Incrementally replicate ``source`` into this table by draining
         its change-data-feed once (``availableNow``) — the CONSUMER side
@@ -3301,7 +3302,11 @@ class TableRepo:
         (enforced — a mismatched key projection would silently
         over-delete). At 100 TB this is the cross-region/table
         replication shape: O(changed files) per refresh, never a
-        full-table diff."""
+        full-table diff. ``hold`` names a retention hold the feed
+        advances on the SOURCE per refresh, so a source-side vacuum can
+        never prune below this replica's checkpoint horizon (see
+        :meth:`register_retention_hold`; holds expire by age if the
+        replica is abandoned)."""
         self._assert_ungoverned("sync_from")
         if self.commit_mode != "manifest":
             raise TypeError("sync_from() requires commit_mode='manifest' on the replica")
@@ -3374,7 +3379,7 @@ class TableRepo:
                 rows.unpersist()
 
         q = (
-            source.stream_changes(starting_version=starting_version)
+            source.stream_changes(starting_version=starting_version, hold=hold)
             .writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)

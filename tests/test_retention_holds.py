@@ -91,3 +91,21 @@ def test_hold_requires_manifest_mode_and_valid_name(spark, tmp_root):
     m.extend(spark.createDataFrame(_frame(0)))
     with pytest.raises(ValueError, match="bad hold name"):
         m.register_retention_hold("a/b")
+
+
+def test_sync_from_hold_protects_source(spark, tmp_root, tmp_path):
+    """A replica syncing with hold= pins the SOURCE's manifests at its
+    checkpoint horizon — a harsh source-side vacuum between refreshes
+    cannot strand the replica."""
+    src = _repo(spark, f"{tmp_root}/src")
+    repl = _repo(spark, f"{tmp_root}/repl")
+    src.extend(spark.createDataFrame(_frame(0)))
+    src.extend(spark.createDataFrame(_frame(4)))
+    repl.sync_from(src, checkpoint=f"{tmp_path}/ck", hold="replica1")
+    assert "replica1" in src.retention_holds()
+    src.extend(spark.createDataFrame(_frame(8)))
+    src.vacuum(max_age_seconds=0, keep_versions=1)
+    repl.sync_from(src, checkpoint=f"{tmp_path}/ck", hold="replica1")
+    assert sorted(r["k"] for r in repl.get_full_df().collect()) == sorted(
+        f"k{i}" for i in range(12)
+    )

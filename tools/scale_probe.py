@@ -438,6 +438,61 @@ def probe(spark):
         q.awaitTermination(300)
 
     ops["versions_feed"] = versions_feed
+
+    # round 8: index maintenance under DRIFT. Twin indexes per factor —
+    # both absorb a skewed append stream 4x the corpus size aimed at ONE
+    # region (every vector routes to the same frozen centroid); one twin
+    # then runs maintain() sweeps to convergence (list splits), the
+    # other is left unmaintained. Queries aimed at the drift region with
+    # n_probe=1 make the probed-list scan the dominant cost: the
+    # UNMAINTAINED twin scans the whole fat list (∝ n — the degradation
+    # the verdict flagged), the maintained twin scans one balanced child
+    # (∝ mean list size = n/√n) — expect maintained exponent ≤ ~0.5 with
+    # the unmaintained one visibly above it.
+    from parquetranger_spark.functions.vectors import to_double  # noqa: E402
+
+    drift_root = tempfile.mkdtemp(prefix="pqrs_scale_drift_")
+
+    def _drifted(df):
+        return df.select(
+            (F.col("vec_id") + F.lit(500_000_000)).alias("vec_id"),
+            F.transform(
+                to_double(F.col("embedding")),
+                lambda x: F.lit(3.0) + F.lit(0.1) * x,
+            ).alias("embedding"),
+        )
+
+    drift_m, drift_u = {}, {}
+    for f in FACTORS:
+        corpus = replicate(emb, "vec_id", f)
+        drift = _drifted(replicate(emb, "vec_id", 4 * f))
+        for tag, d in (("m", drift_m), ("u", drift_u)):
+            ai = AnnIndex(f"{drift_root}/{tag}{f}", spark=spark)
+            ai.build(corpus, seed=42)
+            ai.add(drift)
+            d[f] = ai
+        for _ in range(6):  # sweeps converge (children re-split if fat)
+            if not drift_m[f].maintain(split_factor=2.0, min_split_rows=64)[
+                "split"
+            ]:
+                break
+    drift_queries = _drifted(
+        emb.where(F.col("vec_id") < 100)
+    ).localCheckpoint(eager=True)
+
+    def ann_index_drift_query(f):
+        drift_m[f].query(
+            drift_queries, k=5, n_probe=1, exclude_self=False
+        ).count()
+
+    ops["ann_index_drift_query"] = ann_index_drift_query
+
+    def ann_index_drift_unmaintained(f):
+        drift_u[f].query(
+            drift_queries, k=5, n_probe=1, exclude_self=False
+        ).count()
+
+    ops["ann_index_drift_unmaintained"] = ann_index_drift_unmaintained
     prebuilt_idx = {
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS
