@@ -346,21 +346,121 @@ class AnnIndex:
            ranking; FAISS leaves this to the operator, we measure it).
            Books + codes also publish as one transaction.
 
+        The split pass has an inverse for DELETE-heavy drift: lists
+        thinned far below the mean (raw rows < mean / (2·split_factor))
+        MERGE — their vectors reassign to the nearest surviving
+        centroid (the add() argmin) via a keyed dv-upsert and the
+        routing entry retires, in one transaction. A probe slot spent
+        on a 3-row list is a wasted recall chance; merging keeps
+        n_probe/n_lists meaningful as the corpus shrinks.
+
         Pass ``split_factor=None`` / ``pq_drift=None`` to skip a pass.
         Returns ``{"compacted": [...], "split": {old: [children...]},
-        "pq_retrained": bool}``."""
+        "merged": {retired: [destinations...]}, "pq_retrained": bool}``."""
         out = {
             "compacted": self.postings.maintain(max_files_per_partition),
             "split": {},
+            "merged": {},
             "pq_retrained": False,
         }
         if split_factor is not None:
             out["split"] = self._split_oversized(
                 split_factor, min_split_rows, seed
             )
+            # the inverse repair for DELETE-heavy drift: lists thinned
+            # far below the mean stop paying for their probe slot (a
+            # probe that scans 3 rows wastes one of n_probe chances at
+            # recall) — reassign their vectors to the nearest surviving
+            # centroid and retire the list. Same atomicity: postings
+            # move via a keyed dv-upsert and the routing table shrinks
+            # in ONE transaction.
+            out["merged"] = self._merge_underfull(split_factor, seed)
         if pq_drift is not None:
             out["pq_retrained"] = self._maybe_retrain_pq(pq_drift, seed)
         return out
+
+    def _merge_underfull(self, split_factor: float, seed: int) -> dict:
+        from ..sources.txn import Transaction
+
+        cents = self.centroids.get_full_df()
+        live = {int(r["list_id"]) for r in cents.select("list_id").collect()}
+        # stats() counts RAW file rows (dv-tombstoned included) — a
+        # previously-retired list's partition lingers until compaction,
+        # so only lists that still ROUTE (have a live centroid) are
+        # merge candidates
+        counts = {
+            int(r["list_id"]): r["n_rows"]
+            for r in self.postings.stats().collect()
+            if int(r["list_id"]) in live
+        }
+        if len(counts) <= 4:
+            return {}
+        mean = sum(counts.values()) / len(counts)
+        floor = mean / max(split_factor * 2.0, 2.0)
+        underfull = sorted(lid for lid, n in counts.items() if n < floor)
+        # never merge the table away: keep at least 4 lists
+        underfull = underfull[: max(0, len(counts) - 4)]
+        if not underfull:
+            return {}
+        keep_cents = cents.where(
+            ~F.col("list_id").isin([int(x) for x in underfull])
+        ).localCheckpoint(eager=True)
+        moved = self.postings.get_full_df().where(
+            F.col("list_id").isin([int(x) for x in underfull])
+        )
+        if moved.isEmpty():
+            # every row already dv-dead: just retire the routing entries
+            self.centroids.replace_all(keep_cents)
+            return {int(lid): [] for lid in underfull}
+        # nearest SURVIVING centroid, same broadcast argmin as add()
+        dist = (
+            F.aggregate(
+                F.zip_with("cv", "centroid", lambda a, bb: a * bb),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(-2.0)
+            + F.aggregate(
+                F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("__d").asc(), F.col("list_id")
+        )
+        data_cols = [c for c in moved.columns if c != "list_id"]
+        reassigned = (
+            moved.drop("list_id")
+            .crossJoin(F.broadcast(keep_cents))
+            .withColumn("__d", dist)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("list_id", *data_cols)
+            .localCheckpoint(eager=True)
+        )
+        # where each retired list's rows went (observability; tiny)
+        dest = {
+            int(r["src"]): sorted(int(x) for x in r["dst"])
+            for r in moved.select(
+                F.col("list_id").alias("src"), F.col(self.id_col)
+            )
+            .join(
+                reassigned.select(
+                    F.col("list_id").alias("dst_id"), F.col(self.id_col)
+                ),
+                self.id_col,
+            )
+            .groupBy("src")
+            .agg(F.collect_set("dst_id").alias("dst"))
+            .collect()
+        }
+        t = Transaction(self.root + "/_txns")
+        # keyed dv-upsert: tombstones kill the old copies in the retired
+        # partitions, the reassigned rows append under their new lists —
+        # the retired dirs empty logically now, physically at compaction
+        t.replace_records(self.postings, reassigned)
+        t.replace_all(self.centroids, keep_cents)
+        t.commit()
+        return dest
 
     def _split_oversized(
         self, split_factor: float, min_split_rows: int, seed: int
@@ -368,10 +468,17 @@ class AnnIndex:
         from ..sources.txn import Transaction
 
         # list sizes from the stats surface (metadata-column scan — the
-        # same source compaction decisions read), not a data scan
+        # same source compaction decisions read), not a data scan; lists
+        # without a live centroid (retired by a merge, partition not yet
+        # compacted away) don't route and don't split
+        live = {
+            int(r["list_id"])
+            for r in self.centroids.get_full_df().select("list_id").collect()
+        }
         counts = {
             r["list_id"]: r["n_rows"]
             for r in self.postings.stats().collect()
+            if int(r["list_id"]) in live
         }
         if not counts:
             return {}

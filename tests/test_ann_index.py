@@ -392,3 +392,47 @@ def test_maintain_retrains_pq_on_drift(spark, idx):
         corpus.where(F.col("vec_id") < 5), k=3, n_probe=4, rerank=30
     )
     assert got.groupBy("query_id").count().where("count <> 3").count() == 0
+
+
+def test_maintain_merges_underfull_lists(spark, idx):
+    """Delete-heavy drift: lists thinned far below the mean merge into
+    the nearest surviving centroid — conservation, routing shrink, and
+    recall intact."""
+    corpus = _vectors(spark, 480).cache()
+    idx.build(corpus, n_lists=12, seed=1)
+    sizes = {r["list_id"]: r["n_rows"] for r in idx.postings.stats().collect()}
+    # gut two lists: delete all but 2 vectors from each
+    victims = sorted(sizes)[:2]
+    doomed = (
+        idx.postings.get_full_df()
+        .where(F.col("list_id").isin([int(v) for v in victims]))
+        .select("vec_id", "list_id")
+        .collect()
+    )
+    keep_per_list = {v: [r.vec_id for r in doomed if r.list_id == v][:2] for v in victims}
+    kill = [
+        r.vec_id
+        for r in doomed
+        if r.vec_id not in keep_per_list[r.list_id]
+    ]
+    idx.delete(spark.createDataFrame([(int(k),) for k in kill], "vec_id long"))
+    n_live = idx.postings.get_full_df().count()
+    res = idx.maintain(split_factor=2.0)
+    assert set(res["merged"]) == set(victims)
+    # routing table shrank by exactly the retired lists
+    live = {r["list_id"] for r in idx.centroids.get_full_df().collect()}
+    assert live.isdisjoint(victims) and len(live) == 12 - len(victims)
+    # conservation: every live row still present exactly once
+    assert idx.postings.get_full_df().count() == n_live
+    posted = {
+        r["list_id"]
+        for r in idx.postings.get_full_df().select("list_id").distinct().collect()
+    }
+    assert posted <= live  # no orphaned postings
+    # the moved survivors are still retrievable at rank 1 by their twin
+    probe_id = keep_per_list[victims[0]][0]
+    q = corpus.where(F.col("vec_id") == int(probe_id))
+    got = idx.query(q, k=1, n_probe=4, exclude_self=False).collect()
+    assert got and got[0]["neighbor_id"] == probe_id and got[0]["cos"] > 0.999999
+    # idempotent: a second sweep merges nothing
+    assert idx.maintain(split_factor=2.0)["merged"] == {}
