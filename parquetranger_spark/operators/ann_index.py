@@ -463,7 +463,11 @@ class AnnIndex:
         return dest
 
     def _split_oversized(
-        self, split_factor: float, min_split_rows: int, seed: int
+        self,
+        split_factor: float,
+        min_split_rows: int,
+        seed: int,
+        fit_sample: int = 8192,
     ) -> dict:
         from ..sources.txn import Transaction
 
@@ -476,7 +480,7 @@ class AnnIndex:
             for r in self.centroids.get_full_df().select("list_id").collect()
         }
         counts = {
-            r["list_id"]: r["n_rows"]
+            int(r["list_id"]): r["n_rows"]
             for r in self.postings.stats().collect()
             if int(r["list_id"]) in live
         }
@@ -494,86 +498,110 @@ class AnnIndex:
         rows = self.postings.get_full_df().where(
             F.col("list_id").isin([int(x) for x in oversized])
         )
-        from pyspark.sql import types as T
-
-        out_schema = T.StructType(
-            list(rows.schema.fields)
-            + [
-                T.StructField("sub", T.IntegerType()),
-                T.StructField(
-                    "sub_centroid", T.ArrayType(T.DoubleType()), True
-                ),
-            ]
+        # 1) FIT on a bounded per-list sample — the only rows a python
+        # task ever materializes. An applyInPandas over the WHOLE list
+        # would load it into one task (OOM at 100 TB list sizes); the
+        # sample caps that at fit_sample × dim doubles per task, the
+        # same bounded-fit argument as build()'s quantizer training.
+        ws = Window.partitionBy("list_id").orderBy(
+            F.xxhash64(F.col(self.id_col).cast("string"), F.lit(seed))
         )
+        sample = (
+            rows.select("list_id", "cv", self.id_col)
+            .withColumn("__r", F.row_number().over(ws))
+            .where(F.col("__r") <= fit_sample)
+            .drop("__r", self.id_col)
+        )
+        # k tracks how oversized the list is (≈ count/mean children,
+        # capped) so ONE sweep rebalances a 10x-skewed list instead of
+        # halving per call; repeated sweeps converge the stragglers
+        k_of = {
+            int(lid): int(min(max(2, round(counts[lid] / max(mean, 1.0))), 16))
+            for lid in oversized
+        }
 
-        mean_sz = float(sum(counts.values())) / len(counts)
-
-        def _local_kmeans(pdf):
-            # local seeded Lloyd on ONE oversized list (bounded by the
-            # list, runs task-side). k tracks how oversized the list is
-            # (≈ count/mean children, capped) so ONE sweep rebalances a
-            # 10×-skewed list instead of halving per call; the
-            # sub-centroid is stamped on the first row of each child
-            # only — the routing rows are recovered with a not-null
-            # filter, no second pass
+        def _fit(pdf):
+            # seeded Lloyd on one list's SAMPLE; emits only the k
+            # sub-centroids (clusters with no sample member are dropped
+            # — a childless centroid would waste a probe slot forever)
             import numpy as np
+            import pandas as _pd
 
+            lid = int(pdf["list_id"].iloc[0])
             X = np.stack(pdf["cv"].map(lambda v: np.asarray(v, dtype=np.float64)))
-            k = int(min(max(2, round(len(X) / max(mean_sz, 1.0))), 16, len(X)))
-            rng = np.random.RandomState(seed ^ (int(pdf["list_id"].iloc[0]) + 1))
+            k = int(min(k_of.get(lid, 2), len(X)))
+            rng = np.random.RandomState(seed ^ (lid + 1))
             C = X[rng.choice(len(X), size=k, replace=False)].copy()
             a = np.zeros(len(X), dtype=np.int64)
             for _ in range(8):
                 d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
                 a = d2.argmin(1)
-                for j in range(len(C)):
+                for j in range(k):
                     if (a == j).any():
                         C[j] = X[a == j].mean(0)
-            pdf = pdf.copy()
-            pdf["sub"] = a
-            cent = [None] * len(pdf)
-            for j in range(len(C)):
-                hit = np.flatnonzero(a == j)
-                if len(hit):
-                    cent[hit[0]] = [float(x) for x in C[j]]
-            pdf["sub_centroid"] = cent
-            return pdf
+            used = sorted(set(a.tolist()))
+            return _pd.DataFrame(
+                {
+                    "list_id": [lid] * len(used),
+                    "sub": list(range(len(used))),
+                    "sub_centroid": [[float(x) for x in C[j]] for j in used],
+                }
+            )
 
-        assigned = (
-            rows.repartition("list_id")
+        subs = (
+            sample.repartition("list_id")
             .groupBy("list_id")
-            .applyInPandas(_local_kmeans, out_schema)
-            .localCheckpoint(eager=True)
-        )
-        # tiny: ≤ 2 rows per oversized list
-        subs = assigned.where(F.col("sub_centroid").isNotNull()).select(
-            "list_id", "sub", "sub_centroid"
-        ).collect()
+            .applyInPandas(_fit, "list_id int, sub int, sub_centroid array<double>")
+            .collect()
+        )  # tiny: <= 16 rows per oversized list
         cents = self.centroids.get_full_df()
-        next_id = (
-            cents.agg(F.max("list_id")).collect()[0][0] or 0
-        ) + 1
-        mapping, new_cent_rows, split_map = [], [], {}
+        next_id = (cents.agg(F.max("list_id")).collect()[0][0] or 0) + 1
+        sub_rows, new_cent_rows, split_map = [], [], {}
         for r in sorted(subs, key=lambda r: (r["list_id"], r["sub"])):
             old = int(r["list_id"])
             if r["sub"] == 0:
                 new = old  # child 0 keeps the partition dir
             else:
                 new, next_id = next_id, next_id + 1
-            mapping.append((old, int(r["sub"]), new))
-            new_cent_rows.append((new, [float(x) for x in r["sub_centroid"]]))
+            c = [float(x) for x in r["sub_centroid"]]
+            sub_rows.append((old, new, c))
+            new_cent_rows.append((new, c))
             split_map.setdefault(old, []).append(new)
-        # a degenerate list (all points identical → one child) needs no
+        # a degenerate list (all points identical -> one child) needs no
         # table move: its centroid update alone would churn commits
         split_map = {k: v for k, v in split_map.items() if len(v) > 1}
         if not split_map:
             return {}
-        mdf = spark.createDataFrame(
-            mapping, "list_id int, sub int, new_list_id int"
+        sub_rows = [t for t in sub_rows if t[0] in split_map]
+        new_cent_rows = [
+            (n, c) for o, n, c in sub_rows
+        ]
+        # 2) ASSIGN every row JVM-side: broadcast the (old list -> sub
+        # centroids) table, squared-euclidean argmin per row — the same
+        # device as add(), no python task ever sees a whole list
+        subdf = spark.createDataFrame(
+            sub_rows, "list_id int, new_list_id int, sub_centroid array<double>"
+        )
+        dist = (
+            F.aggregate(
+                F.zip_with("cv", "sub_centroid", lambda a, bb: a * bb),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(-2.0)
+            + F.aggregate(
+                F.col("sub_centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("__d").asc(), F.col("new_list_id")
         )
         data_cols = [c for c in rows.columns if c != "list_id"]
         new_rows = (
-            assigned.join(F.broadcast(mdf), ["list_id", "sub"])
+            rows.join(F.broadcast(subdf), "list_id")
+            .withColumn("__d", dist)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
             .select(
                 F.col("new_list_id").cast("int").alias("list_id"), *data_cols
             )
