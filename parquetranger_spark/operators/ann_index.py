@@ -44,6 +44,15 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, cosine_prenormed, norm, to_double
 from ..sources.table_repo import TableRepo
 
+# codebooks are EPOCH-stamped: a retrain publishes epoch e+1 alongside
+# epoch e, re-encodes posting partitions in bounded batches (each row
+# stamped pq_epoch), and only then retires e — so serving can match
+# every candidate's code to the books that produced it mid-maintenance
+_PQ_META_SCHEMA = (
+    "epoch int, m int, n_codes int, books array<array<array<double>>>, "
+    "train_mse double"
+)
+
 
 class AnnIndex:
     """Handle for a persisted IVF index at ``root`` (see module doc)."""
@@ -144,24 +153,19 @@ class AnnIndex:
             assigned = assigned.withColumn("pq", self._encode_udf(books)(F.col("cv")))
             # training-time sample MSE rides with the books: maintain()
             # re-measures the same bounded statistic to DETECT drift —
-            # measured here against the source corpus, since postings
-            # are not yet written
+            # measured here against the source corpus (postings are not
+            # yet written), through the SAME hash-ordered sampler the
+            # drift check uses, so the two sides share a distribution
             mse = self._pq_mse_of(
-                [
-                    r[0]
-                    for r in corpus.select(
-                        to_double(F.col(self.vec_col))
-                    ).limit(4096).collect()
-                ],
+                self._hash_sample_vecs(corpus, F.col(self.vec_col), 4096, seed),
                 books,
             )
             self._pq_repo().replace_all(
                 spark.createDataFrame(
-                    [(pq_m, pq_codes, books, mse)],
-                    "m int, n_codes int, books array<array<array<double>>>, "
-                    "train_mse double",
+                    [(0, pq_m, pq_codes, books, mse)], _PQ_META_SCHEMA
                 )
             )
+            assigned = assigned.withColumn("pq_epoch", F.lit(0))
         else:
             # a rebuild WITHOUT pq must retire any previous codebooks:
             # stale books would make query_pq serve null-coded garbage
@@ -201,22 +205,35 @@ class AnnIndex:
         return meta["books"], meta["m"]
 
     def _load_pq_meta(self):
-        """Full codebook metadata dict (books, m, n_codes, train_mse) or
-        None; ``train_mse`` is None for indexes persisted before drift
+        """CURRENT codebook metadata dict (epoch, books, m, n_codes,
+        train_mse) or None; during an in-flight retrain two epochs are
+        persisted and the NEWEST is current (adds encode against it).
+        ``train_mse`` is None for indexes persisted before drift
         tracking existed — maintain() then skips the drift pass."""
+        metas = self._load_pq_metas()
+        if not metas:
+            return None
+        return metas[max(metas)]
+
+    def _load_pq_metas(self) -> dict:
+        """{epoch: meta dict} for EVERY persisted codebook epoch —
+        usually one; two mid-retrain. Pre-epoch indexes (no ``epoch``
+        column) load as epoch 0."""
         repo = self._pq_repo()
         if not repo._fs().exists(repo.main_path):
-            return None
-        row = repo.get_full_df().first()
-        if row is None:
-            return None
-        d = row.asDict()
-        return {
-            "books": [list(map(list, b)) for b in d["books"]],
-            "m": d["m"],
-            "n_codes": d["n_codes"],
-            "train_mse": d.get("train_mse"),
-        }
+            return {}
+        df = repo.get_full_df()
+        out = {}
+        for row in df.collect():
+            d = row.asDict()
+            out[int(d.get("epoch") or 0)] = {
+                "epoch": int(d.get("epoch") or 0),
+                "books": [list(map(list, b)) for b in d["books"]],
+                "m": d["m"],
+                "n_codes": d["n_codes"],
+                "train_mse": d.get("train_mse"),
+            }
+        return out
 
     @staticmethod
     def _encode_udf(books):
@@ -293,13 +310,15 @@ class AnnIndex:
             .where(F.col("__r") == 1)
             .select(self.id_col, "cv", "cn", "list_id", *extra)
         )
-        pq = self._load_books()
+        pq = self._load_pq_meta()
         if pq is not None:
             # codebooks are FROZEN at build time (the FAISS contract):
-            # adds encode against them, never re-train
+            # adds encode against the CURRENT epoch's books, never
+            # re-train; the epoch stamp rides with the code so a
+            # later retrain knows which books produced it
             assigned = assigned.withColumn(
-                "pq", self._encode_udf(pq[0])(F.col("cv"))
-            )
+                "pq", self._encode_udf(pq["books"])(F.col("cv"))
+            ).withColumn("pq_epoch", F.lit(int(pq["epoch"])))
         # postings' canonical-schema alignment drops attrs the index was
         # not built with and nulls ones this batch lacks — the batch
         # never dictates the index's attribute surface
@@ -317,6 +336,9 @@ class AnnIndex:
         min_split_rows: int = 64,
         pq_drift: float | None = 0.5,
         seed: int = 42,
+        merge: bool = True,
+        grow_to_sqrt: bool = True,
+        reencode_batch_lists: int = 64,
     ) -> dict:
         """Index maintenance under append DRIFT, in three passes:
 
@@ -339,12 +361,16 @@ class AnnIndex:
         3. **re-train PQ codebooks** when quantization drift exceeds
            ``pq_drift``: build() persisted the training-time sample MSE
            alongside the books; maintain re-measures the same bounded
-           statistic on the CURRENT corpus and, past the threshold,
-           re-trains the books and re-encodes every posting's code —
-           the one O(table) pass here, taken only when serving quality
-           has actually decayed (stale codebooks silently degrade ADC
-           ranking; FAISS leaves this to the operator, we measure it).
-           Books + codes also publish as one transaction.
+           statistic on the CURRENT corpus (hash-ordered deterministic
+           sample — never a partition-order-biased bare limit) and,
+           past the threshold, re-trains the books and re-encodes the
+           postings INCREMENTALLY: new books publish first under a new
+           epoch, partitions re-encode in bounded
+           ``reencode_batch_lists``-sized commits with per-row epoch
+           stamps, and the old epoch retires last — O(table) total
+           work but never an O(table) single commit, and
+           :meth:`query_pq` serves correctly mid-re-encode by scoring
+           each code against its own epoch's books.
 
         The split pass has an inverse for DELETE-heavy drift: lists
         thinned far below the mean (raw rows < mean / (2·split_factor))
@@ -365,7 +391,7 @@ class AnnIndex:
         }
         if split_factor is not None:
             out["split"] = self._split_oversized(
-                split_factor, min_split_rows, seed
+                split_factor, min_split_rows, seed, grow_to_sqrt=grow_to_sqrt
             )
             # the inverse repair for DELETE-heavy drift: lists thinned
             # far below the mean stop paying for their probe slot (a
@@ -373,10 +399,16 @@ class AnnIndex:
             # recall) — reassign their vectors to the nearest surviving
             # centroid and retire the list. Same atomicity: postings
             # move via a keyed dv-upsert and the routing table shrinks
-            # in ONE transaction.
-            out["merged"] = self._merge_underfull(split_factor, seed)
+            # in ONE transaction. merge=False skips it (an append-only
+            # workload never thins a list; callers comparing raw
+            # stats-surface counts across maintain() also want it off,
+            # since a merge leaves tombstoned copies until compaction).
+            if merge:
+                out["merged"] = self._merge_underfull(split_factor, seed)
         if pq_drift is not None:
-            out["pq_retrained"] = self._maybe_retrain_pq(pq_drift, seed)
+            out["pq_retrained"] = self._maybe_retrain_pq(
+                pq_drift, seed, reencode_batch_lists=reencode_batch_lists
+            )
         return out
 
     def _merge_underfull(self, split_factor: float, seed: int) -> dict:
@@ -468,6 +500,7 @@ class AnnIndex:
         min_split_rows: int,
         seed: int,
         fit_sample: int = 8192,
+        grow_to_sqrt: bool = True,
     ) -> dict:
         from ..sources.txn import Transaction
 
@@ -486,11 +519,24 @@ class AnnIndex:
         }
         if not counts:
             return {}
-        mean = sum(counts.values()) / len(counts)
+        total = sum(counts.values())
+        mean = total / len(counts)
+        # GROWTH (round-8 verdict #8): splitting only repairs skew — it
+        # never raises the list count toward √n as the corpus grows, so
+        # per-probe scan cost drifts toward n/n_lists LINEAR growth.
+        # When the corpus has outgrown its routing table (√n > 1.3 ×
+        # n_lists), size every list's child count against the TARGET
+        # ideal list size instead of the current mean: one sweep takes
+        # the table to ≈√n lists, keeping serving at the IVF √n design
+        # point without a rebuild.
+        target = max(4, math.isqrt(total)) if grow_to_sqrt else 0
+        growing = target > 1.3 * len(counts)
+        ideal = (total / target) if growing else mean
         oversized = sorted(
             lid
             for lid, n in counts.items()
-            if n > split_factor * mean and n >= min_split_rows
+            if n >= min_split_rows
+            and (n > split_factor * mean or (growing and n >= 2.0 * ideal))
         )
         if not oversized:
             return {}
@@ -512,11 +558,12 @@ class AnnIndex:
             .where(F.col("__r") <= fit_sample)
             .drop("__r", self.id_col)
         )
-        # k tracks how oversized the list is (≈ count/mean children,
-        # capped) so ONE sweep rebalances a 10x-skewed list instead of
-        # halving per call; repeated sweeps converge the stragglers
+        # k tracks how oversized the list is (≈ count/ideal children,
+        # capped; ideal = mean normally, total/√n when growing) so ONE
+        # sweep rebalances a 10x-skewed list instead of halving per
+        # call; repeated sweeps converge the stragglers
         k_of = {
-            int(lid): int(min(max(2, round(counts[lid] / max(mean, 1.0))), 16))
+            int(lid): int(min(max(2, round(counts[lid] / max(ideal, 1.0))), 16))
             for lid in oversized
         }
 
@@ -556,31 +603,32 @@ class AnnIndex:
         )  # tiny: <= 16 rows per oversized list
         cents = self.centroids.get_full_df()
         next_id = (cents.agg(F.max("list_id")).collect()[0][0] or 0) + 1
-        sub_rows, new_cent_rows, split_map = [], [], {}
+        # provisional FRESH ids for every child; the old id is granted
+        # AFTER assignment, to the child that wins the most full-corpus
+        # rows (round-8 advice: sub-centroids are fit on a sample, so a
+        # fixed "child 0 keeps the dir" can hand the old id to a child
+        # that wins ZERO corpus rows — replace_groups then never
+        # overwrites the old partition and every original row stays
+        # live alongside its rewritten copy: silent duplicates)
+        sub_rows, cent_of, kids = [], {}, {}
         for r in sorted(subs, key=lambda r: (r["list_id"], r["sub"])):
             old = int(r["list_id"])
-            if r["sub"] == 0:
-                new = old  # child 0 keeps the partition dir
-            else:
-                new, next_id = next_id, next_id + 1
             c = [float(x) for x in r["sub_centroid"]]
-            sub_rows.append((old, new, c))
-            new_cent_rows.append((new, c))
-            split_map.setdefault(old, []).append(new)
+            sub_rows.append((old, next_id, c))
+            cent_of[next_id] = c
+            kids.setdefault(old, []).append(next_id)
+            next_id += 1
         # a degenerate list (all points identical -> one child) needs no
         # table move: its centroid update alone would churn commits
-        split_map = {k: v for k, v in split_map.items() if len(v) > 1}
-        if not split_map:
+        multi = {o for o, v in kids.items() if len(v) > 1}
+        sub_rows = [t for t in sub_rows if t[0] in multi]
+        if not sub_rows:
             return {}
-        sub_rows = [t for t in sub_rows if t[0] in split_map]
-        new_cent_rows = [
-            (n, c) for o, n, c in sub_rows
-        ]
         # 2) ASSIGN every row JVM-side: broadcast the (old list -> sub
         # centroids) table, squared-euclidean argmin per row — the same
         # device as add(), no python task ever sees a whole list
         subdf = spark.createDataFrame(
-            sub_rows, "list_id int, new_list_id int, sub_centroid array<double>"
+            sub_rows, "list_id int, prov_id int, sub_centroid array<double>"
         )
         dist = (
             F.aggregate(
@@ -594,17 +642,48 @@ class AnnIndex:
             )
         )
         w = Window.partitionBy(self.id_col).orderBy(
-            F.col("__d").asc(), F.col("new_list_id")
+            F.col("__d").asc(), F.col("prov_id")
         )
         data_cols = [c for c in rows.columns if c != "list_id"]
-        new_rows = (
+        assigned = (
             rows.join(F.broadcast(subdf), "list_id")
             .withColumn("__d", dist)
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") == 1)
-            .select(
-                F.col("new_list_id").cast("int").alias("list_id"), *data_cols
+            .select(F.col("list_id").alias("__old"), "prov_id", *data_cols)
+            .localCheckpoint(eager=True)  # counted below AND written
+        )
+        # who won how many rows — tiny (≤16 children per split list)
+        wins: dict = {}
+        for r in assigned.groupBy("__old", "prov_id").count().collect():
+            wins.setdefault(int(r["__old"]), []).append(
+                (int(r["count"]), int(r["prov_id"]))
             )
+        remap, new_cent_rows, split_map = [], [], {}
+        for old in sorted(wins):
+            ne = sorted(wins[old], key=lambda t: (-t[0], t[1]))
+            if len(ne) < 2:
+                # one child swallowed the whole list: a no-op split —
+                # leave the partition and its centroid untouched
+                continue
+            winner = ne[0][1]
+            finals = []
+            for _cnt, prov in ne:
+                final = old if prov == winner else prov
+                remap.append((prov, final))
+                new_cent_rows.append((final, cent_of[prov]))
+                finals.append(final)
+            split_map[old] = sorted(finals)
+        if not split_map:
+            return {}
+        # sample-fit children that won no corpus rows carry NO centroid
+        # (they're absent from wins): a childless routing entry would
+        # waste a probe slot forever
+        remap_df = spark.createDataFrame(remap, "prov_id int, final_id int")
+        new_rows = (
+            assigned.where(F.col("__old").isin([int(x) for x in split_map]))
+            .join(F.broadcast(remap_df), "prov_id")
+            .select(F.col("final_id").cast("int").alias("list_id"), *data_cols)
         )
         keep = cents.where(
             ~F.col("list_id").isin([int(x) for x in split_map])
@@ -620,44 +699,164 @@ class AnnIndex:
         t.commit()
         return split_map
 
-    def _maybe_retrain_pq(self, pq_drift: float, seed: int) -> bool:
-        from ..sources.txn import Transaction
+    def _maybe_retrain_pq(
+        self, pq_drift: float, seed: int, reencode_batch_lists: int = 64
+    ) -> bool:
+        """Detect codebook drift and, past the threshold, retrain + re-
+        encode INCREMENTALLY (round-8 verdict #6): the old shape rewrote
+        the whole postings table in one ``replace_all`` transaction —
+        O(table) in a single commit, exactly what a 100 TB table cannot
+        absorb. Now the new books PUBLISH FIRST under epoch e+1 (both
+        epochs live side by side), posting partitions re-encode in
+        bounded batches of ``reencode_batch_lists`` list dirs — each
+        batch one ordinary partition-overwrite commit, rows stamped
+        ``pq_epoch`` — and the old epoch retires only after the last
+        batch. Serving stays correct THROUGHOUT: :meth:`query_pq`
+        matches every candidate's code to the books of its own stamped
+        epoch, so a crash mid-re-encode leaves a slower-to-finish but
+        never-wrong index (the next maintain() resumes: stale-epoch
+        partitions are re-encoded, current-epoch ones skipped)."""
         from .similarity import train_pq_codebooks
 
-        meta = self._load_pq_meta()
-        if meta is None or meta.get("train_mse") is None:
+        metas = self._load_pq_metas()
+        if not metas:
             return False
-        cur = self._pq_sample_mse(meta["books"], seed=seed)
-        if cur is None or cur <= (1.0 + pq_drift) * meta["train_mse"]:
-            return False
-        corpus = self.postings.get_full_df()
-        books = train_pq_codebooks(
-            corpus, vec_col="cv", m=meta["m"], n_codes=meta["n_codes"], seed=seed
-        )
-        new_mse = self._pq_sample_mse(books, seed=seed)
-        spark = self.postings._session()
-        t = Transaction(self.root + "/_txns")
-        t.replace_all(
-            self._pq_repo(),
-            spark.createDataFrame(
-                [(meta["m"], meta["n_codes"], books, float(new_mse))],
-                "m int, n_codes int, books array<array<array<double>>>, "
-                "train_mse double",
-            ),
-        )
-        t.replace_all(
-            self.postings,
-            corpus.withColumn("pq", self._encode_udf(books)(F.col("cv"))),
-        )
-        t.commit()
-        return True
+        meta = metas[max(metas)]
+        resumed_epochs = len(metas) > 1  # crashed mid-re-encode last time
+        retrained = False
+        if not resumed_epochs:
+            if meta.get("train_mse") is None:
+                return False
+            cur = self._pq_sample_mse(meta["books"], seed=seed)
+            if cur is None or cur <= (1.0 + pq_drift) * meta["train_mse"]:
+                return False
+            corpus = self.postings.get_full_df()
+            books = train_pq_codebooks(
+                corpus,
+                vec_col="cv",
+                m=meta["m"],
+                n_codes=meta["n_codes"],
+                seed=seed,
+            )
+            new_epoch = int(meta["epoch"]) + 1
+            new_mse = self._pq_sample_mse(books, seed=seed)
+            spark = self.postings._session()
+            # 1) publish the NEW books alongside the old — one tiny
+            # commit; from here every candidate can be scored against
+            # the books of its own epoch, whichever order the batches
+            # land in
+            self._pq_repo().extend(
+                spark.createDataFrame(
+                    [(new_epoch, meta["m"], meta["n_codes"], books, float(new_mse))],
+                    _PQ_META_SCHEMA,
+                )
+            )
+            meta = {
+                "epoch": new_epoch,
+                "books": books,
+                "m": meta["m"],
+                "n_codes": meta["n_codes"],
+                "train_mse": new_mse,
+            }
+            retrained = True
+        # 2) re-encode stale-epoch partitions in bounded batches, found
+        # by a scan of the epoch + partition columns alone (codes-width,
+        # cv pruned). Pre-epoch postings tables (no pq_epoch column)
+        # can't stamp batches — take the legacy whole-table path once;
+        # every row comes out stamped and future retrains are bounded
+        cur_epoch = int(meta["epoch"])
+        if "pq_epoch" not in self.postings.get_full_df().columns:
+            corpus = self.postings.get_full_df()
+            self.postings.replace_all(
+                corpus.withColumn(
+                    "pq", self._encode_udf(meta["books"])(F.col("cv"))
+                ).withColumn("pq_epoch", F.lit(cur_epoch))
+            )
+            stale = []
+        else:
+            stale = sorted(
+                int(r["list_id"])
+                for r in self.postings.get_full_df()
+                .where(
+                    F.coalesce(F.col("pq_epoch"), F.lit(-1)) != F.lit(cur_epoch)
+                )
+                .select("list_id")
+                .distinct()
+                .collect()
+            )
+        enc = self._encode_udf(meta["books"])
+        for i in range(0, len(stale), max(reencode_batch_lists, 1)):
+            batch = stale[i : i + max(reencode_batch_lists, 1)]
+            part = self.postings.get_full_df().where(
+                F.col("list_id").isin([int(x) for x in batch])
+            )
+            self.postings.replace_groups(
+                part.withColumn("pq", enc(F.col("cv"))).withColumn(
+                    "pq_epoch", F.lit(cur_epoch)
+                )
+            )
+        # 3) retire every older epoch — one tiny commit, taken only
+        # after the whole table is at cur_epoch
+        if retrained or resumed_epochs:
+            spark = self.postings._session()
+            self._pq_repo().replace_all(
+                spark.createDataFrame(
+                    [
+                        (
+                            cur_epoch,
+                            meta["m"],
+                            meta["n_codes"],
+                            meta["books"],
+                            float(meta["train_mse"])
+                            if meta["train_mse"] is not None
+                            else None,
+                        )
+                    ],
+                    _PQ_META_SCHEMA,
+                )
+            )
+        return retrained or resumed_epochs
 
     def _pq_sample_mse(self, books, limit: int = 4096, seed: int = 42):
         """Quantization MSE of the CURRENT corpus against ``books`` on a
         bounded sample (limit × dim doubles driver-side — the same
-        bounded-fit argument as codebook training itself)."""
-        sample = self.postings.get_full_df().select("cv").limit(limit).collect()
-        return self._pq_mse_of([r[0] for r in sample], books)
+        bounded-fit argument as codebook training itself).
+
+        The sample is hash-ordered, NOT a bare ``limit()`` (round-8
+        advice): on the list_id-partitioned postings table a bare limit
+        reads whichever partition dirs scan first — one cluster region —
+        so drift concentrated elsewhere is invisible and the statistic
+        is nondeterministic run-to-run. Ordering by
+        ``xxhash64(id, seed)`` draws uniformly across lists,
+        deterministically for a given seed, as a TakeOrderedAndProject
+        (per-partition partial top-k, no full sort)."""
+        return self._pq_mse_of(
+            self._hash_sample_vecs(
+                self.postings.get_full_df(), "cv", limit, seed
+            ),
+            books,
+        )
+
+    def _hash_sample_vecs(self, df: DataFrame, vec_col, limit: int, seed: int):
+        """Deterministic uniform vector sample: top ``limit`` rows by
+        ``xxhash64(id, seed)`` — the same device the split pass uses
+        per-list (``_split_oversized``), applied globally. build() and
+        maintain() both measure their MSE through here, so the drift
+        comparison is apples-to-apples."""
+        rows = (
+            df.select(
+                to_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+                .alias("__v"),
+                F.xxhash64(
+                    F.col(self.id_col).cast("string"), F.lit(int(seed))
+                ).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(limit)
+            .select("__v")
+            .collect()
+        )
+        return [r[0] for r in rows]
 
     @staticmethod
     def _pq_mse_of(vectors, books):
@@ -772,37 +971,56 @@ class AnnIndex:
         Scan arithmetic at 100 TB: probed fraction × (pq_m bytes/row)
         for candidates + rerank×|queries| rows of raw vectors — vs
         probed fraction × (8·dim bytes/row) without PQ."""
-        pq = self._load_books()
-        if pq is None:
+        metas = self._load_pq_metas()
+        if not metas:
             raise ValueError(
                 "query_pq: index was built without pq_m (no codebooks)"
             )
-        books, _m = pq
         rerank = rerank or 4 * k
         cents = self.centroids.get_full_df()
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
         ).withColumn("qn", norm(F.col("qv")))
+        post = self.postings.get_full_df()
+        multi_epoch = len(metas) > 1 and "pq_epoch" in post.columns
+        cur_epoch = max(metas)
         # LUT computed ONCE per query row (the m×n_codes GEMM), not once
-        # per (query, probe) pair — it joins back onto candidates below
-        luts = q.select(
-            "query_id", self._lut_udf(books)(F.col("qv")).alias("lut")
-        ).localCheckpoint(eager=True)
+        # per (query, probe) pair — it joins back onto candidates below.
+        # Mid-retrain (two codebook epochs live) each query carries one
+        # LUT PER EPOCH and candidates join on their own stamped epoch,
+        # so every code is scored against the books that produced it —
+        # serving stays correct while re-encode batches land.
+        if multi_epoch:
+            luts = None
+            for e in sorted(metas):
+                le = q.select(
+                    "query_id",
+                    F.lit(int(e)).alias("pq_epoch"),
+                    self._lut_udf(metas[e]["books"])(F.col("qv")).alias("lut"),
+                )
+                luts = le if luts is None else luts.unionByName(le)
+        else:
+            luts = q.select(
+                "query_id",
+                self._lut_udf(metas[cur_epoch]["books"])(F.col("qv")).alias("lut"),
+            )
+        luts = luts.localCheckpoint(eager=True)
         probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
         probed_ids = [
             r["list_id"] for r in probes.select("list_id").distinct().collect()
         ]
         # candidate scan: codes only — cv/cn are PRUNED from this read
-        codes = (
-            self.postings.get_full_df()
-            .where(F.col("list_id").isin(probed_ids))
-            .select(F.col(self.id_col).alias("neighbor_id"), "pq", "list_id")
-        )
+        code_cols = [F.col(self.id_col).alias("neighbor_id"), F.col("pq"), F.col("list_id")]
+        if multi_epoch:
+            code_cols.append(
+                F.coalesce(F.col("pq_epoch"), F.lit(int(cur_epoch))).alias("pq_epoch")
+            )
+        codes = post.where(F.col("list_id").isin(probed_ids)).select(*code_cols)
         cand = (
             probes.select("query_id", "list_id")
             .join(codes, "list_id")
-            .join(luts, "query_id")
+            .join(luts, ["query_id", "pq_epoch"] if multi_epoch else "query_id")
         )
         if exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
@@ -834,17 +1052,21 @@ class AnnIndex:
         # one extra (narrow, codes-only) ADC pass, which is far cheaper
         # than the wide cv scan the id pushdown eliminates — and the
         # codes-only scan stays visible in the served plan (the column-
-        # pruning plan gate reads it there)
-        cand_ids = [
-            r["neighbor_id"]
-            for r in short.select("neighbor_id").distinct().collect()
-        ]
-        vecs = (
-            self.postings.get_full_df()
-            .where(F.col("list_id").isin(probed_ids))
-            .where(F.col(self.id_col).isin(cand_ids))
-            .select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn")
+        # pruning plan gate reads it there). The pushdown is CAPPED
+        # (round-8 advice): past ~16k ids the In-literal dominates plan
+        # size and task serialization; above the cap the inner join on
+        # neighbor_id below restricts candidates instead, trading one
+        # wider probed-partition read for a bounded plan.
+        vecs = self.postings.get_full_df().where(
+            F.col("list_id").isin(probed_ids)
         )
+        if rerank * q.count() <= 16384:
+            cand_ids = [
+                r["neighbor_id"]
+                for r in short.select("neighbor_id").distinct().collect()
+            ]
+            vecs = vecs.where(F.col(self.id_col).isin(cand_ids))
+        vecs = vecs.select(F.col(self.id_col).alias("neighbor_id"), "cv", "cn")
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("neighbor_id")
         )

@@ -864,6 +864,9 @@ def ann_index_drift_topk(spark, sf_dir):
         raise AssertionError(
             "drift workload failed to concentrate: no list exceeds 2x mean"
         )
+    # the pre-maintain workload is append-only (build + adds, no dv),
+    # so raw stats rows == live rows — no extra count job needed here
+    n_live_before = sum(sizes.values())
     res = idx.maintain(split_factor=2.0, min_split_rows=32)
     if not res["split"]:
         raise AssertionError("maintain() split nothing on a skewed index")
@@ -871,11 +874,19 @@ def ann_index_drift_topk(spark, sf_dir):
     fat = max(sizes, key=sizes.get)
     if sizes2.get(fat, 0) >= sizes[fat]:
         raise AssertionError("oversized list did not shrink after maintain()")
-    if sum(sizes2.values()) != sum(sizes.values()):
+    # conservation on LIVE rows (round-8 advice): the merge pass moves
+    # rows via dv-upsert, so RAW stats counts legitimately inflate with
+    # tombstoned copies until compaction — raw equality would hard-fail
+    # spuriously at any SF where a list dips under the merge floor
+    if idx.postings.get_full_df().count() != n_live_before:
         raise AssertionError("maintain() lost or duplicated postings rows")
     live = {r["list_id"] for r in idx.centroids.get_full_df().collect()}
-    if not set(sizes2) <= live:
-        raise AssertionError("postings reference a list with no centroid")
+    live_lists = {
+        r["list_id"]
+        for r in idx.postings.get_full_df().select("list_id").distinct().collect()
+    }
+    if not live_lists <= live:
+        raise AssertionError("live postings reference a list with no centroid")
     record_build("ann_index_drift_topk", _time.monotonic() - _b0)
     q = e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
     approx = idx.query(q, k=5, n_probe=max(8, n_lists // 3))

@@ -121,7 +121,15 @@ def manifest_stream_source():
             # advances a hold marker in the table's manifest dir, so
             # vacuum() cannot prune the manifests a checkpoint resume
             # needs (the vacuum-vs-streaming guard; holds expire by age)
+            # same name rule register_retention_hold enforces: a '/' or
+            # leading '.' would write the marker OUTSIDE the holds dir,
+            # where _held_versions never looks — the checkpoint would be
+            # silently unprotected against vacuum
             self.hold_name = options.get("retention_hold") or None
+            if self.hold_name and (
+                "/" in self.hold_name or self.hold_name.startswith(".")
+            ):
+                raise ValueError(f"bad hold name {self.hold_name!r}")
 
         def commit(self, end):
             # offset-commit callback (driver-side): advance this

@@ -3087,7 +3087,12 @@ class TableRepo:
         if hold:
             # named retention hold: every committed micro-batch advances
             # it, so vacuum() cannot prune this checkpoint's horizon —
-            # see register_retention_hold
+            # see register_retention_hold. Same name rule as there,
+            # checked EAGERLY (the reader re-checks at construction): a
+            # '/' or leading '.' would write the marker outside the
+            # holds dir, invisibly to _held_versions
+            if "/" in hold or hold.startswith("."):
+                raise ValueError(f"bad hold name {hold!r}")
             r = r.option("retention_hold", hold)
         if predicates is not None:
             import json as _json
@@ -3237,6 +3242,8 @@ class TableRepo:
             else "pqrs_manifest_stream"
         )
         if hold:
+            if "/" in hold or hold.startswith("."):
+                raise ValueError(f"bad hold name {hold!r}")
             r = r.option("retention_hold", hold)
         df = (
             r.option("root", self.main_path)
