@@ -1286,10 +1286,15 @@ def semantic_dedup_kept(spark, sf_dir):
 @query(
     "fuzzy_title_pairs",
     oracle="""
-WITH t AS (
+WITH t0 AS (
   SELECT doc_id,
          array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title
   FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id, title FROM t0
+  UNION ALL
+  SELECT doc_id + 1000000, title || 'x' FROM t0 WHERE doc_id <= 100
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.title, b.title) AS INT) AS dist
@@ -1303,7 +1308,12 @@ def fuzzy_title_pairs(spark, sf_dir):
     via the rare-first q-gram PREFIX FILTER (qgram=2): bounded candidate
     work inside big same-length blocks with EXACT recall (no bucket_cap
     trade needed), which is what lets the brute-force oracle still match
-    hash-exactly."""
+    hash-exactly. Deterministic distance-1 title twins are SEEDED for
+    the low doc_ids (round-8 verdict #7: the organic corpus has zero
+    qualifying pairs at sf0.01, so the oracle check was vacuous there —
+    the twins keep the length-band blocking + levenshtein verify path
+    value-checked at every scale factor, the topk_cosine_ann
+    injected-twin pattern)."""
     from ..operators.dedup import fuzzy_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
@@ -1311,7 +1321,13 @@ def fuzzy_title_pairs(spark, sf_dir):
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("title"),
     )
-    return fuzzy_pairs(titles, "title", "doc_id", max_dist=2, qgram=2)
+    twins = titles.where(F.col("doc_id") <= 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("title"), F.lit("x")).alias("title"),
+    )
+    return fuzzy_pairs(
+        titles.unionByName(twins), "title", "doc_id", max_dist=2, qgram=2
+    )
 
 
 @query(

@@ -21,3 +21,21 @@ def test_queries_md_matches_registry():
         "QUERIES.md is stale vs the runtime query registry — regenerate: "
         "python tools/gen_query_index.py > QUERIES.md"
     )
+
+
+def test_queries_md_hermetic_to_driver_dropped_samples():
+    """Round-8 verdict #3: the driver drops a fresh CORRECTNESS_r{N}.json
+    between builder runs; the generated text must derive from the PINNED
+    round set only, or this suite fails at every round boundary."""
+    from gen_query_index import PINNED_CORRECTNESS_ROUNDS, render
+
+    assert 99 not in PINNED_CORRECTNESS_ROUNDS
+    baseline = render()
+    extra = os.path.join(REPO, "CORRECTNESS_r99.json")
+    assert not os.path.exists(extra)
+    try:
+        with open(extra, "w") as f:
+            f.write('{"some_never_sampled_query": {"match": true}}')
+        assert render() == baseline
+    finally:
+        os.unlink(extra)
