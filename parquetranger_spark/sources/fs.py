@@ -462,14 +462,230 @@ class HadoopFS:
         raise IOError(f"create_exclusive: rename {tmp} -> {dest} failed")
 
 
+class S3CondFS:
+    """Pure-Python shim for S3-class stores whose CAS primitive is the
+    CONDITIONAL PUT (``If-None-Match: *``), not rename — the commit
+    protocol's S3 shape (round-8 verdict: the WebHDFS stub only proved
+    the rename CAS). URIs spell the endpoint inline:
+    ``s3c://host:port/bucket/prefix/...`` → path-style requests against
+    ``http://host:port`` — the transport a real deployment would swap
+    for a signed S3 client, keeping these SEMANTICS:
+
+    - ``create_exclusive`` is ONE atomic request: PUT + If-None-Match:*
+      — 200 wins, **412 Precondition Failed** is the lost race (AWS S3
+      conditional writes; MinIO; GCS ``x-goog-if-generation-match: 0``;
+      Azure ``If-None-Match``). No temp object, no rename window, no
+      copy+delete fallback; readers see absent-or-complete by the
+      store's own read-committed guarantee.
+    - ``write_text_atomic`` is a plain PUT — S3 object visibility is
+      already atomic (old bytes or new bytes, never torn), so the
+      temp+rename dance the file-system shims need simply disappears.
+    - directories do not exist: ``mkdirs`` is a no-op, listings are
+      prefix scans (ListObjectsV2, delimiter for one level), a "dir"
+      exists iff some key lives under it, and dir mtimes are the max
+      LastModified beneath the prefix.
+
+    I/O errors PROPAGATE (only a 412 reads as a lost race; only a 404
+    reads as absent) — swallowing a real failure would spin try_commit
+    retry loops forever, the same contract as the other shims."""
+
+    def __init__(self, path: str):
+        import re
+
+        m = re.match(r"^s3c://([^/]+)", path)
+        if not m:
+            raise ValueError(f"not an s3c:// URI: {path}")
+        self._endpoint = f"http://{m.group(1)}"
+
+    # ------------------------------------------------------ transport
+    def _request(self, method: str, key: str, data=None, headers=None, query=""):
+        import urllib.error
+        import urllib.request
+        from urllib.parse import quote
+
+        url = f"{self._endpoint}/{quote(key)}{query}"
+        req = urllib.request.Request(
+            url, data=data, method=method, headers=headers or {}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, r.read(), dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    @staticmethod
+    def _key_of(path: str) -> str:
+        import re
+
+        m = re.match(r"^s3c://[^/]+/(.*)$", path)
+        if not m or not m.group(1):
+            raise ValueError(f"s3c path needs a bucket: {path}")
+        return m.group(1).rstrip("/")
+
+    def _uri_of(self, key: str) -> str:
+        return f"s3c://{self._endpoint[len('http://'):]}/{key}"
+
+    def _list(self, key_prefix: str, delimiter: str = ""):
+        """ListObjectsV2 pages → (keys [(key, mtime_epoch, size)...],
+        common_prefixes). ``key_prefix`` includes the bucket."""
+        import calendar
+        import time as _time
+        import xml.etree.ElementTree as ET
+        from urllib.parse import quote
+
+        bucket, _, prefix = key_prefix.partition("/")
+        out, prefixes, token = [], [], ""
+        while True:
+            q = f"?list-type=2&prefix={quote(prefix)}"
+            if delimiter:
+                q += f"&delimiter={quote(delimiter)}"
+            if token:
+                q += f"&continuation-token={quote(token)}"
+            st, body, _h = self._request("GET", bucket, query=q)
+            if st != 200:
+                raise IOError(f"list {key_prefix}: HTTP {st} {body[:200]!r}")
+            root = ET.fromstring(body)
+            ns = ""
+            if root.tag.startswith("{"):
+                ns = root.tag[: root.tag.index("}") + 1]
+            for c in root.iter(f"{ns}Contents"):
+                k = c.find(f"{ns}Key").text
+                lm = c.find(f"{ns}LastModified").text
+                sz = int(c.find(f"{ns}Size").text)
+                mt = calendar.timegm(
+                    _time.strptime(lm.split(".")[0], "%Y-%m-%dT%H:%M:%S")
+                )
+                out.append((f"{bucket}/{k}", float(mt), sz))
+            for p in root.iter(f"{ns}CommonPrefixes"):
+                prefixes.append(f"{bucket}/{p.find(f'{ns}Prefix').text}")
+            trunc = root.find(f"{ns}IsTruncated")
+            nt = root.find(f"{ns}NextContinuationToken")
+            if trunc is None or trunc.text != "true" or nt is None:
+                return out, prefixes
+            token = nt.text
+
+    # ------------------------------------------------- shim interface
+    def exists(self, path: str) -> bool:
+        key = self._key_of(path)
+        st, _b, _h = self._request("HEAD", key)
+        if st == 200:
+            return True
+        keys, prefixes = self._list(key + "/", delimiter="/")
+        return bool(keys or prefixes)
+
+    def mkdirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def read_text(self, path: str) -> str:
+        st, body, _h = self._request("GET", self._key_of(path))
+        if st == 404:
+            raise FileNotFoundError(path)
+        if st != 200:
+            raise IOError(f"GET {path}: HTTP {st} {body[:200]!r}")
+        return body.decode("utf-8")
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        st, body, _h = self._request(
+            "PUT", self._key_of(path), data=text.encode("utf-8")
+        )
+        if st != 200:
+            raise IOError(f"PUT {path}: HTTP {st} {body[:200]!r}")
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        st, body, _h = self._request(
+            "PUT",
+            self._key_of(path),
+            data=text.encode("utf-8"),
+            headers={"If-None-Match": "*"},
+        )
+        if st == 200:
+            return True
+        if st == 412:
+            return False  # the lost race — and ONLY this status
+        raise IOError(f"conditional PUT {path}: HTTP {st} {body[:200]!r}")
+
+    def delete(self, path: str) -> None:
+        key = self._key_of(path)
+        self._request("DELETE", key)
+        keys, _p = self._list(key + "/")
+        for k, _mt, _sz in keys:
+            self._request("DELETE", k)
+
+    def rename(self, src: str, dest: str) -> None:
+        """Copy+delete (no server-side rename in the S3 shape); callers
+        guarantee dest uniqueness, so last-writer-wins is moot."""
+        st, body, _h = self._request("GET", self._key_of(src))
+        if st != 200:
+            raise IOError(f"rename source missing: {src} (HTTP {st})")
+        st2, b2, _h2 = self._request("PUT", self._key_of(dest), data=body)
+        if st2 != 200:
+            raise IOError(f"rename PUT {dest}: HTTP {st2} {b2[:200]!r}")
+        self._request("DELETE", self._key_of(src))
+
+    def list_names(self, root: str, suffix: str) -> list[str]:
+        key = self._key_of(root)
+        keys, _p = self._list(key + "/", delimiter="/")
+        return sorted(
+            self._uri_of(k)
+            for k, _mt, _sz in keys
+            if k.endswith(suffix)
+            and not k.rsplit("/", 1)[-1].startswith((".", "_"))
+        )
+
+    def _visible(self, key: str, base_key: str) -> bool:
+        rel = key[len(base_key) + 1 :]
+        return not any(
+            (part.startswith("_") and "=" not in part) or part.startswith(".")
+            for part in rel.split("/")
+        )
+
+    def list_files(self, root: str, suffix: str = ".parquet") -> list[str]:
+        key = self._key_of(root)
+        keys, _p = self._list(key + "/")
+        return sorted(
+            self._uri_of(k)
+            for k, _mt, _sz in keys
+            if k.endswith(suffix) and self._visible(k, key)
+        )
+
+    def has_any_file(self, root: str, suffix: str = ".parquet") -> bool:
+        return bool(self.list_files(root, suffix))
+
+    def list_dirs(self, root: str, prefix: str = "") -> list[tuple[str, float]]:
+        key = self._key_of(root)
+        keys, _p = self._list(key + "/")
+        agg: dict[str, float] = {}
+        for k, mt, _sz in keys:
+            rel = k[len(key) + 1 :]
+            if "/" not in rel:
+                continue
+            top = rel.split("/", 1)[0]
+            if top.startswith(prefix):
+                d = f"{key}/{top}"
+                agg[d] = max(agg.get(d, 0.0), mt)
+        return sorted((self._uri_of(d), mt) for d, mt in agg.items())
+
+    def list_files_mtimes(self, root: str, suffix: str) -> list[tuple[str, float]]:
+        key = self._key_of(root)
+        keys, _p = self._list(key + "/", delimiter="/")
+        return sorted(
+            (self._uri_of(k), mt)
+            for k, mt, _sz in keys
+            if k.endswith(suffix)
+        )
+
+
 _LOCAL = LocalFS()
 
 
-def fs_for(path: str, spark=None) -> LocalFS | HadoopFS:
-    """Resolve the filesystem for ``path``: URI scheme → HadoopFS, bare
-    path → LocalFS. The session is only required (and only touched) on the
+def fs_for(path: str, spark=None) -> "LocalFS | HadoopFS | S3CondFS":
+    """Resolve the filesystem for ``path``: ``s3c://`` → the pure-Python
+    conditional-PUT client, any other URI scheme → HadoopFS, bare path →
+    LocalFS. The session is only required (and only touched) on the
     Hadoop branch, so local TableRepos stay constructible before any
     SparkSession exists."""
+    if path.startswith("s3c://"):
+        return S3CondFS(path)
     if is_uri(path):
         return HadoopFS(path, spark=spark)
     return _LOCAL
