@@ -13,6 +13,7 @@ from .session import get_spark
 from .sources.bucketed import BucketedRepo
 from .operators.ann_index import AnnIndex
 from .sources.ingestor import ObjIngestor, shred_json_df
+from .sources.sql_catalog import RepoCatalog
 from .sources.matview import MaterializedAggView
 from .sources.table_repo import TableRepo
 from .sources.txn import Transaction, TransactionError
@@ -29,6 +30,7 @@ __all__ = [
     "MaterializedAggView",
     "TransactionError",
     "AnnIndex",
+    "RepoCatalog",
     "BucketedRepo",
     "HashPartitioner",
     "RecordWriter",

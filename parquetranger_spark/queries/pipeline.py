@@ -66,6 +66,50 @@ def _shingle_set_sql(text: str = "text") -> str:
     )
 
 
+def _neardup_pairs_cte(threshold: float = 0.6) -> str:
+    """CTE fragment defining ``sets`` and ``pairs`` (over a ``corpus``
+    CTE already in scope): every doc pair with shingle-set Jaccard ≥
+    ``threshold`` — EXACTLY, but via a prefix-filtered inverted-index
+    equi-join instead of the quadratic self-join (round-8 verdict #4:
+    the brute-force pair scan made these oracles 25+ min at sf0.1, so
+    six queries were never value-checked above sf0.01).
+
+    Prefix filtering (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07)
+    is recall-COMPLETE — a theorem, not a tuning constant: J(A,B) ≥ t
+    implies |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)), and two sets sharing
+    ≥ k elements must share one among the first |A|−k+1 (resp.
+    |B|−k+1) elements under ANY global total order (here: md5 of the
+    shingle — order-consistent across sets; a collision could only ADD
+    a candidate, which the exact verify removes). The verified pair set
+    is therefore IDENTICAL to the brute-force scan's, so every oracle
+    built on ``pairs`` stays hash-exact at a fraction of the cost."""
+    t = threshold
+    return f"""
+sets AS MATERIALIZED (
+  SELECT doc_id, sh, list_sort(list_transform(sh, x -> md5(x))) AS hsh
+  FROM (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus)
+),
+pref AS MATERIALIZED (
+  SELECT doc_id, unnest(list_slice(hsh, 1,
+           CAST(len(hsh) - ceil({t} * len(hsh)) + 1 AS BIGINT))) AS tok
+  FROM sets
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+    FROM cand c
+    JOIN sets a ON a.doc_id = c.id_a
+    JOIN sets b ON b.doc_id = c.id_b
+  ) WHERE jaccard >= {t}
+)"""
+
+
 def _lang_pred_sql(text: str = "text") -> str:
     scores = {lang: _sw_hits_sql(lang, text) for lang in STOPWORDS}
     best = "greatest(" + ", ".join(scores.values()) + ")"
@@ -219,21 +263,15 @@ def dedup_exact_text(spark, sf_dir):
     "dedup_near_minhash",
     oracle=f"""
 WITH corpus AS ({_INJECTED_SQL}),
-sets AS (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
+{_neardup_pairs_cte(0.6)}
+SELECT id_a, id_b, jaccard FROM pairs
 """,
 )
 def dedup_near_minhash(spark, sf_dir):
     """X2: MinHash banding LSH candidates → exact shingle-Jaccard verify.
-    The oracle is the brute-force pair scan; banding (8 bands × 4 rows)
-    has ~1-1e-7 recall at the injected similarity, so the verified pair
-    sets coincide."""
+    The oracle is the prefix-filtered exact pair scan (recall-complete —
+    _neardup_pairs_cte); banding (8 bands × 4 rows) has ~1-1e-7 recall
+    at the injected similarity, so the verified pair sets coincide."""
     return near_dedup_minhash(_injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000)
 
 
@@ -988,15 +1026,7 @@ def bpe_token_stats(spark, sf_dir):
 
 _CLUSTER_REPS_ORACLE = f"""
 WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
-sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
--- MATERIALIZED: the recursion references these CTEs repeatedly and the
--- default inlining would re-run the brute-force pair scan per reference
-pairs AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
-),
+{_neardup_pairs_cte(0.6)},
 edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -1091,13 +1121,7 @@ def containment_pairs_q(spark, sf_dir):
     "dedup_apply_clusters",
     oracle=f"""
 WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
-sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
-pairs AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
-),
+{_neardup_pairs_cte(0.6)},
 edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
@@ -1630,13 +1654,7 @@ r{i + 1} AS (
     )
     return f"""
 WITH corpus AS ({_INJECTED_SQL}),
-sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
-pairs AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
-),
+{_neardup_pairs_cte(0.6)},
 edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b AS s, id_a AS d FROM pairs
 ),
@@ -1677,13 +1695,7 @@ def neardup_pagerank(spark, sf_dir):
     "neardup_triangles",
     oracle=f"""
 WITH corpus AS ({_INJECTED_SQL}),
-sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
-pairs AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
-)
+{_neardup_pairs_cte(0.6)}
 SELECT count(*) AS n_triangles, (SELECT count(*) FROM pairs) AS n_edges
 FROM pairs e1
 JOIN pairs e2 ON e2.id_a = e1.id_b
@@ -2157,13 +2169,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
 _BEST_OF_CLUSTER_ORACLE = f"""
 WITH RECURSIVE corpus AS ({_INJECTED_SQL}),
-sets AS MATERIALIZED (SELECT doc_id, {_shingle_set_sql()} AS sh FROM corpus),
-pairs AS MATERIALIZED (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6
-),
+{_neardup_pairs_cte(0.6)},
 edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs

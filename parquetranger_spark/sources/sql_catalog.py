@@ -1,0 +1,357 @@
+"""SQL front door for TableRepo DML — the last Delta/Iceberg UX gap
+(round-8 verdict "What's missing #3"): ``spark.sql`` has always worked
+over registered views (C14), but INSERT / UPDATE / DELETE / MERGE had
+to go through the Python API. :class:`RepoCatalog` closes that: register
+TableRepos under names, then drive the whole lifecycle in SQL strings.
+
+Design — a DISPATCHER, not a SQL engine:
+
+- **Reads** (SELECT / WITH / VALUES / EXPLAIN) go to ``spark.sql``
+  verbatim, after re-registering every cataloged repo's CURRENT
+  snapshot as a temp view — so a read always sees the latest committed
+  version, never a stale DataFrame captured at register time. Catalyst
+  does all planning; the catalog adds zero execution machinery.
+- **DML heads** (INSERT INTO / INSERT OVERWRITE / UPDATE / DELETE /
+  MERGE INTO) parse with a minimal quote-and-paren-aware splitter, then
+  route to the engine's native operations — ``extend``,
+  ``replace_all``, ``update_where``, ``delete_where``, ``merge`` — so a
+  SQL statement gets EXACTLY the committed, partition-pruned, governed
+  semantics the Python API has (CAS commit, O(touched partitions)
+  rewrites, policy refusals). Inner queries (INSERT ... SELECT, MERGE
+  USING (...)) are themselves planned by ``spark.sql`` against the
+  refreshed views — arbitrary read SQL composes into every DML source.
+
+Deliberate restrictions, refused LOUDLY rather than half-supported:
+MERGE's ON clause must be the key equality (the engine matches on
+``index_cols`` — an arbitrary ON is a different operator), INSERT is
+positional (column-list form supported), and DDL heads are out of scope
+(the schema-log API owns those).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` (single char) at paren/quote depth zero."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            j = len(s) - 1 if j < 0 else j
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _find_top_kw(s: str, kw: str, start: int = 0) -> int:
+    """Index of keyword ``kw`` (word-bounded, case-insensitive) at
+    paren/quote depth zero, or -1."""
+    pat = re.compile(rf"\b{kw}\b", re.IGNORECASE)
+    depth, i = 0, start
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            i = (len(s) if j < 0 else j) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+class RepoCatalog:
+    """Named TableRepos + plain read-only views, driven by SQL text."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._repos: dict = {}
+        self._views: dict = {}
+
+    def register(self, name: str, repo) -> None:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad table name {name!r}")
+        self._repos[name] = repo
+
+    def register_view(self, name: str, df: DataFrame) -> None:
+        """A read-only relation (testdata, a subquery result) usable in
+        any SELECT / INSERT-source / MERGE-source."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad view name {name!r}")
+        self._views[name] = df
+
+    def table(self, name: str):
+        try:
+            return self._repos[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown table {name!r} (registered: {sorted(self._repos)})"
+            ) from None
+
+    @staticmethod
+    def _declared_cols(repo) -> list:
+        """The table's DECLARED column order (canonical schema) — what
+        positional INSERT means. ``get_full_df().columns`` is the WRONG
+        source: the hive-partitioned read appends partition columns
+        last, silently permuting a positional insert."""
+        from ..plans.schema import load_meta
+
+        meta = load_meta(repo.main_path, spark=repo._spark)
+        if meta and meta.schema:
+            return [f.name for f in meta.schema.fields]
+        return []  # never-written table: caller must name columns
+
+    # ------------------------------------------------------------ views
+    def _refresh_views(self) -> None:
+        """Re-publish every registered relation's CURRENT state as a temp
+        view — repos re-resolve to their latest committed snapshot, so
+        SQL text between two DML statements reads its own writes."""
+        for name, repo in self._repos.items():
+            repo.get_full_df().createOrReplaceTempView(name)
+        for name, df in self._views.items():
+            df.createOrReplaceTempView(name)
+
+    def _read(self, query: str) -> DataFrame:
+        self._refresh_views()
+        return self._spark.sql(query)
+
+    # -------------------------------------------------------------- sql
+    def sql(self, statement: str):
+        """Run one SQL statement. Reads return a DataFrame; DML commits
+        through the repo's native operation and returns None."""
+        s = statement.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head in ("SELECT", "WITH", "VALUES", "EXPLAIN", "TABLE"):
+            return self._read(s)
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "MERGE":
+            return self._merge(s)
+        raise ValueError(
+            f"unsupported statement head {head!r} — reads, INSERT [OVERWRITE],"
+            " UPDATE, DELETE, MERGE INTO are supported (DDL goes through the"
+            " schema-log API)"
+        )
+
+    # -------------------------------------------------------------- DML
+    def _insert(self, s: str):
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*"
+            r"(\(([^)]*)\))?\s*(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {s[:120]!r}")
+        mode, name, _p, collist, rest = m.groups()
+        repo = self.table(name)
+        rest = rest.strip()
+        if not rest:
+            raise ValueError("INSERT needs VALUES or a query")
+        src = self._read(rest)  # VALUES (...) and SELECT both plan here
+        target_cols = self._declared_cols(repo)
+        if collist:
+            names = [c.strip() for c in collist.split(",") if c.strip()]
+        else:
+            names = target_cols if target_cols else None
+        if names is None and all(re.fullmatch(r"col\d+", c) for c in src.columns):
+            raise ValueError(
+                "first INSERT into a never-written table must name its "
+                "columns: INSERT INTO t (a, b, ...) VALUES ..."
+            )
+        if names is not None:
+            if len(src.columns) != len(names):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(src.columns)} values for "
+                    f"{len(names)} columns"
+                )
+            # SQL INSERT is positional — rename source output to target
+            src = src.toDF(*names)
+        if mode.upper() == "OVERWRITE":
+            repo.replace_all(src)
+        else:
+            repo.extend(src)
+        return None
+
+    def _update(self, s: str):
+        m = re.match(r"UPDATE\s+(\w+)\s+SET\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {s[:120]!r}")
+        name, rest = m.groups()
+        wi = _find_top_kw(rest, "WHERE")
+        set_part, cond = (
+            (rest[:wi], rest[wi + 5 :]) if wi >= 0 else (rest, "true")
+        )
+        assignments = {}
+        for piece in _split_top(set_part, ","):
+            k, eq, v = piece.partition("=")
+            if not eq or not k.strip() or not v.strip():
+                raise ValueError(f"bad SET clause: {piece.strip()!r}")
+            assignments[k.strip()] = v.strip()
+        self.table(name).update_where(assignments, cond.strip())
+        return None
+
+    def _delete(self, s: str):
+        m = re.match(
+            r"DELETE\s+FROM\s+(\w+)\s*(?:WHERE\s+(.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {s[:120]!r}")
+        name, cond = m.groups()
+        self.table(name).delete_where((cond or "true").strip())
+        return None
+
+    def _merge(self, s: str):
+        m = re.match(
+            r"MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s+",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE: {s[:120]!r}")
+        name, tgt_alias = m.group(1), m.group(2) or "tgt"
+        repo = self.table(name)
+        rest = s[m.end() :]
+        # source: (subquery) [AS] alias  |  view_name [AS] alias
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            src_sql, rest = rest[1:i], rest[i + 1 :]
+            src_df = self._read(src_sql)
+        else:
+            m2 = re.match(r"\s*(\w+)", rest)
+            src_sql, rest = m2.group(1), rest[m2.end() :]
+            self._refresh_views()
+            src_df = self._spark.table(src_sql)
+        m3 = re.match(r"\s*(?:AS\s+)?(\w+)?\s*ON\s+", rest, re.IGNORECASE)
+        if not m3:
+            raise ValueError("MERGE needs ON after USING <source>")
+        src_alias = m3.group(1) or "src"
+        rest = rest[m3.end() :]
+        wi = _find_top_kw(rest, "WHEN")
+        if wi < 0:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        on_sql, clauses_sql = rest[:wi].strip(), rest[wi:]
+        self._check_merge_on(repo, on_sql, tgt_alias, src_alias)
+
+        def normalize(expr: str) -> str:
+            # the engine's merge() exposes src./tgt. namespaces; map the
+            # statement's aliases onto them (word-bounded, quote-safe
+            # enough for identifiers, which cannot appear inside quotes
+            # as whole words followed by '.')
+            e = re.sub(rf"\b{re.escape(src_alias)}\.", "src.", expr)
+            return re.sub(rf"\b{re.escape(tgt_alias)}\.", "tgt.", e)
+
+        update, update_cond, delete_cond, insert = None, None, None, False
+        pat = re.compile(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+(.*)|DELETE|INSERT\s*\*|INSERT)\s*$",
+            re.IGNORECASE | re.DOTALL,
+        )
+        starts = []
+        j = 0
+        while True:
+            j = _find_top_kw(clauses_sql, "WHEN", j)
+            if j < 0:
+                break
+            starts.append(j)
+            j += 4
+        for a, b in zip(starts, starts[1:] + [len(clauses_sql)]):
+            clause = clauses_sql[a:b].strip()
+            cm = pat.match(clause)
+            if not cm:
+                raise ValueError(f"cannot parse MERGE clause: {clause[:120]!r}")
+            not_matched, and_cond, action, set_sql = cm.groups()
+            action_up = action.upper()
+            if not_matched:
+                if not action_up.startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports INSERT [*] only")
+                if and_cond:
+                    raise ValueError(
+                        "WHEN NOT MATCHED AND <cond> is not supported — filter"
+                        " the USING source instead"
+                    )
+                insert = True
+            elif action_up == "DELETE":
+                delete_cond = normalize(and_cond) if and_cond else "true"
+            elif action_up.startswith("UPDATE"):
+                if set_sql.strip() == "*":
+                    update = "all"
+                else:
+                    update = {}
+                    for piece in _split_top(set_sql, ","):
+                        k, eq, v = piece.partition("=")
+                        if not eq:
+                            raise ValueError(f"bad MERGE SET: {piece!r}")
+                        col = k.strip()
+                        col = col.split(".", 1)[1] if "." in col else col
+                        update[col] = normalize(v.strip())
+                update_cond = normalize(and_cond) if and_cond else None
+            else:
+                raise ValueError(f"unsupported MERGE action: {action!r}")
+        repo.merge(
+            src_df,
+            update=update,
+            update_condition=update_cond,
+            delete_condition=delete_cond,
+            insert=insert,
+        )
+        return None
+
+    def _check_merge_on(self, repo, on_sql: str, tgt_alias: str, src_alias: str):
+        """The engine matches on ``index_cols`` — accept exactly that key
+        equality (any conjunction order), refuse anything else loudly
+        instead of silently matching on a different condition."""
+        want = set(repo.index_cols)
+        got = set()
+        for part in re.split(r"\bAND\b", on_sql, flags=re.IGNORECASE):
+            m = re.fullmatch(
+                rf"\s*(?:{re.escape(tgt_alias)}|{re.escape(src_alias)})\.(\w+)"
+                rf"\s*=\s*(?:{re.escape(tgt_alias)}|{re.escape(src_alias)})\.(\w+)\s*",
+                part,
+            )
+            if not m or m.group(1) != m.group(2):
+                raise ValueError(
+                    f"MERGE ON must be the key equality over index_cols "
+                    f"{sorted(want)}; got {on_sql.strip()!r}"
+                )
+            got.add(m.group(1))
+        if got != want:
+            raise ValueError(
+                f"MERGE ON must cover exactly index_cols {sorted(want)}; "
+                f"got {sorted(got)}"
+            )

@@ -493,6 +493,33 @@ def probe(spark):
         ).count()
 
     ops["ann_index_drift_unmaintained"] = ann_index_drift_unmaintained
+
+    # round 9: GROWN-from-small serving (verdict #8). Build once on the
+    # 1x corpus (n_lists = √n1), then append (f)x more via add() —
+    # which routes to FROZEN centroids, so without repair the routing
+    # table stays √n1 and per-probe scan cost walks toward linear.
+    # maintain(grow_to_sqrt=True) re-targets n_lists ≈ √(corpus) at
+    # sweep time; the timed query should hold the IVF √n design point
+    # (exponent ≤ ~0.5) on an index that never saw a full rebuild.
+    grow_root = tempfile.mkdtemp(prefix="pqrs_scale_grow_")
+    grown_idx = {}
+    for f in FACTORS:
+        ai = AnnIndex(f"{grow_root}/g{f}", spark=spark)
+        ai.build(emb, seed=42)
+        ai.add(
+            replicate(emb, "vec_id", f).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(700_000_000)
+            )
+        )
+        for _ in range(6):  # growth sweeps converge like drift sweeps
+            if not ai.maintain(split_factor=4.0, min_split_rows=64)["split"]:
+                break
+        grown_idx[f] = ai
+
+    def ann_index_grown_query(f):
+        grown_idx[f].query(ann_queries, k=5, n_probe=8).count()
+
+    ops["ann_index_grown_query"] = ann_index_grown_query
     prebuilt_idx = {
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS

@@ -4,6 +4,14 @@ JSON line with per-query and total wall times — the classic
 single-stream metric, over the engine's decorrelated/broadcast-planned
 implementations (queries/tpch.py + queries/compute.py).
 
+Measurement protocol (round-8 verdict #5 — the +16% r8 'regression' was
+host contention on unchanged plans): per query, ONE untimed warm pass
+(plan compile, codegen, file-index fill), then N timed passes; the
+artifact records best / median / spread per query so a noisy host is
+VISIBLE in the numbers instead of masquerading as a plan regression.
+Totals are reported on medians (the stable headline) and bests. Run on
+an idle host — never concurrently with another Spark workload.
+
 Usage: python tools/tpch_power.py [--repeat N]
 """
 
@@ -44,32 +52,47 @@ def main() -> None:
     spark = get_spark("tpch-power")
     spark.sparkContext.setLogLevel("ERROR")
     spark.sql("select count(*) from range(1000000)").collect()  # warm
-    times = {}
+    import statistics
+
+    def cleanup():
+        # same isolation as bench.run_one: q11/q15 localCheckpoint a
+        # reused aggregate per run — without an unpersist the leaked
+        # blocks pile old-gen pressure onto every LATER timed query
+        spark.catalog.clearCache()
+        for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            r.unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+
+    stats = {}
     for name in ORDER:
-        best = None
+        # untimed warm pass: plan compile + codegen + file index
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        cleanup()
+        samples = []
         for _ in range(repeat):
             t0 = time.monotonic()
             QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            # same isolation as bench.run_one: q11/q15 localCheckpoint a
-            # reused aggregate per run — without an unpersist the leaked
-            # blocks pile old-gen pressure onto every LATER timed query
-            spark.catalog.clearCache()
-            for r in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-                r.unpersist(False)
-            spark.sparkContext._jvm.System.gc()
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+            samples.append(time.monotonic() - t0)
+            cleanup()
+        stats[name] = {
+            "best": round(min(samples), 3),
+            "median": round(statistics.median(samples), 3),
+            "spread": round(max(samples) - min(samples), 3),
+        }
+        print(f"# {name}: {stats[name]}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "tpch_power_total",
-                "value": round(sum(times.values()), 3),
+                "value": round(sum(s["median"] for s in stats.values()), 3),
+                "total_best": round(sum(s["best"] for s in stats.values()), 3),
                 "unit": "sec",
-                "queries": times,
+                "repeat": repeat,
+                "queries": stats,
                 "sf_dir": SF_DIR,
                 "n_queries": len(ORDER),
+                "protocol": "untimed warm pass per query, then N timed; "
+                "median/best/spread recorded; idle host required",
             }
         )
     )
