@@ -261,6 +261,13 @@ class RepoCatalog:
         if not m3:
             raise ValueError("MERGE needs ON after USING <source>")
         src_alias = m3.group(1) or "src"
+        if src_alias == "tgt" or tgt_alias == "src":
+            # the engine's merge() namespaces are src./tgt.; crossed
+            # aliases would swap meanings after normalization
+            raise ValueError(
+                "MERGE aliases may not cross the engine namespaces: "
+                "the source cannot be aliased 'tgt' nor the target 'src'"
+            )
         rest = rest[m3.end() :]
         wi = _find_top_kw(rest, "WHEN")
         if wi < 0:
