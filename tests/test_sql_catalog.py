@@ -146,3 +146,17 @@ def test_quoted_strings_survive_parsing(spark, cat, tmp_root):
     assert rows == {(1, "x=y, z"), (2, "w")}
     cat.sql("DELETE FROM notes WHERE s = 'x=y, z'")
     assert cat.sql("SELECT count(*) n FROM notes").collect()[0].n == 1
+
+
+def test_merge_crossed_aliases_refused(spark, cat):
+    cat.sql("INSERT INTO sales (k, g, v) VALUES (1,'a',1.0D)")
+    cat.register_view(
+        "u3", spark.createDataFrame([(1, "a", 5.0)], "k int, g string, v double")
+    )
+    # aliasing the SOURCE as 'tgt' (or target as 'src') would swap the
+    # engine's merge namespaces after normalization — refused
+    with pytest.raises(ValueError, match="cross the engine namespaces"):
+        cat.sql(
+            "MERGE INTO sales AS src USING u3 AS tgt ON src.k = tgt.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
