@@ -624,36 +624,47 @@ class AnnIndex:
         sub_rows = [t for t in sub_rows if t[0] in multi]
         if not sub_rows:
             return {}
-        # 2) ASSIGN every row JVM-side: broadcast the (old list -> sub
-        # centroids) table, squared-euclidean argmin per row — the same
-        # device as add(), no python task ever sees a whole list
+        # 2) ASSIGN every row JVM-side, SHUFFLE-FREE: each old list's
+        # ≤16 sub-centroids ride in as one broadcast array column, and
+        # the per-row argmin is array_min over (distance, prov_id)
+        # structs — lexicographic struct ordering IS the tie-break the
+        # old window gave, with no per-id shuffle and no materialized
+        # intermediate. That matters because a GROWTH sweep selects
+        # most of the table: the previous crossJoin + row_number window
+        # shuffled O(selected rows), and counting winners then forced
+        # an O(selected) localCheckpoint; now both the win-count
+        # aggregate and the final write are independent single scans.
         subdf = spark.createDataFrame(
             sub_rows, "list_id int, prov_id int, sub_centroid array<double>"
         )
-        dist = (
-            F.aggregate(
-                F.zip_with("cv", "sub_centroid", lambda a, bb: a * bb),
+        kids_arr = subdf.groupBy("list_id").agg(
+            F.collect_list(F.struct("prov_id", "sub_centroid")).alias("__kids")
+        )
+
+        def _kid_scored(k):
+            dot = F.aggregate(
+                F.zip_with(F.col("cv"), k["sub_centroid"], lambda a, bb: a * bb),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            * F.lit(-2.0)
-            + F.aggregate(
-                F.col("sub_centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+            c2 = F.aggregate(
+                k["sub_centroid"], F.lit(0.0), lambda acc, x: acc + x * x
             )
-        )
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.col("__d").asc(), F.col("prov_id")
-        )
+            return F.struct(
+                (F.lit(-2.0) * dot + c2).alias("d"), k["prov_id"].alias("p")
+            )
+
         data_cols = [c for c in rows.columns if c != "list_id"]
         assigned = (
-            rows.join(F.broadcast(subdf), "list_id")
-            .withColumn("__d", dist)
-            .withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
+            rows.join(F.broadcast(kids_arr), "list_id")
+            .withColumn(
+                "prov_id",
+                F.array_min(F.transform(F.col("__kids"), _kid_scored))["p"],
+            )
             .select(F.col("list_id").alias("__old"), "prov_id", *data_cols)
-            .localCheckpoint(eager=True)  # counted below AND written
         )
-        # who won how many rows — tiny (≤16 children per split list)
+        # who won how many rows — map-side-combined aggregate, tiny
+        # output (≤16 children per split list)
         wins: dict = {}
         for r in assigned.groupBy("__old", "prov_id").count().collect():
             wins.setdefault(int(r["__old"]), []).append(
