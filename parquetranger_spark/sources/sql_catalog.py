@@ -135,8 +135,41 @@ class RepoCatalog:
             df.createOrReplaceTempView(name)
 
     def _read(self, query: str) -> DataFrame:
+        query = self._rewrite_time_travel(query)
         self._refresh_views()
         return self._spark.sql(query)
+
+    def _rewrite_time_travel(self, q: str) -> str:
+        """Delta/Iceberg time-travel syntax inside any read:
+        ``FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP AS OF
+        '2026-01-01 00:00:00'`` — the referenced snapshot registers as a
+        private temp view and the clause rewrites to it, so travel
+        composes with arbitrary SQL (joins across versions included)."""
+
+        def sub_v(m):
+            name, v = m.group(1), int(m.group(2))
+            if name not in self._repos:
+                return m.group(0)  # not a cataloged table — leave as-is
+            alias = f"__tt_{name}_v{v}"
+            self._repos[name].get_full_df(version=v).createOrReplaceTempView(
+                alias
+            )
+            return alias
+
+        def sub_ts(m):
+            name, ts = m.group(1), m.group(2)
+            if name not in self._repos:
+                return m.group(0)
+            alias = "__tt_%s_ts%s" % (name, re.sub(r"\W", "_", ts))
+            self._repos[name].get_full_df(as_of=ts).createOrReplaceTempView(
+                alias
+            )
+            return alias
+
+        q = re.sub(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", sub_v, q, flags=re.I)
+        return re.sub(
+            r"\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", sub_ts, q, flags=re.I
+        )
 
     # -------------------------------------------------------------- sql
     def sql(self, statement: str):

@@ -160,3 +160,32 @@ def test_merge_crossed_aliases_refused(spark, cat):
             "MERGE INTO sales AS src USING u3 AS tgt ON src.k = tgt.k "
             "WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_time_travel_sql(spark, cat):
+    import datetime
+    import time
+
+    cat.sql("INSERT INTO sales (k, g, v) VALUES (1,'a',1.0D)")
+    time.sleep(1.1)
+    ts = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None).isoformat()
+    time.sleep(1.1)
+    cat.sql("INSERT INTO sales VALUES (2, 'b', 2.0D)")
+    cat.sql("UPDATE sales SET v = 99.0 WHERE k = 1")
+    # current state
+    assert cat.sql("SELECT count(*) AS n FROM sales").collect()[0].n == 2
+    # VERSION AS OF: v1 = first insert only
+    got = cat.sql("SELECT k, v FROM sales VERSION AS OF 1").collect()
+    assert [(r.k, r.v) for r in got] == [(1, 1.0)]
+    # TIMESTAMP AS OF between the two inserts resolves to v1
+    got = cat.sql(f"SELECT count(*) AS n FROM sales TIMESTAMP AS OF '{ts}'")
+    assert got.collect()[0].n == 1
+    # travel composes with arbitrary SQL: join current vs v1
+    diff = cat.sql(
+        "SELECT cur.k, cur.v AS v_now, old.v AS v_then "
+        "FROM sales cur LEFT JOIN sales VERSION AS OF 1 old ON cur.k = old.k "
+        "ORDER BY cur.k"
+    ).collect()
+    assert [(r.k, r.v_now, r.v_then) for r in diff] == [
+        (1, 99.0, 1.0), (2, 2.0, None)
+    ]
