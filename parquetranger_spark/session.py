@@ -25,6 +25,22 @@ def get_spark(app_name: str = "parquetranger-spark") -> SparkSession:
       DuckDB oracle (naive-UTC) and makes epoch math engine-independent.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Default to py4j's CLASSIC pooled gateway, not pinned-thread mode
+    # (round-9 soak forensics; overridable by exporting PYSPARK_PIN_THREAD
+    # before the JVM launches). Pinned mode binds each Python thread to
+    # ONE socket; a JavaObject finalizer firing while that thread sits
+    # between send and receive inside ``send_command`` (cyclic GC can run
+    # on any allocation, e.g. readline's) writes a nested MEMORY_DEL into
+    # the middle of the same stream and desynchronizes it — both sides
+    # then wait forever. py4j documents the hazard (``auto_gc``,
+    # clientserver.py) but defaults the guard off. The classic
+    # GatewayClient checks every command out of a CONNECTION POOL, so a
+    # finalizer mid-call borrows a DIFFERENT socket and the interleave
+    # cannot happen — which is why multithreaded drivers (concurrent
+    # TableRepo writers, batch writer pools) were stable for a decade
+    # before pinned mode became the default. Engine code does not use
+    # per-thread local properties, so pinned mode buys nothing here.
+    os.environ.setdefault("PYSPARK_PIN_THREAD", "false")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
