@@ -25,22 +25,22 @@ def get_spark(app_name: str = "parquetranger-spark") -> SparkSession:
       DuckDB oracle (naive-UTC) and makes epoch math engine-independent.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # Default to py4j's CLASSIC pooled gateway, not pinned-thread mode
-    # (round-9 soak forensics; overridable by exporting PYSPARK_PIN_THREAD
-    # before the JVM launches). Pinned mode binds each Python thread to
-    # ONE socket; a JavaObject finalizer firing while that thread sits
-    # between send and receive inside ``send_command`` (cyclic GC can run
-    # on any allocation, e.g. readline's) writes a nested MEMORY_DEL into
-    # the middle of the same stream and desynchronizes it — both sides
-    # then wait forever. py4j documents the hazard (``auto_gc``,
-    # clientserver.py) but defaults the guard off. The classic
-    # GatewayClient checks every command out of a CONNECTION POOL, so a
-    # finalizer mid-call borrows a DIFFERENT socket and the interleave
-    # cannot happen — which is why multithreaded drivers (concurrent
-    # TableRepo writers, batch writer pools) were stable for a decade
-    # before pinned mode became the default. Engine code does not use
-    # per-thread local properties, so pinned mode buys nothing here.
-    os.environ.setdefault("PYSPARK_PIN_THREAD", "false")
+    # Gateway-mode note (round-9 soak forensics): Spark's default
+    # pinned-thread py4j mode binds each Python thread to ONE socket; a
+    # JavaObject finalizer firing while that thread sits between send and
+    # receive inside ``send_command`` can interleave a MEMORY_DEL into
+    # the same stream (py4j documents the hazard under ``auto_gc``) and
+    # park the call forever. A MANY-PYTHON-THREAD driver (the 16-writer
+    # soak shape) can export ``PYSPARK_PIN_THREAD=false`` before the JVM
+    # launches to get the classic pooled gateway — measured here to
+    # remove the single-socket interleave but to cost ~70% on Structured
+    # Streaming queries (pool churn on the streaming progress/callback
+    # chatter), and a rarer in-session stall was still observed under
+    # BOTH modes. The engine itself never drives threads over py4j
+    # (batch_extend is one job; production concurrent writers are
+    # PROCESSES), so the session keeps Spark's default and the soak
+    # contains the flake with an idempotent-op stall watchdog
+    # (tests/test_concurrency_soak.py).
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

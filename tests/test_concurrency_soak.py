@@ -179,13 +179,11 @@ def test_sixteen_writer_mixed_soak(spark, store_uri):
     # ThreadPoolExecutor: daemon=True means a thread stuck in a socket
     # read can neither block the join below past the deadline nor hang
     # the interpreter's atexit thread-join the executor would force
-    # (InheritableThread also stays correct if anyone flips the gateway
-    # back to pinned-thread mode). The deadlock CLASS itself — a py4j
-    # finalizer interleaving a MEMORY_DEL into a thread-pinned socket
-    # mid-send_command, observed twice on this soak — is closed by
-    # get_spark defaulting PYSPARK_PIN_THREAD=false (session.py): the
-    # classic gateway's connection POOL gives a mid-call finalizer a
-    # different socket, so the stream cannot desynchronize.
+    # (InheritableThread also binds each writer to its own JVM thread
+    # under the default pinned gateway). The stall CLASS — a py4j reply
+    # that never lands, observed under BOTH gateway modes in aged pytest
+    # sessions and never standalone — is contained by the idempotent-op
+    # watchdog below; the deadline + faulthandler dump backstop the rest.
     from pyspark import InheritableThread
 
     results: dict[int, object] = {}
