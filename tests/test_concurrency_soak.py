@@ -112,6 +112,9 @@ def test_sixteen_writer_mixed_soak(spark, store_uri):
 
     def idempotent_with_stall_redispatch(tag, op):
         def call(out):
+            # the op now runs on THIS thread: register the writer tag so
+            # counting_try_commit attributes its CAS retries correctly
+            names[threading.get_ident()] = tag
             try:
                 out["r"] = with_rmw_retry(tag, op)
             except BaseException as e:  # noqa: BLE001 — re-raised below
