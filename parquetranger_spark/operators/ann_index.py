@@ -339,6 +339,7 @@ class AnnIndex:
         merge: bool = True,
         grow_to_sqrt: bool = True,
         reencode_batch_lists: int = 64,
+        max_split_lists: int = 64,
     ) -> dict:
         """Index maintenance under append DRIFT, in three passes:
 
@@ -391,7 +392,11 @@ class AnnIndex:
         }
         if split_factor is not None:
             out["split"] = self._split_oversized(
-                split_factor, min_split_rows, seed, grow_to_sqrt=grow_to_sqrt
+                split_factor,
+                min_split_rows,
+                seed,
+                grow_to_sqrt=grow_to_sqrt,
+                max_split_lists=max_split_lists,
             )
             # the inverse repair for DELETE-heavy drift: lists thinned
             # far below the mean stop paying for their probe slot (a
@@ -501,6 +506,7 @@ class AnnIndex:
         seed: int,
         fit_sample: int = 8192,
         grow_to_sqrt: bool = True,
+        max_split_lists: int = 64,
     ) -> dict:
         from ..sources.txn import Transaction
 
@@ -540,6 +546,16 @@ class AnnIndex:
         )
         if not oversized:
             return {}
+        if len(oversized) > max_split_lists:
+            # BOUND each sweep's commit breadth (round-9 advice): a
+            # growth sweep on a badly-outgrown table can select MOST
+            # lists, and the split lands as one transaction — capping
+            # at the most-oversized ``max_split_lists`` keeps every
+            # sweep's rewrite bounded, converging over repeated
+            # maintain() calls exactly like the skew path already does
+            oversized = sorted(
+                sorted(oversized, key=lambda l: -counts[l])[:max_split_lists]
+            )
         spark = self.postings._session()
         rows = self.postings.get_full_df().where(
             F.col("list_id").isin([int(x) for x in oversized])
@@ -729,11 +745,23 @@ class AnnIndex:
         partitions are re-encoded, current-epoch ones skipped)."""
         from .similarity import train_pq_codebooks
 
+        from ..sources.txn import Transaction
+
         metas = self._load_pq_metas()
         if not metas:
             return False
         meta = metas[max(metas)]
         resumed_epochs = len(metas) > 1  # crashed mid-re-encode last time
+        # Pre-epoch postings tables (no pq_epoch column) can't stamp
+        # batches, so their re-encode is a whole-table commit anyway —
+        # and query_pq's multi-epoch scoring NEEDS the column, so for
+        # them the books publish and the re-encode must land as ONE
+        # transaction (round-9 advice: two separate commits left a
+        # window — and a crash point — where readers scored old codes
+        # against the NEW books). Batching buys nothing on an O(table)
+        # commit, so atomicity costs nothing here; every row comes out
+        # stamped and future retrains take the bounded incremental path.
+        legacy = "pq_epoch" not in self.postings.get_full_df().columns
         retrained = False
         if not resumed_epochs:
             if meta.get("train_mse") is None:
@@ -752,16 +780,6 @@ class AnnIndex:
             new_epoch = int(meta["epoch"]) + 1
             new_mse = self._pq_sample_mse(books, seed=seed)
             spark = self.postings._session()
-            # 1) publish the NEW books alongside the old — one tiny
-            # commit; from here every candidate can be scored against
-            # the books of its own epoch, whichever order the batches
-            # land in
-            self._pq_repo().extend(
-                spark.createDataFrame(
-                    [(new_epoch, meta["m"], meta["n_codes"], books, float(new_mse))],
-                    _PQ_META_SCHEMA,
-                )
-            )
             meta = {
                 "epoch": new_epoch,
                 "books": books,
@@ -769,21 +787,57 @@ class AnnIndex:
                 "n_codes": meta["n_codes"],
                 "train_mse": new_mse,
             }
+            if not legacy:
+                # 1) publish the NEW books alongside the old — one tiny
+                # commit; from here every candidate can be scored
+                # against the books of its own epoch, whichever order
+                # the batches land in
+                self._pq_repo().extend(
+                    spark.createDataFrame(
+                        [(new_epoch, meta["m"], meta["n_codes"], books, float(new_mse))],
+                        _PQ_META_SCHEMA,
+                    )
+                )
             retrained = True
         # 2) re-encode stale-epoch partitions in bounded batches, found
         # by a scan of the epoch + partition columns alone (codes-width,
-        # cv pruned). Pre-epoch postings tables (no pq_epoch column)
-        # can't stamp batches — take the legacy whole-table path once;
-        # every row comes out stamped and future retrains are bounded
+        # cv pruned)
         cur_epoch = int(meta["epoch"])
-        if "pq_epoch" not in self.postings.get_full_df().columns:
-            corpus = self.postings.get_full_df()
-            self.postings.replace_all(
+        if legacy:
+            spark = self.postings._session()
+            # metadata-only DDL first: the canonical schema must carry
+            # the column or replace_all's alignment drops the stamps
+            self.postings.add_column("pq_epoch", "int")
+            corpus = self.postings.get_full_df().drop("pq_epoch")
+            t = Transaction(self.root + "/_txns")
+            t.replace_all(
+                self.postings,
                 corpus.withColumn(
                     "pq", self._encode_udf(meta["books"])(F.col("cv"))
-                ).withColumn("pq_epoch", F.lit(cur_epoch))
+                ).withColumn("pq_epoch", F.lit(cur_epoch)),
             )
-            stale = []
+            # books + codes + retirement of any older epoch in the SAME
+            # commit — a reader sees (old books, old codes) or (new
+            # books, new codes), never a cross
+            t.replace_all(
+                self._pq_repo(),
+                spark.createDataFrame(
+                    [
+                        (
+                            cur_epoch,
+                            meta["m"],
+                            meta["n_codes"],
+                            meta["books"],
+                            float(meta["train_mse"])
+                            if meta["train_mse"] is not None
+                            else None,
+                        )
+                    ],
+                    _PQ_META_SCHEMA,
+                ),
+            )
+            t.commit()
+            return retrained or resumed_epochs
         else:
             stale = sorted(
                 int(r["list_id"])
@@ -996,6 +1050,14 @@ class AnnIndex:
         post = self.postings.get_full_df()
         multi_epoch = len(metas) > 1 and "pq_epoch" in post.columns
         cur_epoch = max(metas)
+        if len(metas) > 1 and "pq_epoch" not in post.columns:
+            # a legacy (pre-epoch-column) table caught by the OLD
+            # two-commit retrain's crash window: books for a newer epoch
+            # are published but no row was ever re-encoded or stamped —
+            # every code on disk came from the OLDEST epoch's books, so
+            # ADC must score against those (round-9 advice; the next
+            # maintain() repairs the table atomically)
+            cur_epoch = min(metas)
         # LUT computed ONCE per query row (the m×n_codes GEMM), not once
         # per (query, probe) pair — it joins back onto candidates below.
         # Mid-retrain (two codebook epochs live) each query carries one
@@ -1024,8 +1086,13 @@ class AnnIndex:
         # candidate scan: codes only — cv/cn are PRUNED from this read
         code_cols = [F.col(self.id_col).alias("neighbor_id"), F.col("pq"), F.col("list_id")]
         if multi_epoch:
+            # a NULL stamp under multi-epoch can only be a row written
+            # before the epoch machinery existed — its code came from
+            # the OLDEST epoch's books, so that is what ADC must score
+            # it against (defaulting to the NEWEST was the round-9
+            # advice's wrong-ranking hazard, in column-present form)
             code_cols.append(
-                F.coalesce(F.col("pq_epoch"), F.lit(int(cur_epoch))).alias("pq_epoch")
+                F.coalesce(F.col("pq_epoch"), F.lit(int(min(metas)))).alias("pq_epoch")
             )
         codes = post.where(F.col("list_id").isin(probed_ids)).select(*code_cols)
         cand = (

@@ -189,3 +189,98 @@ def test_time_travel_sql(spark, cat):
     assert [(r.k, r.v_now, r.v_then) for r in diff] == [
         (1, 99.0, 1.0), (2, 2.0, None)
     ]
+
+
+# ----------------------------------------------------------- round 10
+def test_time_travel_literal_survives_and_views_drop(spark, cat, tmp_root):
+    """Round-9 verdict hardening: (a) a string literal containing
+    'VERSION AS OF' is DATA, not travel syntax — the quote-aware rewrite
+    must leave it verbatim; (b) the private __tt_* snapshot views drop
+    after each read, so N travel reads leave the temp-view namespace
+    exactly as they found it."""
+    notes = TableRepo(
+        tmp_root + "/notes_tt", index_cols="k", commit_mode="manifest", spark=spark
+    )
+    cat.register("notes_tt", notes)
+    cat.sql("INSERT INTO notes_tt (k, s) VALUES (1, 'see VERSION AS OF 3'), (2, 'w')")
+    got = {
+        (r.k, r.s)
+        for r in cat.sql(
+            "SELECT k, s FROM notes_tt WHERE s = 'see VERSION AS OF 3'"
+        ).collect()
+    }
+    assert got == {(1, "see VERSION AS OF 3")}
+
+    def tt_views():
+        return sorted(
+            t.name for t in spark.catalog.listTables() if t.name.startswith("__tt_")
+        )
+
+    cat.sql("INSERT INTO notes_tt (k, s) VALUES (3, 'x')")
+    before = tt_views()
+    for _ in range(3):
+        n = cat.sql("SELECT count(*) AS n FROM notes_tt VERSION AS OF 1").collect()[0].n
+        assert n == 2
+    assert tt_views() == before  # namespace stable across N travel reads
+
+
+def test_merge_using_subquery_with_paren_in_literal(spark, cat):
+    """Round-9 advice: the USING (subquery) extent scan must skip string
+    literals — an unbalanced ')' inside a quote used to truncate the
+    subquery at the wrong position and misparse the statement."""
+    cat.sql("INSERT INTO sales (k, g, v) VALUES (1,'a',1.0D), (2,'b',2.0D)")
+    cat.register_view(
+        "u5",
+        spark.createDataFrame(
+            [(1, "a", 10.0, ")"), (2, "b", 20.0, "x")],
+            "k int, g string, v double, tag string",
+        ),
+    )
+    cat.sql(
+        "MERGE INTO sales t USING "
+        "(SELECT k, g, v FROM u5 WHERE tag != ')') u "
+        "ON t.k = u.k WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert _state(cat) == {(1, "a", 1.0), (2, "b", 20.0)}
+
+
+def test_merge_on_same_side_equality_refused(spark, cat):
+    """Round-9 advice: ``ON tgt.k = tgt.k`` passed the old check (both
+    alternation branches allowed either alias) while the engine matched
+    on src/tgt key equality — silently different semantics. Now one
+    operand must be target-qualified and the other source-qualified."""
+    cat.sql("INSERT INTO sales (k, g, v) VALUES (1,'a',1.0D)")
+    cat.register_view(
+        "u6", spark.createDataFrame([(1, "a", 5.0)], "k int, g string, v double")
+    )
+    for on in ("t.k = t.k", "u.k = u.k"):
+        with pytest.raises(ValueError, match="cross-side"):
+            cat.sql(
+                f"MERGE INTO sales t USING u6 u ON {on} "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+    # the legitimate cross-side form still works, either operand order
+    cat.sql(
+        "MERGE INTO sales t USING u6 u ON u.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = u.v"
+    )
+    assert _state(cat) == {(1, "a", 5.0)}
+
+
+def test_insert_partial_column_list(spark, cat):
+    """Round-9 verdict #7: INSERT naming a SUBSET of columns lands typed
+    nulls for the rest (extend's schema alignment); a typo'd column or an
+    omitted non-generated partition column is refused loudly instead of
+    silently dropping data."""
+    cat.sql("INSERT INTO sales (k, g, v) VALUES (1,'a',1.0D)")
+    cat.sql("INSERT INTO sales (k, g) VALUES (2, 'b')")  # v omitted -> null
+    rows = {
+        (r.k, r.g, r.v) for r in cat.sql("SELECT k, g, v FROM sales").collect()
+    }
+    assert rows == {(1, "a", 1.0), (2, "b", None)}
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("INSERT INTO sales (k, g, nosuch) VALUES (3, 'c', 9.0D)")
+    with pytest.raises(ValueError, match="partition column"):
+        cat.sql("INSERT INTO sales (k, v) VALUES (3, 9.0D)")  # omits g
+    # nothing from the refused statements landed
+    assert len(_state(cat)) == 2

@@ -49,7 +49,55 @@ def replicate(df, id_col: str, factor: int, offset: int = 10_000_000):
     return out.repartition(32)
 
 
+def _fit_exponent(times):
+    xs = [math.log(f) for f in FACTORS]
+    ys = [math.log(t) for t in times]
+    xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
+    return sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
+        (x - xbar) ** 2 for x in xs
+    )
+
+
 def probe(spark):
+    results = {}
+    # cc_star_chain runs FIRST, before ANY heavy setup (round-9 verdict
+    # #2): the op is 20+ per-round barriers of sub-second stages, so its
+    # wall time is round-overhead-bound and hyper-sensitive to session
+    # state — the r9 number (176 s at 10x vs r8's 53 s, code unchanged)
+    # was measured AFTER the grown-index builds, whose setup-era
+    # checkpoints are pinned in keep_ids for the whole probe. Clean
+    # fresh-session re-measures (tools/cc_probe_standalone.py, CC_STAR_
+    # r10) read 51-78 s at 10x, exponent ≈ 0.35 — matching r8. Star CC
+    # on a pathological CHAIN (diameter = n — HashMin's worst case):
+    # rounds grow ~log2(n) (11/15/18 at 1e3/1e4/1e5 vertices), so the
+    # exponent reads ≈ 0.3-0.45 locally (per-round overhead × log n
+    # rounds — NOT ≈0: each round's fixed cost never shrinks), which is
+    # still the property that makes diameter irrelevant at 100 TB.
+    cc_times = []
+    for f in FACTORS:
+        t0 = time.monotonic()
+        (
+            connected_components_star(
+                spark.range(100_000 * f - 1).select(
+                    F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+                ),
+                max_iter=40,
+            )
+            .where(F.col("component") != 0)
+            .count()
+        )
+        cc_times.append(round(time.monotonic() - t0, 2))
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    results["cc_star_chain"] = {
+        "times_sec": dict(zip(map(str, FACTORS), cc_times)),
+        "exponent": round(_fit_exponent(cc_times), 2),
+    }
+    print(f"# cc_star_chain: {results['cc_star_chain']}", file=sys.stderr)
+
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
     emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -166,19 +214,8 @@ def probe(spark):
         # re-shingling of history. Indexes are PRE-MATERIALIZED outside
         # the timed lambda (that is the whole point of persisting them —
         # a nightly refresh reads the stored index, it doesn't rebuild)
-        # round 5: star CC on a pathological CHAIN (diameter = n —
-        # HashMin's worst case, O(n) rounds). Rounds grow as ~log2(n)
-        # (measured: 11/15/18 rounds at 1e3/1e4/1e5 vertices), so local
-        # wall time is round-overhead-bound and the exponent reads ≈0 —
-        # the property that makes diameter irrelevant at 100 TB
-        "cc_star_chain": lambda f: connected_components_star(
-            spark.range(100_000 * f - 1).select(
-                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
-            ),
-            max_iter=40,
-        )
-        .where(F.col("component") != 0)
-        .count(),
+        # (cc_star_chain moved to the TOP of probe() — see the round-10
+        # note there: it must run before heavy setup pins session state)
         "incremental_dedup_fixed_batch": lambda f: incremental_near_dedup(
             docs.where(F.col("doc_id") % 37 == 0).select(
                 (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
@@ -524,7 +561,7 @@ def probe(spark):
         f: minhash_index(replicate(docs, "doc_id", f)).localCheckpoint(eager=True)
         for f in FACTORS
     }
-    results = {}
+    # (results was seeded with cc_star_chain at the top of probe())
     # RDDs that must SURVIVE between probes: the pre-materialized index /
     # key localCheckpoints above — everything else a probed op persists
     # is swept after its run (same hygiene as bench.py: clearCache misses
@@ -546,12 +583,7 @@ def probe(spark):
                     jmap.get(rid).unpersist(False)
             spark.sparkContext._jvm.System.gc()
         # fit t = c * n^k over the probed factors (least squares in logs)
-        xs = [math.log(f) for f in FACTORS]
-        ys = [math.log(t) for t in times]
-        xbar, ybar = sum(xs) / len(xs), sum(ys) / len(ys)
-        k = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / sum(
-            (x - xbar) ** 2 for x in xs
-        )
+        k = _fit_exponent(times)
         results[name] = {"times_sec": dict(zip(map(str, FACTORS), times)), "exponent": round(k, 2)}
         print(f"# {name}: {results[name]}", file=sys.stderr)
     return results
