@@ -490,23 +490,96 @@ class S3CondFS:
     retry loops forever, the same contract as the other shims."""
 
     def __init__(self, path: str):
+        import os
         import re
 
         m = re.match(r"^s3c://([^/]+)", path)
         if not m:
             raise ValueError(f"not an s3c:// URI: {path}")
-        self._endpoint = f"http://{m.group(1)}"
+        self._host = m.group(1)
+        self._endpoint = f"http://{self._host}"
+        # SigV4 turns ON when credentials are present (round-10): real
+        # S3/MinIO/moto endpoints refuse unsigned requests at the auth
+        # layer BEFORE evaluating If-None-Match — a 403 that would read
+        # as a hard error, never as the 412 lost race. Unsigned stays
+        # the default for the in-process stub (no env, no signatures).
+        self._akey = os.environ.get("PQRS_S3_ACCESS_KEY") or os.environ.get(
+            "AWS_ACCESS_KEY_ID"
+        )
+        self._skey = os.environ.get("PQRS_S3_SECRET_KEY") or os.environ.get(
+            "AWS_SECRET_ACCESS_KEY"
+        )
+        self._region = os.environ.get("PQRS_S3_REGION", "us-east-1")
 
     # ------------------------------------------------------ transport
+    def _sigv4_headers(self, method, path_q, query, payload):
+        """AWS Signature Version 4 over the exact bytes on the wire —
+        pure stdlib (hashlib/hmac), the published algorithm (AWS docs
+        'Signing AWS API requests'). ``path_q`` is the already-quoted
+        URL path (the same string the request uses, so canonical and
+        actual can never disagree); ``query`` the already-encoded query
+        string WITHOUT '?', in sorted-key order (the caller builds it
+        sorted so it doubles as the canonical form)."""
+        import hashlib
+        import hmac
+        import time as _t
+
+        amz_date = _t.strftime("%Y%m%dT%H%M%SZ", _t.gmtime())
+        date = amz_date[:8]
+        payload_hash = hashlib.sha256(payload or b"").hexdigest()
+        canonical = "\n".join(
+            [
+                method,
+                path_q or "/",
+                query,
+                f"host:{self._host}\n"
+                f"x-amz-content-sha256:{payload_hash}\n"
+                f"x-amz-date:{amz_date}\n",
+                "host;x-amz-content-sha256;x-amz-date",
+                payload_hash,
+            ]
+        )
+        scope = f"{date}/{self._region}/s3/aws4_request"
+        to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                hashlib.sha256(canonical.encode()).hexdigest(),
+            ]
+        )
+        k = f"AWS4{self._skey}".encode()
+        for part in (date, self._region, "s3", "aws4_request"):
+            k = hmac.new(k, part.encode(), hashlib.sha256).digest()
+        sig = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+        return {
+            "x-amz-date": amz_date,
+            "x-amz-content-sha256": payload_hash,
+            "Authorization": (
+                f"AWS4-HMAC-SHA256 Credential={self._akey}/{scope}, "
+                "SignedHeaders=host;x-amz-content-sha256;x-amz-date, "
+                f"Signature={sig}"
+            ),
+        }
+
     def _request(self, method: str, key: str, data=None, headers=None, query=""):
         import urllib.error
         import urllib.request
         from urllib.parse import quote
 
-        url = f"{self._endpoint}/{quote(key)}{query}"
-        req = urllib.request.Request(
-            url, data=data, method=method, headers=headers or {}
-        )
+        path_q = f"/{quote(key)}"
+        qs = query.lstrip("?")
+        url = f"{self._endpoint}{path_q}" + (f"?{qs}" if qs else "")
+        hdrs = dict(headers or {})
+        if data is not None:
+            # urllib defaults a body-carrying request to Content-Type
+            # application/x-www-form-urlencoded — WSGI servers (moto,
+            # localstack) then parse the payload as FORM FIELDS and the
+            # object lands empty; S3 objects are octet streams
+            hdrs.setdefault("Content-Type", "application/octet-stream")
+        if self._akey and self._skey:
+            hdrs.update(self._sigv4_headers(method, path_q, qs, data))
+        req = urllib.request.Request(url, data=data, method=method, headers=hdrs)
         try:
             with urllib.request.urlopen(req, timeout=60) as r:
                 return r.status, r.read(), dict(r.headers)
@@ -536,11 +609,17 @@ class S3CondFS:
         bucket, _, prefix = key_prefix.partition("/")
         out, prefixes, token = [], [], ""
         while True:
-            q = f"?list-type=2&prefix={quote(prefix)}"
+            # params in SORTED key order, values strictly encoded
+            # (safe="": '/' becomes %2F) — the same string then serves
+            # as SigV4's canonical query form verbatim
+            params = {"list-type": "2", "prefix": prefix}
             if delimiter:
-                q += f"&delimiter={quote(delimiter)}"
+                params["delimiter"] = delimiter
             if token:
-                q += f"&continuation-token={quote(token)}"
+                params["continuation-token"] = token
+            q = "?" + "&".join(
+                f"{k}={quote(v, safe='')}" for k, v in sorted(params.items())
+            )
             st, body, _h = self._request("GET", bucket, query=q)
             if st != 200:
                 raise IOError(f"list {key_prefix}: HTTP {st} {body[:200]!r}")

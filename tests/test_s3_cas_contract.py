@@ -25,6 +25,17 @@ from parquetranger_spark.testing.s3_stub import S3Stub
 
 @pytest.fixture(scope="module")
 def endpoint():
+    """Default: the in-process stub. ``PQRS_S3_ENDPOINT=http://host:port``
+    points the SAME contract suite at a real S3-compatible endpoint
+    (MinIO, moto_server, localstack — tools/object_store_real.py drives
+    this with moto): signing turns on via the usual AWS env credentials
+    (see S3CondFS), and the 'bucket' bucket must already exist."""
+    import os
+
+    ext = os.environ.get("PQRS_S3_ENDPOINT")
+    if ext:
+        yield ext
+        return
     with S3Stub() as ep:
         yield ep
 
