@@ -53,6 +53,18 @@ def main(rnd: int) -> None:
         ),
         "runs": runs,
     }
+    if rnd >= 10:
+        payload["process_soak"] = (
+            "round-10: tests/test_process_soak.py runs 16 writers as "
+            "SEPARATE OS PROCESSES (own driver JVM + SparkSession each, "
+            "sharing only the table root — the production committer "
+            "shape), same mixed-op traffic and conservation/liveness/"
+            "fairness contract as the quarantined thread soak, IN-SUITE "
+            "with no env gate; a stuck process is killed and reported, "
+            "never a silent hang. The py4j thread soak stays quarantined "
+            "behind PQRS_RUN_SOAK (scheduled opt-in). The three runs "
+            "above each INCLUDE the process soak."
+        )
     out = os.path.join(ROOT, f"SOAK_STABILITY_r{rnd:02d}.json")
     json.dump(payload, open(out, "w"), indent=1)
     print(f"wrote {out}: all_green={ok}, walls={[r['wall_s'] for r in runs]}")
