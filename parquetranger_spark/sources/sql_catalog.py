@@ -21,11 +21,23 @@ Design — a DISPATCHER, not a SQL engine:
   USING (...)) are themselves planned by ``spark.sql`` against the
   refreshed views — arbitrary read SQL composes into every DML source.
 
+- **DDL heads** (round 10 — the last front-door asymmetry) route to the
+  engine's native metadata-only operations, never a rewrite: CREATE
+  TABLE (column defs with PRIMARY KEY / PARTITIONED BY / LOCATION, or
+  CTAS) builds a manifest-mode :class:`TableRepo` and persists the
+  declaration via ``declare()``; ALTER TABLE ADD / RENAME / DROP /
+  ALTER COLUMN map to the schema-log epoch DDL (S33 — initial DEFAULTs
+  included, dotted names reach one level of nested struct fields);
+  DROP TABLE purges and deregisters; TRUNCATE is a committed
+  ``delete_where(true)``. DESCRIBE and SHOW TABLES read the sidecar.
+
 Deliberate restrictions, refused LOUDLY rather than half-supported:
 MERGE's ON clause must be the key equality (the engine matches on
 ``index_cols`` — an arbitrary ON is a different operator), INSERT is
-positional (column-list form supported), and DDL heads are out of scope
-(the schema-log API owns those).
+positional (column-list form supported), CREATE TABLE takes column
+DEFAULTs only through a later ALTER (an initial default on a column
+born WITH the table is indistinguishable from inserting the value),
+and type changes accept only the safe widenings the schema log accepts.
 """
 
 from __future__ import annotations
@@ -96,6 +108,28 @@ def _match_paren(s: str, start: int = 0) -> int:
     return -1
 
 
+def _sql_literal(tok: str):
+    """Scalar SQL literal → the JSON scalar the schema log stores as an
+    initial default ('x' / 42 / 1.5 / TRUE). Anything else is refused —
+    defaults live in the epoch JSON, so scalars only (S33 contract)."""
+    t = tok.strip()
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    low = t.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    if re.fullmatch(r"[+-]?\d+", t):
+        return int(t)
+    try:
+        return float(t)
+    except ValueError:
+        raise ValueError(
+            f"unsupported DEFAULT literal {tok!r} (scalar literals only)"
+        ) from None
+
+
 def _find_top_kw(s: str, kw: str, start: int = 0) -> int:
     """Index of keyword ``kw`` (word-bounded, case-insensitive) at
     paren/quote depth zero, or -1."""
@@ -122,10 +156,18 @@ def _find_top_kw(s: str, kw: str, start: int = 0) -> int:
 class RepoCatalog:
     """Named TableRepos + plain read-only views, driven by SQL text."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, base_dir: str | None = None):
         self._spark = spark
         self._repos: dict = {}
         self._views: dict = {}
+        # root under which CREATE TABLE materializes <base_dir>/<name>;
+        # a per-statement LOCATION overrides it, and without either the
+        # CREATE is refused (the catalog never invents a path)
+        self._base_dir = str(base_dir) if base_dir is not None else None
+        # CREATE VIEW bodies kept as SQL TEXT, re-planned at every
+        # refresh — unlike register_view's static DataFrame, a SQL view
+        # always re-resolves the repos' LATEST committed snapshots
+        self._view_sql: dict = {}
 
     def register(self, name: str, repo) -> None:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
@@ -158,6 +200,9 @@ class RepoCatalog:
         meta = load_meta(repo.main_path, spark=repo._spark)
         if meta and meta.schema:
             return [f.name for f in meta.schema.fields]
+        if getattr(repo, "fixed_schema", None) is not None:
+            # declared (CREATE TABLE / fixed_schema) but never written
+            return [f.name for f in repo.fixed_schema.fields]
         return []  # never-written table: caller must name columns
 
     # ------------------------------------------------------------ views
@@ -169,6 +214,11 @@ class RepoCatalog:
             repo.get_full_df().createOrReplaceTempView(name)
         for name, df in self._views.items():
             df.createOrReplaceTempView(name)
+        # insertion order: a SQL view may reference repos, static views,
+        # and SQL views defined before it — each re-plans against the
+        # snapshots just registered above
+        for name, q in self._view_sql.items():
+            self._spark.sql(q).createOrReplaceTempView(name)
 
     def _read(self, query: str) -> DataFrame:
         query, travel_views = self._rewrite_time_travel(query)
@@ -251,10 +301,22 @@ class RepoCatalog:
             return self._delete(s)
         if head == "MERGE":
             return self._merge(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "ALTER":
+            return self._alter(s)
+        if head == "DROP":
+            return self._drop_table(s)
+        if head == "TRUNCATE":
+            return self._truncate(s)
+        if head in ("DESCRIBE", "DESC"):
+            return self._describe(s)
+        if head == "SHOW":
+            return self._show(s)
         raise ValueError(
             f"unsupported statement head {head!r} — reads, INSERT [OVERWRITE],"
-            " UPDATE, DELETE, MERGE INTO are supported (DDL goes through the"
-            " schema-log API)"
+            " UPDATE, DELETE, MERGE INTO, CREATE/ALTER/DROP/TRUNCATE TABLE,"
+            " DESCRIBE, SHOW TABLES are supported"
         )
 
     # -------------------------------------------------------------- DML
@@ -493,3 +555,335 @@ class RepoCatalog:
                 f"MERGE ON must cover exactly index_cols {sorted(want)}; "
                 f"got {sorted(got)}"
             )
+
+    # -------------------------------------------------------------- DDL
+    def _create(self, s: str):
+        """CREATE TABLE [IF NOT EXISTS] t — two forms, both landing a
+        manifest-mode repo (schema DDL requires it):
+
+        - ``(col type, ..., PRIMARY KEY (k, ...)) [PARTITIONED BY (g)]
+          [LOCATION 'path']`` — declaration only: ``declare()`` persists
+          the canonical sidecar, no data file is written.
+        - ``[PARTITIONED BY (g)] [LOCATION 'path'] AS <query>`` — CTAS:
+          the planned query's first append establishes the schema.
+        """
+        from .table_repo import TableRepo
+
+        vm = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if vm:
+            return self._create_view(
+                bool(vm.group(1)), vm.group(2), vm.group(3).strip()
+            )
+        m = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE: {s[:120]!r}")
+        if_not_exists, name, rest = m.group(1), m.group(2), m.group(3).strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad table name {name!r}")
+        if name in self._views:
+            raise ValueError(f"{name!r} is a registered read-only view")
+        if name in self._repos:
+            if if_not_exists:
+                return None
+            raise ValueError(f"table {name!r} already registered")
+        coldefs = None
+        if rest.startswith("("):
+            i = _match_paren(rest)
+            if i < 0:
+                raise ValueError("CREATE TABLE ( ... : unclosed column list")
+            coldefs, rest = rest[1:i], rest[i + 1 :].strip()
+        part_cols: list = []
+        index_cols: list = []
+        location = None
+        as_sql = None
+        while rest:
+            pm = re.match(r"PARTITIONED\s+BY\s*\(", rest, re.IGNORECASE)
+            lm = re.match(r"LOCATION\s+'([^']*)'", rest, re.IGNORECASE)
+            am = re.match(r"AS\b", rest, re.IGNORECASE)
+            if pm:
+                j = _match_paren(rest, pm.end() - 1)
+                if j < 0:
+                    raise ValueError("PARTITIONED BY ( ... : unclosed")
+                part_cols = [
+                    c.strip() for c in rest[pm.end() : j].split(",") if c.strip()
+                ]
+                rest = rest[j + 1 :].strip()
+            elif lm:
+                location = lm.group(1)
+                rest = rest[lm.end() :].strip()
+            elif am:
+                as_sql = rest[am.end() :].strip()
+                rest = ""
+            else:
+                raise ValueError(
+                    f"unsupported CREATE TABLE clause: {rest[:60]!r}"
+                )
+        fixed_schema = None
+        if coldefs is not None:
+            from pyspark.sql import types as T
+
+            field_sql = []
+            for piece in _split_top(coldefs, ","):
+                p = piece.strip()
+                if not p:
+                    continue
+                pk = re.fullmatch(
+                    r"PRIMARY\s+KEY\s*\((.*)\)", p, re.IGNORECASE | re.DOTALL
+                )
+                if pk:
+                    index_cols = [
+                        c.strip() for c in pk.group(1).split(",") if c.strip()
+                    ]
+                    continue
+                if re.search(r"\bDEFAULT\b", p, re.IGNORECASE):
+                    raise ValueError(
+                        "per-column DEFAULT in CREATE TABLE is not supported"
+                        " — an initial default describes rows that PRE-DATE"
+                        " the column (S33); add the column after creation:"
+                        " ALTER TABLE t ADD COLUMN c <type> DEFAULT <value>"
+                    )
+                field_sql.append(p)
+            if not field_sql:
+                raise ValueError("CREATE TABLE needs at least one column")
+            fixed_schema = T.StructType.fromDDL(", ".join(field_sql))
+            declared = {f.name for f in fixed_schema.fields}
+            bad = [c for c in part_cols + index_cols if c not in declared]
+            if bad:
+                raise ValueError(
+                    f"CREATE TABLE: column(s) {bad} not in the declared schema"
+                )
+        if coldefs is not None and as_sql:
+            raise ValueError(
+                "CREATE TABLE takes column definitions OR AS <query>, not both"
+            )
+        if coldefs is None and not as_sql:
+            raise ValueError(
+                "CREATE TABLE needs (column definitions) or AS <query>"
+            )
+        if location is None:
+            if self._base_dir is None:
+                raise ValueError(
+                    "CREATE TABLE needs a catalog base_dir or a LOCATION clause"
+                )
+            location = self._base_dir.rstrip("/") + "/" + name
+        src = self._read(as_sql) if as_sql else None
+        if src is not None:
+            bad = [c for c in part_cols + index_cols if c not in src.columns]
+            if bad:
+                raise ValueError(
+                    f"CTAS: column(s) {bad} not produced by the query "
+                    f"(got {src.columns})"
+                )
+        repo = TableRepo(
+            location,
+            group_cols=part_cols or None,
+            index_cols=index_cols or None,
+            fixed_schema=fixed_schema,
+            commit_mode="manifest",
+            spark=self._spark,
+        )
+        if src is not None:
+            repo.extend(src)
+        else:
+            repo.declare()
+        self._repos[name] = repo
+        return None
+
+    def _create_view(self, or_replace: bool, name: str, body: str):
+        """CREATE [OR REPLACE] VIEW v AS <query> — the body is kept as
+        SQL TEXT and re-planned at every refresh, so the view always
+        re-resolves the repos' LATEST committed snapshots (a
+        ``register_view`` DataFrame is static by contrast — it captures
+        the plan it was built from). Validated eagerly: the body must
+        analyze against the current catalog before the view lands."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad view name {name!r}")
+        if name in self._repos:
+            raise ValueError(f"{name!r} is a registered table")
+        if name in self._views:
+            raise ValueError(
+                f"{name!r} is a register_view() DataFrame view — "
+                "deregister it before redefining it in SQL"
+            )
+        if name in self._view_sql and not or_replace:
+            raise ValueError(
+                f"view {name!r} already exists (CREATE OR REPLACE VIEW)"
+            )
+        spans = _quote_spans(body)
+        for m in re.finditer(
+            r"\b(?:VERSION|TIMESTAMP)\s+AS\s+OF\b", body, re.IGNORECASE
+        ):
+            if not any(a <= m.start() < b for a, b in spans):
+                raise ValueError(
+                    "time travel inside a view body is not supported — a "
+                    "view re-resolves LATEST snapshots by design; run the "
+                    "AS OF read inline instead"
+                )
+        self._refresh_views()
+        self._spark.sql(body)  # eager analysis: fail NOW, not at first read
+        self._view_sql[name] = body
+        return None
+
+    def _alter(self, s: str):
+        """ALTER TABLE t — each form routes to the matching metadata-only
+        schema-log DDL (S33): ADD COLUMN [DEFAULT], RENAME COLUMN .. TO,
+        DROP COLUMN, ALTER COLUMN .. TYPE (safe widenings only). A dotted
+        name (``addr.zip``) reaches one level of nested struct fields."""
+        m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse ALTER: {s[:120]!r}")
+        repo = self.table(m.group(1))
+        rest = m.group(2).strip()
+
+        def split_nested(col: str):
+            if "." not in col:
+                return None, col
+            parent, leaf = col.split(".", 1)
+            if "." in leaf:
+                raise ValueError(
+                    f"nested DDL reaches ONE struct level; got {col!r}"
+                )
+            return parent, leaf
+
+        am = re.match(
+            r"ADD\s+COLUMNS?\s+([\w.]+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            col, dtype, dflt = am.group(1), am.group(2).strip(), am.group(3)
+            default = _sql_literal(dflt) if dflt is not None else None
+            parent, leaf = split_nested(col)
+            if parent:
+                repo.add_struct_field(parent, leaf, dtype, default=default)
+            else:
+                repo.add_column(leaf, dtype, default=default)
+            return None
+        rm = re.match(
+            r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)\s*$", rest, re.IGNORECASE
+        )
+        if rm:
+            parent, leaf = split_nested(rm.group(1))
+            if parent:
+                repo.rename_struct_field(parent, leaf, rm.group(2))
+            else:
+                repo.rename_column(leaf, rm.group(2))
+            return None
+        dm = re.match(r"DROP\s+COLUMN\s+([\w.]+)\s*$", rest, re.IGNORECASE)
+        if dm:
+            parent, leaf = split_nested(dm.group(1))
+            if parent:
+                repo.drop_struct_field(parent, leaf)
+            else:
+                repo.drop_column(leaf)
+            return None
+        tm = re.match(
+            r"ALTER\s+COLUMN\s+([\w.]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if tm:
+            parent, leaf = split_nested(tm.group(1))
+            dtype = tm.group(2).strip()
+            if parent:
+                repo.alter_struct_field_type(parent, leaf, dtype)
+            else:
+                repo.alter_column_type(leaf, dtype)
+            return None
+        raise ValueError(
+            f"unsupported ALTER TABLE form: {rest[:80]!r} — ADD COLUMN,"
+            " RENAME COLUMN .. TO, DROP COLUMN, ALTER COLUMN .. TYPE"
+        )
+
+    def _drop_table(self, s: str):
+        vm = re.match(
+            r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE
+        )
+        if vm:
+            if_exists, name = vm.groups()
+            found = (self._view_sql.pop(name, None) is not None) or (
+                self._views.pop(name, None) is not None
+            )
+            if not found and not if_exists:
+                raise KeyError(
+                    f"unknown view {name!r} (views: "
+                    f"{sorted(set(self._views) | set(self._view_sql))})"
+                )
+            try:
+                self._spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            return None
+        m = re.match(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP: {s[:120]!r}")
+        if_exists, name = m.groups()
+        if name not in self._repos:
+            if if_exists:
+                return None
+            self.table(name)  # raises, listing what IS registered
+        repo = self._repos.pop(name)
+        repo.purge()
+        try:
+            self._spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # never refreshed into a view yet
+        return None
+
+    def _truncate(self, s: str):
+        m = re.match(r"TRUNCATE\s+TABLE\s+(\w+)\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE: {s[:120]!r}")
+        # a committed predicate delete, NOT purge: history/time travel
+        # survive, and the statement is O(live partitions) like any delete
+        self.table(m.group(1)).delete_where("true")
+        return None
+
+    def _describe(self, s: str):
+        m = re.match(
+            r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*$", s, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE: {s[:120]!r}")
+        repo = self.table(m.group(1))
+        from ..plans.schema import load_meta
+
+        meta = load_meta(repo.main_path, spark=repo._spark)
+        schema = (meta.schema if meta else None) or repo.fixed_schema
+        if schema is None:
+            raise ValueError(
+                f"table {m.group(1)!r} has no declared schema yet"
+            )
+        rows = []
+        for f in schema.fields:
+            notes = []
+            if f.name in repo.group_cols:
+                notes.append("partition key")
+            if f.name in repo.index_cols:
+                notes.append("index key")
+            rows.append((f.name, f.dataType.simpleString(), ", ".join(notes)))
+        return self._spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
+
+    def _show(self, s: str):
+        if not re.fullmatch(r"SHOW\s+TABLES", s, re.IGNORECASE):
+            raise ValueError(f"unsupported SHOW form: {s[:60]!r}")
+        rows = sorted(
+            [(n, "table") for n in self._repos]
+            + [(n, "view") for n in self._views]
+            + [(n, "view") for n in self._view_sql]
+        )
+        return self._spark.createDataFrame(
+            rows, "table_name string, kind string"
+        )

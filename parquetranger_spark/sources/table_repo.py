@@ -1081,6 +1081,35 @@ class TableRepo:
 
     # ------------------------------------------------- schema DDL (metadata-only)
 
+    def declare(self) -> None:
+        """Persist the canonical sidecar for a NEVER-WRITTEN table from
+        ``fixed_schema`` — CREATE TABLE's durable declaration (the SQL
+        front door routes here). Afterwards, and before any row lands:
+        reads surface an empty canonical-schema frame instead of a
+        zero-column one, schema DDL can bootstrap epoch 1, positional
+        SQL INSERT knows the declared column order, and
+        :meth:`TableRepo.open` reconstructs the handle from the sidecar
+        config. Exactly the metadata the first write would persist
+        (see :meth:`_align`) — landed eagerly, no data file touched.
+        No-op if the sidecar already exists (declared or written)."""
+        if self.fixed_schema is None:
+            raise ValueError("declare() requires fixed_schema")
+        if load_meta(self.main_path, spark=self._spark) is not None:
+            return
+        from ..plans.schema import as_nullable
+
+        save_meta(
+            self.main_path,
+            TableMeta(
+                schema=as_nullable(self.fixed_schema),
+                group_cols=self.group_cols,
+                index_cols=self.index_cols,
+                extra_metadata=self.extra_metadata,
+                config=self._handle_config(),
+            ),
+            spark=self._spark,
+        )
+
     def schema_log(self) -> list[dict]:
         """Every published schema epoch (empty for a table that has never
         seen DDL). Observability face of the evolution machinery — each

@@ -124,8 +124,12 @@ def test_reads_see_committed_writes_and_arbitrary_sql(spark, cat):
 
 
 def test_unsupported_heads_fail_loudly(spark, cat):
+    # DDL heads route natively since round 10 (tests/test_sql_ddl.py);
+    # heads with no engine counterpart still refuse loudly
     with pytest.raises(ValueError, match="unsupported statement head"):
-        cat.sql("DROP TABLE sales")
+        cat.sql("GRANT SELECT ON sales TO analyst")
+    with pytest.raises(ValueError, match="unsupported statement head"):
+        cat.sql("ANALYZE TABLE sales COMPUTE STATISTICS")
     with pytest.raises(KeyError, match="unknown table"):
         cat.sql("DELETE FROM nosuch WHERE 1=1")
     with pytest.raises(ValueError, match="arity mismatch"):
