@@ -16,15 +16,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(rnd: int) -> None:
+    import glob
+
     runs = []
-    for i in (1, 2, 3):
-        p = os.path.join(ROOT, ".logs", f"suite_r{rnd:02d}_run{i}.log")
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, ".logs", f"suite_r{rnd:02d}_run*.log"))
+    )
+    for i, p in enumerate(paths, 1):
         text = open(p).read()
         tail = [ln for ln in text.splitlines() if ln.strip()][-6:]
         m = re.search(r"(\d+) passed", text)
         f = re.search(r"(\d+) failed", text)
         e = re.search(r"(\d+) error", text)
-        w = re.search(r"exit=(\d+) wall=(\d+)s", text)
+        w = re.search(r"exit=(\d+)(?: wall=(\d+)s)?", text)
+        # chain-format logs carry "exit=N wall=Ns"; bare pytest logs
+        # carry only "exit=N" — fall back to pytest's own "in ####.##s"
+        pw = re.search(r"in (\d+)\.\d+s", text)
         runs.append(
             {
                 "run": i,
@@ -32,7 +39,11 @@ def main(rnd: int) -> None:
                 "failed": int(f.group(1)) if f else 0,
                 "errors": int(e.group(1)) if e else 0,
                 "exit": int(w.group(1)) if w else None,
-                "wall_s": int(w.group(2)) if w else None,
+                "wall_s": (
+                    int(w.group(2))
+                    if w and w.group(2)
+                    else (int(pw.group(1)) if pw else None)
+                ),
                 "tail": tail,
             }
         )
