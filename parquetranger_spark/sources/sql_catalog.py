@@ -322,24 +322,70 @@ class RepoCatalog:
     # -------------------------------------------------------------- DML
     def _insert(self, s: str):
         m = re.match(
-            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*"
-            r"(\(([^)]*)\))?\s*(.*)$",
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*(.*)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse INSERT: {s[:120]!r}")
-        mode, name, _p, collist, rest = m.groups()
+        mode, name, rest = m.groups()
         repo = self.table(name)
         rest = rest.strip()
+        # Hive/Delta PARTITION clause: (g = 'x') pins a STATIC value the
+        # query does not produce; a bare (g) declares DYNAMIC overwrite.
+        # With OVERWRITE this routes to replace_groups — overwrite
+        # exactly the touched partitions, keep the rest (S3) — instead
+        # of INSERT OVERWRITE's whole-table replace_all.
+        part_spec: list = []
+        pm = re.match(r"PARTITION\s*\(", rest, re.IGNORECASE)
+        if pm:
+            j = _match_paren(rest, pm.end() - 1)
+            if j < 0:
+                raise ValueError("INSERT ... PARTITION ( ... : unclosed")
+            spec_sql, rest = rest[pm.end() : j], rest[j + 1 :].strip()
+            for piece in _split_top(spec_sql, ","):
+                k, eq, v = piece.partition("=")
+                col = k.strip()
+                if not col:
+                    raise ValueError(f"bad PARTITION spec: {spec_sql!r}")
+                part_spec.append((col, _sql_literal(v) if eq else None))
+            bad = [
+                c for c, _ in part_spec if c not in (repo.group_cols or [])
+            ]
+            if bad:
+                raise ValueError(
+                    f"PARTITION names non-partition column(s) {bad}; "
+                    f"partition cols: {repo.group_cols}"
+                )
+        static_cols = {c for c, v in part_spec if v is not None}
+        collist = None
+        if rest.startswith("("):
+            # a column list only ever precedes VALUES/SELECT; VALUES
+            # itself never starts with '(' at this position
+            j = _match_paren(rest)
+            head = rest[1:j] if j > 0 else ""
+            if j > 0 and not re.match(
+                r"\s*(SELECT|WITH|VALUES|TABLE)\b", head, re.IGNORECASE
+            ):
+                collist, rest = head, rest[j + 1 :].strip()
         if not rest:
             raise ValueError("INSERT needs VALUES or a query")
         src = self._read(rest)  # VALUES (...) and SELECT both plan here
         target_cols = self._declared_cols(repo)
         if collist:
             names = [c.strip() for c in collist.split(",") if c.strip()]
+            overlap = sorted(static_cols & set(names))
+            if overlap:
+                raise ValueError(
+                    f"column(s) {overlap} have a static PARTITION value "
+                    "AND appear in the column list — pick one"
+                )
+        elif target_cols:
+            # static partition columns are NOT part of the select list
+            # (Hive semantics) — positional INSERT aligns to the rest
+            names = [c for c in target_cols if c not in static_cols]
         else:
-            names = target_cols if target_cols else None
+            names = None
         if names is None and all(re.fullmatch(r"col\d+", c) for c in src.columns):
             raise ValueError(
                 "first INSERT into a never-written table must name its "
@@ -371,7 +417,10 @@ class RepoCatalog:
                 missing_groups = [
                     c
                     for c in (repo.group_cols or [])
-                    if c in target_cols and c not in names and c not in gen
+                    if c in target_cols
+                    and c not in names
+                    and c not in gen
+                    and c not in static_cols
                 ]
                 if missing_groups:
                     # a null partition key drops the row by design (C3);
@@ -381,8 +430,28 @@ class RepoCatalog:
                         f"INSERT must name the partition column(s) "
                         f"{missing_groups} (null group keys are dropped)"
                     )
+        for col, val in part_spec:
+            if val is None:
+                if col not in src.columns:
+                    raise ValueError(
+                        f"dynamic PARTITION ({col}) needs the query to "
+                        f"produce {col!r}"
+                    )
+            else:
+                if col in src.columns:
+                    raise ValueError(
+                        f"PARTITION ({col}=...) is static but the query "
+                        f"also produces {col!r}"
+                    )
+                from pyspark.sql import functions as F
+
+                src = src.withColumn(col, F.lit(val))
         if mode.upper() == "OVERWRITE":
-            repo.replace_all(src)
+            if part_spec:
+                # overwrite exactly the touched partitions, keep the rest
+                repo.replace_groups(src)
+            else:
+                repo.replace_all(src)
         else:
             repo.extend(src)
         return None

@@ -157,6 +157,63 @@ def test_describe_and_show_tables(spark, cat):
     assert _rows(cat, "SHOW TABLES") == {("m1", "table"), ("vw", "view")}
 
 
+def test_insert_overwrite_partition_static(spark, cat):
+    cat.sql(
+        "CREATE TABLE p1 (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)"
+    )
+    cat.sql(
+        "INSERT INTO p1 VALUES (1, 'a', 1.0D), (2, 'a', 2.0D), (3, 'b', 3.0D)"
+    )
+    # static spec: only partition 'a' is overwritten, 'b' survives; the
+    # select list does NOT carry g (Hive semantics)
+    cat.sql("INSERT OVERWRITE p1 PARTITION (g = 'a') VALUES (9, 9.0D)")
+    assert _rows(cat, "SELECT k, g, v FROM p1") == {
+        (9, "a", 9.0),
+        (3, "b", 3.0),
+    }
+    # INTO + static spec appends with the pinned value
+    cat.sql("INSERT INTO p1 PARTITION (g = 'b') (k, v) VALUES (4, 4.0D)")
+    assert (4, "b", 4.0) in _rows(cat, "SELECT k, g, v FROM p1")
+    with pytest.raises(ValueError, match="non-partition column"):
+        cat.sql("INSERT OVERWRITE p1 PARTITION (k = 1) VALUES ('a', 1.0D)")
+    # with a static spec the select list must NOT carry g — positional
+    # target is (k, v), so a 3-column query is an arity error
+    with pytest.raises(ValueError, match="arity mismatch"):
+        cat.sql(
+            "INSERT OVERWRITE p1 PARTITION (g = 'a') "
+            "SELECT k, g, v FROM p1"
+        )
+    with pytest.raises(ValueError, match="pick one"):
+        cat.sql(
+            "INSERT OVERWRITE p1 PARTITION (g = 'a') (k, g, v) "
+            "VALUES (1, 'a', 1.0D)"
+        )
+
+
+def test_insert_overwrite_partition_dynamic(spark, cat):
+    cat.sql(
+        "CREATE TABLE p2 (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)"
+    )
+    cat.sql(
+        "INSERT INTO p2 VALUES (1, 'a', 1.0D), (2, 'b', 2.0D), (3, 'c', 3.0D)"
+    )
+    # dynamic spec: only the partitions PRESENT in the query are
+    # replaced ('a' untouched) — replace_groups, not replace_all
+    cat.sql(
+        "INSERT OVERWRITE p2 PARTITION (g) "
+        "VALUES (8, 'b', 8.0D), (9, 'c', 9.0D)"
+    )
+    assert _rows(cat, "SELECT k, g, v FROM p2") == {
+        (1, "a", 1.0),
+        (8, "b", 8.0),
+        (9, "c", 9.0),
+    }
+    # a dynamic spec means g comes FROM the query — omitting it from the
+    # column list is the null-partition-key hazard, refused loudly
+    with pytest.raises(ValueError, match="partition column"):
+        cat.sql("INSERT OVERWRITE p2 PARTITION (g) (k, v) VALUES (1, 1.0D)")
+
+
 def test_create_view_replans_per_read(spark, cat):
     cat.sql("CREATE TABLE v1 (k BIGINT, v DOUBLE)")
     cat.sql("INSERT INTO v1 VALUES (1, 1.0D)")
