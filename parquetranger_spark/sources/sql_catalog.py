@@ -30,6 +30,13 @@ Design — a DISPATCHER, not a SQL engine:
   included, dotted names reach one level of nested struct fields);
   DROP TABLE purges and deregisters; TRUNCATE is a committed
   ``delete_where(true)``. DESCRIBE and SHOW TABLES read the sidecar.
+  CREATE [OR REPLACE] VIEW keeps its body as SQL text re-planned at
+  every refresh — a SQL view always resolves the repos' LATEST
+  committed snapshots. INSERT takes the Hive/Delta PARTITION clause:
+  a static ``PARTITION (g='x')`` pins the value (the select list does
+  not carry g), a bare ``PARTITION (g)`` declares dynamic overwrite;
+  with OVERWRITE both route to ``replace_groups`` — exactly the
+  touched partitions rewritten, the rest kept.
 
 Deliberate restrictions, refused LOUDLY rather than half-supported:
 MERGE's ON clause must be the key equality (the engine matches on
