@@ -365,6 +365,37 @@ class RepoCatalog:
                     f"partition cols: {repo.group_cols}"
                 )
         static_cols = {c for c, v in part_spec if v is not None}
+        # Delta's REPLACE WHERE: atomically replace exactly the predicate
+        # region with the query result (one committed version, touched
+        # partitions only, emptied partitions pruned) — routes to the
+        # native replace_where
+        replace_cond = None
+        rw = re.match(r"REPLACE\s+WHERE\s+", rest, re.IGNORECASE)
+        if rw:
+            if mode.upper() == "OVERWRITE" or part_spec:
+                raise ValueError(
+                    "REPLACE WHERE composes with plain INSERT INTO only "
+                    "(not OVERWRITE, not a PARTITION spec — the predicate "
+                    "IS the replaced region)"
+                )
+            body = rest[rw.end() :]
+            cut = [
+                i
+                for i in (
+                    _find_top_kw(body, kw)
+                    for kw in ("SELECT", "VALUES", "WITH", "TABLE")
+                )
+                if i >= 0
+            ]
+            if not cut:
+                raise ValueError(
+                    "REPLACE WHERE <predicate> must be followed by a bare "
+                    "SELECT / VALUES / WITH / TABLE source"
+                )
+            i = min(cut)
+            replace_cond, rest = body[:i].strip(), body[i:]
+            if not replace_cond:
+                raise ValueError("REPLACE WHERE needs a predicate")
         collist = None
         if rest.startswith("("):
             # a column list only ever precedes VALUES/SELECT; VALUES
@@ -453,7 +484,9 @@ class RepoCatalog:
                 from pyspark.sql import functions as F
 
                 src = src.withColumn(col, F.lit(val))
-        if mode.upper() == "OVERWRITE":
+        if replace_cond is not None:
+            repo.replace_where(replace_cond, src)
+        elif mode.upper() == "OVERWRITE":
             if part_spec:
                 # overwrite exactly the touched partitions, keep the rest
                 repo.replace_groups(src)
@@ -926,6 +959,28 @@ class RepoCatalog:
         return None
 
     def _describe(self, s: str):
+        hm = re.match(
+            r"(?:DESCRIBE|DESC)\s+HISTORY\s+(\w+)\s*$", s, re.IGNORECASE
+        )
+        if hm:
+            # Delta's DESCRIBE HISTORY — the manifest operation log,
+            # driver-side reads of the tiny manifest JSONs, no data files
+            rows = [
+                (
+                    int(h["version"]),
+                    str(h["op"]),
+                    float(h["ts"]) if h.get("ts") is not None else None,
+                    int(h["schema_v"]) if h.get("schema_v") is not None else None,
+                    int(h["n_commits"]),
+                    int(h["n_files"]),
+                )
+                for h in self.table(hm.group(1)).history()
+            ]
+            return self._spark.createDataFrame(
+                rows,
+                "version int, op string, ts double, schema_v int, "
+                "n_commits int, n_files int",
+            )
         m = re.match(
             r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)\s*$", s, re.IGNORECASE
         )

@@ -2131,6 +2131,68 @@ class TableRepo:
             lambda df: df.where(~F.coalesce(cond, F.lit(False))),
         )
 
+    def replace_where(self, condition, df: DataFrame) -> None:
+        """Delta-style REPLACE WHERE: atomically replace EXACTLY the rows
+        matching ``condition`` with ``df``, in ONE committed version —
+        delete + insert as separate commits would expose readers to the
+        deleted-but-not-yet-reinserted state (and a crash between them
+        loses the insert). Every incoming row must satisfy the predicate,
+        refused loudly otherwise (a row outside the replaced region would
+        make the operation non-idempotent — Delta enforces the same).
+        Rows where the predicate is NULL are kept (SQL DELETE semantics).
+
+        Scale shape: touched partitions = (partitions holding a matching
+        row) ∪ (partitions of the incoming frame) — only those are read
+        back and rewritten; a touched partition whose every row matched
+        and got no replacement is PRUNED from the manifest in the same
+        CAS, not left stale (the failure mode of building this on plain
+        dynamic partition overwrite, which cannot express "overwrite to
+        empty"). At 100 TB, "re-land yesterday's partition" is one pruned
+        scan plus one partition rewrite."""
+        self._assert_ungoverned("replace_where")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        new = self._prepare(df)
+        viol = new.where(~F.coalesce(cond, F.lit(False)))
+        if not viol.isEmpty():
+            raise ValueError(
+                f"replace_where: {viol.count()} incoming row(s) do not "
+                f"satisfy the predicate {condition!r} — REPLACE WHERE only "
+                "writes inside the region it replaces"
+            )
+        rmw = self._rmw_baseline()
+        old = self._snapshot_df(rmw)
+        keep_pred = ~F.coalesce(cond, F.lit(False))
+        if self.group_cols:
+            touched_vals = {
+                tuple(r)
+                for r in old.where(cond).select(*self.group_cols).distinct().collect()
+            } | {
+                tuple(r)
+                for r in new.select(*self.group_cols).distinct().collect()
+            }
+            if not touched_vals:
+                return
+            old_touched = old.where(self._group_filter(touched_vals))
+            out = (
+                old_touched.where(keep_pred)
+                .unionByName(new, allowMissingColumns=True)
+                .localCheckpoint(eager=True)
+            )
+            kept_vals = {
+                tuple(r) for r in out.select(*self.group_cols).distinct().collect()
+            }
+            self._write(
+                out, mode="overwrite", dynamic=True, rmw_baseline=rmw,
+                prune=touched_vals - kept_vals,
+            )
+        else:
+            out = (
+                old.where(keep_pred)
+                .unionByName(new, allowMissingColumns=True)
+                .localCheckpoint(eager=True)
+            )
+            self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
+
     def _update_exprs(self, assignments: dict, schema) -> dict:
         """Resolve an UPDATE assignment map (column → SQL expr / Column)
         against a snapshot schema: unknown targets fail loudly (a typo'd
