@@ -320,6 +320,10 @@ class RepoCatalog:
             return self._describe(s)
         if head == "SHOW":
             return self._show(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
         raise ValueError(
             f"unsupported statement head {head!r} — reads, INSERT [OVERWRITE],"
             " UPDATE, DELETE, MERGE INTO, CREATE/ALTER/DROP/TRUNCATE TABLE,"
@@ -1008,6 +1012,11 @@ class RepoCatalog:
         )
 
     def _show(self, s: str):
+        cm = re.fullmatch(
+            r"SHOW\s+CREATE\s+TABLE\s+(\w+)", s.strip(), re.IGNORECASE
+        )
+        if cm:
+            return self._show_create(cm.group(1))
         if not re.fullmatch(r"SHOW\s+TABLES", s, re.IGNORECASE):
             raise ValueError(f"unsupported SHOW form: {s[:60]!r}")
         rows = sorted(
@@ -1017,4 +1026,84 @@ class RepoCatalog:
         )
         return self._spark.createDataFrame(
             rows, "table_name string, kind string"
+        )
+
+    def _show_create(self, name: str):
+        """SHOW CREATE TABLE t — a CREATE statement reconstructed from
+        the sidecar that, replayed through this catalog, declares an
+        equivalent table (columns, key, partitioning, location)."""
+        repo = self.table(name)
+        from ..plans.schema import load_meta
+
+        meta = load_meta(repo.main_path, spark=repo._spark)
+        schema = (meta.schema if meta else None) or repo.fixed_schema
+        if schema is None:
+            raise ValueError(f"table {name!r} has no declared schema yet")
+        parts = [f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields]
+        if repo.index_cols:
+            parts.append(f"PRIMARY KEY ({', '.join(repo.index_cols)})")
+        stmt = f"CREATE TABLE {name} ({', '.join(parts)})"
+        if repo.group_cols:
+            stmt += f" PARTITIONED BY ({', '.join(repo.group_cols)})"
+        stmt += f" LOCATION '{repo.main_path}'"
+        return self._spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
+
+    def _optimize(self, s: str):
+        """OPTIMIZE t [WHERE <partition_col> = <lit> | IN (<lits>)] —
+        small-file compaction (S17), partition-selective when a WHERE
+        names partition values; anything richer than a partition-value
+        filter is refused (compaction targets PARTITIONS — an arbitrary
+        predicate is a different operation)."""
+        m = re.match(
+            r"OPTIMIZE\s+(\w+)\s*(?:WHERE\s+(.*))?$", s, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE: {s[:120]!r}")
+        repo = self.table(m.group(1))
+        cond = (m.group(2) or "").strip()
+        if not cond:
+            repo.compact()
+            return None
+        wm = re.fullmatch(
+            r"(\w+)\s*(?:=\s*(.+?)|IN\s*\((.*)\))", cond, re.IGNORECASE | re.DOTALL
+        )
+        if not wm:
+            raise ValueError(
+                "OPTIMIZE WHERE supports <partition_col> = <literal> or "
+                f"<partition_col> IN (<literals>); got {cond!r}"
+            )
+        col = wm.group(1)
+        if col not in (repo.group_cols or []):
+            raise ValueError(
+                f"OPTIMIZE WHERE must filter a partition column "
+                f"({repo.group_cols}); got {col!r}"
+            )
+        vals = (
+            [_sql_literal(wm.group(2))]
+            if wm.group(2) is not None
+            else [_sql_literal(v) for v in _split_top(wm.group(3), ",")]
+        )
+        repo.compact(partition_values=vals, partition_col=col)
+        return None
+
+    def _vacuum(self, s: str):
+        """VACUUM t [RETAIN <n> HOURS] — sweep orphaned staging dirs
+        older than the retention (S20); returns the swept paths as a
+        DataFrame, Delta-style."""
+        m = re.match(
+            r"VACUUM\s+(\w+)\s*(?:RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?)?\s*$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse VACUUM: {s[:120]!r}")
+        repo = self.table(m.group(1))
+        kwargs = {}
+        if m.group(2) is not None:
+            kwargs["max_age_seconds"] = float(m.group(2)) * 3600.0
+        swept = repo.vacuum(**kwargs)
+        return self._spark.createDataFrame(
+            [(p,) for p in swept], "path string"
         )

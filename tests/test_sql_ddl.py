@@ -239,6 +239,33 @@ def test_create_view_replans_per_read(spark, cat):
     cat.sql("DROP VIEW IF EXISTS big")  # no-op
 
 
+def test_optimize_vacuum_show_create(spark, cat):
+    cat.sql(
+        "CREATE TABLE o1 (k BIGINT, g STRING, v DOUBLE, PRIMARY KEY (k)) "
+        "PARTITIONED BY (g)"
+    )
+    for i in range(3):
+        cat.sql(
+            f"INSERT INTO o1 VALUES ({i}, 'a', {i}.0D), ({i + 10}, 'b', 1.0D)"
+        )
+    t = cat.table("o1")
+    nf_before = t.n_files
+    cat.sql("OPTIMIZE o1 WHERE g = 'a'")
+    assert {r.k for r in cat.sql("SELECT k FROM o1").collect()} == {
+        0, 1, 2, 10, 11, 12,
+    }
+    cat.sql("OPTIMIZE o1")
+    assert t.n_files <= nf_before
+    with pytest.raises(ValueError, match="partition column"):
+        cat.sql("OPTIMIZE o1 WHERE k = 1")
+    swept = cat.sql("VACUUM o1 RETAIN 1 HOURS")
+    assert swept.columns == ["path"]  # healthy table: nothing to sweep
+    stmt = cat.sql("SHOW CREATE TABLE o1").collect()[0].createtab_stmt
+    assert "PARTITIONED BY (g)" in stmt
+    assert "PRIMARY KEY (k)" in stmt
+    assert "LOCATION" in stmt
+
+
 def test_sql_literal_defaults(spark, cat):
     cat.sql("CREATE TABLE l1 (k BIGINT)")
     cat.sql("INSERT INTO l1 VALUES (1)")
