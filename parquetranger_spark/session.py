@@ -51,6 +51,18 @@ def get_spark(app_name: str = "parquetranger-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # manifest-mode reads hand Spark EXACT leaf-file lists (never a
+        # directory tree), so "listing" is a per-path status fetch; the
+        # default threshold (32) turns any read of a 33+-file snapshot
+        # into a distributed listing JOB — a fixed ~0.2 s of scheduling
+        # per read at local scale for work the driver does in
+        # microseconds. Raised floor is env-tunable for deployments where
+        # driver-side status fetches are the bottleneck (high-latency
+        # object stores with huge manifests).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "512"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -54,7 +54,12 @@ class RecordWriter:
 
     def _to_df(self) -> DataFrame:
         pdf = pd.DataFrame(self._buf)
-        return self.trepo._session().createDataFrame(pdf)
+        # one partition per flush: the buffer is ≤ record_limit rows of
+        # DRIVER-resident dicts — createDataFrame would otherwise slice it
+        # into defaultParallelism chunks and each flush would schedule ~32
+        # near-empty write tasks and land ~32 tiny files (guide §6 small
+        # files: paid again by every later read of the table)
+        return self.trepo._session().createDataFrame(pdf).coalesce(1)
 
     def flush(self) -> None:
         if not self._buf:
@@ -104,11 +109,12 @@ class FixedRecordWriter(RecordWriter):
     def _to_df(self) -> DataFrame:
         # always go through pandas: createDataFrame(pandas, schema) takes
         # the Arrow fast path, while a list of tuples pays per-row Python
-        # serialization (~2× the whole flush cost at 16k-row batches)
+        # serialization (~2× the whole flush cost at 16k-row batches).
+        # coalesce(1) for the same small-files reason as RecordWriter.
         pdf = pd.DataFrame(self._buf).reindex(columns=self._names)
         if self.schema is not None:
-            return self.trepo._session().createDataFrame(pdf, schema=self.schema)
-        return self.trepo._session().createDataFrame(pdf)
+            return self.trepo._session().createDataFrame(pdf, schema=self.schema).coalesce(1)
+        return self.trepo._session().createDataFrame(pdf).coalesce(1)
 
 
 class DfBatchWriter:

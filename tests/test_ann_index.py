@@ -312,7 +312,13 @@ def test_maintain_splits_skewed_list(spark, idx):
     fat = max(sizes, key=sizes.get)
     assert sizes[fat] >= 400  # the skew landed in one list
     cents_before = idx.centroids.count_rows()
-    res = idx.maintain(split_factor=2.0, min_split_rows=64)
+    # merge=False: this test pins the SPLIT pass's conservation/routing
+    # contract with exact raw counts; the merge pass (delete-heavy repair,
+    # covered by test_maintain_merges_underfull_lists) moves rows via
+    # dv-upsert, which legitimately inflates raw counts and retires
+    # routing entries whenever the quantizer happens to leave an
+    # underfull list — layout noise this test must not depend on
+    res = idx.maintain(split_factor=2.0, min_split_rows=64, merge=False)
     assert fat in res["split"] and len(res["split"][fat]) >= 2
     # conservation: no row lost or duplicated
     assert idx.postings.count_rows() == n_total

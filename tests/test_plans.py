@@ -465,10 +465,12 @@ def test_knn_density_ivf_no_cartesian(spark, sf_dir):
     # probe-assignment broadcasts — constant-bounded, never corpus-sized
     p_est = plan(knn_density_ivf(vecs, k=5, rerank=None))
     assert "CartesianProduct" not in p_est
-    # the only nested-loop joins are n_lists-row centroid probe
-    # broadcasts; the estimate subtree appears twice (the starved-vector
-    # anti-join unions against it), so up to 2 copies × 2 prints
-    assert p_est.count("BroadcastNestedLoopJoin") <= 4
+    # the only nested-loop join left is the n_lists-row centroid probe
+    # broadcast (list-assignment is nearest_centroid_col — an Arrow
+    # pandas_udf, no join at all); the estimate subtree appears twice
+    # (the starved-vector anti-join unions against it), so up to
+    # 2 copies × 2 prints
+    assert p_est.count("BroadcastNestedLoopJoin") <= 8
     # full operator: the estimate is checkpointed (one IVF subtree per
     # plan), so the only remaining nested-loop join is the bounded exact
     # rescan (broadcast side = limit(rerank) candidates); cartesian never
