@@ -93,6 +93,14 @@ class AnnIndex:
             commit_mode="manifest",
             spark=spark,
         )
+        # snapshot caches for the two tiny routing tables, keyed on the
+        # COMMITTED MANIFEST VERSION (one fs listing to check) — the
+        # Delta snapshot-cache shape, never a cross-run result cache:
+        # any commit (this handle's or another writer's) changes the
+        # version and invalidates. Saves a read job + file listing per
+        # add() in the ingest-many-batches lifecycle.
+        self._cent_cache: tuple[int, list] | None = None
+        self._pq_cache: tuple[int, dict] | None = None
 
     # ------------------------------------------------------------- build
 
@@ -209,6 +217,20 @@ class AnnIndex:
             return None
         return meta["books"], meta["m"]
 
+    def _centroid_pairs(self) -> list:
+        """(list_id, centroid) routing rows, collected once per committed
+        version of the centroid table (see the __init__ snapshot-cache
+        note) — the driver-side routing table add()/assignment use."""
+        vs = self.centroids.versions()
+        v = vs[-1] if vs else -1
+        if self._cent_cache is None or self._cent_cache[0] != v:
+            rows = [
+                (int(r["list_id"]), list(r["centroid"]))
+                for r in self.centroids.get_full_df().collect()
+            ]
+            self._cent_cache = (v, rows)
+        return self._cent_cache[1]
+
     def _load_pq_meta(self):
         """CURRENT codebook metadata dict (epoch, books, m, n_codes,
         train_mse) or None; during an in-flight retrain two epochs are
@@ -223,10 +245,15 @@ class AnnIndex:
     def _load_pq_metas(self) -> dict:
         """{epoch: meta dict} for EVERY persisted codebook epoch —
         usually one; two mid-retrain. Pre-epoch indexes (no ``epoch``
-        column) load as epoch 0."""
+        column) load as epoch 0. Memoized per committed version of the
+        books table (see the __init__ snapshot-cache note)."""
         repo = self._pq_repo()
         if not repo._fs().exists(repo.main_path):
             return {}
+        vs = repo.versions()
+        v = vs[-1] if vs else -1
+        if self._pq_cache is not None and self._pq_cache[0] == v:
+            return self._pq_cache[1]
         df = repo.get_full_df()
         out = {}
         for row in df.collect():
@@ -238,6 +265,7 @@ class AnnIndex:
                 "n_codes": d["n_codes"],
                 "train_mse": d.get("train_mse"),
             }
+        self._pq_cache = (v, out)
         return out
 
     @staticmethod
@@ -296,10 +324,7 @@ class AnnIndex:
         same lowest-id tie-break."""
         from .similarity import nearest_centroid_col
 
-        cents = [
-            (int(r["list_id"]), list(r["centroid"]))
-            for r in self.centroids.get_full_df().collect()
-        ]
+        cents = self._centroid_pairs()
         extra = [c for c in batch.columns if c not in (self.id_col, self.vec_col)]
         b = batch.select(
             F.col(self.id_col), to_double(F.col(self.vec_col)).alias("cv"), *extra

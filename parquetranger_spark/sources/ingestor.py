@@ -241,26 +241,28 @@ def shred_json_df(
     )
     shredded = shredded.cache()
     try:
-        keydic = {
-            r["key_code"]: r["key_name"]
-            for r in shredded.where("key_code <> ''").select("key_code", "key_name").distinct().collect()
-        }
         from pyspark.sql import functions as F
 
-        # one sample row per table is enough to derive its schema: rows of a
-        # table share a single type-map by construction (the schema hash IS
-        # the table address), so from_json stays JVM-side — no RDD
-        # round-trip, no per-table inference scan. Row counts ride the same
-        # aggregation, so no per-table read-back scan is needed either.
-        samples, counts = {}, {}
+        # ONE aggregation pass over the (cached) shred surfaces everything
+        # driver-side work needs: the key dictionary (key rows carry
+        # tbl='') AND one sample row + row count per table (payload rows
+        # carry key_code=''). Rows of a table share a single type-map by
+        # construction (the schema hash IS the table address), so the one
+        # sampled row is enough for from_json to stay JVM-side — no RDD
+        # round-trip, no per-table inference scan, and no second
+        # cache-materializing action (the previous two-collect shape paid
+        # the shred scan twice).
+        keydic, samples, counts = {}, {}, {}
         for r in (
-            shredded.where("tbl <> ''")
-            .groupBy("tbl")
+            shredded.groupBy("tbl", "key_code", "key_name")
             .agg(F.first("atoms_json").alias("s"), F.count("*").alias("n"))
             .collect()
         ):
-            samples[r["tbl"]] = r["s"]
-            counts[r["tbl"]] = r["n"]
+            if r["key_code"]:
+                keydic[r["key_code"]] = r["key_name"]
+            if r["tbl"]:
+                samples[r["tbl"]] = r["s"]
+                counts[r["tbl"]] = r["n"]
 
         def materialize(tbl: str) -> None:
             import uuid
