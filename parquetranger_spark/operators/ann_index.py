@@ -135,8 +135,16 @@ class AnnIndex:
         times narrower than raw vectors (the scan-bandwidth story at
         100 TB of embeddings) — with exact re-rank reading raw vectors
         for candidates alone."""
-        from .similarity import fit_coarse_centroids, nearest_centroid_col
+        from .similarity import _train_cap, fit_coarse_centroids, nearest_centroid_col
 
+        # a rebuild may purge + recreate the pq table, RESETTING its
+        # version clock — a version-keyed snapshot cache taken before the
+        # purge would then serve the old epoch's books at the recreated
+        # table's coinciding version number (silently wrong distances on
+        # add()/query_pq). Drop both caches up front: the rebuild
+        # invalidates everything this handle thought it knew.
+        self._pq_cache = None
+        self._cent_cache = None
         spark = corpus.sparkSession
         if n_lists is None:
             n_lists = max(4, math.isqrt(max(corpus.count(), 1)))
@@ -149,9 +157,12 @@ class AnnIndex:
         # quantizer fit: ONE bounded-sample collect + seeded driver-side
         # Lloyd, then a shuffle-free broadcast-argmin assignment pass —
         # replaces pyspark.ml KMeans (~7 jobs fitting the same bounded
-        # sample) + array_to_vector + model.transform (guide §1.2)
-        sample_df = c.select("cv").limit(train_limit) if train_limit else c.select("cv")
-        sample = [r[0] for r in sample_df.collect()]
+        # sample) + array_to_vector + model.transform (guide §1.2).
+        # train_limit=None caps at a fixed bound instead of collecting
+        # the whole corpus (driver OOM at scale); 0 is refused loudly.
+        sample = [
+            r[0] for r in c.select("cv").limit(_train_cap(train_limit)).collect()
+        ]
         # driver-side Lloyd sweeps cost microseconds (the 5-iteration cap
         # existed because DISTRIBUTED iterations were jobs) — the helper
         # runs a deeper budget plus best-of-restarts for recall margin
@@ -288,29 +299,6 @@ class AnnIndex:
             return _pd.Series(list(codes))
 
         return F.pandas_udf(_encode, "array<int>")
-
-    @staticmethod
-    def _lut_udf(books):
-        """Per-query LUT of subvector·codebook dots — the broadcastable
-        side of the asymmetric-distance scan."""
-        def _luts(vs):
-            import numpy as np
-            import pandas as _pd
-
-            B = [np.asarray(b) for b in books]
-            out = []
-            for v in vs:
-                x = np.array(v, dtype=np.float64)  # copy: arrow buffers are read-only
-                x /= max(np.linalg.norm(x), 1e-12)
-                out.append(
-                    [
-                        list(x[j * C.shape[1] : (j + 1) * C.shape[1]] @ C.T)
-                        for j, C in enumerate(B)
-                    ]
-                )
-            return _pd.Series(out)
-
-        return F.pandas_udf(_luts, "array<array<double>>")
 
     def add(self, batch: DataFrame) -> None:
         """Route ``batch`` to nearest existing centroids (the KMeans
@@ -667,6 +655,23 @@ class AnnIndex:
             pids, cs = kid_map.setdefault(old, ([], []))
             pids.append(prov)
             cs.append(c)
+        # numpy matrices pre-built once; past the size cutover they ship
+        # via sc.broadcast (a closure capture would re-ship the
+        # sub-centroid tables with every task binary — guide §4.5; same
+        # device as similarity.nearest_centroid_col)
+        import numpy as _np
+
+        from .similarity import _ship
+
+        mats_local = {
+            o: (_np.asarray(p, dtype=_np.int32), _np.asarray(cs, dtype=_np.float64))
+            for o, (p, cs) in kid_map.items()
+        }
+        kid_tbl = _ship(
+            spark.sparkContext,
+            mats_local,
+            sum(c.nbytes for _, c in mats_local.values()),
+        )
 
         def _kid_assign(lids, vs):
             import numpy as np
@@ -674,10 +679,7 @@ class AnnIndex:
 
             if not len(lids):
                 return _pd.Series([], dtype="int32")
-            mats = {
-                o: (np.asarray(p, dtype=np.int32), np.asarray(cs, dtype=np.float64))
-                for o, (p, cs) in kid_map.items()
-            }
+            mats = kid_tbl.value if hasattr(kid_tbl, "value") else kid_tbl
             L = lids.to_numpy()
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
             out = np.empty(len(L), dtype=np.int32)
@@ -1080,27 +1082,33 @@ class AnnIndex:
             # ADC must score against those (round-9 advice; the next
             # maintain() repairs the table atomically)
             cur_epoch = min(metas)
-        # LUT computed ONCE per query row (the m×n_codes GEMM), not once
-        # per (query, probe) pair — it joins back onto candidates below.
-        # Mid-retrain (two codebook epochs live) each query carries one
-        # LUT PER EPOCH and candidates join on their own stamped epoch,
-        # so every code is scored against the books that produced it —
-        # serving stays correct while re-encode batches land.
+        # LUTs built DRIVER-SIDE from the collected query batch (bounded
+        # by the query batch, never the corpus — the same driver-side
+        # collect the probe-id pushdown already does) and shipped once
+        # via sc.broadcast. The old shape computed them in an executor
+        # pandas UDF, localCheckpointed the tiny frame (a job) and joined
+        # the m×n_codes LUT array onto EVERY candidate row, folding it
+        # with interpreted zip_with+aggregate per row (guide §4.2/§2.3).
+        # Mid-retrain (two codebook epochs live) the broadcast keys on
+        # (query_id, epoch) and candidates score against the books of
+        # their own stamped epoch — serving stays correct while re-encode
+        # batches land.
+        from .similarity import _adc_udf, _lut_rows, _ship
+
+        q_rows = q.select("query_id", "qv").collect()
+        sc = self.postings._session().sparkContext
         if multi_epoch:
-            luts = None
-            for e in sorted(metas):
-                le = q.select(
-                    "query_id",
-                    F.lit(int(e)).alias("pq_epoch"),
-                    self._lut_udf(metas[e]["books"])(F.col("qv")).alias("lut"),
-                )
-                luts = le if luts is None else luts.unionByName(le)
+            luts = {
+                (r["query_id"], int(e)): _lut_rows(r["qv"], metas[e]["books"])
+                for r in q_rows
+                for e in metas
+            }
         else:
-            luts = q.select(
-                "query_id",
-                self._lut_udf(metas[cur_epoch]["books"])(F.col("qv")).alias("lut"),
-            )
-        luts = luts.localCheckpoint(eager=True)
+            luts = {
+                r["query_id"]: _lut_rows(r["qv"], metas[cur_epoch]["books"])
+                for r in q_rows
+            }
+        lut_bc = _ship(sc, luts, sum(v.nbytes for v in luts.values()))
         probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
         probed_ids = [
             r["list_id"] for r in probes.select("list_id").distinct().collect()
@@ -1117,23 +1125,18 @@ class AnnIndex:
                 F.coalesce(F.col("pq_epoch"), F.lit(int(min(metas)))).alias("pq_epoch")
             )
         codes = post.where(F.col("list_id").isin(probed_ids)).select(*code_cols)
-        cand = (
-            probes.select("query_id", "list_id")
-            .join(codes, "list_id")
-            .join(luts, ["query_id", "pq_epoch"] if multi_epoch else "query_id")
-        )
+        cand = probes.select("query_id", "list_id").join(codes, "list_id")
         if exclude_self:
             cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-        # ADC: Σ_j lut[j][code_j] (element_at is 1-based, codes 0-based)
-        adc = F.aggregate(
-            F.zip_with(
-                F.col("pq"),
-                F.col("lut"),
-                lambda c, row: F.element_at(row, c.cast("int") + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # ADC: Σ_j lut[j][code_j] — the same sequential left fold the old
+        # zip_with+aggregate expression evaluated (bit-identical), as one
+        # Arrow batch + numpy gather per subspace (see similarity._adc_udf)
+        if multi_epoch:
+            adc = _adc_udf(lut_bc, epoch_luts=True)(
+                F.col("query_id"), F.col("pq_epoch"), F.col("pq")
+            )
+        else:
+            adc = _adc_udf(lut_bc)(F.col("query_id"), F.col("pq"))
         wa = Window.partitionBy("query_id").orderBy(
             F.col("adc").desc(), F.col("neighbor_id")
         )

@@ -973,35 +973,37 @@ def semantic_dedup(
     pairwise predicate (no cluster-representative election), so when
     candidate recall is total the result is engine-exact and a SQL oracle
     can brute-force it."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.vectors import cosine_prenormed, norm, to_double
+    from .similarity import _train_cap, fit_coarse_centroids, nearest_centroid_col
 
-    spark = df.sparkSession
     vec = df.select(F.col(id_col), to_double(F.col(vec_col)).alias("__vd")).withColumn(
         "__vn", norm(F.col("__vd"))
     )
-    unit = vec.select(
-        id_col,
-        "__vd",
-        "__vn",
-        F.transform("__vd", lambda x: x / F.col("__vn")).alias("__u"),
-    ).withColumn("__v", array_to_vector(F.col("__u")))
-    if train_limit:
-        par = spark.sparkContext.defaultParallelism
-        train = unit.limit(train_limit).repartition(par)
-    else:
-        train = unit
-    model = KMeans(
-        k=n_clusters,
-        seed=seed,
-        maxIter=max_iter,
-        initMode="random",
-        featuresCol="__v",
-        predictionCol="__cluster",
-    ).fit(train)
-    assigned = model.transform(unit).select(id_col, "__vd", "__vn", "__cluster")
+    # cluster fit: ONE bounded-sample collect + seeded driver-side Lloyd
+    # on L2-normalized vectors, then a shuffle-free broadcast-argmin
+    # assignment — replaces pyspark.ml KMeans (~7 distributed jobs +
+    # array_to_vector + model.transform over an interpreted per-row
+    # normalize) fitting the same bounded sample (guide §1.2; the exact
+    # device the ANN quantizer moved to in round 10). The clustering only
+    # BOUNDS candidate generation — scaled copies of one direction
+    # normalize to the same unit vector and co-assign under ANY
+    # deterministic argmin, so the pruned set (exact-verified per pair)
+    # is unchanged.
+    import numpy as np
+
+    sample = [
+        r[0] for r in vec.select("__vd").limit(_train_cap(train_limit)).collect()
+    ]
+    if not sample:
+        raise ValueError("semantic_dedup: empty corpus (nothing to cluster)")
+    X = np.asarray(sample, dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    centers = fit_coarse_centroids(
+        X.tolist(), k=n_clusters, seed=seed, iters=max(max_iter, 15)
+    )
+    assigned = nearest_centroid_col(
+        vec, "__vd", list(enumerate(centers)), out_col="__cluster", unit=True
+    ).select(id_col, "__vd", "__vn", "__cluster")
     ids = assigned.select(F.col(id_col), "__cluster")
     ids, keys = _salt_oversized(ids, ["__cluster"], id_col, bucket_cap)
     a = ids.select(F.col(id_col).alias("id_a"), *keys)

@@ -166,6 +166,34 @@ def topk_cosine_lsh(
     )
 
 
+# closure-vs-broadcast cutover for numpy tables captured by scoring UDFs:
+# below this the pickled task closure is cheaper (no per-call driver
+# round-trip); above it one torrent broadcast per executor wins (and the
+# per-worker closure copies would OOM at 100 TB routing-table shapes)
+_BROADCAST_BYTES = 4 << 20
+
+
+def _ship(sc, obj, nbytes: int):
+    """Ship ``obj`` to executor UDFs by size: sc.broadcast past the
+    cutover (per-executor torrent copy), the raw object (pickled task
+    closure) below it. Consumers unwrap with
+    ``x.value if hasattr(x, "value") else x``."""
+    return sc.broadcast(obj) if nbytes > _BROADCAST_BYTES else obj
+
+
+def _train_cap(train_limit: int | None, default_max: int = 65536) -> int:
+    """Bound a quantizer-training sample: ``None`` means "as much as is
+    safe" — a FIXED cap, never the whole corpus (the pre-round-11 shape
+    collected the entire table to the driver for ``None``, a silent OOM
+    at the 100 TB scale the docstrings advertise). ``0`` is refused
+    loudly rather than treated as falsy-None."""
+    if train_limit is None:
+        return default_max
+    if train_limit <= 0:
+        raise ValueError(f"train_limit must be positive or None, got {train_limit}")
+    return int(train_limit)
+
+
 def fit_coarse_centroids(
     sample_vectors: list,
     k: int,
@@ -256,26 +284,45 @@ def nearest_centroid_col(
     vec_col: str,
     centroids: list[tuple[int, list[float]]],
     out_col: str = "list_id",
+    unit: bool = False,
 ) -> DataFrame:
     """Assign every row's ``vec_col`` to its nearest centroid by squared
     euclidean — SHUFFLE-FREE and Arrow-batched: the (id, centroid) table
-    is tiny (k × dim doubles) and rides in the UDF closure; each batch
-    is one numpy GEMM + argmin (guide §4.2 — hand whole batches to
-    vectorized native code). |v|² is constant per row, so the score is
-    −2·v·c + |c|² only. Ties break to the LOWEST centroid id: centroids
-    are scanned in ascending-id order and argmin returns the first
-    minimum — the same deterministic tie-break as the crossJoin +
-    row_number window (and the interim array_min-over-structs shape)
-    this replaces. The struct-min Catalyst expression measured ~3 ms/row
-    at k=44, dim=64 (interpreted higher-order functions, re-evaluated
-    per consumer: projection, partition sort, write) — the numpy batch
-    path is ~µs/row and the Python boundary crosses only ``vec_col``."""
+    is pre-built as ONE numpy matrix and shipped via ``sc.broadcast``
+    (once per executor — a closure capture would re-ship it inside every
+    task binary and hold one copy per Python worker: at 100 TB shapes,
+    n_lists ~3e5 × dim 768 doubles is GBs of closure); each batch is one
+    numpy GEMM + argmin (guide §4.2 — hand whole batches to vectorized
+    native code). |v|² is constant per row, so the score is −2·v·c + |c|²
+    only. Ties break to the LOWEST centroid id: centroids are scanned in
+    ascending-id order and argmin returns the first minimum — the same
+    deterministic tie-break as the crossJoin + row_number window (and
+    the interim array_min-over-structs shape) this replaces. The
+    struct-min Catalyst expression measured ~3 ms/row at k=44, dim=64
+    (interpreted higher-order functions, re-evaluated per consumer:
+    projection, partition sort, write) — the numpy batch path is ~µs/row
+    and the Python boundary crosses only ``vec_col``."""
+    import numpy as np
+
     pairs = sorted(
         ((int(i), [float(x) for x in c]) for i, c in centroids),
         key=lambda t: t[0],
     )
-    ids = [i for i, _ in pairs]
-    cents = [c for _, c in pairs]
+    table = (
+        np.asarray([i for i, _ in pairs], dtype=np.int32),
+        np.asarray([c for _, c in pairs], dtype=np.float64),
+    )
+    # ship the table by SIZE: past ~4 MB it goes through sc.broadcast
+    # (one torrent copy per executor — closure capture would re-ship it
+    # in every task binary and hold a copy per Python worker, GBs at
+    # n_lists ~3e5 × dim 768); below that the pickled-closure path is
+    # cheaper (a broadcast costs a driver round-trip per CALL, measured
+    # as a real regression in the add()-per-batch ingest loop)
+    bc = (
+        df.sparkSession.sparkContext.broadcast(table)
+        if table[1].nbytes > _BROADCAST_BYTES
+        else None
+    )
 
     def _assign(vs):
         import numpy as np
@@ -283,10 +330,14 @@ def nearest_centroid_col(
 
         if not len(vs):
             return _pd.Series([], dtype="int32")
-        C = np.asarray(cents, dtype=np.float64)
-        idv = np.asarray(ids, dtype=np.int32)
+        idv, C = bc.value if bc is not None else table
         c2 = (C * C).sum(1)
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        if unit:
+            # L2-normalize per row BEFORE the distance (``unit=True``
+            # callers fit their centroids on unit vectors, so scaled
+            # copies of one direction always co-assign)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         d2 = c2[None, :] - 2.0 * (X @ C.T)
         return _pd.Series(idv[d2.argmin(1)])
 
@@ -345,6 +396,88 @@ def train_pq_codebooks(
     return books
 
 
+def _lut_rows(qv, books):
+    """The asymmetric-distance LUT for ONE query vector: m rows of
+    subvector·codebook dots — numerically the exact computation the old
+    executor-side ``_luts`` pandas UDF ran (same numpy calls on the same
+    float64 inputs), moved driver-side so the table broadcasts once
+    instead of riding every candidate row."""
+    import numpy as np
+
+    B = [np.asarray(b) for b in books]
+    x = np.asarray(qv, dtype=np.float64)
+    x /= max(np.linalg.norm(x), 1e-12)
+    return np.stack(
+        [x[j * C.shape[1] : (j + 1) * C.shape[1]] @ C.T for j, C in enumerate(B)]
+    )
+
+
+def _adc_udf(lut_bc, epoch_luts: bool = False):
+    """Arrow-batched ADC scorer: Σ_j lut[j][code_j] as the SAME sequential
+    left fold the old ``aggregate(zip_with(codes, lut, …))`` expression
+    evaluated per pair (float64 adds in ascending-j order → bit-identical),
+    vectorized across rows with one fancy-indexed gather per subspace.
+    ``lut_bc`` is {query_id: (m × n_codes) ndarray} (or
+    {(query_id, epoch): …} with ``epoch_luts``), shipped via
+    :func:`_ship` — sc.broadcast past the size cutover, task closure
+    below it (guide §4.5)."""
+
+    def _score(Q, C, lut):
+        import numpy as np
+
+        out = np.empty(len(Q), dtype=np.float64)
+        # small, bounded distinct-query loop; each iteration is one
+        # vectorized gather+add chain over that query's candidate rows
+        for key in set(Q.tolist()):
+            m = Q == key
+            L = lut[key]
+            Cg = C[m]
+            acc = np.zeros(Cg.shape[0], dtype=np.float64)
+            for j in range(L.shape[0]):
+                acc = acc + L[j, Cg[:, j]]
+            out[m] = acc
+        return out
+
+    if epoch_luts:
+
+        def _adc(qids, epochs, codes):
+            import numpy as np
+            import pandas as _pd
+
+            if not len(qids):
+                return _pd.Series([], dtype="float64")
+            lut = lut_bc.value if hasattr(lut_bc, "value") else lut_bc
+            Q = qids.to_numpy()
+            E = epochs.to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in codes.to_numpy()])
+            out = np.empty(len(Q), dtype=np.float64)
+            keys = {(q, int(e)) for q, e in zip(qids.tolist(), epochs.tolist())}
+            for qk, ek in keys:
+                m = (Q == qk) & (E == ek)
+                L = lut[(qk, ek)]
+                Cg = C[m]
+                acc = np.zeros(Cg.shape[0], dtype=np.float64)
+                for j in range(L.shape[0]):
+                    acc = acc + L[j, Cg[:, j]]
+                out[m] = acc
+            return _pd.Series(out)
+
+        return F.pandas_udf(_adc, "double")
+
+    def _adc(qids, codes):
+        import numpy as np
+        import pandas as _pd
+
+        if not len(qids):
+            return _pd.Series([], dtype="float64")
+        lut = lut_bc.value if hasattr(lut_bc, "value") else lut_bc
+        Q = qids.to_numpy()
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes.to_numpy()])
+        return _pd.Series(_score(Q, C, lut))
+
+    return F.pandas_udf(_adc, "double")
+
+
 def topk_cosine_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -396,40 +529,34 @@ def topk_cosine_pq(
             codes[:, j] = d2.argmin(1)
         return _pd.Series(list(codes))
 
-    def _luts(vs):
-        import numpy as np
-        import pandas as _pd
-
-        B = [np.asarray(b) for b in books]
-        out = []
-        for v in vs:
-            x = np.asarray(v, dtype=np.float64)
-            x /= max(np.linalg.norm(x), 1e-12)
-            out.append(
-                [list(x[j * C.shape[1] : (j + 1) * C.shape[1]] @ C.T) for j, C in enumerate(B)]
-            )
-        return _pd.Series(out)
-
     encode = F.pandas_udf(_encode, "array<int>")
-    luts = F.pandas_udf(_luts, "array<array<double>>")
 
     enc = corpus.select(F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes"))
-    q = queries.select(F.col(id_col).alias("query_id"), luts(F.col(vec_col)).alias("lut"))
-    # ADC: Σ_j lut[j][code_j] — zip the m codes with the m LUT rows and
-    # fold. element_at is 1-based; codes are 0-based.
+    # Per-query LUTs (subvector·codebook dots) built DRIVER-SIDE from the
+    # collected query batch (the broadcast-small side by contract — the
+    # old shape already broadcast the same LUT rows) and shipped once
+    # (size-gated broadcast, :func:`_ship`). The old shape attached the
+    # m×n_codes LUT array to every (query, corpus) pair row and folded it
+    # with zip_with+aggregate — interpreted per pair and LUT-wide rows
+    # through the join (guide §4.2/§2.3: score in numpy, ship keys not
+    # payloads).
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    luts = {r["query_id"]: _lut_rows(r["qv"], books) for r in qrows}
+    lut_bc = _ship(
+        queries.sparkSession.sparkContext,
+        luts,
+        sum(v.nbytes for v in luts.values()),
+    )
+    q_ids = queries.select(F.col(id_col).alias("query_id"))
     adc = (
-        enc.crossJoin(F.broadcast(q))
+        enc.crossJoin(F.broadcast(q_ids))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"), F.col("lut"), lambda c, l: F.element_at(l, c + 1)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc"),
+            _adc_udf(lut_bc)(F.col("query_id"), F.col("codes")).alias("adc"),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
@@ -597,9 +724,9 @@ def topk_cosine_ivf(
     # the coarse quantizer only needs to carve space into n_lists regions —
     # fit it on a bounded prefix instead of iterating k-means over the
     # whole corpus (at 100 TB the full fit would dominate the query; the
-    # full corpus still gets exact list assignment below)
-    sample_df = c.select("cv").limit(train_limit) if train_limit else c.select("cv")
-    sample = [r[0] for r in sample_df.collect()]
+    # full corpus still gets exact list assignment below). None caps at
+    # a fixed bound — never an unbounded corpus collect (_train_cap).
+    sample = [r[0] for r in c.select("cv").limit(_train_cap(train_limit)).collect()]
     # driver-side Lloyd sweeps cost microseconds (the 5-iteration cap
     # existed because DISTRIBUTED iterations were jobs) — the helper
     # runs a deeper budget plus best-of-restarts for recall margin
