@@ -211,10 +211,17 @@ class MaterializedAggView:
         for out in self.maxs:
             proj.append(F.greatest(oldc(out), dc(out)).alias(out))
         proj.append(F.coalesce(dc("__neg"), zero).alias("__neg"))
-        merged = merged.select(*proj).localCheckpoint(eager=True)
+        merged = merged.select(*proj)
 
+        # checkpoint the merged state ONLY when a rescan may consume it
+        # more than once (rescan_keys probe + anti-join + semi-join);
+        # a no-min/max view flows lazily into the single final
+        # checkpoint below — one fewer eager job per refresh
+        checkpointed = False
         need_rescan = bool(self.mins or self.maxs)
         if need_rescan:
+            merged = merged.localCheckpoint(eager=True)
+            checkpointed = True
             rescan_keys = merged.where(
                 (F.col("__neg") == 1) & (F.col(_CNT) > 0)
             ).select(*gc)
@@ -253,7 +260,13 @@ class MaterializedAggView:
         else:
             merged = merged.drop("__neg")
 
-        merged = merged.select(*gc, *state_cols).localCheckpoint(eager=True)
+        merged = merged.select(*gc, *state_cols)
+        if need_rescan or not checkpointed:
+            # the union-with-rescan (or the never-checkpointed lazy
+            # frame) anchors three consumers in the apply step (dead
+            # filter, live filter, write); a no-rescan frame is already
+            # a narrow projection over the checkpoint above
+            merged = merged.localCheckpoint(eager=True)
         dead = merged.where(F.col(_CNT) <= 0).select(*gc)
         live = merged.where(F.col(_CNT) > 0)
         # live may be empty — the fence must land anyway (an empty window

@@ -262,6 +262,9 @@ class TableRepo:
         self.governed_as = governed_as
         self.governed = bool(governed) or governed_as is not None
         self._spark = spark
+        # content-keyed memo of folded deletion-vector frames (see
+        # _dv_frame) — handle-local, session-lifetime, never persisted
+        self._dv_memo: dict = {}
         if mkdirs and not self.governed:
             self.mkdirs()
         if self.commit_mode == "manifest":
@@ -2115,7 +2118,15 @@ class TableRepo:
         if not self.index_cols:
             raise TypeError("delete_where_dv needs index_cols (the match key)")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        matched = self.get_full_df().where(cond).select(*self.index_cols)
+        # materialize the matched keys ONCE: the emptiness probe and the
+        # dv write below otherwise each run the pruned scan (two jobs
+        # over the same files); the checkpoint is matched-keys-sized
+        matched = (
+            self.get_full_df()
+            .where(cond)
+            .select(*self.index_cols)
+            .localCheckpoint(eager=True)
+        )
         if matched.isEmpty():
             return
         self.delete_records_dv(matched)
@@ -2239,8 +2250,10 @@ class TableRepo:
         hit = F.coalesce(cond, F.lit(False))
         rmw = self._rmw_baseline()
         old = self._snapshot_df(rmw)
-        if old.isEmpty():
-            return
+        # assignment validation is driver-only (schema already loaded) —
+        # keep it eager; the old up-front isEmpty() probe was one extra
+        # JOB per update, and both branches below already terminate on
+        # an empty table (empty touched set / empty match probe)
         sets = self._update_exprs(assignments, old.schema)
 
         def apply(df: DataFrame) -> DataFrame:
@@ -2254,6 +2267,7 @@ class TableRepo:
             )
 
         if self.group_cols:
+            # the touched-groups collect doubles as the emptiness probe
             touched_vals = {
                 tuple(r)
                 for r in old.where(hit).select(*self.group_cols).distinct().collect()
@@ -2306,9 +2320,9 @@ class TableRepo:
         hit = F.coalesce(cond, F.lit(False))
         rmw = self._rmw_baseline()
         old = self._snapshot_df(rmw)
-        if old.isEmpty():
-            return
         sets = self._update_exprs(assignments, old.schema)
+        # the matched checkpoint's isEmpty doubles as the emptiness
+        # probe — the old up-front isEmpty() was one extra job per update
         matched = old.where(hit).localCheckpoint(eager=True)
         if matched.isEmpty():
             return
@@ -2349,9 +2363,9 @@ class TableRepo:
     def _delete_matching(self, match, keep) -> None:
         rmw = self._rmw_baseline()
         old = self._snapshot_df(rmw)
-        if old.isEmpty():
-            return
         if self.group_cols:
+            # the touched-groups collect doubles as the emptiness probe
+            # (an up-front isEmpty() was one extra job per delete)
             touched_vals = {
                 tuple(r)
                 for r in match(old).select(*self.group_cols).distinct().collect()
@@ -2372,6 +2386,8 @@ class TableRepo:
                 prune=touched_vals - kept_vals,
             )
         else:
+            if old.isEmpty():
+                return  # never publish an overwrite commit for a no-op
             out = keep(old).localCheckpoint(eager=True)
             self._write(out, mode="overwrite", dynamic=False, rmw_baseline=rmw)
 
@@ -2763,6 +2779,22 @@ class TableRepo:
                 f"table {self.name!r} carries dv commits with inconsistent or "
                 f"missing key_cols: {sorted(keysets)}"
             )
+        # memoize the folded frame per handle, CONTENT-keyed on exactly
+        # what it derives from: each dv entry's position, dir and file
+        # list. A multi-read lifecycle (changes_between plans 2-3 scans,
+        # a refresh re-reads source and dest, serve paths re-read probed
+        # partitions) otherwise pays the union+groupBy+localCheckpoint
+        # JOB once per read of an unchanged tombstone set (guide §1.2:
+        # jobs that don't need to exist). Content keying is sound under
+        # concurrent writers AND txn-marker flips — any change to the
+        # effective dv entries changes the key; an unchanged key always
+        # folds to the identical frame.
+        memo_key = tuple(
+            (i, c.get("base"), c["dir"], tuple(c["files"])) for i, c in dvs
+        )
+        cached = self._dv_memo.get(memo_key)
+        if cached is not None:
+            return cached
         keys = list(keysets.pop())
         spark = self._session()
         frames = []
@@ -2780,7 +2812,11 @@ class TableRepo:
         # per read (invisible at test scale, 50× on a 50-commit table).
         # localCheckpoint is tombstone-keys-sized (bounded by deletes
         # since the last compaction), so the eager job is tiny.
-        return keys, folded.localCheckpoint(eager=True)
+        out = keys, folded.localCheckpoint(eager=True)
+        if len(self._dv_memo) >= 16:  # bound handle-lifetime growth
+            self._dv_memo.pop(next(iter(self._dv_memo)))
+        self._dv_memo[memo_key] = out
+        return out
 
     def get_full_df(
         self,
