@@ -134,14 +134,16 @@ def _series_norm(a):
     return pd.Series(out, dtype="object").astype("float64")
 
 
+_DOT_UDF = None
+
+
 def _dot_udf():
-    import pandas as pd  # noqa: F401  (guard: pandas importable on driver)
-
-    return F.pandas_udf(_series_dot, "double")
-
-
-def _norm_udf():
-    return F.pandas_udf(_series_norm, "double")
+    # singleton: one UDF object (one cloudpickle registration) per
+    # process instead of one per call site per query construction
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = F.pandas_udf(_series_dot, "double")
+    return _DOT_UDF
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -162,38 +164,44 @@ def norm(a: Column) -> Column:
     return norm_expr(a)
 
 
+def _series_cos(sa, sb):
+    import numpy as np
+    import pandas as pd
+
+    av, bv = sa.to_numpy(), sb.to_numpy()
+    if not len(av):
+        return pd.Series([], dtype="float64")
+    na_mask = sa.isna().to_numpy() | sb.isna().to_numpy()
+    if not na_mask.any():
+        A, B = _mat(av), _mat(bv)
+        if A is not None and B is not None and A.shape == B.shape:
+            return pd.Series(
+                _fold_dot(A, B) / (np.sqrt(_fold_dot(A, A)) * np.sqrt(_fold_dot(B, B)))
+            )
+    import math
+
+    out = []
+    for x, y in zip(av, bv):
+        d, dx, dy = _row_dot(x, y), _row_dot(x, x), _row_dot(y, y)
+        out.append(
+            None
+            if d is None or dx is None or dy is None
+            else d / (math.sqrt(dx) * math.sqrt(dy))
+        )
+    return pd.Series(out, dtype="object").astype("float64")
+
+
+_COS_UDF = None
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two (float) vectors, computed in double —
     one Arrow crossing for cast + dot + norms; the division happens in
     numpy (IEEE — identical bits to the JVM divide)."""
-
-    def _cos(sa, sb):
-        import numpy as np
-        import pandas as pd
-
-        av, bv = sa.to_numpy(), sb.to_numpy()
-        if not len(av):
-            return pd.Series([], dtype="float64")
-        na_mask = sa.isna().to_numpy() | sb.isna().to_numpy()
-        if not na_mask.any():
-            A, B = _mat(av), _mat(bv)
-            if A is not None and B is not None and A.shape == B.shape:
-                return pd.Series(
-                    _fold_dot(A, B) / (np.sqrt(_fold_dot(A, A)) * np.sqrt(_fold_dot(B, B)))
-                )
-        import math
-
-        out = []
-        for x, y in zip(av, bv):
-            d, dx, dy = _row_dot(x, y), _row_dot(x, x), _row_dot(y, y)
-            out.append(
-                None
-                if d is None or dx is None or dy is None
-                else d / (math.sqrt(dx) * math.sqrt(dy))
-            )
-        return pd.Series(out, dtype="object").astype("float64")
-
-    return F.pandas_udf(_cos, "double")(a, b)
+    global _COS_UDF
+    if _COS_UDF is None:
+        _COS_UDF = F.pandas_udf(_series_cos, "double")
+    return _COS_UDF(a, b)
 
 
 def cosine_prenormed(a_d: Column, b_d: Column, na: Column, nb: Column) -> Column:
