@@ -757,7 +757,10 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    labels = labels.localCheckpoint(eager=True)
+    # lazy checkpoint: the _label_sum action right below materializes it —
+    # one job for materialize+probe instead of two (guide §1.2, the same
+    # job-count discipline as the ANN metadata frames)
+    labels = labels.localCheckpoint(eager=False)
 
     numeric_ids = isinstance(
         pairs.schema[id_a].dataType,
@@ -797,7 +800,8 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
             )
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # lazy: materialized by the convergence probe on the next line
+            new_labels = new_labels.localCheckpoint(eager=False)
             new_sum = _label_sum(new_labels)
             labels = new_labels
             if new_sum == prev_sum:
@@ -831,27 +835,33 @@ def connected_components_star(
     citation runs), where O(diameter) rounds would dominate the job.
 
     Per round: large-star points every vertex's larger neighbors at its
-    minimum neighbor, small-star re-hangs the smaller neighbors — both
-    are one groupBy-min plus one equi-join on vertex id, edge count
-    stays O(|E| + |V|), and the edge set converges to stars rooted at
-    each component's minimum id. Lineage is cut with an eager
-    localCheckpoint per round; the convergence probe is a constant-size
-    fingerprint aggregate (count + decimal sums + xxhash64 sum — no
-    data-sized collect, no edge-diff join). Same contract as
-    :func:`connected_components`: returns (id, component) for every
-    vertex appearing in ≥1 pair, component = minimum reachable id.
+    minimum neighbor, small-star re-hangs the smaller neighbors — each
+    is ONE shuffle of the edge set (a min-over-neighborhood window on
+    the vertex id — the reduce-over-neighborhood shape of the paper)
+    instead of the groupBy-min + equi-join pair, which at scale shuffles
+    the edges AND the per-vertex mins and sorts both for the merge;
+    edge count stays O(|E| + |V|), and the edge set converges to stars
+    rooted at each component's minimum id. Lineage is cut with a lazy
+    localCheckpoint per round, materialized by the convergence probe in
+    the same job — a constant-size fingerprint aggregate (count +
+    decimal sums + xxhash64 sum — no data-sized collect, no edge-diff
+    join). Same contract as :func:`connected_components`: returns
+    (id, component) for every vertex appearing in ≥1 pair, component =
+    minimum reachable id.
     """
+    from pyspark.sql import Window
+
     edges = (
         pairs.where(F.col(id_a) != F.col(id_b))
         .select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the first fingerprint
     )
     vertices = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the caller's action
     )
 
     numeric_ids = isinstance(
@@ -875,13 +885,16 @@ def connected_components_star(
         row = e.agg(*aggs).first()
         return tuple(row)
 
+    # per-vertex neighborhood minimum as a WINDOW over the edge rows —
+    # one exchange on the vertex id and every row carries its group's
+    # min, replacing the groupBy-min + join-back shape (two shuffles +
+    # a sort-merge at scale, a broadcast-build job per star locally)
+    _w_min = F.min("b").over(Window.partitionBy("a"))
+
     def _large_star(e: DataFrame) -> DataFrame:
         und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = und.groupBy("a").agg(F.min("b").alias("mb")).select(
-            "a", F.least(F.col("mb"), F.col("a")).alias("m")
-        )
         return (
-            und.join(mins, "a")
+            und.withColumn("m", F.least(_w_min, F.col("a")))
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .distinct()
@@ -891,19 +904,19 @@ def connected_components_star(
         d = e.select(
             F.greatest(F.col("a"), F.col("b")).alias("a"),
             F.least(F.col("a"), F.col("b")).alias("b"),
+        ).withColumn("m", _w_min)
+        hang = d.where(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
         )
-        mins = d.groupBy("a").agg(F.min("b").alias("m"))
-        hang = (
-            d.join(mins, "a")
-            .where(F.col("b") != F.col("m"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        )
-        return hang.unionByName(mins.select("a", F.col("m").alias("b"))).distinct()
+        # d carries one (a, m) per EDGE; the trailing distinct collapses
+        # the per-a duplicates the old groupBy produced exactly once
+        return hang.unionByName(d.select("a", F.col("m").alias("b"))).distinct()
 
     prev = _fingerprint(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # lazy: materialized by the fingerprint probe on the next line
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _fingerprint(edges)
         if cur == prev:
             converged = True
@@ -1377,7 +1390,11 @@ def pagerank(
             .select("id", (F.lit(base) + F.lit(damping) * F.col("__sum")).alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            # intermediate checkpoints stay LAZY (plan truncation only);
+            # the final one is eager so the whole chain materializes in
+            # ONE job — and does so BEFORE sym/out_edges are unpersisted
+            # below, keeping the 10 per-round joins reading the cache
+            ranks = ranks.localCheckpoint(eager=(i == iterations - 1))
     sym.unpersist()
     out_edges.unpersist()
     return ranks

@@ -1061,10 +1061,10 @@ def dedup_cluster_reps(spark, sf_dir):
     pairs = near_dedup_minhash(
         _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
     ).select("id_a", "id_b")
-    # materialize the pair list once: the propagation loop's per-round
-    # actions would otherwise re-derive the whole minhash pipeline
-    # through the un-materialized lineage
-    pairs = pairs.localCheckpoint(eager=True)
+    # the pair list is already materialized ONCE inside near_dedup_minhash
+    # (its eager localCheckpoint) — the propagation loop's per-round
+    # actions re-read that checkpoint through a trivial projection, so a
+    # second query-level checkpoint job would be pure overhead
     cc = connected_components(pairs)
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
@@ -1156,7 +1156,6 @@ def dedup_apply_clusters(spark, sf_dir):
     pairs = near_dedup_minhash(corpus, threshold=0.6, bucket_cap=5000).select(
         "id_a", "id_b"
     )
-    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(pairs)
     dropped = cc.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
@@ -1683,7 +1682,6 @@ def neardup_pagerank(spark, sf_dir):
     pairs = near_dedup_minhash(
         _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
     ).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)
     pr = pagerank(pairs, iterations=10).select("id", F.round("rank", 6).alias("rank"))
     # global top-20 via orderBy().limit() → TakeOrderedAndProject (each
     # partition contributes its local top-20; never a one-task global
@@ -1716,7 +1714,6 @@ def neardup_triangles(spark, sf_dir):
     pairs = near_dedup_minhash(
         _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
     ).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)
     e1 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     e2 = pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     e3 = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
@@ -1952,7 +1949,6 @@ def dedup_clusters_star(spark, sf_dir):
     pairs = near_dedup_minhash(
         _injected_docs(spark, sf_dir), threshold=0.6, bucket_cap=5000
     ).select("id_a", "id_b")
-    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components_star(pairs)
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"), F.sum("id").alias("sum_ids")
@@ -2225,7 +2221,6 @@ def dedup_best_of_cluster(spark, sf_dir):
     pairs = near_dedup_minhash(corpus, threshold=0.6, bucket_cap=5000).select(
         "id_a", "id_b"
     )
-    pairs = pairs.localCheckpoint(eager=True)
     cc = connected_components(pairs)
     members = cc.join(corpus, cc["id"] == corpus["doc_id"]).select(
         "component", "doc_id", quality_score("text").alias("q")

@@ -310,6 +310,39 @@ def test_connected_components_star_matches_hashmin(spark):
     assert connected_components_star(empty).count() == 0
 
 
+def test_cc_round_job_budget(spark):
+    """Job-count tripwire for the CC loops (round-11 optimization): a
+    round materializes its checkpoint INSIDE the convergence-probe job
+    (lazy localCheckpoint) and each star step is ONE window shuffle, so
+    a star round costs ~6 jobs (AQE stage jobs included) and a HashMin
+    round ~4. A reappearing eager-checkpoint job or a groupBy+join-back
+    star step shows up here as a per-round job-count jump."""
+    from parquetranger_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+    # diameter 11: inside HashMin's default max_iter, >3 star rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    ).localCheckpoint(eager=True)
+
+    sc.setJobGroup("cc_star_budget", "star CC job budget")
+    star = {r.id: r.component for r in connected_components_star(pairs).collect()}
+    sc.setJobGroup("cc_hashmin_budget", "HashMin CC job budget")
+    hm = {r.id: r.component for r in connected_components(pairs).collect()}
+    sc.setJobGroup("cc_budget_done", "")
+    assert star == hm == {i: 0 for i in range(13)}
+
+    star_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_star_budget"))
+    hm_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_hashmin_budget"))
+    # a 13-chain converges in ~6 star rounds (measured 39 jobs, ~6.5/round) / ≤13 HashMin rounds; budgets
+    # hold headroom for ±1 round and a couple of AQE replans, no more
+    assert star_jobs <= 48, f"star CC fired {star_jobs} jobs on a 13-chain"
+    assert hm_jobs <= 60, f"HashMin CC fired {hm_jobs} jobs on a 13-chain"
+
+
 def test_connected_components_raises_when_unconverged(spark):
     import pytest
 
