@@ -32,20 +32,199 @@ def topk_cosine_bruteforce(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_min_width: int | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbors per query by cosine. The query side is
-    broadcast (it is the small side by contract); ranking is a window per
-    query id with a deterministic (similarity desc, id) tie-break. The
-    double cast + norm are projected once per row before the join
-    (cosine_prenormed) — per pair only the dot fold runs."""
-    from ..functions.vectors import cosine_prenormed, norm, to_double
+    """Exact top-k neighbors per query by cosine. The query side is small
+    by contract (the old shape broadcast it for a nested-loop join whose
+    output materialized BOTH vectors once per pair — |Q|·|C|·dim doubles
+    through the Arrow boundary); the corpus is streamed ONCE through a
+    mapInPandas kernel holding the collected query matrix (shipped
+    size-gated via broadcast, the guide-§8 "move heavy bytes exactly
+    once" shape), which emits only per-batch top-k candidate triples.
+    Scores are BIT-IDENTICAL to the Catalyst fold: the kernel
+    accumulates float64 products in ascending dimension order (the
+    vectors.py column-accumulate device) and divides by the same
+    (qn·cn) product, and the final rank is still a per-query window with
+    the (cos desc, neighbor_id) tie-break over the surviving candidates,
+    so null/NaN ordering stays Spark's. Falls back to the original
+    broadcast-join plan for non-integral ids, null/ragged query vectors,
+    or a query matrix too big to ship.
+
+    ``corpus_min_width``: optional repartition of the corpus side before
+    the kernel. The scoring stage's width is the corpus's scan width —
+    byte-based, while kernel cost is |Q|·|C|·dim flops, so a KB-sized
+    oracle-tier corpus otherwise scores millions of pairs in one task
+    while the other cores idle (guide §2.6). Callers set it ONLY for
+    corpora they know are bounded (exact-twin tiers) or already probed
+    narrow — it is an unconditional shuffle, wrong for a 100 TB scan."""
+    from ..functions.vectors import _mat, to_double
 
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    )
+    if corpus_min_width and corpus_min_width > 1:
+        c = c.repartition(int(corpus_min_width))
+    integral = all(
+        df.schema[n].dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        for df, n in ((q, "query_id"), (c, "neighbor_id"))
+    )
+    Q = qids = None
+    if integral:
+        rows = q.collect()
+        if rows and all(r["qv"] is not None for r in rows):
+            # in-array nulls arrive as NaN through Arrow — they stay on
+            # the fast path (the batched fold computes the same NaN);
+            # a ragged stack returns None and forces the fallback
+            Q = _mat([r["qv"] for r in rows])
+            qids = [r["query_id"] for r in rows]
+    if Q is None or Q.ndim != 2 or Q.shape[1] == 0 or Q.nbytes > (256 << 20):
+        return _topk_bruteforce_join(q, c, k)
+
+    import numpy as np
+
+    from ..functions.vectors import _fold_dot, _row_dot
+
+    qn = np.sqrt(_fold_dot(Q, Q))
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    spark = corpus.sparkSession
+    shipped = _ship(spark.sparkContext, (qid_arr, Q, qn), Q.nbytes)
+    kk = int(k)
+    qtype = q.schema["query_id"].dataType.simpleString()
+    ctype = c.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {qtype}, neighbor_id {ctype}, cos double"
+    fold_dot, row_dot = _fold_dot, _row_dot  # closure-captured (module
+    # is cloudpickle-registered by value: no repo on executor sys.path)
+
+    def _score(batches):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        pack = shipped.value if hasattr(shipped, "value") else shipped
+        _qids, _Q, _qn = pack
+        nq, dim = _Q.shape
+        for pdf in batches:
+            m = len(pdf)
+            if not m or not nq:
+                continue
+            nids = pdf["neighbor_id"].to_numpy()
+            cvs = pdf["cv"].to_numpy()
+            lens = _np.fromiter(
+                ((len(v) if v is not None else -1) for v in cvs), dtype=_np.int64, count=m
+            )
+            ok = lens == dim
+            frames = []
+            if ok.any():
+                C = _np.stack(
+                    [_np.asarray(cvs[j], dtype=_np.float64) for j in _np.flatnonzero(ok)]
+                )
+                nid_ok = _np.asarray(nids[ok], dtype=_np.int64)
+                mv = C.shape[0]
+                # per-pair sequential fold, vectorized across pairs: every
+                # (query, candidate) cell accumulates q_d·c_d in ascending
+                # d — bit-identical to the zip_with/aggregate fold
+                acc = _np.zeros((nq, mv), dtype=_np.float64)
+                tmp = _np.empty((nq, mv), dtype=_np.float64)
+                for d in range(dim):
+                    _np.multiply(_Q[:, d, None], C[None, :, d], out=tmp)
+                    _np.add(acc, tmp, out=acc)
+                cn = _np.sqrt(fold_dot(C, C))
+                cos = acc / (_qn[:, None] * cn[None, :])
+                # selection keys replicating Spark's DESC total order:
+                # NaN first, then cos descending, ties on neighbor_id asc
+                isnan = _np.isnan(cos)
+                key_a = (~isnan).astype(_np.int8)  # NaN → 0 → first
+                key_b = _np.where(isnan, 0.0, -cos)
+                same = _qids[:, None] == nid_ok[None, :]
+                key_a[same] = 2  # self-pairs: dead-last, dropped below
+                take = min(kk, mv)
+                # prefilter superset: single coarse key (NaN/self folded
+                # to the extremes), boundary ties included, exact 3-key
+                # sort only on the survivors
+                coarse = _np.where(isnan, -_np.inf, -cos)
+                coarse[same] = _np.inf
+                out_q, out_n, out_c = [], [], []
+                for i in range(nq):
+                    if take < mv:
+                        part = _np.argpartition(coarse[i], take - 1)[:take]
+                        kth = coarse[i][part].max()
+                        cand = _np.flatnonzero(coarse[i] <= kth)
+                    else:
+                        cand = _np.arange(mv)
+                    order = _np.lexsort((nid_ok[cand], key_b[i, cand], key_a[i, cand]))
+                    cand = cand[order][:take]
+                    cand = cand[~same[i, cand]]
+                    out_q.append(_np.full(len(cand), _qids[i]))
+                    out_n.append(nid_ok[cand])
+                    out_c.append(cos[i, cand])
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "query_id": _np.concatenate(out_q),
+                            "neighbor_id": _np.concatenate(out_n),
+                            "cos": _np.concatenate(out_c),
+                        }
+                    )
+                )
+            # null/ragged candidate rows: exact row-wise fold against
+            # every query, preserving Catalyst null semantics (zip_with
+            # length mismatch or a null vector → NULL cos, which the
+            # downstream window ranks nulls-LAST like the old join plan)
+            bad = _np.flatnonzero(~ok)
+            if len(bad):
+                b_q, b_n, b_c = [], [], []
+                qlists = [list(_Q[i]) for i in range(nq)]
+                for j in bad:
+                    v = None if cvs[j] is None else list(cvs[j])
+                    vn = row_dot(v, v)
+                    for i in range(nq):
+                        if int(_qids[i]) == nids[j]:
+                            continue
+                        dv = row_dot(qlists[i], v)
+                        b_q.append(int(_qids[i]))
+                        b_n.append(nids[j])
+                        b_c.append(
+                            None
+                            if dv is None or vn is None
+                            else dv / (float(_qn[i]) * _math.sqrt(vn))
+                        )
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "query_id": _pd.Series(b_q, dtype="int64"),
+                            "neighbor_id": _pd.Series(b_n, dtype="int64"),
+                            "cos": _pd.Series(b_c, dtype="object").astype("float64")
+                            if all(x is not None for x in b_c)
+                            else _pd.array(b_c, dtype="Float64"),
+                        }
+                    )
+                )
+            for f in frames:
+                if len(f):
+                    yield f
+
+    cand = c.mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _topk_bruteforce_join(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
+    """The original broadcast-nested-loop plan (fallback path): exact,
+    any id type, lazy — per pair both vectors cross the Arrow boundary
+    for the dot fold, so the kernel path above is preferred whenever the
+    query matrix ships."""
+    from ..functions.vectors import cosine_prenormed, norm
+
+    q = q.withColumn("qn", norm(F.col("qv")))
+    c = c.withColumn("cn", norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -628,6 +807,17 @@ def knn_density_ivf(
 
         n = vectors.count()
         n_lists = max(16, math.isqrt(max(n, 1)))
+    # compute-vs-bytes width floor (guide §2.6): both scoring stages —
+    # the IVF candidate join and the exact rescan — inherit a byte-based
+    # width from a KB-sized local corpus and would score millions of
+    # pairs in 1-2 tasks. Probe the input's scan width ONCE
+    # (planning-only for scan-shaped frames) and floor both stages at
+    # the cluster parallelism; at 100 TB the scan is already wider and
+    # width stays None (no extra shuffle).
+    sc = vectors.sparkSession.sparkContext
+    width = None
+    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
+        width = sc.defaultParallelism
     est = topk_cosine_ivf(
         vectors,
         vectors,
@@ -637,6 +827,7 @@ def knn_density_ivf(
         n_lists=n_lists,
         n_probe=n_probe,
         seed=seed,
+        scoring_width=width,
     )
     est_k = est.where(F.col("rank") == k).select(
         F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos")
@@ -671,7 +862,9 @@ def knn_density_ivf(
     )
     cand = cand_ids.join(vectors.select(id_col, vec_col), id_col)
     exact_k = (
-        topk_cosine_bruteforce(cand, vectors, k=k, vec_col=vec_col, id_col=id_col)
+        topk_cosine_bruteforce(
+            cand, vectors, k=k, vec_col=vec_col, id_col=id_col, corpus_min_width=width
+        )
         .where(F.col("rank") == k)
         .select(F.col("query_id").alias(id_col), F.col("cos").alias("knn_cos"))
         # rerank-rows tiny; materialized once so the starved-vector
@@ -699,10 +892,20 @@ def topk_cosine_ivf(
     seed: int = 42,
     max_iter: int = 5,
     train_limit: int | None = 8192,
+    scoring_width: int | None = None,
 ) -> DataFrame:
     """Approximate top-k, IVF flavor: a k-means coarse quantizer splits the
     corpus into ``n_lists`` inverted lists; each query probes only its
     ``n_probe`` nearest lists.
+
+    ``scoring_width``: optional explicit repartition of the probe frame
+    before the candidate join. The scoring stage's width otherwise comes
+    from AQE's byte-based coalescing of the probe window's exchange —
+    but candidate scoring costs |probes|·(list size)·dim flops, so a
+    byte-tiny local corpus scores everything in 1-2 tasks. Callers that
+    measured their input narrow pass the cluster parallelism; leave None
+    at scale (the window exchange is already wide there and an extra
+    shuffle would be waste).
 
     Scale shape: the quantizer fits on a bounded corpus sample — ONE
     collect of ``train_limit × dim`` doubles, then a seeded driver-side
@@ -752,6 +955,10 @@ def topk_cosine_ivf(
         .where(F.col("__pr") <= n_probe)
         .select("query_id", "qv", "qn", "list_id")
     )
+    if scoring_width and scoring_width > 1:
+        # user-specified partitioning: AQE keeps it, so the candidate
+        # join's scoring stage runs this wide (see docstring)
+        probes = probes.repartition(int(scoring_width), "query_id")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         probes.join(inv, "list_id")

@@ -431,6 +431,21 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
 """
 
 
+def _bf_width(corpus):
+    """Width floor for a brute-force scoring kernel over a NARROW corpus:
+    the kernel's parallelism is the corpus frame's width, which for a
+    KB-sized local scan is 1-2 tasks scoring millions of pairs while the
+    other cores idle (guide §2.6). Planning-only for scan-shaped frames;
+    returns None (no extra shuffle) when the corpus is already at least
+    cluster-wide — the 100 TB case."""
+    sc = corpus.sparkSession.sparkContext
+    return (
+        sc.defaultParallelism
+        if corpus.rdd.getNumPartitions() < sc.defaultParallelism
+        else None
+    )
+
+
 def _ann_verified_exact(spark, approx, exact, min_recall: float, name: str):
     """The ANN-query oracle pattern: run the approximate index path, run
     the exact brute force over the same (bounded) query set, assert the
@@ -1832,9 +1847,7 @@ def embedding_outliers_knn(spark, sf_dir):
     what the SQL oracle re-derives. Both frames are cached — each DAG
     executes once. At corpus scale the twin drops and the IVF path is
     the only plan (plan-gated cartesian-free in tests/test_plans.py)."""
-    from ..functions.vectors import cosine_prenormed, norm, to_double
-    from ..operators.similarity import knn_density_ivf
-    from pyspark.sql import Window
+    from ..operators.similarity import knn_density_ivf, topk_cosine_bruteforce
 
     base = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0).select(
         "vec_id", "embedding"
@@ -1852,24 +1865,16 @@ def embedding_outliers_knn(spark, sf_dir):
         # scale path alone, no exact twin
         return scale10.select("vec_id", F.col("knn_cos").alias("knn5_cos"))
 
-    e = base.select(
-        "vec_id", to_double(F.col("embedding")).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
-    a = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("nv").alias("na"))
-    b = e.select(
-        F.col("vec_id").alias("nb"), F.col("v").alias("vb"), F.col("nv").alias("nb_n")
-    )
-    scored = a.crossJoin(F.broadcast(b)).where(F.col("vec_id") != F.col("nb")).select(
-        "vec_id",
-        "nb",
-        cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb_n")).alias(
-            "cos"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb"))
-    kth = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 5)
+    # exact twin via the streamed scoring kernel (same fold order, same
+    # window and tie-break as the old broadcast-crossJoin plan → scores
+    # and the selected rows are bit-identical; the crossJoin shipped
+    # BOTH vectors per pair through Arrow — |C|²·dim doubles — where the
+    # kernel streams the corpus once against the collected query matrix)
+    kth = topk_cosine_bruteforce(
+        base, base, k=5, corpus_min_width=_bf_width(base)
+    ).where(F.col("rank") == 5)
     exact10 = (
-        kth.select("vec_id", F.col("cos").alias("knn5_cos"))
+        kth.select(F.col("query_id").alias("vec_id"), F.col("cos").alias("knn5_cos"))
         .orderBy(F.col("knn5_cos").asc(), "vec_id")
         .limit(10)
         .cache()
