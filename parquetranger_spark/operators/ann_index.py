@@ -203,6 +203,17 @@ class AnnIndex:
         self.centroids.replace_all(
             _local_df(spark, cents, "list_id int, centroid array<double>")
         )
+        # hash-distribute the full-corpus write by its partition key (the
+        # Iceberg write.distribution-mode=hash shape, guide §6): without
+        # it every upstream task opens a file in EVERY list dir it sees —
+        # M×n_lists files at scale, and locally ONE scan task serially
+        # creating n_lists files (measured 3.4 s of the 10k-row build
+        # write vs 0.4 s of compute). Width adapts to cluster and list
+        # count; add()'s per-batch appends deliberately skip this (a
+        # shuffle per tiny batch costs more than it saves — measured).
+        width = min(int(n_lists), max(1, spark.sparkContext.defaultParallelism))
+        if width > 1:
+            assigned = assigned.repartition(width, "list_id")
         self.postings.replace_all(assigned)
         return n_lists
 

@@ -63,6 +63,17 @@ def get_spark(app_name: str = "parquetranger-spark") -> SparkSession:
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "512"),
         )
+        # PySpark's error-site enrichment wraps every DataFrame API call
+        # with a Python stack walk (plus a lazy IPython import probe) and
+        # a py4j RPC pair to stamp the JVM-side origin — measured ~5% of
+        # the driver time on commit-heavy lifecycles (hundreds of API
+        # calls, KB-sized jobs). Worth paying only when debugging user
+        # code, so default off here; re-enable per run via env. Scale
+        # shape: pure driver/Python overhead, independent of data size.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUG", "false"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
