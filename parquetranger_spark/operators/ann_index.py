@@ -41,7 +41,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, cosine_prenormed, norm, to_double
+from ..functions.vectors import cosine_prenormed, norm, to_double
 from ..sources.table_repo import TableRepo
 
 # codebooks are EPOCH-stamped: a retrain publishes epoch e+1 alongside
@@ -1006,18 +1006,21 @@ class AnnIndex:
         Milvus/Vespa adaptive-nprobe shape. Driver
         state per round is one count per unsatisfied query (bounded by
         the query batch, never the corpus)."""
-        cents = self.centroids.get_full_df()
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
-        ).withColumn("qn", norm(F.col("qv")))
+        )
+        qtype = q.schema["query_id"].dataType.simpleString()
+        # ONE collect of the query batch (bounded by contract); probe
+        # ranking, escalation bookkeeping and the re-probe filters all
+        # run driver-side on it — the per-round probe checkpoint,
+        # probed-id collect and right-join count probe are gone
+        q_rows = [(r["query_id"], r["qv"]) for r in q.collect()]
         if where is None:
-            return self._topk_once(q, cents, k, n_probe, exclude_self, None)
-        # the list count (one tiny action) is only needed to bound the
-        # escalation — the unfiltered hot path above never pays it
-        n_lists = cents.count()
-        q = q.localCheckpoint(eager=True)  # re-probed across rounds
+            return self._topk_once(qtype, q_rows, k, n_probe, exclude_self, None)
+        n_lists = len(self._centroid_pairs())
         probe, done = n_probe, []
+        cur = q_rows
         for rnd in range(max_rounds):
             last = rnd == max_rounds - 1 or probe >= n_lists
             if last and rnd > 0:
@@ -1026,25 +1029,26 @@ class AnnIndex:
                 # widens — max_rounds=1 means "one bounded pass at
                 # exactly n_probe", the approximate answer asked for
                 probe = n_lists
-            res = self._topk_once(q, cents, k, probe, exclude_self, where)
+            res = self._topk_once(qtype, cur, k, probe, exclude_self, where)
             if last:
                 done.append(res)
                 break
-            res = res.localCheckpoint(eager=True)  # counted AND emitted
-            short = [
-                r["query_id"]
+            # lazy checkpoint: the count action below materializes it —
+            # counted AND emitted from one job
+            res = res.localCheckpoint(eager=False)
+            counts = {
+                r["query_id"]: r["cnt"]
                 for r in res.groupBy("query_id")
-                .count()
-                .join(q.select("query_id"), "query_id", "right")
-                .where(F.coalesce(F.col("count"), F.lit(0)) < k)
-                .select("query_id")
+                .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
-            ]
+            }
+            short = [qid for qid, _ in cur if counts.get(qid, 0) < k]
             if not short:
                 done.append(res)
                 break
-            q = q.where(F.col("query_id").isin(short))
-            done.append(res.join(q.select("query_id"), "query_id", "left_anti"))
+            shortset = set(short)
+            cur = [t for t in cur if t[0] in shortset]
+            done.append(res.where(~F.col("query_id").isin(short)))
             probe = min(probe * 4, n_lists)
         out = done[0]
         for d in done[1:]:
@@ -1077,11 +1081,11 @@ class AnnIndex:
                 "query_pq: index was built without pq_m (no codebooks)"
             )
         rerank = rerank or 4 * k
-        cents = self.centroids.get_full_df()
         q = queries.select(
             F.col(self.id_col).alias("query_id"),
             to_double(F.col(self.vec_col)).alias("qv"),
-        ).withColumn("qn", norm(F.col("qv")))
+        )
+        qtype = q.schema["query_id"].dataType.simpleString()
         post = self.postings.get_full_df()
         multi_epoch = len(metas) > 1 and "pq_epoch" in post.columns
         cur_epoch = max(metas)
@@ -1120,10 +1124,23 @@ class AnnIndex:
                 for r in q_rows
             }
         lut_bc = _ship(sc, luts, sum(v.nbytes for v in luts.values()))
-        probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
-        probed_ids = [
-            r["list_id"] for r in probes.select("list_id").distinct().collect()
-        ]
+        # probe ranking + the query-side frame both come from the already-
+        # collected batch (see _probe_rows): no probe crossJoin/window
+        # jobs, no probed-id collect, and the final re-rank joins a local
+        # query frame instead of re-scanning the query lineage
+        prows = self._probe_rows([(r["query_id"], r["qv"]) for r in q_rows], n_probe)
+        probed_ids = sorted({lid for _, _, _, lids in prows for lid in lids})
+        spark_s = self.postings._session()
+        probes = _local_df(
+            spark_s,
+            [(qid, lid) for qid, _, _, lids in prows for lid in lids],
+            f"query_id {qtype}, list_id int",
+        )
+        qloc = _local_df(
+            spark_s,
+            [(qid, qv, qn) for qid, qv, qn, _ in prows],
+            f"query_id {qtype}, qv array<double>, qn double",
+        )
         # candidate scan: codes only — cv/cn are PRUNED from this read
         code_cols = [F.col(self.id_col).alias("neighbor_id"), F.col("pq"), F.col("list_id")]
         if multi_epoch:
@@ -1174,7 +1191,7 @@ class AnnIndex:
         vecs = self.postings.get_full_df().where(
             F.col("list_id").isin(probed_ids)
         )
-        if rerank * q.count() <= 16384:
+        if rerank * len(q_rows) <= 16384:
             cand_ids = [
                 r["neighbor_id"]
                 for r in short.select("neighbor_id").distinct().collect()
@@ -1186,7 +1203,7 @@ class AnnIndex:
         )
         return (
             short.join(vecs, "neighbor_id")
-            .join(q.select("query_id", "qv", "qn"), "query_id")
+            .join(qloc, "query_id")
             .select(
                 "query_id",
                 "neighbor_id",
@@ -1199,39 +1216,68 @@ class AnnIndex:
             .select("query_id", "neighbor_id", "rank", "cos")
         )
 
-    def _probes(self, q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
-        """(query_id, qv, qn, list_id) — each query's ``n_probe`` nearest
-        lists by centroid cosine (broadcast ranking, no shuffle)."""
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("c_cos").desc(), F.col("list_id")
-        )
-        return (
-            q.crossJoin(F.broadcast(cents))
-            .select(
-                "query_id",
-                "qv",
-                "qn",
-                "list_id",
-                cosine(F.col("qv"), F.col("centroid")).alias("c_cos"),
-            )
-            .withColumn("__pr", F.row_number().over(wq))
-            .where(F.col("__pr") <= n_probe)
-            .select("query_id", "qv", "qn", "list_id")
-        )
+    def _probe_rows(self, q_rows: list, n_probe: int) -> list:
+        """Driver-side probe ranking: for each collected (query_id, qv)
+        pair, its ``n_probe`` nearest lists by centroid cosine. Routing
+        tables are already driver-resident (:meth:`_centroid_pairs`,
+        the version-keyed snapshot cache) and the query batch is already
+        collected by every serve path, so ranking |queries| × n_lists
+        centroid cosines here — bounded by the index, never the data —
+        replaces a crossJoin + window + eager localCheckpoint + a
+        probed-id distinct collect (3 jobs per serve round, guide §1.2).
+        The cosine is the same sequential float64 fold the Catalyst/
+        Arrow expression evaluates (bit-identical), and the order
+        replicates Spark's (c_cos DESC, list_id) row_number exactly:
+        NaN first (DESC treats NaN as largest), NULL cosine last.
+        Returns [(query_id, qv, qn, [list_id, ...])] with qn computed by
+        the same fold as the ``norm`` column it replaces."""
+        import math
+
+        from ..functions.vectors import _row_dot
+
+        cents = []
+        for lid, c in self._centroid_pairs():
+            cd = _row_dot(c, c)
+            cents.append((lid, c, None if cd is None else math.sqrt(cd)))
+        out = []
+        for qid, qv in q_rows:
+            qd = _row_dot(qv, qv)
+            qn = None if qd is None else math.sqrt(qd)
+            scored = []
+            for lid, c, cn in cents:
+                d = _row_dot(qv, c)
+                cos = None if d is None or qn is None or cn is None else d / (qn * cn)
+                if cos is None:
+                    key = (2, 0.0, lid)
+                elif math.isnan(cos):
+                    key = (0, 0.0, lid)
+                else:
+                    key = (1, -cos, lid)
+                scored.append((key, lid))
+            scored.sort(key=lambda t: t[0])
+            out.append((qid, qv, qn, [lid for _, lid in scored[:n_probe]]))
+        return out
 
     def _topk_once(
         self,
-        q: DataFrame,
-        cents: DataFrame,
+        qtype: str,
+        q_rows: list,
         k: int,
         n_probe: int,
         exclude_self: bool,
         where: str | None,
     ) -> DataFrame:
-        # probes anchor two consumers (the id collect + the candidate
-        # join); checkpoint once — the frame is n_queries × n_probe rows
-        probes = self._probes(q, cents, n_probe).localCheckpoint(eager=True)
-        probed_ids = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+        spark = self.postings._session()
+        rows = self._probe_rows(q_rows, n_probe)
+        probed_ids = sorted({lid for _, _, _, lids in rows for lid in lids})
+        # the probe table is a ONE-slice local frame (n_queries × n_probe
+        # rows) — broadcast into the candidate join, no shuffle, no
+        # checkpoint job
+        probes = _local_df(
+            spark,
+            [(qid, qv, qn, lid) for qid, qv, qn, lids in rows for lid in lids],
+            f"query_id {qtype}, qv array<double>, qn double, list_id int",
+        )
         inv = self.postings.get_full_df().where(F.col("list_id").isin(probed_ids))
         if where is not None:
             # attribute pre-filter INSIDE the probed partitions' scan —
