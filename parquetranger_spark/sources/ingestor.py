@@ -268,7 +268,14 @@ def shred_json_df(
             import uuid
 
             rows = shredded.where(shredded.tbl == tbl).select("atoms_json")
-            ddl = spark.range(1).select(F.schema_of_json(F.lit(samples[tbl]))).first()[0]
+            # range(1) defaults to leafNodeDefaultParallelism slices — a
+            # 32-task job evaluating one constant-foldable expression;
+            # pin the probe to one partition (one task, same result)
+            ddl = (
+                spark.range(0, 1, 1, 1)
+                .select(F.schema_of_json(F.lit(samples[tbl])))
+                .first()[0]
+            )
             # one sampled row fixes the field SET (rows of a table share a
             # type map by construction — the schema hash IS the table
             # address) but not value RANGES: e.g. an int above int64 in an
