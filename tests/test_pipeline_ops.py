@@ -101,6 +101,59 @@ def test_bruteforce_topk_is_exact_and_ranked(spark, vecs):
         assert qid not in set(grp.neighbor_id)  # self excluded
 
 
+def test_bruteforce_kernel_matches_join_plan(spark):
+    """Round-11 kernel tripwire: the streamed mapInPandas scoring path
+    must return the EXACT rows (ids, ranks, bit-identical cos) of the
+    broadcast-join plan it replaced — including null query vectors
+    (forced onto the fallback), null/ragged CANDIDATE rows (NULL cos,
+    ranked nulls-last), NaN elements (NaN cos ranks FIRST under DESC),
+    per-batch boundary ties, and string ids (fallback path)."""
+    from parquetranger_spark.operators.similarity import _topk_bruteforce_join
+    from parquetranger_spark.functions.vectors import to_double, norm
+
+    rows = [(i, [float(i % 5), 1.0, 0.25 * (i % 3)]) for i in range(60)]
+    rows += [
+        (100, None),  # null candidate vector
+        (101, [1.0, 2.0]),  # ragged
+        (102, [float("nan"), 1.0, 0.5]),  # NaN element
+        (103, [0.0, 1.0, 0.0]),  # tie fodder
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.where(F.col("vec_id").isin([0, 5, 102]))
+
+    def via_join(qdf, cdf, k):
+        qq = qdf.select(
+            F.col("vec_id").alias("query_id"), to_double(F.col("embedding")).alias("qv")
+        )
+        cc = cdf.select(
+            F.col("vec_id").alias("neighbor_id"),
+            to_double(F.col("embedding")).alias("cv"),
+        )
+        return _topk_bruteforce_join(qq, cc, k)
+
+    for k in (3, 70):  # k < corpus and k > corpus
+        a = sorted(
+            map(tuple, topk_cosine_bruteforce(q, corpus, k=k).collect())
+        )
+        b = sorted(map(tuple, via_join(q, corpus, k).collect()))
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra[:3] == rb[:3], (ra, rb)
+            ca, cb = ra[3], rb[3]
+            assert (ca is None and cb is None) or ca == cb or (
+                ca != ca and cb != cb  # both NaN
+            ), (ra, rb)
+
+    # a null QUERY vector and string ids both force the fallback plan —
+    # results must still match the join semantics (smoke: it runs and
+    # self-pairs stay excluded)
+    sq = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None)], "vec_id string, embedding array<double>"
+    )
+    out = topk_cosine_bruteforce(sq, sq, k=1).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
 def test_text_functions_shapes(spark, docs):
     out = docs.select(
         lang_id("text").alias("lang_pred"),
